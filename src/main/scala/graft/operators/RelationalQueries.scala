@@ -1,0 +1,405 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.QueryDsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The delegated relational engine surface (SURVEY.md §2b): filtered
+  * aggregation, multi-joins, semi/anti joins, windows, grouping sets, set
+  * ops, top-k, scalar subqueries, string/date functions — expressed with the
+  * DataFrame API so Catalyst plans them (broadcast joins for dims, partial
+  * aggregation, TakeOrderedAndProject for top-k).
+  *
+  * Query shapes follow the reference's TPC-H benchmark corpus
+  * (reference benchmark/tpch/q01.benchmark..q22.benchmark, which drive
+  * DuckDB's q01..q22 templates) adapted to the driver star schema columns.
+  *
+  * Measure arithmetic uses the scaled-long scheme from [[graft.QueryDsl]]:
+  * exact integer sums (order-independent, fast codegen) with an identical
+  * final double-conversion tree in the Spark and DuckDB formulations.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** TPC-H q1 shape: filtered scan + hash aggregate (reference
+    * benchmark/tpch/q01.benchmark). */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p2 = sl2(col("l_extendedprice"))
+    val d4 = sl4(col("l_discount"))
+    val t4 = sl4(col("l_tax"))
+    // charge = Σ p·(1−d)·(1+t) decomposed into three long sums so no term
+    // overflows; recombined with the same IEEE double tree as the oracle.
+    val chS1 = sum(p2).cast("double")
+    val chS2 = sum(p2 * (t4 - d4)).cast("double")
+    val chS3 = sum(p2 * d4 * t4).cast("double")
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        lsum(sl2(col("l_quantity")), 100.0).as("sum_qty"),
+        lsum(p2, 100.0).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
+        ((chS1 * lit(1.0e8) + chS2 * lit(1.0e4) - chS3) / lit(1.0e10))
+          .as("sum_charge"),
+        (lsum(sl2(col("l_quantity")), 100.0) / count(lit(1))).as("avg_qty"),
+        (lsum(p2, 100.0) / count(lit(1))).as("avg_price"),
+        (lsum(d4, 10000.0) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Sql = {
+    val p2 = oSl2("l_extendedprice")
+    val d4 = oSl4("l_discount")
+    val t4 = oSl4("l_tax")
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${oLsum(oSl2("l_quantity"), "100.0")} AS sum_qty,
+       |  ${oLsum(p2, "100.0")} AS sum_base_price,
+       |  ${oRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  (CAST(CAST(SUM($p2) AS BIGINT) AS DOUBLE) * 100000000.0
+       |   + CAST(CAST(SUM($p2 * ($t4 - $d4)) AS BIGINT) AS DOUBLE) * 10000.0
+       |   - CAST(CAST(SUM($p2 * $d4 * $t4) AS BIGINT) AS DOUBLE)) / 10000000000.0 AS sum_charge,
+       |  ${oLsum(oSl2("l_quantity"), "100.0")} / COUNT(*) AS avg_qty,
+       |  ${oLsum(p2, "100.0")} / COUNT(*) AS avg_price,
+       |  ${oLsum(d4, "10000.0")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** TPC-H q3 shape: 3-way join + agg + top-k by computed measure
+    * (reference benchmark/tpch/q03.benchmark). */
+  private def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .join(t.orders.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,
+       |  ${oRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d')
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H q5 shape: 6-way snowflake join + agg (reference
+    * benchmark/tpch/q05.benchmark). Dims broadcast; fact join keys shuffle. */
+  private def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = broadcast(t.nation
+      .join(t.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey")))
+    t.lineitem
+      .join(t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  ${oRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H q6 shape: pure filtered scan aggregate — the predicate-pushdown
+    * benchmark (reference benchmark/tpch/q06.benchmark). */
+  private def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(lsum(sl2(col("l_extendedprice")) * sl4(col("l_discount")), 1e6)
+        .as("revenue"))
+  }
+
+  private val q6Sql =
+    s"""SELECT ${oLsum(s"${oSl2("l_extendedprice")} * ${oSl4("l_discount")}", "1000000.0")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.03 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** Left-semi join (EXISTS decorrelation, TPC-H q4/q21 shape). */
+  private def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.lineitem.filter(col("l_quantity") >= 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qSemiSql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS, TPC-H q22 shape). */
+  private def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-2 orders per customer (row_number over a
+    * deterministic total order). */
+  private def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val qWindowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-total window over events (frame-based analytic window).
+    * Scaled-long inside the frame so both engines agree exactly. */
+  private def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .filter(col("user_id") < 100)
+      .withColumn("running_value",
+        sum(sl2(col("value"))).over(w).cast("double") / 100.0)
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qWindowRunningSql =
+    s"""SELECT event_id, user_id,
+       |  CAST(CAST(SUM(${oSl2("value")}) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 100.0 AS running_value
+       |FROM events WHERE user_id < 100
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Distinct aggregation (TPC-H q16 shape). */
+  private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qDistinctAggSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets over the region/nation hierarchy. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        lsum(sl2(col("c_acctbal")), 100.0).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val qRollupSql =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+       |  ${oLsum(oSl2("c_acctbal"), "100.0")} AS total_bal
+       |FROM customer, nation, region
+       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT between two order-year cohorts. */
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def cohort(y: Int) = t.orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val both = cohort(1996).intersect(cohort(1997))
+      .withColumn("tag", lit("both"))
+    val only96 = cohort(1996).except(cohort(1997))
+      .withColumn("tag", lit("only_1996"))
+    both.union(only96).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  private val qSetOpsSql =
+    """WITH c96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+      |     c97 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97) t1
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97) t2
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** CASE + LIKE (TPC-H q12/q14 shape): priority buckets per order year. */
+  private def qCaseLike(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("o_orderpriority").like("1-%") ||
+          col("o_orderpriority").like("2-%"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").like("1-%") &&
+          !col("o_orderpriority").like("2-%"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("o_year"))
+  }
+
+  private val qCaseLikeSql =
+    """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |  SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT LIKE '1-%' AND o_orderpriority NOT LIKE '2-%' THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
+      |ORDER BY o_year""".stripMargin
+
+  /** Scalar subquery (TPC-H q17 shape): parts priced above the mean. */
+  private def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgPrice = t.part.agg(avg(col("p_retailprice")).as("ap"))
+    t.part
+      .join(broadcast(avgPrice), col("p_retailprice") > col("ap"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qScalarSubquerySql =
+    """SELECT p_partkey, p_retailprice FROM part
+      |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Plain top-k (TakeOrderedAndProject — no full sort at scale). */
+  private def qTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val qTopKSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** String scalar functions over part. */
+  private def qStringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .filter(col("p_size") > 40)
+      .select(
+        col("p_partkey"),
+        upper(col("p_type")).as("u_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tagged"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qStringFuncsSql =
+    """SELECT p_partkey, UPPER(p_type) AS u_type, LENGTH(p_name) AS name_len,
+      |  SUBSTR(p_name, 1, 5) AS pfx, CONCAT_WS('|', p_brand, p_type) AS tagged
+      |FROM part WHERE p_size > 40 ORDER BY p_partkey""".stripMargin
+
+  /** Date/time bucketing over the events table (hourly rollup). */
+  private def qDateTrunc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("value")), 100.0).as("total_value"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  private val qDateTruncSql =
+    s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       |  event_type, COUNT(*) AS n,
+       |  ${oLsum(oSl2("value"), "100.0")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("q3_topk", q3TopK, Some(q3Sql)),
+    QueryDef("q5_join", q5Join, Some(q5Sql)),
+    QueryDef("q6_filter", q6Filter, Some(q6Sql)),
+    QueryDef("q_semi_join", qSemiJoin, Some(qSemiSql)),
+    QueryDef("q_anti_join", qAntiJoin, Some(qAntiSql)),
+    QueryDef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
+    QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
+    QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_setops", qSetOps, Some(qSetOpsSql)),
+    QueryDef("q_case_like", qCaseLike, Some(qCaseLikeSql)),
+    QueryDef("q_scalar_subquery", qScalarSubquery, Some(qScalarSubquerySql)),
+    QueryDef("q_topk", qTopK, Some(qTopKSql)),
+    QueryDef("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
+    QueryDef("q_date_trunc", qDateTrunc, Some(qDateTruncSql)),
+  )
+}
