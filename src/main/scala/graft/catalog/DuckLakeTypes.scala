@@ -1,0 +1,113 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+/** Canonical type-string codec, mirroring the reference's DUCKLAKE_TYPES
+  * table (reference src/common/ducklake_types.cpp:17-68) mapped onto Spark's
+  * type system per SURVEY.md §1.3.
+  *
+  * Unsupported in the reference and here: enums, unions, fixed-size arrays,
+  * collations, user-defined types (reference src/common/ducklake_types.cpp:125,145).
+  */
+object DuckLakeTypes {
+
+  /** Spark type → canonical DuckLake type string. */
+  def toTypeString(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case StringType => "varchar"
+    case BinaryType => "blob"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case CalendarIntervalType => "interval"
+    case a: ArrayType =>
+      s"list<${toTypeString(a.elementType)}>"
+    case m: MapType =>
+      s"map<${toTypeString(m.keyType)},${toTypeString(m.valueType)}>"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name}:${toTypeString(f.dataType)}")
+        .mkString("struct<", ",", ">")
+    case other =>
+      throw new IllegalArgumentException(
+        s"DuckLake does not support type: $other")
+  }
+
+  /** Canonical DuckLake type string → Spark type. */
+  def fromTypeString(s: String): DataType = {
+    val t = s.trim
+    t match {
+      case "boolean" => BooleanType
+      case "int8" => ByteType
+      case "int16" => ShortType
+      case "int32" => IntegerType
+      case "int64" => LongType
+      case "uint8" => ShortType // widened (no unsigned in Spark)
+      case "uint16" => IntegerType
+      case "uint32" => LongType
+      case "uint64" => DecimalType(20, 0)
+      case "int128" | "uint128" => DecimalType(38, 0)
+      case "float32" => FloatType
+      case "float64" => DoubleType
+      case "varchar" | "json" | "uuid" => StringType
+      case "blob" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" | "timestamp_s" | "timestamp_ms" | "timestamp_us" |
+          "timestamp_ns" => TimestampNTZType
+      case "time" | "time_ns" => LongType // µs/ns since midnight
+      case "interval" => CalendarIntervalType
+      case dec if dec.startsWith("decimal(") =>
+        val args = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(args(0).trim.toInt, args(1).trim.toInt)
+      case lst if lst.startsWith("list<") =>
+        ArrayType(fromTypeString(inner(lst, "list<")))
+      case mp if mp.startsWith("map<") =>
+        val parts = splitTop(inner(mp, "map<"))
+        MapType(fromTypeString(parts(0)), fromTypeString(parts(1)))
+      case st if st.startsWith("struct<") =>
+        StructType(splitTop(inner(st, "struct<")).map { f =>
+          val i = f.indexOf(':')
+          StructField(f.substring(0, i), fromTypeString(f.substring(i + 1)))
+        })
+      case other =>
+        throw new IllegalArgumentException(s"unknown DuckLake type: $other")
+    }
+  }
+
+  /** Widening-only promotion lattice (reference alter tests: "only widening
+    * type promotions are allowed"). */
+  private val widenOrder: Map[String, Int] = Map(
+    "int8" -> 1, "int16" -> 2, "int32" -> 3, "int64" -> 4,
+    "uint8" -> 1, "uint16" -> 2, "uint32" -> 3, "uint64" -> 4,
+    "float32" -> 5, "float64" -> 6)
+
+  def isWidening(from: String, to: String): Boolean =
+    from == to ||
+      (widenOrder.contains(from) && widenOrder.contains(to) &&
+        widenOrder(from) < widenOrder(to))
+
+  private def inner(s: String, prefix: String): String =
+    s.stripPrefix(prefix).stripSuffix(">")
+
+  /** split on commas at nesting depth 0 */
+  private def splitTop(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; sb += c
+      case c @ ('>' | ')') => depth -= 1; sb += c
+      case ',' if depth == 0 => out += sb.result(); sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.result()
+    out.toArray
+  }
+}

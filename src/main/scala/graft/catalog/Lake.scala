@@ -1,0 +1,787 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The user-facing lakehouse: Spark reads/writes Parquet, all state lives
+  * in the JDBC catalog ([[MetadataManager]]). Copy-on-write DML with
+  * positional delete files, snapshot isolation, time travel, CDC and
+  * maintenance — the reference's surface (SURVEY.md §2.1-2.7) re-expressed
+  * as DataFrame transformations.
+  *
+  * Scale notes: metadata work happens on the driver (as in the reference,
+  * where it is SQL against the catalog DB); all row work is distributed
+  * DataFrame jobs. File moves assume a rename-capable filesystem (local /
+  * HDFS); on object stores the staging step would write final names
+  * directly.
+  */
+class Lake(val spark: SparkSession, val meta: MetadataManager,
+    val dataPath: String) {
+
+  import Lake._
+
+  private def fs = Paths.get(dataPath)
+
+  // ------------------------------------------------------------ DDL surface
+
+  def createTable(name: String, schema: StructType,
+      ifNotExists: Boolean = false): TableInfo = {
+    val cols = schema.fields.map(f =>
+      (f.name, DuckLakeTypes.toTypeString(f.dataType), f.nullable)).toSeq
+    Files.createDirectories(fs.resolve(name))
+    meta.createTable(name, cols, ifNotExists = ifNotExists)
+  }
+
+  def dropTable(name: String): Unit = meta.dropTable(name)
+  def renameTable(oldName: String, newName: String): Unit =
+    meta.renameTable(oldName, newName)
+
+  def addColumn(table: String, field: StructField): Unit =
+    meta.addColumn(resolve(table).tableId, field.name,
+      DuckLakeTypes.toTypeString(field.dataType), field.nullable)
+  def dropColumn(table: String, column: String): Unit =
+    meta.dropColumn(resolve(table).tableId, column)
+  def renameColumn(table: String, oldName: String, newName: String): Unit =
+    meta.renameColumn(resolve(table).tableId, oldName, newName)
+  def changeColumnType(table: String, column: String, to: DataType): Unit =
+    meta.changeColumnType(resolve(table).tableId, column,
+      DuckLakeTypes.toTypeString(to))
+
+  def createView(name: String, sql: String): Unit = meta.createView(name, sql)
+
+  /** Resolve a view's SQL at the current snapshot and run it (views store
+    * dialect + SQL text, reference ducklake_view_entry.cpp:125-142). */
+  def view(name: String): DataFrame = {
+    val snap = meta.currentSnapshot()
+    val sql = meta.viewByName(name, snap.snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no view $name"))
+    meta.listTables(snap.snapshotId).foreach { t =>
+      table(t.name).createOrReplaceTempView(t.name)
+    }
+    spark.sql(sql)
+  }
+
+  private def resolve(name: String,
+      snapshotId: Option[Long] = None): TableInfo = {
+    val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
+    meta.tableByName(name, sid)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+  }
+
+  def schemaOf(name: String, snapshotId: Option[Long] = None): StructType = {
+    val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
+    val t = resolve(name, Some(sid))
+    toStruct(meta.columnsOf(t.tableId, sid))
+  }
+
+  private def toStruct(cols: Seq[ColumnInfo]): StructType =
+    StructType(cols.filter(_.parentColumn.isEmpty).map(c =>
+      StructField(c.name, DuckLakeTypes.fromTypeString(c.typeString),
+        c.nullsAllowed)))
+
+  // --------------------------------------------------------------- appends
+
+  /** Append a DataFrame as new immutable Parquet files + one snapshot.
+    * Stats for every column are collected in a single distributed pass
+    * grouped by output file (the reference collects them inside the COPY,
+    * ducklake_insert.cpp:119-242). */
+  def append(name: String, df: DataFrame): Snapshot = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val aligned = alignColumns(df, cols)
+    val files = writeAndCollect(name, aligned, cols)
+    meta.appendFiles(t.tableId, files)
+  }
+
+  /** CREATE TABLE ... AS SELECT (reference ducklake_insert.cpp:49-78). */
+  def createTableAs(name: String, df: DataFrame): Snapshot = {
+    createTable(name, df.schema)
+    append(name, df)
+  }
+
+  private def alignColumns(df: DataFrame, cols: Seq[ColumnInfo]): DataFrame = {
+    val exprs = cols.map { c =>
+      val dt = DuckLakeTypes.fromTypeString(c.typeString)
+      if (df.columns.contains(c.name)) col(c.name).cast(dt).as(c.name)
+      else lit(c.defaultValue.orNull).cast(dt).as(c.name)
+    }
+    df.select(exprs: _*)
+  }
+
+  /** Write df under a staging dir, collect per-file stats in ONE agg pass,
+    * move files to their final ducklake-<uuid> names, return entries. */
+  private def writeAndCollect(table: String, df: DataFrame,
+      cols: Seq[ColumnInfo]): Seq[PendingDataFile] = {
+    val stagingName = s"stage-${UUID.randomUUID()}"
+    val stagingDir = fs.resolve(table).resolve(stagingName)
+    df.write.parquet(stagingDir.toString)
+
+    val written = spark.read.schema(toStruct(cols))
+      .parquet(stagingDir.toString)
+    val statAggs = cols.flatMap { c =>
+      val dt = DuckLakeTypes.fromTypeString(c.typeString)
+      if (StatsCodec.statsSupported(dt))
+        Seq(min(col(c.name)).as(s"min_${c.name}"),
+          max(col(c.name)).as(s"max_${c.name}"),
+          count(col(c.name)).as(s"cnt_${c.name}")) ++
+          (if (dt == DoubleType || dt == FloatType)
+            Seq(sum(when(isnan(col(c.name)), 1L).otherwise(0L))
+              .as(s"nan_${c.name}"))
+          else Nil)
+      else Seq(count(col(c.name)).as(s"cnt_${c.name}"))
+    }
+    val statRows = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), statAggs: _*)
+      .collect()
+
+    statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
+      val srcPath = Paths.get(new java.net.URI(row.getAs[String]("__file")))
+      val rows = row.getAs[Long]("__rows")
+      val stats = cols.map { c =>
+        val dt = DuckLakeTypes.fromTypeString(c.typeString)
+        val nulls = rows - row.getAs[Long](s"cnt_${c.name}")
+        if (StatsCodec.statsSupported(dt)) {
+          val mn = StatsCodec.encode(row.getAs[Any](s"min_${c.name}"), dt)
+          val mx = StatsCodec.encode(row.getAs[Any](s"max_${c.name}"), dt)
+          val nan =
+            if (dt == DoubleType || dt == FloatType)
+              row.getAs[Long](s"nan_${c.name}")
+            else 0L
+          FileColumnStats(c.columnId, mn, mx, nulls, nan,
+            numeric = StatsCodec.isNumeric(dt))
+        } else FileColumnStats(c.columnId, None, None, nulls)
+      }
+      val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
+      val dst = fs.resolve(table).resolve(finalName)
+      Files.move(srcPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      PendingDataFile(s"$table/$finalName", rows, Files.size(dst), stats)
+    }.tapEach(_ => ()).toSeq match {
+      case done =>
+        // remove staging leftovers (_SUCCESS etc.)
+        if (Files.exists(stagingDir)) {
+          Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        done
+    }
+  }
+
+  // ----------------------------------------------------------------- scans
+
+  /** Current-snapshot read. `filter` is applied in Spark AND converted to
+    * catalog-side stats pruning so non-matching files never reach the scan
+    * (reference's core optimization, metadata_manager.cpp:1492-1593). */
+  def table(name: String, filter: Option[Column] = None): DataFrame =
+    scan(name, meta.currentSnapshot(), filter, withMeta = false)
+
+  def tableAtVersion(name: String, version: Long,
+      filter: Option[Column] = None): DataFrame = {
+    val snap = meta.snapshotByVersion(version).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $version"))
+    scan(name, snap, filter, withMeta = false)
+  }
+
+  def tableAtTime(name: String, tsMs: Long,
+      filter: Option[Column] = None): DataFrame = {
+    val snap = meta.snapshotAtTime(tsMs).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot at time $tsMs"))
+    scan(name, snap, filter, withMeta = false)
+  }
+
+  /** Read with the reference's virtual columns: rowid, snapshot_id,
+    * filename, file_row_number (reference ducklake_table_entry.cpp:398-411). */
+  def tableWithRowId(name: String): DataFrame =
+    scan(name, meta.currentSnapshot(), None, withMeta = true)
+
+  private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],
+      withMeta: Boolean): DataFrame = {
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val schema = toStruct(cols)
+    val statsFilters = filter.toSeq.flatMap(f =>
+      extractStatsFilters(ColumnBridge.expr(f), cols))
+    val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId, statsFilters)
+    val df = buildScan(name, schema, scanFiles, snap, withMeta)
+    filter.map(df.filter).getOrElse(df)
+  }
+
+  /** Assemble the multi-file scan: parquet reader over the pruned file
+    * list, rowid from row_id_start + _metadata.row_index (or the
+    * materialized column after compaction, reference
+    * ducklake_multi_file_reader.cpp:574-596), positional delete anti-join. */
+  private def buildScan(table: String, schema: StructType,
+      scanFiles: Seq[ScanFile], snap: Snapshot,
+      withMeta: Boolean): DataFrame = {
+    import spark.implicits._
+    if (scanFiles.isEmpty) {
+      val full = schema
+        .add("rowid", LongType).add("snapshot_id", LongType)
+        .add("filename", StringType).add("file_row_number", LongType)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withMeta) full else schema)
+      return empty
+    }
+    val hasMaterializedRowId =
+      readSchemaOf(scanFiles.head.file.path).fieldNames.contains(RowIdCol)
+    val readSchema =
+      if (hasMaterializedRowId)
+        StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
+          StructField(SnapCol, LongType))
+      else schema
+    val paths = scanFiles.map(f => abs(f.file.path))
+    val base = spark.read.schema(readSchema).parquet(paths: _*)
+      .withColumn("__abs", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+    val fileInfo = scanFiles.map { f =>
+      (absUri(f.file.path), f.file.path, f.file.rowIdStart,
+        f.file.beginSnapshot)
+    }.toDF("__abs", "__rel", "__start", "__fsnap")
+
+    val withIds = base
+      .join(broadcast(fileInfo), Seq("__abs"))
+      .withColumn("rowid",
+        if (hasMaterializedRowId) col(RowIdCol)
+        else col("__start") + col("__pos"))
+      .withColumn("snapshot_id",
+        if (hasMaterializedRowId) col(SnapCol) else col("__fsnap"))
+
+    // positional delete files: (file_path, pos) pairs; snapshot-filtered so
+    // time travel sees only deletes committed by then
+    val deletePaths = scanFiles.flatMap(_.deleteFiles)
+      .filter(_.beginSnapshot <= snap.snapshotId)
+      .map(_.path).distinct
+    val afterDeletes = if (deletePaths.isEmpty) withIds else {
+      val dels = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(deletePaths.map(abs): _*)
+        .select(col("file_path").as("__rel"), col("pos").as("__pos"))
+      withIds.join(dels, Seq("__rel", "__pos"), "left_anti")
+    }
+
+    val out =
+      if (withMeta)
+        afterDeletes.select(
+          (schema.fieldNames.map(col).toSeq :+
+            col("rowid") :+ col("snapshot_id") :+
+            col("__rel").as("filename") :+
+            col("__pos").as("file_row_number")): _*)
+      else afterDeletes.select(schema.fieldNames.map(col).toSeq: _*)
+    out
+  }
+
+  private def readSchemaOf(relPath: String): StructType =
+    spark.read.parquet(abs(relPath)).schema
+
+  private def abs(rel: String): String = fs.resolve(rel).toString
+  /** matches Spark's _metadata.file_path rendering (Hadoop Path.toString:
+    * scheme + single slash on local FS) */
+  private def absUri(rel: String): String =
+    new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(abs(rel)).toUri).toString
+
+  // ------------------------------------------------------------------- DML
+
+  /** DELETE: write positional delete files for matched rows (one snapshot;
+    * consecutive deletes against a file are unioned — reference
+    * ducklake_delete.cpp:36-206). Returns deleted-row count. */
+  def delete(name: String, cond: Column): Long = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val matched = scan(name, snap, None, withMeta = true)
+      .filter(cond)
+      .select(col("filename").as("file_path"), col("file_row_number").as("pos"))
+    deleteByPosition(name, t, snap, matched)
+  }
+
+  private def deleteByPosition(name: String, t: TableInfo, snap: Snapshot,
+      newDeletes: DataFrame, newFiles: Seq[PendingDataFile] = Nil): Long = {
+    val perFile = newDeletes.groupBy("file_path").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty && newFiles.isEmpty) return 0L
+    if (perFile.isEmpty) { meta.appendFiles(t.tableId, newFiles); return 0L }
+
+    val files = meta.filesForScan(t.tableId, snap.snapshotId)
+    val byRel = files.map(f => f.file.path -> f.file).toMap
+    val affectedIds = perFile.keys.map(byRel(_).dataFileId).toSet
+
+    // union with previous live deletes for the affected files
+    val prev = meta.liveDeleteFiles(t.tableId, snap.snapshotId, affectedIds)
+    val prevPaths = prev.values.map(_.path).toSeq.distinct
+    val prevRows = if (prevPaths.isEmpty) None
+    else Some(spark.read.parquet(prevPaths.map(abs): _*)
+      .filter(col("file_path").isin(perFile.keys.toSeq: _*)))
+    val all = prevRows.map(newDeletes.unionByName(_).distinct())
+      .getOrElse(newDeletes)
+
+    // one physical delete parquet per DELETE statement, sorted (file, pos)
+    val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
+    val stagingDir = fs.resolve(name).resolve(s"delstage-${UUID.randomUUID()}")
+    all.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(stagingDir.toString)
+    val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dst = fs.resolve(name).resolve(delName)
+    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+
+    val totalPerFile = all.groupBy("file_path").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val size = Files.size(dst)
+    val deletes = totalPerFile.toSeq.map { case (rel, n) =>
+      (byRel(rel).dataFileId, s"$name/$delName", n, size)
+    }
+    val newlyDeleted = perFile.values.sum
+    meta.commitDeletes(t.tableId, snap.snapshotId, deletes, newFiles,
+      removedRows = newlyDeleted)
+    newlyDeleted
+  }
+
+  /** UPDATE = delete + insert in one snapshot; un-SET columns are
+    * force-projected so complete rows are rewritten (reference
+    * ducklake_update.cpp:220-333, update_is_del_and_insert). */
+  def update(name: String, assignments: Map[String, Column],
+      cond: Column): Long = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val matched = scan(name, snap, None, withMeta = true).filter(cond)
+    val rewritten = matched.select(cols.map(c =>
+      assignments.get(c.name)
+        .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
+        .getOrElse(col(c.name))): _*)
+    val newFiles = writeAndCollect(name, rewritten, cols)
+    val positions = matched.select(col("filename").as("file_path"),
+      col("file_row_number").as("pos"))
+    val n = deleteByPosition(name, t, snap, positions, newFiles)
+    // update = delete+insert: net row count unchanged
+    if (n != 0) restoreRowCount(t.tableId, n)
+    n
+  }
+
+  private def restoreRowCount(tableId: Long, n: Long): Unit = ()
+  // (commitDeletes subtracted n, insertFiles added the rewritten n — net 0)
+
+  /** MERGE INTO (reference ducklake_merge_into.cpp:489-634): source vs
+    * target on a key; MATCHED UPDATE / DELETE, NOT MATCHED INSERT. At most
+    * one update/delete action, like the reference. Errors if the same
+    * target row matches twice (multi-update guard). */
+  def merge(name: String, source: DataFrame, onKey: String,
+      whenMatchedUpdate: Option[Map[String, Column]] = None,
+      whenMatchedDelete: Boolean = false,
+      whenNotMatchedInsert: Boolean = true): Unit = {
+    require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
+      "at most one MATCHED action") // reference test-config constraint
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val target = scan(name, snap, None, withMeta = true)
+    val src = source.alias("s")
+    val tgt = target.alias("t")
+    val joined = tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "inner")
+
+    val dupes = joined.groupBy(col("t.rowid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dupes.nonEmpty) throw new IllegalStateException(
+      "The same row was updated multiple times") // reference error text
+
+    val matchedPositions = joined.select(
+      col("t.filename").as("file_path"), col("t.file_row_number").as("pos"))
+
+    val inserts: Option[DataFrame] =
+      if (whenNotMatchedInsert) Some {
+        src.join(tgt, col(s"s.$onKey") === col(s"t.$onKey"), "left_anti")
+      } else None
+
+    val rewrittenMatched: Option[DataFrame] = whenMatchedUpdate.map { as =>
+      joined.select(cols.map(c =>
+        as.get(c.name)
+          .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
+          .getOrElse(col(s"t.${c.name}"))): _*)
+    }
+
+    val newRows = (rewrittenMatched, inserts) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(
+        b.select(cols.map(c => col(c.name)): _*), allowMissingColumns = false))
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b.select(cols.map(c => col(c.name)): _*))
+      case _ => None
+    }
+    val newFiles = newRows.map(df =>
+      writeAndCollect(name, alignColumns(df, cols), cols)).getOrElse(Nil)
+
+    if (whenMatchedUpdate.isDefined || whenMatchedDelete)
+      deleteByPosition(name, t, snap, matchedPositions, newFiles)
+    else if (newFiles.nonEmpty)
+      meta.appendFiles(t.tableId, newFiles)
+  }
+
+  // ------------------------------------------------------------------- CDC
+
+  /** Rows added in (startVersion, endVersion] (reference
+    * ducklake_table_insertions.cpp:48-96). */
+  def tableInsertions(name: String, startVersion: Long,
+      endVersion: Long): DataFrame = {
+    val t = resolve(name, Some(endVersion))
+    val cols = meta.columnsOf(t.tableId, endVersion)
+      .filter(_.parentColumn.isEmpty)
+    val schema = toStruct(cols)
+    val files = meta.filesInsertedIn(t.tableId, startVersion, endVersion)
+      .map(f => ScanFile(f, Nil))
+    buildScan(name, schema,
+      files, Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+  }
+
+  /** Rows deleted in (startVersion, endVersion] — reads the delete files
+    * created in range and resolves them to rows (reference
+    * ducklake_multi_file_list.cpp:396-421). */
+  def tableDeletions(name: String, startVersion: Long,
+      endVersion: Long): DataFrame = {
+    val t = resolve(name, Some(endVersion))
+    val cols = meta.columnsOf(t.tableId, endVersion)
+      .filter(_.parentColumn.isEmpty)
+    val schema = toStruct(cols)
+    val created = meta.deleteFilesCreatedIn(t.tableId, startVersion, endVersion)
+    if (created.isEmpty)
+      return buildScan(name, schema, Nil,
+        Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+
+    // rows deleted in range = positions in new delete files MINUS positions
+    // already deleted at startVersion (delta of the unioned files)
+    val dataFiles = created.map(_._2).distinct
+    val full = dataFiles.map(f => ScanFile(f, Nil))
+    val rows = buildScan(name, schema, full,
+      Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+    val newDelPaths = created.map { case (d, _) => (d.path, d.beginSnapshot) }
+    val delRows = spark.read.parquet(
+      newDelPaths.map(p => abs(p._1)).distinct: _*)
+      .select(col("file_path"), col("pos"))
+    val prevIds = dataFiles.map(_.dataFileId).toSet
+    val prevDeletes = meta.liveDeleteFiles(t.tableId, startVersion, prevIds)
+    val prevRows =
+      if (prevDeletes.isEmpty) None
+      else Some(spark.read
+        .parquet(prevDeletes.values.map(d => abs(d.path)).toSeq.distinct: _*)
+        .select(col("file_path"), col("pos")))
+    val delta = prevRows.map(delRows.except).getOrElse(delRows)
+    rows.join(delta,
+      rows("filename") === delta("file_path") &&
+        rows("file_row_number") === delta("pos"), "left_semi")
+  }
+
+  /** Union CDC feed with change_type + rowid + snapshot_id (reference
+    * ducklake_table_changes, docs/README.md:86-96). */
+  def tableChanges(name: String, startVersion: Long,
+      endVersion: Long): DataFrame =
+    tableInsertions(name, startVersion, endVersion)
+      .withColumn("change_type", lit("insert"))
+      .unionByName(
+        tableDeletions(name, startVersion, endVersion)
+          .withColumn("change_type", lit("delete")))
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Greedy compaction of adjacent small files toward target size; the
+    * merged file materializes rowid + insertion snapshot columns so row
+    * identity and CDC survive (reference
+    * ducklake_compaction_functions.cpp:289-400,548-602). */
+  def mergeAdjacentFiles(name: String,
+      targetFileSize: Long = 512L * 1024 * 1024): Int = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val files = meta.filesForScan(t.tableId, snap.snapshotId)
+    // greedy adjacent grouping, stop before exceeding target
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[ScanFile]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
+    var curSize = 0L
+    files.foreach { f =>
+      if (cur.nonEmpty && curSize + f.file.fileSizeBytes > targetFileSize) {
+        if (cur.size > 1) groups += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
+        curSize = 0L
+      }
+      cur += f
+      curSize += f.file.fileSizeBytes
+    }
+    if (cur.size > 1) groups += cur.toSeq
+
+    groups.foreach { group =>
+      val schema = toStruct(cols)
+      val rows = buildScan(name, schema, group, snap, withMeta = true)
+        .select((cols.map(c => col(c.name)) :+
+          col("rowid").as(RowIdCol) :+
+          col("snapshot_id").as(SnapCol)): _*)
+      val extCols = cols ++ Seq(
+        ColumnInfo(-1, cols.size, RowIdCol, "int64", nullsAllowed = false),
+        ColumnInfo(-2, cols.size + 1, SnapCol, "int64", nullsAllowed = false))
+      val merged = writeAndCollectPlain(name, rows.coalesce(1))
+      val statsFiles = statsFor(merged, cols)
+      val removed = group.map(_.file.recordCount).sum - statsFiles.recordCount
+      meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
+        statsFiles, group.head.file.rowIdStart, removedRows = removed)
+    }
+    groups.size
+  }
+
+  /** Rewrite files whose deleted fraction ≥ threshold, dropping dead rows
+    * (reference rewrite_data_files, default 0.95,
+    * ducklake_compaction_functions.cpp:769-783). */
+  def rewriteDataFiles(name: String, deleteThreshold: Double = 0.95): Int = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val files = meta.filesForScan(t.tableId, snap.snapshotId)
+    val candidates = files.filter { f =>
+      val deleted = f.deleteFiles.map(_.deleteCount).max0
+      f.file.recordCount > 0 &&
+        deleted.toDouble / f.file.recordCount >= deleteThreshold
+    }
+    val (fullyDead, partial) = candidates.partition { f =>
+      f.deleteFiles.map(_.deleteCount).max0 >= f.file.recordCount
+    }
+    if (fullyDead.nonEmpty)
+      meta.commitDropFiles(t.tableId, fullyDead.map(_.file.dataFileId))
+    partial.foreach { f =>
+      val schema = toStruct(cols)
+      val rows = buildScan(name, schema, Seq(f), snap, withMeta = true)
+        .select((cols.map(c => col(c.name)) :+
+          col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
+      val merged = writeAndCollectPlain(name, rows.coalesce(1))
+      val stats = statsFor(merged, cols)
+      meta.commitCompaction(t.tableId, Seq(f.file.dataFileId), stats,
+        f.file.rowIdStart,
+        removedRows = 0L) // table row count already reflects the deletes
+    }
+    candidates.size
+  }
+
+  private implicit class MaxOps(s: Seq[Long]) {
+    def max0: Long = if (s.isEmpty) 0L else s.max
+  }
+
+  /** write a (small) DataFrame as one parquet file, return its rel path */
+  private def writeAndCollectPlain(table: String, df: DataFrame): String = {
+    val stagingDir = fs.resolve(table).resolve(s"stage-${UUID.randomUUID()}")
+    df.write.parquet(stagingDir.toString)
+    val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
+    val dst = fs.resolve(table).resolve(finalName)
+    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    s"$table/$finalName"
+  }
+
+  private def statsFor(relPath: String,
+      cols: Seq[ColumnInfo]): PendingDataFile = {
+    val df = spark.read.parquet(abs(relPath))
+    val rows = df.count()
+    val stats = cols.map { c =>
+      val dt = DuckLakeTypes.fromTypeString(c.typeString)
+      if (StatsCodec.statsSupported(dt)) {
+        val r = df.agg(min(col(c.name)), max(col(c.name)),
+          count(col(c.name))).collect()(0)
+        FileColumnStats(c.columnId, StatsCodec.encode(r.get(0), dt),
+          StatsCodec.encode(r.get(1), dt), rows - r.getLong(2),
+          numeric = StatsCodec.isNumeric(dt))
+      } else FileColumnStats(c.columnId, None, None, 0L)
+    }
+    PendingDataFile(relPath, rows, Files.size(fs.resolve(relPath)), stats)
+  }
+
+  def expireSnapshots(olderThanMs: Option[Long] = None,
+      versions: Seq[Long] = Nil): Seq[Long] =
+    meta.expireSnapshots(olderThanMs, versions)
+
+  /** Physically delete files scheduled for deletion (reference
+    * ducklake_cleanup_old_files). Returns deleted paths. */
+  def cleanupOldFiles(olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
+    val paths = meta.takeScheduledDeletions(olderThanMs)
+    if (!dryRun) paths.foreach(p => Files.deleteIfExists(fs.resolve(p)))
+    paths
+  }
+
+  /** Delete files on disk that the catalog does not know about (reference
+    * ducklake_delete_orphaned_files). */
+  def deleteOrphanedFiles(name: String, dryRun: Boolean = false): Seq[String] = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val known = meta.filesForScan(t.tableId, snap.snapshotId)
+      .flatMap(f => f.file.path +: f.deleteFiles.map(_.path)).toSet
+    val dir = fs.resolve(name)
+    if (!Files.exists(dir)) return Nil
+    val orphans = Files.list(dir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    orphans.forEachRemaining { p =>
+      val rel = s"$name/${p.getFileName}"
+      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+        !known.contains(rel)) {
+        out += rel
+        if (!dryRun) Files.deleteIfExists(p)
+      }
+    }
+    out.toSeq
+  }
+
+  /** CHECKPOINT pipeline in the reference's order: expire → merge-adjacent
+    * → rewrite → cleanup (reference ducklake_checkpoint.cpp:14-35). */
+  def checkpoint(name: String,
+      expireOlderThanMs: Option[Long] = None): Unit = {
+    expireOlderThanMs.foreach(ms => expireSnapshots(Some(ms)))
+    mergeAdjacentFiles(name)
+    rewriteDataFiles(name)
+    cleanupOldFiles(None)
+  }
+
+  // ------------------------------------------------- metadata introspection
+
+  /** snapshots() table function (reference base_metadata_function.cpp:38-59). */
+  def snapshots(): DataFrame = {
+    import spark.implicits._
+    meta.allSnapshots().map { case (s, ch, author, msg) =>
+      (s.snapshotId, new java.sql.Timestamp(s.snapshotTimeMs),
+        s.schemaVersion, ch.getOrElse(""), author.getOrElse(""),
+        msg.getOrElse(""))
+    }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes",
+      "author", "commit_message")
+  }
+
+  def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId
+
+  /** table_info() (reference ducklake_table_info.cpp). */
+  def tableInfo(): DataFrame = {
+    import spark.implicits._
+    val snap = meta.currentSnapshot()
+    meta.listTables(snap.snapshotId).map { t =>
+      val stats = meta.tableStats(t.tableId)
+      val files = meta.filesForScan(t.tableId, snap.snapshotId)
+      (t.name, t.tableId, files.size.toLong,
+        files.map(_.file.fileSizeBytes).sum,
+        files.flatMap(_.deleteFiles).size.toLong,
+        stats.map(_.recordCount).getOrElse(0L))
+    }.toDF("table_name", "table_id", "file_count", "file_size_bytes",
+      "delete_file_count", "record_count")
+  }
+
+  /** list_files() (reference ducklake_list_files.cpp:65-113). */
+  def listFiles(name: String, version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val sid = version.getOrElse(meta.currentSnapshot().snapshotId)
+    val t = resolve(name, Some(sid))
+    meta.filesForScan(t.tableId, sid).map { f =>
+      (f.file.path, f.file.recordCount, f.file.fileSizeBytes,
+        f.file.rowIdStart, f.deleteFiles.map(_.path).mkString(","))
+    }.toDF("data_file", "record_count", "file_size_bytes", "row_id_start",
+      "delete_files")
+  }
+
+  // -------------------------------------------------- foreign file import
+
+  /** Register pre-existing Parquet files without rewriting them (reference
+    * ducklake_add_data_files.cpp:44-69): schema-checked by name, stats
+    * collected in one pass per file set. */
+  def addDataFiles(name: String, parquetPaths: Seq[String]): Snapshot = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val pending = parquetPaths.map { p =>
+      val src = Paths.get(p)
+      val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
+      val dst = fs.resolve(name).resolve(finalName)
+      Files.copy(src, dst)
+      statsFor(s"$name/$finalName", cols)
+    }
+    meta.appendFiles(t.tableId, pending)
+  }
+
+  // ----------------------------------------------------- filter extraction
+
+  /** Convert a Spark filter expression into catalog stats filters (only
+    * conjuncts of col-op-literal survive; everything else stays Spark-side). */
+  private def extractStatsFilters(e: Expression,
+      cols: Seq[ColumnInfo]): Seq[StatsFilter] = {
+    val byName = cols.map(c => c.name -> c).toMap
+    def colId(ex: Expression): Option[(ColumnInfo, DataType)] = ex match {
+      case a: UnresolvedAttribute => byName.get(a.name).map(ci =>
+        (ci, DuckLakeTypes.fromTypeString(ci.typeString)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        byName.get(a.name).map(ci =>
+          (ci, DuckLakeTypes.fromTypeString(ci.typeString)))
+      case _ => None
+    }
+    def mk(ci: ColumnInfo, dt: DataType, op: String,
+        lit: Literal): Seq[StatsFilter] =
+      StatsCodec.encode(lit.value, lit.dataType).map { enc =>
+        StatsFilter(ci.columnId, op, enc, StatsCodec.isNumeric(dt))
+      }.toSeq
+    e match {
+      case And(l, r) =>
+        extractStatsFilters(l, cols) ++ extractStatsFilters(r, cols)
+      case EqualTo(a, l: Literal) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "=", l) }
+      case EqualTo(l: Literal, a) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "=", l) }
+      case GreaterThan(a, l: Literal) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, ">", l) }
+      case GreaterThan(l: Literal, a) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "<", l) }
+      case GreaterThanOrEqual(a, l: Literal) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, ">=", l) }
+      case GreaterThanOrEqual(l: Literal, a) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "<=", l) }
+      case LessThan(a, l: Literal) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "<", l) }
+      case LessThan(l: Literal, a) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, ">", l) }
+      case LessThanOrEqual(a, l: Literal) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "<=", l) }
+      case LessThanOrEqual(l: Literal, a) =>
+        colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, ">=", l) }
+      case IsNull(a) => colId(a).toSeq.map { case (ci, _) =>
+        StatsFilter(ci.columnId, "isnull", "", numeric = false) }
+      case IsNotNull(a) => colId(a).toSeq.map { case (ci, _) =>
+        StatsFilter(ci.columnId, "isnotnull", "", numeric = false) }
+      case _ => Nil
+    }
+  }
+}
+
+object Lake {
+  /** materialized row-identity columns in compacted files (reference
+    * ducklake_multi_file_reader.cpp:574-596) */
+  val RowIdCol = "_ducklake_internal_row_id"
+  val SnapCol = "_ducklake_internal_snapshot_id"
+
+  /** Attach (or create) a lake: Derby catalog dir + data dir. */
+  def attach(spark: SparkSession, catalogDir: String,
+      dataPath: String): Lake = {
+    Files.createDirectories(Paths.get(dataPath))
+    val mgr = new MetadataManager(MetadataManager.derbyUrl(catalogDir))
+    mgr.initialize(dataPath)
+    new Lake(spark, mgr, mgr.dataPath)
+  }
+}

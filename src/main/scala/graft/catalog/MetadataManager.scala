@@ -1,0 +1,1076 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager, ResultSet, SQLException, Statement}
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Using
+
+/** JDBC metadata manager: all lake state is rows in ordinary SQL tables,
+  * exactly the DuckLake design ("SQL as a Lakehouse Format") — the 23-table
+  * schema of GetCreateTableStatements (reference
+  * src/storage/ducklake_metadata_manager.cpp:228-301 + v1.1 migration
+  * :426-436), re-expressed in portable JDBC SQL (default backend: embedded
+  * Derby; the SQL sticks to the common subset so Postgres/SQLite-style
+  * backends can subclass dialect hooks like the reference's
+  * SQLite/Postgres/Quack managers).
+  *
+  * Commits are optimistic: a new row in ducklake_snapshot with PK
+  * snapshot_id is the atomicity point; on conflict the commit loop retries
+  * with backoff after semantic conflict checks (reference
+  * src/storage/ducklake_transaction.cpp:1418-1545, defaults
+  * src/ducklake_extension.cpp:29-35: 10 retries, 100 ms, 1.5x backoff).
+  */
+class MetadataManager(val jdbcUrl: String) extends Serializable {
+
+  // ---------------------------------------------------------------- plumbing
+
+  protected def connect(): Connection = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    c.setAutoCommit(false)
+    c
+  }
+
+  protected def withConn[A](f: Connection => A): A =
+    Using.resource(connect()) { c =>
+      try { val r = f(c); c.commit(); r }
+      catch { case e: Throwable => try c.rollback() catch { case _: Throwable => () }; throw e }
+    }
+
+  private def qLong(c: Connection, sql: String, args: Any*): Option[Long] =
+    query(c, sql, args: _*)(rs => rs.getLong(1)).headOption
+
+  protected def query[A](c: Connection, sql: String, args: Any*)(
+      f: ResultSet => A): Seq[A] = {
+    Using.resource(c.prepareStatement(sql)) { ps =>
+      args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+      Using.resource(ps.executeQuery()) { rs =>
+        val out = ArrayBuffer.empty[A]
+        while (rs.next()) out += f(rs)
+        out.toSeq
+      }
+    }
+  }
+
+  protected def exec(c: Connection, sql: String, args: Any*): Int =
+    Using.resource(c.prepareStatement(sql)) { ps =>
+      args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+      ps.executeUpdate()
+    }
+
+  private def optLong(rs: ResultSet, col: String): Option[Long] = {
+    val v = rs.getLong(col)
+    if (rs.wasNull()) None else Some(v)
+  }
+  private def optString(rs: ResultSet, col: String): Option[String] =
+    Option(rs.getString(col))
+
+  // ------------------------------------------------------------------- DDL
+
+  /** The reference's metadata tables (SURVEY.md §1.2). VARCHAR sizes are
+    * Derby-friendly; *_snapshot validity ranges everywhere for time travel. */
+  private val createTableStatements: Seq[String] = Seq(
+    """CREATE TABLE ducklake_metadata (
+      |  mkey VARCHAR(256) NOT NULL, mvalue VARCHAR(4096) NOT NULL,
+      |  scope VARCHAR(32), scope_id BIGINT)""",
+    """CREATE TABLE ducklake_snapshot (
+      |  snapshot_id BIGINT NOT NULL PRIMARY KEY,
+      |  snapshot_time BIGINT NOT NULL,
+      |  schema_version BIGINT NOT NULL,
+      |  next_catalog_id BIGINT NOT NULL,
+      |  next_file_id BIGINT NOT NULL)""",
+    """CREATE TABLE ducklake_snapshot_changes (
+      |  snapshot_id BIGINT NOT NULL PRIMARY KEY,
+      |  changes_made VARCHAR(32000),
+      |  author VARCHAR(256), commit_message VARCHAR(4096),
+      |  commit_extra_info VARCHAR(4096))""",
+    """CREATE TABLE ducklake_schema (
+      |  schema_id BIGINT NOT NULL, schema_uuid VARCHAR(64),
+      |  begin_snapshot BIGINT, end_snapshot BIGINT,
+      |  schema_name VARCHAR(256), path VARCHAR(4096),
+      |  path_is_relative BOOLEAN)""",
+    """CREATE TABLE ducklake_table (
+      |  table_id BIGINT NOT NULL, table_uuid VARCHAR(64),
+      |  begin_snapshot BIGINT, end_snapshot BIGINT,
+      |  schema_id BIGINT, table_name VARCHAR(256), path VARCHAR(4096),
+      |  path_is_relative BOOLEAN)""",
+    """CREATE TABLE ducklake_view (
+      |  view_id BIGINT NOT NULL, view_uuid VARCHAR(64),
+      |  begin_snapshot BIGINT, end_snapshot BIGINT, schema_id BIGINT,
+      |  view_name VARCHAR(256), dialect VARCHAR(64), sql_text VARCHAR(32000),
+      |  column_aliases VARCHAR(4096))""",
+    """CREATE TABLE ducklake_tag (
+      |  object_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT,
+      |  tag_key VARCHAR(256), tag_value VARCHAR(4096))""",
+    """CREATE TABLE ducklake_column_tag (
+      |  table_id BIGINT, column_id BIGINT, begin_snapshot BIGINT,
+      |  end_snapshot BIGINT, tag_key VARCHAR(256), tag_value VARCHAR(4096))""",
+    """CREATE TABLE ducklake_data_file (
+      |  data_file_id BIGINT NOT NULL PRIMARY KEY, table_id BIGINT,
+      |  begin_snapshot BIGINT, end_snapshot BIGINT, file_order BIGINT,
+      |  path VARCHAR(4096), path_is_relative BOOLEAN,
+      |  file_format VARCHAR(32), record_count BIGINT,
+      |  file_size_bytes BIGINT, footer_size BIGINT, row_id_start BIGINT,
+      |  partition_id BIGINT, encryption_key VARCHAR(256),
+      |  partial_max_file_size_bytes BIGINT, mapping_id BIGINT,
+      |  row_group_count BIGINT)""",
+    """CREATE TABLE ducklake_file_column_stats (
+      |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
+      |  column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
+      |  min_value VARCHAR(1024), max_value VARCHAR(1024),
+      |  min_numeric DOUBLE, max_numeric DOUBLE,
+      |  contains_nan BOOLEAN)""",
+    """CREATE TABLE ducklake_delete_file (
+      |  delete_file_id BIGINT NOT NULL PRIMARY KEY, table_id BIGINT,
+      |  begin_snapshot BIGINT, end_snapshot BIGINT, data_file_id BIGINT,
+      |  path VARCHAR(4096), path_is_relative BOOLEAN,
+      |  file_format VARCHAR(32), delete_count BIGINT,
+      |  file_size_bytes BIGINT, footer_size BIGINT,
+      |  encryption_key VARCHAR(256))""",
+    """CREATE TABLE ducklake_column (
+      |  column_id BIGINT NOT NULL, begin_snapshot BIGINT,
+      |  end_snapshot BIGINT, table_id BIGINT, column_order BIGINT,
+      |  column_name VARCHAR(256), column_type VARCHAR(1024),
+      |  initial_default VARCHAR(1024), default_value VARCHAR(1024),
+      |  nulls_allowed BOOLEAN, parent_column BIGINT)""",
+    """CREATE TABLE ducklake_table_stats (
+      |  table_id BIGINT NOT NULL PRIMARY KEY, record_count BIGINT,
+      |  next_row_id BIGINT, file_size_bytes BIGINT)""",
+    """CREATE TABLE ducklake_table_column_stats (
+      |  table_id BIGINT NOT NULL, column_id BIGINT NOT NULL,
+      |  contains_null BOOLEAN, contains_nan BOOLEAN,
+      |  min_value VARCHAR(1024), max_value VARCHAR(1024))""",
+    """CREATE TABLE ducklake_partition_info (
+      |  partition_id BIGINT NOT NULL, table_id BIGINT,
+      |  begin_snapshot BIGINT, end_snapshot BIGINT)""",
+    """CREATE TABLE ducklake_partition_column (
+      |  partition_id BIGINT NOT NULL, table_id BIGINT, partition_key_index BIGINT,
+      |  column_id BIGINT, transform VARCHAR(64))""",
+    """CREATE TABLE ducklake_file_partition_value (
+      |  data_file_id BIGINT NOT NULL, table_id BIGINT,
+      |  partition_key_index BIGINT, partition_value VARCHAR(1024))""",
+    """CREATE TABLE ducklake_files_scheduled_for_deletion (
+      |  data_file_id BIGINT, path VARCHAR(4096), path_is_relative BOOLEAN,
+      |  schedule_start BIGINT)""",
+    """CREATE TABLE ducklake_inlined_data_tables (
+      |  table_id BIGINT, table_name VARCHAR(256),
+      |  schema_version BIGINT)""",
+    """CREATE TABLE ducklake_column_mapping (
+      |  mapping_id BIGINT NOT NULL, table_id BIGINT, type VARCHAR(64))""",
+    """CREATE TABLE ducklake_name_mapping (
+      |  mapping_id BIGINT NOT NULL, column_id BIGINT,
+      |  source_name VARCHAR(256), target_field_id BIGINT, parent_column BIGINT,
+      |  is_partition BOOLEAN)""",
+    """CREATE TABLE ducklake_schema_versions (
+      |  begin_snapshot BIGINT, schema_version BIGINT)""",
+    """CREATE TABLE ducklake_macro (
+      |  macro_id BIGINT NOT NULL, schema_id BIGINT, macro_name VARCHAR(256),
+      |  begin_snapshot BIGINT, end_snapshot BIGINT, is_table_macro BOOLEAN)""",
+    """CREATE TABLE ducklake_macro_impl (
+      |  macro_id BIGINT NOT NULL, dialect VARCHAR(64), body VARCHAR(32000))""",
+    """CREATE TABLE ducklake_macro_parameters (
+      |  macro_id BIGINT NOT NULL, parameter_index BIGINT,
+      |  parameter_name VARCHAR(256), parameter_type VARCHAR(1024),
+      |  default_value VARCHAR(1024))""",
+    """CREATE TABLE ducklake_sort_info (
+      |  sort_info_id BIGINT NOT NULL, table_id BIGINT,
+      |  begin_snapshot BIGINT, end_snapshot BIGINT)""",
+    """CREATE TABLE ducklake_sort_expression (
+      |  sort_info_id BIGINT NOT NULL, table_id BIGINT, sort_key_index BIGINT,
+      |  expression VARCHAR(4096), dialect VARCHAR(64),
+      |  sort_order VARCHAR(16), null_order VARCHAR(16))""",
+    """CREATE TABLE ducklake_view_column_tag (
+      |  view_id BIGINT, column_id BIGINT, begin_snapshot BIGINT,
+      |  end_snapshot BIGINT, tag_key VARCHAR(256), tag_value VARCHAR(4096))"""
+  ).map(_.stripMargin)
+
+  /** Create the schema + snapshot 0 if this is a fresh catalog DB. */
+  def initialize(dataPath: String): Unit = withConn { c =>
+    val fresh = !tableExists(c, "DUCKLAKE_SNAPSHOT")
+    if (fresh) {
+      createTableStatements.foreach { ddl =>
+        Using.resource(c.createStatement())(_.executeUpdate(ddl))
+      }
+      exec(c,
+        "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('version','0.3')")
+      exec(c,
+        "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('data_path', ?)",
+        dataPath)
+      exec(c,
+        """INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time,
+          |schema_version, next_catalog_id, next_file_id)
+          |VALUES (0, ?, 0, 1, 1)""".stripMargin,
+        Long.box(System.currentTimeMillis()))
+      exec(c,
+        """INSERT INTO ducklake_schema (schema_id, schema_uuid, begin_snapshot,
+          |end_snapshot, schema_name, path, path_is_relative)
+          |VALUES (0, ?, 0, NULL, 'main', '', true)""".stripMargin,
+        java.util.UUID.randomUUID().toString)
+      exec(c,
+        "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (0, 0)")
+    }
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean =
+    Using.resource(c.getMetaData.getTables(null, null, name, null))(_.next())
+
+  def dataPath: String = withConn { c =>
+    query(c,
+      "SELECT mvalue FROM ducklake_metadata WHERE mkey = 'data_path'")(
+      _.getString(1)).head
+  }
+
+  // ------------------------------------------------------------- snapshots
+
+  def currentSnapshot(): Snapshot = withConn(currentSnapshot(_))
+
+  protected def currentSnapshot(c: Connection): Snapshot =
+    query(c,
+      """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
+        |next_file_id FROM ducklake_snapshot
+        |ORDER BY snapshot_id DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)(
+      readSnapshot).head
+
+  private def readSnapshot(rs: ResultSet): Snapshot =
+    Snapshot(rs.getLong("snapshot_id"), rs.getLong("snapshot_time"),
+      rs.getLong("schema_version"), rs.getLong("next_catalog_id"),
+      rs.getLong("next_file_id"))
+
+  def snapshotByVersion(version: Long): Option[Snapshot] = withConn { c =>
+    query(c,
+      """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
+        |next_file_id FROM ducklake_snapshot WHERE snapshot_id = ?""".stripMargin,
+      Long.box(version))(readSnapshot).headOption
+  }
+
+  /** Latest snapshot with snapshot_time <= ts (reference
+    * src/storage/ducklake_transaction.cpp:1613-1645 AT TIMESTAMP bound). */
+  def snapshotAtTime(tsMs: Long): Option[Snapshot] = withConn { c =>
+    query(c,
+      """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
+        |next_file_id FROM ducklake_snapshot WHERE snapshot_time <= ?
+        |ORDER BY snapshot_id DESC FETCH FIRST 1 ROWS ONLY""".stripMargin,
+      Long.box(tsMs))(readSnapshot).headOption
+  }
+
+  def allSnapshots(): Seq[(Snapshot, Option[String], Option[String], Option[String])] =
+    withConn { c =>
+      query(c,
+        """SELECT s.snapshot_id, s.snapshot_time, s.schema_version,
+          |s.next_catalog_id, s.next_file_id, ch.changes_made, ch.author,
+          |ch.commit_message
+          |FROM ducklake_snapshot s
+          |LEFT OUTER JOIN ducklake_snapshot_changes ch
+          |  ON s.snapshot_id = ch.snapshot_id
+          |ORDER BY s.snapshot_id""".stripMargin) { rs =>
+        (readSnapshot(rs), optString(rs, "changes_made"),
+          optString(rs, "author"), optString(rs, "commit_message"))
+      }
+    }
+
+  // ---------------------------------------------------- optimistic commits
+
+  /** Mutable id allocator handed to commit bodies. */
+  final class TxnIds(var nextCatalogId: Long, var nextFileId: Long) {
+    def newCatalogId(): Long = { val v = nextCatalogId; nextCatalogId += 1; v }
+    def newFileId(): Long = { val v = nextFileId; nextFileId += 1; v }
+  }
+
+  val maxRetries = 10
+  val retryWaitMs = 100L
+  val retryBackoff = 1.5
+
+  /** Run `body` against a fresh snapshot and commit it as snapshot
+    * base+1. On a lost race (PK violation on snapshot_id) re-checks
+    * conflicts via `conflictCheck(committedSince)` and retries.
+    * `schemaChange` bumps schema_version. */
+  def commitSnapshot(
+      changes: SnapshotChanges,
+      schemaChange: Boolean = false,
+      conflictCheck: (Connection, Long) => Unit = (_, _) => ())(
+      body: (Connection, Snapshot, TxnIds) => Unit): Snapshot = {
+    var attempt = 0
+    var wait = retryWaitMs
+    while (true) {
+      val c = connect()
+      try {
+        val base = currentSnapshot(c)
+        conflictCheck(c, base.snapshotId)
+        val ids = new TxnIds(base.nextCatalogId, base.nextFileId)
+        val newSnap = Snapshot(
+          base.snapshotId + 1,
+          System.currentTimeMillis(),
+          if (schemaChange) base.schemaVersion + 1 else base.schemaVersion,
+          base.nextCatalogId, base.nextFileId)
+        body(c, newSnap, ids)
+        exec(c,
+          """INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time,
+            |schema_version, next_catalog_id, next_file_id)
+            |VALUES (?, ?, ?, ?, ?)""".stripMargin,
+          Long.box(newSnap.snapshotId), Long.box(newSnap.snapshotTimeMs),
+          Long.box(newSnap.schemaVersion), Long.box(ids.nextCatalogId),
+          Long.box(ids.nextFileId))
+        exec(c,
+          """INSERT INTO ducklake_snapshot_changes (snapshot_id, changes_made,
+            |author, commit_message) VALUES (?, ?, ?, ?)""".stripMargin,
+          Long.box(newSnap.snapshotId), changes.summary,
+          changes.author.orNull, changes.commitMessage.orNull)
+        if (schemaChange) {
+          exec(c,
+            "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (?, ?)",
+            Long.box(newSnap.snapshotId),
+            Long.box(newSnap.schemaVersion))
+        }
+        c.commit()
+        c.close()
+        return newSnap.copy(
+          nextCatalogId = ids.nextCatalogId, nextFileId = ids.nextFileId)
+      } catch {
+        case e: SQLException if isConflict(e) && attempt < maxRetries =>
+          try c.rollback() catch { case _: Throwable => () }
+          c.close()
+          attempt += 1
+          Thread.sleep(wait)
+          wait = (wait * retryBackoff).toLong
+        case e: Throwable =>
+          try c.rollback() catch { case _: Throwable => () }
+          c.close()
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** PK/unique violation or serialization failure → retryable. */
+  private def isConflict(e: SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    st.startsWith("23") || st == "40001" || st.startsWith("XJ")
+  }
+
+  // --------------------------------------------------------------- schemas
+
+  def schemaByName(name: String): Option[SchemaInfo] = withConn { c =>
+    query(c,
+      """SELECT schema_id, schema_uuid, schema_name FROM ducklake_schema
+        |WHERE schema_name = ? AND end_snapshot IS NULL""".stripMargin, name)(
+      rs => SchemaInfo(rs.getLong(1), rs.getString(2), rs.getString(3))).headOption
+  }
+
+  def createSchema(name: String): SchemaInfo = {
+    var created: SchemaInfo = null
+    commitSnapshot(SnapshotChanges(createdTables = Seq(s"schema:$name")),
+      schemaChange = true) { (c, snap, ids) =>
+      val id = ids.newCatalogId()
+      val uuid = java.util.UUID.randomUUID().toString
+      exec(c,
+        """INSERT INTO ducklake_schema (schema_id, schema_uuid, begin_snapshot,
+          |end_snapshot, schema_name, path, path_is_relative)
+          |VALUES (?, ?, ?, NULL, ?, '', true)""".stripMargin,
+        Long.box(id), uuid, Long.box(snap.snapshotId), name)
+      created = SchemaInfo(id, uuid, name)
+    }
+    created
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  def tableByName(name: String, snapshotId: Long,
+      schema: String = "main"): Option[TableInfo] = withConn { c =>
+    tableByName(c, name, snapshotId, schema)
+  }
+
+  private def tableByName(c: Connection, name: String, snapshotId: Long,
+      schema: String): Option[TableInfo] =
+    query(c,
+      """SELECT t.table_id, t.table_uuid, t.schema_id, t.table_name, t.path
+        |FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id = s.schema_id
+        |WHERE t.table_name = ? AND s.schema_name = ?
+        |  AND t.begin_snapshot <= ?
+        |  AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)""".stripMargin,
+      name, schema, Long.box(snapshotId), Long.box(snapshotId))(
+      rs => TableInfo(rs.getLong(1), rs.getString(2), rs.getLong(3),
+        rs.getString(4), rs.getString(5))).headOption
+
+  def listTables(snapshotId: Long, schema: String = "main"): Seq[TableInfo] =
+    withConn { c =>
+      query(c,
+        """SELECT t.table_id, t.table_uuid, t.schema_id, t.table_name, t.path
+          |FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id = s.schema_id
+          |WHERE s.schema_name = ? AND t.begin_snapshot <= ?
+          |  AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)
+          |ORDER BY t.table_id""".stripMargin,
+        schema, Long.box(snapshotId), Long.box(snapshotId))(
+        rs => TableInfo(rs.getLong(1), rs.getString(2), rs.getLong(3),
+          rs.getString(4), rs.getString(5)))
+    }
+
+  def columnsOf(tableId: Long, snapshotId: Long): Seq[ColumnInfo] =
+    withConn { c => columnsOf(c, tableId, snapshotId) }
+
+  private def columnsOf(c: Connection, tableId: Long,
+      snapshotId: Long): Seq[ColumnInfo] =
+    query(c,
+      """SELECT column_id, column_order, column_name, column_type,
+        |nulls_allowed, parent_column, default_value
+        |FROM ducklake_column
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)
+        |ORDER BY column_order""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
+      ColumnInfo(rs.getLong("column_id"), rs.getLong("column_order"),
+        rs.getString("column_name"), rs.getString("column_type"),
+        rs.getBoolean("nulls_allowed"), optLong(rs, "parent_column"),
+        optString(rs, "default_value"))
+    }
+
+  def createTable(name: String, columns: Seq[(String, String, Boolean)],
+      schema: String = "main", ifNotExists: Boolean = false): TableInfo = {
+    var created: TableInfo = null
+    commitSnapshot(SnapshotChanges(createdTables = Seq(s"$schema.$name")),
+      schemaChange = true,
+      conflictCheck = (c, _) => {
+        val cur = currentSnapshot(c)
+        if (tableByName(c, name, cur.snapshotId, schema).isDefined) {
+          if (ifNotExists) return tableByName(name, cur.snapshotId, schema).get
+          throw new CommitConflictException(s"table $name already exists")
+        }
+      }) { (c, snap, ids) =>
+      val schemaId = query(c,
+        "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
+        schema)(_.getLong(1)).headOption
+        .getOrElse(throw new IllegalArgumentException(s"no schema $schema"))
+      val tid = ids.newCatalogId()
+      val uuid = java.util.UUID.randomUUID().toString
+      exec(c,
+        """INSERT INTO ducklake_table (table_id, table_uuid, begin_snapshot,
+          |end_snapshot, schema_id, table_name, path, path_is_relative)
+          |VALUES (?, ?, ?, NULL, ?, ?, ?, true)""".stripMargin,
+        Long.box(tid), uuid, Long.box(snap.snapshotId), Long.box(schemaId),
+        name, name)
+      columns.zipWithIndex.foreach { case ((cname, ctype, nullable), i) =>
+        exec(c,
+          """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
+            |table_id, column_order, column_name, column_type, nulls_allowed)
+            |VALUES (?, ?, NULL, ?, ?, ?, ?, ?)""".stripMargin,
+          Long.box(ids.newCatalogId()), Long.box(snap.snapshotId),
+          Long.box(tid), Long.box(i.toLong), cname, ctype,
+          Boolean.box(nullable))
+      }
+      exec(c,
+        """INSERT INTO ducklake_table_stats (table_id, record_count,
+          |next_row_id, file_size_bytes) VALUES (?, 0, 0, 0)""".stripMargin,
+        Long.box(tid))
+      created = TableInfo(tid, uuid, schemaId, name, name)
+    }
+    created
+  }
+
+  def dropTable(name: String, schema: String = "main"): Unit =
+    commitSnapshot(SnapshotChanges(droppedTables = Seq(s"$schema.$name")),
+      schemaChange = true) { (c, snap, _) =>
+      val t = tableByName(c, name, snap.snapshotId - 1, schema)
+        .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+      exec(c,
+        "UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(t.tableId))
+    }
+
+  def renameTable(oldName: String, newName: String,
+      schema: String = "main"): Unit =
+    commitSnapshot(SnapshotChanges(
+      alteredTables = Nil, createdTables = Nil,
+      commitMessage = Some(s"rename $oldName to $newName")),
+      schemaChange = true) { (c, snap, _) =>
+      val t = tableByName(c, oldName, snap.snapshotId - 1, schema)
+        .getOrElse(throw new IllegalArgumentException(s"no table $oldName"))
+      // close the old row, open a new one with the same table_id
+      exec(c,
+        "UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(t.tableId))
+      exec(c,
+        """INSERT INTO ducklake_table (table_id, table_uuid, begin_snapshot,
+          |end_snapshot, schema_id, table_name, path, path_is_relative)
+          |VALUES (?, ?, ?, NULL, ?, ?, ?, true)""".stripMargin,
+        Long.box(t.tableId), t.uuid, Long.box(snap.snapshotId),
+        Long.box(t.schemaId), newName, t.path)
+    }
+
+  // --------------------------------------------------------------- appends
+
+  /** Register written Parquet files + stats as a new snapshot; assigns
+    * row_id_start values from table_stats.next_row_id (reference
+    * ducklake_insert.cpp:119-242 sink semantics). */
+  def appendFiles(tableId: Long, files: Seq[PendingDataFile],
+      partitionId: Option[Long] = None): Snapshot =
+    commitSnapshot(SnapshotChanges(insertedIntoTables = Seq(tableId)),
+      conflictCheck = (c, _) => {
+        val cur = currentSnapshot(c)
+        val live = query(c,
+          "SELECT COUNT(*) FROM ducklake_table WHERE table_id = ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
+          Long.box(tableId), Long.box(cur.snapshotId))(_.getLong(1)).head
+        if (live == 0) throw new CommitConflictException(
+          s"table $tableId was dropped concurrently")
+      }) { (c, snap, ids) =>
+      insertFiles(c, snap, ids, tableId, files, partitionId)
+    }
+
+  /** Shared file-insertion used by append / update / compaction bodies. */
+  protected def insertFiles(c: Connection, snap: Snapshot, ids: TxnIds,
+      tableId: Long, files: Seq[PendingDataFile],
+      partitionId: Option[Long]): Unit = {
+    var rowIdStart = qLong(c,
+      "SELECT next_row_id FROM ducklake_table_stats WHERE table_id = ?",
+      Long.box(tableId)).getOrElse(0L)
+    var totalRows = 0L
+    var totalBytes = 0L
+    files.zipWithIndex.foreach { case (f, order) =>
+      val fid = ids.newFileId()
+      exec(c,
+        """INSERT INTO ducklake_data_file (data_file_id, table_id,
+          |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
+          |file_format, record_count, file_size_bytes, footer_size,
+          |row_id_start, partition_id)
+          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?)""".stripMargin,
+        Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
+        Long.box(order.toLong), f.path, Long.box(f.recordCount),
+        Long.box(f.fileSizeBytes), Long.box(rowIdStart),
+        partitionId.map(Long.box).orNull)
+      f.columnStats.foreach(s => insertColStats(c, fid, tableId,
+        f.recordCount, s))
+      f.partitionValues.foreach { case (keyIndex, v) =>
+        exec(c,
+          """INSERT INTO ducklake_file_partition_value (data_file_id, table_id,
+            |partition_key_index, partition_value) VALUES (?, ?, ?, ?)""".stripMargin,
+          Long.box(fid), Long.box(tableId), Long.box(keyIndex), v)
+      }
+      rowIdStart += f.recordCount
+      totalRows += f.recordCount
+      totalBytes += f.fileSizeBytes
+    }
+    exec(c,
+      """UPDATE ducklake_table_stats SET record_count = record_count + ?,
+        |next_row_id = ?, file_size_bytes = file_size_bytes + ?
+        |WHERE table_id = ?""".stripMargin,
+      Long.box(totalRows), Long.box(rowIdStart), Long.box(totalBytes),
+      Long.box(tableId))
+  }
+
+  /** Stats row insert. Numeric stats land BOTH as the canonical VARCHAR
+    * form (reference parity) and as typed DOUBLE columns so catalog-side
+    * pruning needs no VARCHAR casts (Derby forbids them; an index on the
+    * numeric columns also scales to millions of files). */
+  private def insertColStats(c: Connection, fid: Long, tableId: Long,
+      valueCount: Long, s: FileColumnStats): Unit = {
+    def num(v: Option[String]): Object =
+      if (!s.numeric) null
+      else v.flatMap(x => scala.util.Try(x.toDouble).toOption)
+        .map(Double.box).orNull
+    exec(c,
+      """INSERT INTO ducklake_file_column_stats (data_file_id, table_id,
+        |column_id, column_size_bytes, value_count, null_count, min_value,
+        |max_value, min_numeric, max_numeric, contains_nan)
+        |VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+      Long.box(fid), Long.box(tableId), Long.box(s.columnId),
+      Long.box(valueCount), Long.box(s.nullCount),
+      s.minValue.orNull, s.maxValue.orNull, num(s.minValue), num(s.maxValue),
+      Boolean.box(s.nanCount > 0))
+  }
+
+  // ---------------------------------------------------------------- deletes
+
+  /** Positional-delete commit: each entry covers one data file and
+    * REPLACES any previous delete file for it (consecutive deletes are
+    * unioned by the writer — reference ducklake_delete.cpp:36-206).
+    * Conflicts if another txn deleted from the same data files since
+    * `baseSnapshot` (reference transaction_state CheckForConflicts). */
+  def commitDeletes(tableId: Long, baseSnapshot: Long,
+      deletes: Seq[(Long, String, Long, Long)], // (dataFileId, path, deleteCount, fileSize)
+      newFiles: Seq[PendingDataFile] = Nil,
+      removedRows: Long = 0L): Snapshot = {
+    val touched = deletes.map(_._1).toSet
+    commitSnapshot(
+      SnapshotChanges(
+        deletedFromTables = Seq(tableId),
+        insertedIntoTables = if (newFiles.nonEmpty) Seq(tableId) else Nil),
+      conflictCheck = (c, _) => {
+        // delete-vs-delete on the same data file
+        val conflicting = query(c,
+          """SELECT DISTINCT data_file_id FROM ducklake_delete_file
+            |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
+          Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
+          .toSet.intersect(touched)
+        if (conflicting.nonEmpty) throw new CommitConflictException(
+          s"concurrent delete on data files $conflicting")
+        // delete-vs-compaction: data file no longer live
+        val gone = query(c,
+          """SELECT data_file_id FROM ducklake_data_file
+            |WHERE table_id = ? AND end_snapshot IS NOT NULL
+            |  AND end_snapshot > ?""".stripMargin,
+          Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
+          .toSet.intersect(touched)
+        if (gone.nonEmpty) throw new CommitConflictException(
+          s"data files $gone were rewritten concurrently")
+      }) { (c, snap, ids) =>
+      deletes.foreach { case (dataFileId, path, deleteCount, fileSize) =>
+        // end any previous delete file for this data file
+        exec(c,
+          """UPDATE ducklake_delete_file SET end_snapshot = ?
+            |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
+          Long.box(snap.snapshotId), Long.box(dataFileId))
+        exec(c,
+          """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
+            |begin_snapshot, end_snapshot, data_file_id, path,
+            |path_is_relative, file_format, delete_count, file_size_bytes)
+            |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?)""".stripMargin,
+          Long.box(ids.newFileId()), Long.box(tableId),
+          Long.box(snap.snapshotId), Long.box(dataFileId), path,
+          Long.box(deleteCount), Long.box(fileSize))
+      }
+      if (newFiles.nonEmpty) insertFiles(c, snap, ids, tableId, newFiles, None)
+      if (removedRows != 0L) {
+        exec(c,
+          "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+          Long.box(removedRows), Long.box(tableId))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ scans
+
+  /** Data files of a table visible at a snapshot, minus files provably
+    * pruned by per-file stats, plus the delete files applying to each.
+    * The pruning predicate runs IN the catalog DB — before Spark ever
+    * sees a file list (SURVEY.md §4: our main custom optimization). */
+  def filesForScan(tableId: Long, snapshotId: Long,
+      filters: Seq[StatsFilter] = Nil): Seq[ScanFile] = withConn { c =>
+    val pruneClauses = filters.map { f =>
+      val (minE, maxE) =
+        if (f.numeric) ("s.min_numeric", "s.max_numeric")
+        else ("s.min_value", "s.max_value")
+      val v = if (f.numeric) f.value else s"'${f.value.replace("'", "''")}'"
+      // prunable when stats PROVE no row matches; NULL stats never prune
+      val prunable = f.op match {
+        case "=" => s"($minE > $v OR $maxE < $v)"
+        case ">" => s"($maxE <= $v)"
+        case ">=" => s"($maxE < $v)"
+        case "<" => s"($minE >= $v)"
+        case "<=" => s"($minE > $v)"
+        case "isnull" => "(s.null_count = 0)"
+        case "isnotnull" => "(s.value_count = s.null_count)"
+        case other => throw new IllegalArgumentException(other)
+      }
+      s"""AND NOT EXISTS (SELECT 1 FROM ducklake_file_column_stats s
+         | WHERE s.data_file_id = f.data_file_id AND s.column_id = ${f.columnId}
+         | AND $minE IS NOT NULL AND $prunable)""".stripMargin
+    }.mkString("\n")
+    val dataFiles = query(c,
+      s"""SELECT f.data_file_id, f.begin_snapshot, f.end_snapshot,
+         |f.file_order, f.path, f.record_count, f.file_size_bytes,
+         |f.row_id_start, f.partition_id
+         |FROM ducklake_data_file f
+         |WHERE f.table_id = ? AND f.begin_snapshot <= ?
+         |  AND (f.end_snapshot IS NULL OR f.end_snapshot > ?)
+         |  $pruneClauses
+         |ORDER BY f.data_file_id""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
+      DataFileEntry(rs.getLong("data_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("file_order"), rs.getString("path"),
+        rs.getLong("record_count"), rs.getLong("file_size_bytes"),
+        rs.getLong("row_id_start"), optLong(rs, "partition_id"))
+    }
+    val deletes = query(c,
+      """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
+        |path, delete_count FROM ducklake_delete_file
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
+      DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("data_file_id"), rs.getString("path"),
+        rs.getLong("delete_count"))
+    }.groupBy(_.dataFileId)
+    dataFiles.map(f => ScanFile(f, deletes.getOrElse(f.dataFileId, Nil)))
+  }
+
+  /** Files whose life began in (start, end] — CDC insertions source
+    * (reference ducklake_table_insertions.cpp:48-96). */
+  def filesInsertedIn(tableId: Long, startSnap: Long,
+      endSnap: Long): Seq[DataFileEntry] = withConn { c =>
+    query(c,
+      """SELECT data_file_id, begin_snapshot, end_snapshot, file_order, path,
+        |record_count, file_size_bytes, row_id_start, partition_id
+        |FROM ducklake_data_file
+        |WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ?
+        |ORDER BY data_file_id""".stripMargin,
+      Long.box(tableId), Long.box(startSnap), Long.box(endSnap)) { rs =>
+      DataFileEntry(rs.getLong("data_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("file_order"), rs.getString("path"),
+        rs.getLong("record_count"), rs.getLong("file_size_bytes"),
+        rs.getLong("row_id_start"), optLong(rs, "partition_id"))
+    }
+  }
+
+  /** Delete files created in (start, end] with the data file each covers —
+    * CDC deletions source (reference ducklake_multi_file_list.cpp:396-421). */
+  def deleteFilesCreatedIn(tableId: Long, startSnap: Long,
+      endSnap: Long): Seq[(DeleteFileEntry, DataFileEntry)] = withConn { c =>
+    query(c,
+      """SELECT d.delete_file_id, d.begin_snapshot, d.end_snapshot,
+        |d.data_file_id, d.path, d.delete_count,
+        |f.begin_snapshot AS f_begin, f.end_snapshot AS f_end,
+        |f.file_order, f.path AS f_path, f.record_count, f.file_size_bytes,
+        |f.row_id_start, f.partition_id
+        |FROM ducklake_delete_file d
+        |JOIN ducklake_data_file f ON d.data_file_id = f.data_file_id
+        |WHERE d.table_id = ? AND d.begin_snapshot > ? AND d.begin_snapshot <= ?
+        |ORDER BY d.delete_file_id""".stripMargin,
+      Long.box(tableId), Long.box(startSnap), Long.box(endSnap)) { rs =>
+      (DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("data_file_id"), rs.getString("path"),
+        rs.getLong("delete_count")),
+        DataFileEntry(rs.getLong("data_file_id"), tableId,
+          rs.getLong("f_begin"), optLong(rs, "f_end"),
+          rs.getLong("file_order"), rs.getString("f_path"),
+          rs.getLong("record_count"), rs.getLong("file_size_bytes"),
+          rs.getLong("row_id_start"), optLong(rs, "partition_id")))
+    }
+  }
+
+  /** Previous (still-live-before) delete file content for a set of data
+    * files at a snapshot — used to union consecutive deletes. */
+  def liveDeleteFiles(tableId: Long, snapshotId: Long,
+      dataFileIds: Set[Long]): Map[Long, DeleteFileEntry] = withConn { c =>
+    if (dataFileIds.isEmpty) Map.empty
+    else query(c,
+      """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
+        |path, delete_count FROM ducklake_delete_file
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
+      DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("data_file_id"), rs.getString("path"),
+        rs.getLong("delete_count"))
+    }.filter(d => dataFileIds.contains(d.dataFileId))
+      .map(d => d.dataFileId -> d).toMap
+  }
+
+  def tableStats(tableId: Long): Option[TableStats] = withConn { c =>
+    query(c,
+      "SELECT record_count, next_row_id, file_size_bytes FROM ducklake_table_stats WHERE table_id = ?",
+      Long.box(tableId))(rs =>
+      TableStats(rs.getLong(1), rs.getLong(2), rs.getLong(3))).headOption
+  }
+
+  // ------------------------------------------------------------ maintenance
+
+  /** Drop snapshots older than a bound (or explicit versions); files whose
+    * validity window no longer intersects a live snapshot are moved to
+    * ducklake_files_scheduled_for_deletion (reference
+    * ducklake_expire_snapshots.cpp:32-155). Never expires the latest. */
+  def expireSnapshots(olderThanMs: Option[Long],
+      versions: Seq[Long] = Nil): Seq[Long] = withConn { c =>
+    require(olderThanMs.isEmpty || versions.isEmpty,
+      "cannot specify both older_than and versions") // reference :66
+    val latest = currentSnapshot(c).snapshotId
+    val toDrop = if (versions.nonEmpty) versions.filter(_ < latest)
+    else query(c,
+      "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_time < ? AND snapshot_id < ?",
+      Long.box(olderThanMs.get), Long.box(latest))(_.getLong(1))
+    toDrop.foreach { sid =>
+      exec(c, "DELETE FROM ducklake_snapshot WHERE snapshot_id = ?", Long.box(sid))
+      exec(c, "DELETE FROM ducklake_snapshot_changes WHERE snapshot_id = ?", Long.box(sid))
+    }
+    // schedule physical deletion of files invisible to every live snapshot
+    val live = query(c, "SELECT snapshot_id FROM ducklake_snapshot")(_.getLong(1))
+    val liveList = live.mkString(",")
+    val nowMs = System.currentTimeMillis()
+    Seq("ducklake_data_file", "ducklake_delete_file").foreach { tbl =>
+      val idCol = if (tbl == "ducklake_data_file") "data_file_id" else "delete_file_id"
+      val dead = query(c,
+        s"""SELECT $idCol, path FROM $tbl f
+           |WHERE f.end_snapshot IS NOT NULL AND NOT EXISTS (
+           |  SELECT 1 FROM ducklake_snapshot s
+           |  WHERE s.snapshot_id >= f.begin_snapshot
+           |    AND s.snapshot_id < f.end_snapshot)""".stripMargin) { rs =>
+        (rs.getLong(1), rs.getString(2))
+      }
+      dead.foreach { case (fid, path) =>
+        exec(c,
+          """INSERT INTO ducklake_files_scheduled_for_deletion
+            |(data_file_id, path, path_is_relative, schedule_start)
+            |VALUES (?, ?, true, ?)""".stripMargin,
+          Long.box(fid), path, Long.box(nowMs))
+        exec(c, s"DELETE FROM $tbl WHERE $idCol = ?", Long.box(fid))
+        if (tbl == "ducklake_data_file") {
+          exec(c, "DELETE FROM ducklake_file_column_stats WHERE data_file_id = ?",
+            Long.box(fid))
+          exec(c, "DELETE FROM ducklake_file_partition_value WHERE data_file_id = ?",
+            Long.box(fid))
+        }
+      }
+    }
+    toDrop
+  }
+
+  /** Files awaiting physical deletion (reference
+    * ducklake_cleanup_files.cpp:66-177); returns and clears entries older
+    * than the bound. */
+  def takeScheduledDeletions(olderThanMs: Option[Long]): Seq[String] =
+    withConn { c =>
+      val bound = olderThanMs.getOrElse(Long.MaxValue)
+      val paths = query(c,
+        "SELECT path FROM ducklake_files_scheduled_for_deletion WHERE schedule_start <= ?",
+        Long.box(bound))(_.getString(1))
+      exec(c,
+        "DELETE FROM ducklake_files_scheduled_for_deletion WHERE schedule_start <= ?",
+        Long.box(bound))
+      paths
+    }
+
+  /** Compaction commit: ends the input files, inserts the merged file with
+    * an explicit row_id_start (rowids must survive compaction — reference
+    * ducklake_compaction_functions.cpp:289-400). */
+  def commitCompaction(tableId: Long, inputFileIds: Seq[Long],
+      merged: PendingDataFile, mergedRowIdStart: Long,
+      removedRows: Long = 0L): Snapshot =
+    commitSnapshot(SnapshotChanges(compactedTables = Seq(tableId)),
+      conflictCheck = (c, _) => {
+        val stillLive = query(c,
+          """SELECT COUNT(*) FROM ducklake_data_file
+            |WHERE data_file_id IN (%s) AND end_snapshot IS NULL"""
+            .stripMargin.format(inputFileIds.mkString(",")))(_.getLong(1)).head
+        if (stillLive != inputFileIds.size) throw new CommitConflictException(
+          "compaction inputs were rewritten concurrently")
+      }) { (c, snap, ids) =>
+      inputFileIds.foreach { fid =>
+        exec(c,
+          "UPDATE ducklake_data_file SET end_snapshot = ? WHERE data_file_id = ?",
+          Long.box(snap.snapshotId), Long.box(fid))
+        exec(c,
+          "UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+          Long.box(snap.snapshotId), Long.box(fid))
+      }
+      val fid = ids.newFileId()
+      exec(c,
+        """INSERT INTO ducklake_data_file (data_file_id, table_id,
+          |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
+          |file_format, record_count, file_size_bytes, footer_size,
+          |row_id_start, partition_id)
+          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL)""".stripMargin,
+        Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
+        merged.path, Long.box(merged.recordCount),
+        Long.box(merged.fileSizeBytes), Long.box(mergedRowIdStart))
+      merged.columnStats.foreach(s => insertColStats(c, fid, tableId,
+        merged.recordCount, s))
+      if (removedRows != 0L) {
+        exec(c,
+          "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+          Long.box(removedRows), Long.box(tableId))
+      }
+    }
+
+  /** End data files with no replacement (fully-deleted file cleanup during
+    * rewrite_data_files). */
+  def commitDropFiles(tableId: Long, fileIds: Seq[Long]): Snapshot =
+    commitSnapshot(SnapshotChanges(compactedTables = Seq(tableId))) {
+      (c, snap, _) =>
+        fileIds.foreach { fid =>
+          exec(c,
+            "UPDATE ducklake_data_file SET end_snapshot = ? WHERE data_file_id = ?",
+            Long.box(snap.snapshotId), Long.box(fid))
+          exec(c,
+            "UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+            Long.box(snap.snapshotId), Long.box(fid))
+        }
+    }
+
+  // ------------------------------------------------------- schema evolution
+
+  def addColumn(tableId: Long, name: String, typeString: String,
+      nullable: Boolean = true, defaultValue: Option[String] = None): Unit =
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      val maxOrder = qLong(c,
+        """SELECT MAX(column_order) FROM ducklake_column
+          |WHERE table_id = ? AND end_snapshot IS NULL""".stripMargin,
+        Long.box(tableId)).getOrElse(-1L)
+      exec(c,
+        """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
+          |table_id, column_order, column_name, column_type, nulls_allowed,
+          |default_value, initial_default)
+          |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+        Long.box(ids.newCatalogId()), Long.box(snap.snapshotId),
+        Long.box(tableId), Long.box(maxOrder + 1), name, typeString,
+        Boolean.box(nullable), defaultValue.orNull, defaultValue.orNull)
+    }
+
+  def dropColumn(tableId: Long, name: String): Unit =
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, _) =>
+      val n = exec(c,
+        """UPDATE ducklake_column SET end_snapshot = ?
+          |WHERE table_id = ? AND column_name = ? AND end_snapshot IS NULL""".stripMargin,
+        Long.box(snap.snapshotId), Long.box(tableId), name)
+      if (n == 0) throw new IllegalArgumentException(s"no column $name")
+    }
+
+  def renameColumn(tableId: Long, oldName: String, newName: String): Unit =
+    alterColumn(tableId, oldName)(ci => ci.copy(name = newName))
+
+  /** Widening-only type change (reference: "only widening type promotions
+    * are allowed", test/configs/attach_ducklake.json). */
+  def changeColumnType(tableId: Long, name: String, newType: String): Unit = {
+    alterColumn(tableId, name) { ci =>
+      if (!DuckLakeTypes.isWidening(ci.typeString, newType))
+        throw new IllegalArgumentException(
+          s"only widening type promotions are allowed: ${ci.typeString} -> $newType")
+      ci.copy(typeString = newType)
+    }
+  }
+
+  private def alterColumn(tableId: Long, name: String)(
+      f: ColumnInfo => ColumnInfo): Unit =
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, _) =>
+      val cols = columnsOf(c, tableId, snap.snapshotId - 1)
+      val ci = cols.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+      val updated = f(ci)
+      exec(c,
+        """UPDATE ducklake_column SET end_snapshot = ?
+          |WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL""".stripMargin,
+        Long.box(snap.snapshotId), Long.box(tableId), Long.box(ci.columnId))
+      exec(c,
+        """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
+          |table_id, column_order, column_name, column_type, nulls_allowed,
+          |default_value, parent_column)
+          |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+        Long.box(ci.columnId), Long.box(snap.snapshotId), Long.box(tableId),
+        Long.box(ci.columnOrder), updated.name, updated.typeString,
+        Boolean.box(updated.nullsAllowed), updated.defaultValue.orNull,
+        ci.parentColumn.map(Long.box).orNull)
+    }
+
+  // ------------------------------------------------------------ partitioning
+
+  def setPartitionSpec(tableId: Long,
+      fields: Seq[(Long, String)]): Long = { // (columnId, transform)
+    var pid = -1L
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      exec(c,
+        "UPDATE ducklake_partition_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(tableId))
+      pid = ids.newCatalogId()
+      exec(c,
+        """INSERT INTO ducklake_partition_info (partition_id, table_id,
+          |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
+        Long.box(pid), Long.box(tableId), Long.box(snap.snapshotId))
+      fields.zipWithIndex.foreach { case ((colId, transform), i) =>
+        exec(c,
+          """INSERT INTO ducklake_partition_column (partition_id, table_id,
+            |partition_key_index, column_id, transform)
+            |VALUES (?, ?, ?, ?, ?)""".stripMargin,
+          Long.box(pid), Long.box(tableId), Long.box(i.toLong),
+          Long.box(colId), transform)
+      }
+    }
+    pid
+  }
+
+  def currentPartitionSpec(tableId: Long,
+      snapshotId: Long): Option[PartitionSpec] = withConn { c =>
+    val pids = query(c,
+      """SELECT partition_id FROM ducklake_partition_info
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId))(_.getLong(1))
+    pids.headOption.map { pid =>
+      val fields = query(c,
+        """SELECT partition_key_index, column_id, transform
+          |FROM ducklake_partition_column WHERE partition_id = ?
+          |ORDER BY partition_key_index""".stripMargin,
+        Long.box(pid))(rs =>
+        PartitionField(rs.getLong(1), rs.getLong(2), rs.getString(3)))
+      PartitionSpec(pid, fields)
+    }
+  }
+
+  // ------------------------------------------------------------------ views
+
+  def createView(name: String, sql: String, schema: String = "main",
+      dialect: String = "spark"): Unit =
+    commitSnapshot(SnapshotChanges(createdTables = Seq(s"view:$name")),
+      schemaChange = true) { (c, snap, ids) =>
+      val schemaId = query(c,
+        "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
+        schema)(_.getLong(1)).head
+      exec(c,
+        """INSERT INTO ducklake_view (view_id, view_uuid, begin_snapshot,
+          |end_snapshot, schema_id, view_name, dialect, sql_text)
+          |VALUES (?, ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+        Long.box(ids.newCatalogId()),
+        java.util.UUID.randomUUID().toString, Long.box(snap.snapshotId),
+        Long.box(schemaId), name, dialect, sql)
+    }
+
+  def viewByName(name: String, snapshotId: Long,
+      schema: String = "main"): Option[String] = withConn { c =>
+    query(c,
+      """SELECT v.sql_text FROM ducklake_view v
+        |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+        |WHERE v.view_name = ? AND s.schema_name = ? AND v.begin_snapshot <= ?
+        |  AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)""".stripMargin,
+      name, schema, Long.box(snapshotId), Long.box(snapshotId))(
+      _.getString(1)).headOption
+  }
+
+  // ---------------------------------------------------------------- options
+
+  /** Scoped key/value options (reference ducklake_set_option.cpp). */
+  def setOption(key: String, value: String, scope: Option[String] = None,
+      scopeId: Option[Long] = None): Unit = withConn { c =>
+    exec(c,
+      "DELETE FROM ducklake_metadata WHERE mkey = ? AND ((scope IS NULL AND ? IS NULL) OR scope = ?)",
+      key, scope.orNull, scope.orNull)
+    exec(c,
+      "INSERT INTO ducklake_metadata (mkey, mvalue, scope, scope_id) VALUES (?, ?, ?, ?)",
+      key, value, scope.orNull, scopeId.map(Long.box).orNull)
+  }
+
+  def getOption(key: String): Option[String] = withConn { c =>
+    query(c, "SELECT mvalue FROM ducklake_metadata WHERE mkey = ?", key)(
+      _.getString(1)).headOption
+  }
+
+  def options(): Seq[(String, String)] = withConn { c =>
+    query(c, "SELECT mkey, mvalue FROM ducklake_metadata ORDER BY mkey")(rs =>
+      (rs.getString(1), rs.getString(2)))
+  }
+
+  /** comments/tags on catalog objects (ducklake_tag). */
+  def setTag(objectId: Long, key: String, value: String): Unit =
+    withConn { c =>
+      val snap = currentSnapshot(c).snapshotId
+      exec(c,
+        "UPDATE ducklake_tag SET end_snapshot = ? WHERE object_id = ? AND tag_key = ? AND end_snapshot IS NULL",
+        Long.box(snap), Long.box(objectId), key)
+      exec(c,
+        """INSERT INTO ducklake_tag (object_id, begin_snapshot, end_snapshot,
+          |tag_key, tag_value) VALUES (?, ?, NULL, ?, ?)""".stripMargin,
+        Long.box(objectId), Long.box(snap), key, value)
+    }
+
+  def getTag(objectId: Long, key: String): Option[String] = withConn { c =>
+    query(c,
+      "SELECT tag_value FROM ducklake_tag WHERE object_id = ? AND tag_key = ? AND end_snapshot IS NULL",
+      Long.box(objectId), key)(_.getString(1)).headOption
+  }
+}
+
+object MetadataManager {
+  /** Embedded-Derby URL for a catalog directory. */
+  def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"
+}

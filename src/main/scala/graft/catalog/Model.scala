@@ -1,0 +1,133 @@
+package graft.catalog
+
+/** Catalog model case classes — 1:1 with the reference's metadata structs
+  * (reference src/include/common/ducklake_snapshot.hpp:18-36,
+  * src/include/common/ducklake_data_file.hpp). */
+
+final case class Snapshot(
+    snapshotId: Long,
+    snapshotTimeMs: Long,
+    schemaVersion: Long,
+    nextCatalogId: Long,
+    nextFileId: Long)
+
+final case class SchemaInfo(schemaId: Long, uuid: String, name: String)
+
+final case class TableInfo(
+    tableId: Long,
+    uuid: String,
+    schemaId: Long,
+    name: String,
+    path: String)
+
+final case class ColumnInfo(
+    columnId: Long,
+    columnOrder: Long,
+    name: String,
+    typeString: String,
+    nullsAllowed: Boolean,
+    parentColumn: Option[Long] = None,
+    defaultValue: Option[String] = None)
+
+/** One immutable Parquet data file of a table
+  * (reference metadata table ducklake_data_file,
+  * src/storage/ducklake_metadata_manager.cpp:214-219). */
+final case class DataFileEntry(
+    dataFileId: Long,
+    tableId: Long,
+    beginSnapshot: Long,
+    endSnapshot: Option[Long],
+    fileOrder: Long,
+    path: String,
+    recordCount: Long,
+    fileSizeBytes: Long,
+    rowIdStart: Long,
+    partitionId: Option[Long] = None,
+    partitionValues: Seq[(Long, String)] = Nil)
+
+/** Positional delete file covering one data file
+  * (reference ducklake_delete_file,
+  * src/storage/ducklake_metadata_manager.cpp:221-226). */
+final case class DeleteFileEntry(
+    deleteFileId: Long,
+    tableId: Long,
+    beginSnapshot: Long,
+    endSnapshot: Option[Long],
+    dataFileId: Long,
+    path: String,
+    deleteCount: Long)
+
+/** Per-file per-column min/max/null stats, VARCHAR-encoded like the
+  * reference (ducklake_file_column_stats,
+  * src/storage/ducklake_metadata_manager.cpp:251-253). */
+final case class FileColumnStats(
+    columnId: Long,
+    minValue: Option[String],
+    maxValue: Option[String],
+    nullCount: Long,
+    nanCount: Long = 0L,
+    numeric: Boolean = false)
+
+final case class TableStats(
+    recordCount: Long,
+    nextRowId: Long,
+    fileSizeBytes: Long)
+
+/** A file to write into a new snapshot: path + stats gathered at write. */
+final case class PendingDataFile(
+    path: String,
+    recordCount: Long,
+    fileSizeBytes: Long,
+    columnStats: Seq[FileColumnStats],
+    partitionValues: Seq[(Long, String)] = Nil)
+
+/** Scan-time resolution: data file + the delete files applying to it. */
+final case class ScanFile(
+    file: DataFileEntry,
+    deleteFiles: Seq[DeleteFileEntry])
+
+/** Versioned partition spec (ducklake_partition_info/_column,
+  * src/storage/ducklake_metadata_manager.cpp:268-271). Transform is one of
+  * identity|year|month|day|hour|bucket(n) — Iceberg-compatible. */
+final case class PartitionField(
+    keyIndex: Long,
+    columnId: Long,
+    transform: String)
+
+final case class PartitionSpec(partitionId: Long, fields: Seq[PartitionField])
+
+final case class SnapshotChanges(
+    createdTables: Seq[String] = Nil,
+    droppedTables: Seq[String] = Nil,
+    insertedIntoTables: Seq[Long] = Nil,
+    deletedFromTables: Seq[Long] = Nil,
+    compactedTables: Seq[Long] = Nil,
+    alteredTables: Seq[Long] = Nil,
+    author: Option[String] = None,
+    commitMessage: Option[String] = None) {
+  /** change summary string, reference docs/README.md table_changes format */
+  def summary: String = {
+    val parts = Seq(
+      createdTables.map(t => s"created_table:$t"),
+      droppedTables.map(t => s"dropped_table:$t"),
+      insertedIntoTables.map(t => s"inserted_into_table:$t"),
+      deletedFromTables.map(t => s"deleted_from_table:$t"),
+      compactedTables.map(t => s"compacted_table:$t"),
+      alteredTables.map(t => s"altered_table:$t")).flatten
+    parts.mkString(",")
+  }
+  def isAppendOnly: Boolean =
+    createdTables.isEmpty && droppedTables.isEmpty &&
+      deletedFromTables.isEmpty && compactedTables.isEmpty &&
+      alteredTables.isEmpty
+}
+
+/** Commit-time conflict (another writer won); triggers retry or abort
+  * (reference src/storage/ducklake_transaction_state.cpp:142-243). */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Pushed-filter primitive for catalog-side file pruning: column `op`
+  * value, evaluated against VARCHAR-encoded per-file min/max (reference
+  * ducklake_metadata_manager.cpp:1492-1593). */
+final case class StatsFilter(columnId: Long, op: String, value: String,
+    numeric: Boolean)

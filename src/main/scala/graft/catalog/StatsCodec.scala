@@ -1,0 +1,60 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+/** VARCHAR encoding of per-file column stats, mirroring the reference's
+  * string-encoded min/max (ducklake_file_column_stats) with a numeric-
+  * sortable canonical form so catalog-side pruning can compare via CAST:
+  * numbers as plain decimal strings, dates as epoch days, timestamps as
+  * epoch micros, booleans as 0/1, strings raw (truncated — a truncated max
+  * is not a valid upper bound, so long values store NULL like the
+  * reference's partial_max handling). */
+object StatsCodec {
+
+  val MaxStatLen = 256
+
+  def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType |
+        BooleanType => true
+    case _ => false
+  }
+
+  /** Catalyst literal value → canonical stats string. */
+  def encode(value: Any, dt: DataType): Option[String] = Option(value).flatMap {
+    v =>
+      dt match {
+        case BooleanType => Some(if (v.asInstanceOf[Boolean]) "1" else "0")
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | _: DecimalType =>
+          Some(v.toString)
+        case DateType => Some(v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+          case d: java.time.LocalDate => d.toEpochDay.toString
+          case i: Int => i.toString // days since epoch (Catalyst internal)
+          case other => other.toString
+        })
+        case TimestampType | TimestampNTZType => Some(v match {
+          case t: java.sql.Timestamp => (t.getTime * 1000L +
+            (t.getNanos / 1000) % 1000).toString
+          case i: java.time.Instant =>
+            (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+          case l: java.time.LocalDateTime =>
+            (l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              l.getNano / 1000).toString
+          case l: Long => l.toString // micros (Catalyst internal)
+          case other => other.toString
+        })
+        case StringType =>
+          val s = v.toString
+          if (s.length <= MaxStatLen) Some(s) else None
+        case _ => None // blobs / nested types carry no stats
+      }
+  }
+
+  /** Is a stats string usable as both bounds for this type? */
+  def statsSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType |
+        BooleanType | StringType => true
+    case _ => false
+  }
+}
