@@ -13,6 +13,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     operators.RelationalQueries,
     operators.LakeQueries,
+    operators.PipelineQueries,
   )
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)

@@ -58,6 +58,71 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   def createView(name: String, sql: String): Unit = meta.createView(name, sql)
 
+  /** ALTER TABLE ... SET PARTITIONED BY (reference
+    * ducklake_table_entry.cpp:626): (column, transform) pairs, transform in
+    * identity|year|month|day|hour|bucket(n) (Iceberg-compatible bucket via
+    * murmur3, reference ducklake_partition_data.cpp:54-140). */
+  def setPartitionedBy(table: String, specs: Seq[(String, String)]): Unit = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(table, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val fields = specs.map { case (cname, transform) =>
+      val ci = cols.find(_.name == cname).getOrElse(
+        throw new IllegalArgumentException(s"no column $cname"))
+      (ci.columnId, transform)
+    }
+    meta.setPartitionSpec(t.tableId, fields)
+  }
+
+  /** partition transform as a STRING column (string form doubles as the
+    * hive directory name and the catalog partition_value). */
+  private def transformCol(transform: String, c: Column): Column =
+    transform match {
+      case "identity" => c.cast("string")
+      case "year" => year(c).cast("string")
+      case "month" => date_format(c, "yyyy-MM")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case "hour" => date_format(c, "yyyy-MM-dd-HH")
+      case b if b.startsWith("bucket(") =>
+        val n = b.stripPrefix("bucket(").stripSuffix(")").trim.toInt
+        graft.functions.Murmur3Functions.bucket(n, c).cast("string")
+      case other =>
+        throw new IllegalArgumentException(s"unknown transform $other")
+    }
+
+  /** Evaluate a transform on a Catalyst literal driver-side (for partition
+    * pruning of eq filters — no Spark job needed). */
+  private def transformLiteral(transform: String, value: Any,
+      dt: DataType): Option[String] = {
+    // Catalyst internal forms: timestamps = epoch micros (Long),
+    // dates = epoch days (Int)
+    def utc: Option[java.time.LocalDateTime] = (value, dt) match {
+      case (us: Long, TimestampType | TimestampNTZType) =>
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC))
+      case (days: Int, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay())
+      case _ => None
+    }
+    transform match {
+      case "identity" => Some(value match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other.toString
+      })
+      case b if b.startsWith("bucket(") =>
+        val n = b.stripPrefix("bucket(").stripSuffix(")").trim.toInt
+        scala.util.Try(graft.functions.Murmur3.hashAny(value, dt)).toOption
+          .map(h => ((h & Int.MaxValue) % n).toString)
+      case "year" => utc.map(_.getYear.toString)
+      case "month" => utc.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      case "day" => utc.map(d =>
+        f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d")
+      case "hour" => utc.map(d =>
+        f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-${d.getHour}%02d")
+      case _ => None
+    }
+  }
+
   /** Resolve a view's SQL at the current snapshot and run it (views store
     * dialect + SQL text, reference ducklake_view_entry.cpp:125-142). */
   def view(name: String): DataFrame = {
@@ -100,8 +165,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val cols = meta.columnsOf(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
     val aligned = alignColumns(df, cols)
-    val files = writeAndCollect(name, aligned, cols)
-    meta.appendFiles(t.tableId, files)
+    val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+    val files = writeAndCollect(name, aligned, cols,
+      spec.map(partitionPlan(_, cols)))
+    meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+  }
+
+  /** (label, transform-column) per partition field; label doubles as the
+    * hive dir name segment. */
+  private def partitionPlan(ps: PartitionSpec,
+      cols: Seq[ColumnInfo]): Seq[(String, Column)] = {
+    val byId = cols.map(c => c.columnId -> c).toMap
+    ps.fields.map { f =>
+      val ci = byId(f.columnId)
+      val label =
+        if (f.transform == "identity") ci.name
+        else s"${ci.name}_${f.transform.takeWhile(_ != '(')}"
+      (label, transformCol(f.transform, col(ci.name)))
+    }
   }
 
   /** CREATE TABLE ... AS SELECT (reference ducklake_insert.cpp:49-78). */
@@ -120,15 +201,29 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   /** Write df under a staging dir, collect per-file stats in ONE agg pass,
-    * move files to their final ducklake-<uuid> names, return entries. */
+    * move files to their final ducklake-<uuid> names (hive-style partition
+    * dirs when a spec is set, NULL keys → __HIVE_DEFAULT_PARTITION__ like
+    * the reference, ducklake_partition_data.cpp:125-128), return entries. */
   private def writeAndCollect(table: String, df: DataFrame,
-      cols: Seq[ColumnInfo]): Seq[PendingDataFile] = {
+      cols: Seq[ColumnInfo],
+      partition: Option[Seq[(String, Column)]] = None): Seq[PendingDataFile] = {
     val stagingName = s"stage-${UUID.randomUUID()}"
     val stagingDir = fs.resolve(table).resolve(stagingName)
-    df.write.parquet(stagingDir.toString)
+    partition match {
+      case Some(parts) =>
+        val withParts = parts.zipWithIndex.foldLeft(df) {
+          case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
+        }
+        withParts.write
+          .partitionBy(parts.indices.map(i => s"__p$i"): _*)
+          .parquet(stagingDir.toString)
+      case None => df.write.parquet(stagingDir.toString)
+    }
 
-    val written = spark.read.schema(toStruct(cols))
+    val written = spark.read
       .parquet(stagingDir.toString)
+      .select(cols.map(c => col(c.name)
+        .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*)
     val statAggs = cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       if (StatsCodec.statsSupported(dt))
@@ -163,10 +258,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             numeric = StatsCodec.isNumeric(dt))
         } else FileColumnStats(c.columnId, None, None, nulls)
       }
+      // partition dir segments __p{i}=<escaped-value> between staging root
+      // and the part file; rebuild them with readable hive labels
+      val relSegs = stagingDir.relativize(srcPath).iterator()
+      val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+      relSegs.forEachRemaining(s => segs += s.toString)
+      val partVals = segs.dropRight(1).zipWithIndex.map { case (seg, i) =>
+        val v = unescapeHive(seg.substring(seg.indexOf('=') + 1))
+        (i.toLong, v)
+      }
+      val hiveDirs = partition.map { parts =>
+        partVals.zip(parts).map { case ((_, v), (label, _)) =>
+          s"$label=${escapeHive(v)}"
+        }.mkString("/")
+      }.filter(_.nonEmpty)
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
-      val dst = fs.resolve(table).resolve(finalName)
+      val relPath = hiveDirs.map(d => s"$table/$d/$finalName")
+        .getOrElse(s"$table/$finalName")
+      val dst = fs.resolve(relPath)
+      Files.createDirectories(dst.getParent)
       Files.move(srcPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      PendingDataFile(s"$table/$finalName", rows, Files.size(dst), stats)
+      PendingDataFile(relPath, rows, Files.size(dst), stats,
+        partitionValues = partVals.toSeq)
     }.tapEach(_ => ()).toSeq match {
       case done =>
         // remove staging leftovers (_SUCCESS etc.)
@@ -213,7 +326,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val schema = toStruct(cols)
     val statsFilters = filter.toSeq.flatMap(f =>
       extractStatsFilters(ColumnBridge.expr(f), cols))
-    val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId, statsFilters)
+    val partEq = for {
+      f <- filter.toSeq
+      ps <- meta.currentPartitionSpec(t.tableId, snap.snapshotId).toSeq
+      eq <- extractPartitionEq(ColumnBridge.expr(f), cols, ps)
+    } yield eq
+    val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId,
+      statsFilters, partEq)
     val df = buildScan(name, schema, scanFiles, snap, withMeta)
     filter.map(df.filter).getOrElse(df)
   }
@@ -284,6 +403,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       else afterDeletes.select(schema.fieldNames.map(col).toSeq: _*)
     out
   }
+
+  /** Spark/Hive escape partition dir values as %XX for special chars;
+    * __HIVE_DEFAULT_PARTITION__ stands for NULL. */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  private def escapeHive(s: String): String =
+    s.flatMap {
+      case c if "\"#%'*/:=?\\{[]^".contains(c) =>
+        f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
 
   private def readSchemaOf(relPath: String): StructType =
     spark.read.parquet(abs(relPath)).schema
@@ -716,6 +857,32 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       statsFor(s"$name/$finalName", cols)
     }
     meta.appendFiles(t.tableId, pending)
+  }
+
+  /** Equality conjuncts on partitioned columns → (key_index, transformed
+    * value) for catalog partition pruning. */
+  private def extractPartitionEq(e: Expression, cols: Seq[ColumnInfo],
+      ps: PartitionSpec): Seq[(Long, String)] = {
+    val byName = cols.map(c => c.name -> c).toMap
+    def name(ex: Expression): Option[String] = ex match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def eq(a: Expression, l: Literal): Seq[(Long, String)] = for {
+      n <- name(a).toSeq
+      ci <- byName.get(n).toSeq
+      f <- ps.fields.filter(_.columnId == ci.columnId)
+      v <- transformLiteral(f.transform, l.value, l.dataType).toSeq
+    } yield (f.keyIndex, v)
+    e match {
+      case And(l, r) =>
+        extractPartitionEq(l, cols, ps) ++ extractPartitionEq(r, cols, ps)
+      case EqualTo(a, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a) => eq(a, l)
+      case _ => Nil
+    }
   }
 
   // ----------------------------------------------------- filter extraction

@@ -640,8 +640,19 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * The pruning predicate runs IN the catalog DB — before Spark ever
     * sees a file list (SURVEY.md §4: our main custom optimization). */
   def filesForScan(tableId: Long, snapshotId: Long,
-      filters: Seq[StatsFilter] = Nil): Seq[ScanFile] = withConn { c =>
-    val pruneClauses = filters.map { f =>
+      filters: Seq[StatsFilter] = Nil,
+      partitionEq: Seq[(Long, String)] = Nil): Seq[ScanFile] = withConn { c =>
+    // partition pruning: equality on transformed partition values; files
+    // written before the spec (partition_id NULL) are never pruned
+    // (reference ducklake_metadata_manager.cpp:1719-1740)
+    val partClauses = partitionEq.map { case (keyIndex, v) =>
+      s"""AND (f.partition_id IS NULL OR EXISTS (
+         |  SELECT 1 FROM ducklake_file_partition_value p
+         |  WHERE p.data_file_id = f.data_file_id
+         |    AND p.partition_key_index = $keyIndex
+         |    AND p.partition_value = '${v.replace("'", "''")}'))""".stripMargin
+    }.mkString("\n")
+    val pruneClauses0 = filters.map { f =>
       val (minE, maxE) =
         if (f.numeric) ("s.min_numeric", "s.max_numeric")
         else ("s.min_value", "s.max_value")
@@ -661,6 +672,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
          | WHERE s.data_file_id = f.data_file_id AND s.column_id = ${f.columnId}
          | AND $minE IS NOT NULL AND $prunable)""".stripMargin
     }.mkString("\n")
+    val pruneClauses = pruneClauses0 + "\n" + partClauses
     val dataFiles = query(c,
       s"""SELECT f.data_file_id, f.begin_snapshot, f.end_snapshot,
          |f.file_order, f.path, f.record_count, f.file_size_bytes,

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for large-scale text corpora — Spark-native
+  * (explode/groupBy/join; no driver-side loops), designed so every stage is
+  * a shuffle on a bounded key space:
+  *
+  *  - exact: hash-groupBy on content
+  *  - MinHash+LSH: shingle → k seeded min-hashes → b bands → bucket join;
+  *    candidate pairs verified with exact Jaccard
+  *  - SimHash: 64-bit sign-aggregated token hashes; near-dup = low Hamming
+  *    distance within LSH blocks on 16-bit chunks
+  *
+  * At 100 TB: shingling explodes ~|tokens| rows per doc, the minhash
+  * aggregation is a map-side-combinable min per (doc, seed), and band
+  * bucketing shuffles only (band, signature) keys; candidate verification
+  * touches only colliding pairs. Skewed buckets (boilerplate docs) are
+  * capped via `maxBucketSize`.
+  */
+object Dedup {
+
+  /** exact dedup: one keeper (min id) per identical content */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).as("dup_count"))
+
+  /** distinct word w-shingles as an array column */
+  def shingles(textCol: Column, w: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => when(i + w <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(w))))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash signature matrix: (id, seed, minhash) using Spark's
+    * codegen'd murmur3 `hash(seed, shingle)` as the seeded hash family. */
+  private def minhashes(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleWidth: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleWidth)).as("sh"))
+      .select(col("id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("sh"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(hash(col("seed"), col("sh"))).as("mh"))
+
+  /** Candidate near-dup pairs via banded LSH over MinHash signatures.
+    * numHashes = bands * rowsPerBand. Returns (id_a, id_b) with id_a<id_b. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      shingleWidth: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minhashes(df, idCol, textCol, numHashes, shingleWidth)
+      .withColumn("band", col("seed") / rowsPerBand cast LongType)
+    val bandSigs = sigs
+      .groupBy(col("id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("seed"), col("mh"))))
+        .as("sig"))
+      .select(col("id"), col("band"), hash(col("band"), col("sig").cast("string"))
+        .as("bucket"))
+    // skew guard: drop pathological buckets (boilerplate collisions)
+    val bounded = bandSigs
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** exact Jaccard over distinct shingle sets for given pairs */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleWidth: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleWidth).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash LSH near-dup pairs, verified to `threshold` exact Jaccard. */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    val cands = minhashLshCandidates(df, idCol, textCol, bands, rowsPerBand,
+      shingleWidth)
+    verifyJaccard(df, idCol, textCol, cands, shingleWidth)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from token hashes: per bit, sign of Σ(±1 weights). */
+  def simhash(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // fold bits: for each of 64 bit positions count +1/-1; sign → bit
+    val bitSums = transform(sequence(lit(0), lit(63)), bit =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, bit) => when(s > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (any chunk equal →
+    * candidate; distance ≤ maxDistance guaranteed found for ≤3 differing
+    * chunks), verify Hamming ≤ maxDistance. */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 6): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("key",
+        call_function("shiftright", col("sig"), col("chunk") * 16).bitwiseAND(lit(0xffffL)))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+}

@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings/events
+  * tables: text analysis, dedup, similarity search, multimodal plumbing,
+  * and a Structured Streaming windowed aggregation. Oracle SQL mirrors the
+  * exact arithmetic (integer-scaled dots, deterministic double trees) so
+  * results hash-match DuckDB; operators whose candidate generation is
+  * inherently non-SQL (MinHash LSH, SimHash, LSH ANN) are rows-only here
+  * and recall-tested in DedupSpec.
+  */
+object PipelineQueries extends QueryPack {
+
+  // --------------------------------------------------------- text analysis
+
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stopListSql =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val textStatsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS BIGINT) AS n_stop,
+       |  CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |  (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END)
+       |  + (CASE WHEN CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) >= 0.01 THEN 0.3 ELSE 0.0 END)
+       |  + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |          BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  private def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangIdSql = {
+    def hits(lang: String) = {
+      val lst = TextAnalysis.StopwordsByLang(lang)
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      s"len(list_filter(string_split(text, ' '), x -> x IN $lst))"
+    }
+    // same fold order as TextAnalysis.langId: de, en, fr; later wins only
+    // if strictly greater; all-zero → 'und'
+    s"""WITH v AS (SELECT doc_id, ${hits("de")} AS vde, ${hits("en")} AS ven,
+       |  ${hits("fr")} AS vfr FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN GREATEST(vde, ven, vfr) = 0 THEN 'und'
+       |       WHEN vfr > GREATEST(vde, ven) THEN 'fr'
+       |       WHEN ven > vde THEN 'en'
+       |       ELSE 'de' END AS lang_pred
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.shingleCount(col("text"), 3).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textFingerprintSql =
+    """SELECT doc_id, md5(text) AS fp,
+      |  CAST(len(list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))))
+      |    AS BIGINT) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- dedup
+
+  /** corpus with planted exact duplicates (ids shifted by 1e6) */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text")))
+  }
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupCorpus(spark, dir), "doc_id", "text")
+      .select(col("keeper"), col("dup_count"))
+      .orderBy(col("keeper"))
+
+  private val dedupExactSql =
+    """SELECT MIN(doc_id) AS keeper, COUNT(*) AS dup_count
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 1000000, text FROM documents) u
+      |GROUP BY text ORDER BY keeper""".stripMargin
+
+  /** exact n-gram Jaccard on planted near-dup pairs (one token appended) */
+  private def dedupNgramJaccard(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    val corpus = d.unionByName(mutated)
+    val pairs = corpus.select(col("doc_id").as("id_a"))
+      .filter(col("id_a") < 1000000L)
+      .withColumn("id_b", col("id_a") + 1000000L)
+    Dedup.verifyJaccard(corpus, "doc_id", "text", pairs, 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .orderBy(col("id_a"))
+  }
+
+  private val dedupNgramJaccardSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz_mutation' FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+      |  FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jacc
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+      |WHERE a.doc_id < 1000000
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY id_a""".stripMargin
+
+  /** MinHash LSH near-dups (candidate generation not SQL-expressible —
+    * rows-only; recall asserted in DedupSpec). */
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    Dedup.minhashDuplicates(d.unionByName(mutated), "doc_id", "text",
+      threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dups (rows-only; asserted in DedupSpec). */
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    Dedup.simhashDuplicates(d.unionByName(mutated), "doc_id", "text",
+      maxDistance = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  private val scaledSqlFrag =
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT))"
+
+  private def embedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, 20)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+  }
+
+  private val embedTopKSql =
+    s"""WITH s AS (SELECT vec_id, $scaledSqlFrag AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
+       |d AS (SELECT vec_id,
+       |  CAST(list_aggregate(list_transform(list_zip(v, qv),
+       |       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+       |  / (SQRT(CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS DOUBLE))
+       |   * SQRT(CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS DOUBLE)))
+       |  AS score
+       |  FROM s, q WHERE vec_id <> 0)
+       |SELECT vec_id, ROUND(score, 9) AS score FROM d
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
+  /** full n² cosine near-dup over corpus with planted exact copies */
+  private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
+    val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    Similarity.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
+      threshold = 0.99)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embedNearDupSql =
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+       |s AS (SELECT vec_id, $scaledSqlFrag AS v FROM u),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(list_aggregate(list_transform(list_zip(a.v, b.v),
+       |       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+       |  / (SQRT(CAST(list_aggregate(list_transform(a.v, x -> x*x), 'sum') AS DOUBLE))
+       |   * SQRT(CAST(list_aggregate(list_transform(b.v, x -> x*x), 'sum') AS DOUBLE)))
+       |  AS score
+       |  FROM s a, s b WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b FROM p WHERE score >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed ANN (rows-only; recall vs brute force in SimilaritySpec). */
+  private def embedLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      qv, 20)
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Opaque-binary media column plumbing: schema (id, media BINARY, meta),
+    * byte-level features; the real decode is a stubbed deterministic
+    * feature extractor (no image/audio libs in this container) — the
+    * Spark-side schema, batching and partitioning are real. */
+  private def multimodalFeatures(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val media = d.select(col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(col("lang"), col("source")).as("meta"))
+    media.select(
+      col("doc_id"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      ascii(substring(col("media").cast("string"), 1, 1)).cast("long")
+        .as("first_byte"),
+      col("meta.lang").as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalFeaturesSql =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed decode via typed mapPartitions over binary batches (the
+    * mapInPandas analog in Scala) — rows-only, deterministic fake
+    * features; exercises Dataset[(Long, Array[Byte])] plumbing. */
+  private def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+    // STUB: a real pipeline would decode image/audio here (libs absent);
+    // the deterministic fake keeps shapes + batching honest
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val checksum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      (id, bytes.length, checksum,
+        Array.tabulate(8)(i => ((checksum >> (8 * i)) & 0xff).toFloat))
+    }).toDF("doc_id", "n_bytes", "checksum", "features")
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  /** Structured Streaming windowed aggregation over the events table
+    * (AvailableNow trigger, memory sink) — oracle is the equivalent batch
+    * SQL, i.e. streaming/batch equivalence is the check. */
+  private def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file-stream source wants a directory: expose the single events file
+    // through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.QueryDsl.sl2(col("value"))).as("sv"))
+    val qn = s"strw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n"),
+        (col("sv").cast("double") / 100.0).as("total_value"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  private val streamWindowSql =
+    s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       |  event_type, COUNT(*) AS n,
+       |  ${graft.QueryDsl.oLsum(graft.QueryDsl.oSl2("value"), "100.0")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("text_langid", textLangId, Some(textLangIdSql)),
+    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
+      Some(dedupNgramJaccardSql)),
+    QueryDef("dedup_minhash", dedupMinhash, None),
+    QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("embed_topk", embedTopK, Some(embedTopKSql)),
+    QueryDef("embed_near_dup", embedNearDup, Some(embedNearDupSql)),
+    QueryDef("embed_lsh_topk", embedLshTopK, None),
+    QueryDef("multimodal_features", multimodalFeatures,
+      Some(multimodalFeaturesSql)),
+    QueryDef("multimodal_decode", multimodalDecode, None),
+    QueryDef("stream_window", streamWindow, Some(streamWindowSql)),
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scaled-integer inner products: components are rounded to 6 decimals and
+  * multiplied as longs, so scores are exact, order-independent, and
+  * reproducible across engines (the same trick as QueryDsl's money sums —
+  * a 64-dim dot of ±1e6-scaled values fits comfortably in a long).
+  *
+  * Scale path: brute force is one broadcast of the query vector and a
+  * map-side top-k (TakeOrderedAndProject); the LSH variant buckets vectors
+  * by random-hyperplane signature so each probe touches a small bucket —
+  * at 100 TB the bucketed table is pre-partitioned by signature and the
+  * probe is a bucket-local scan instead of a full pass.
+  */
+object Similarity {
+
+  /** embedding (array<float>) → array<long> scaled 1e6 */
+  def scaled(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000000d, 0).cast("long"))
+
+  /** exact scaled dot product (long) */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine from scaled vectors, deterministic double tree */
+  def cosineScaled(a: Column, b: Column): Column =
+    dotScaled(a, b).cast("double") /
+      (sqrt(dotScaled(a, a).cast("double")) *
+        sqrt(dotScaled(b, b).cast("double")))
+
+  /** Brute-force top-k cosine neighbors of one query vector (driver-
+    * provided), excluding the query id itself. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val qLit = typedLit(queryVec.toSeq)
+    df.select(col(idCol).as("vec_id"),
+      cosineScaled(scaled(col(vecCol)), scaled(qLit)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign-bits of dots with
+    * pseudo-random planes derived deterministically from (bit, dim) hashes —
+    * no RNG state to ship, identical on every executor. */
+  def lshSignature(vecCol: Column, bits: Int): Column = {
+    val planes = transform(sequence(lit(0), lit(bits - 1)), bit =>
+      struct(bit.as("bit"),
+        aggregate(
+          zip_with(vecCol,
+            sequence(lit(0), size(vecCol) - 1),
+            (x, i) => x.cast("double") *
+              // hash-derived plane component in [-1, 1)
+              (pmod(hash(bit, i), lit(20001)) - 10000).cast("double") / 1e4),
+          lit(0d), (acc, x) => acc + x).as("dot")))
+    aggregate(planes, lit(0L), (acc, p) =>
+      acc.bitwiseOR(when(p.getField("dot") > 0,
+        call_function("shiftleft", lit(1L), p.getField("bit")))
+        .otherwise(0L)))
+  }
+
+  /** ANN via LSH buckets: probe returns top-k within the query's bucket
+    * (and hamming≤1 neighbor buckets for recall). */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, bits: Int = 12): DataFrame = {
+    val withSig = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), bits).as("sig"))
+    val qDf = df.sparkSession.range(1)
+      .select(lshSignature(typedLit(queryVec.toSeq), bits).as("qsig"))
+    val qSig = qDf.head().getLong(0)
+    // query bucket + all hamming-1 buckets
+    val probes = qSig +: (0 until bits).map(b => qSig ^ (1L << b))
+    val qLit = typedLit(queryVec.toSeq)
+    withSig.filter(col("sig").isin(probes: _*))
+      .select(col("vec_id"),
+        cosineScaled(scaled(col("v")), scaled(qLit)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ threshold (brute force n²; used on candidate
+    * blocks — callers block first at scale). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"))
+    val a = s.select(col("id").as("id_a"), col("sv").as("sv_a"))
+    val b = s.select(col("id").as("id_b"), col("sv").as("sv_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosineScaled(col("sv_a"), col("sv_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall checks for the non-SQL-expressible near-dup operators: planted
+  * near-duplicates must be found; exact results cross-checked against
+  * brute force. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables(spark, dir).documents
+    .select("doc_id", "text")
+
+  private lazy val planted = {
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  test("minhash LSH recalls planted near-dups") {
+    val nDocs = docs.count()
+    val dups = Dedup.minhashDuplicates(planted, "doc_id", "text",
+      threshold = 0.7)
+    val found = dups
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    // banded LSH with b=16,r=4 at J≈0.9+: expected recall ≈ 1
+    assert(found >= (nDocs * 0.95).toLong,
+      s"recall too low: $found of $nDocs")
+    // no false positives below threshold (verification stage is exact)
+    val verified = dups.agg(min(col("jaccard"))).head().getDouble(0)
+    assert(verified >= 0.7)
+  }
+
+  test("simhash recalls planted near-dups") {
+    val nDocs = docs.count()
+    val dups = Dedup.simhashDuplicates(planted, "doc_id", "text",
+      maxDistance = 6)
+    val found = dups
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    assert(found >= (nDocs * 0.8).toLong,
+      s"recall too low: $found of $nDocs")
+  }
+
+  test("exact dedup keeps one row per content") {
+    // EXACT copies (ids shifted, same text) — unlike `planted`, whose
+    // mutated texts are only near-dups
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val out = Dedup.exact(docs.unionByName(copies), "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.agg(max(col("dup_count"))).head().getLong(0) == 2L)
+  }
+
+  test("LSH ANN finds planted copies of the query vector") {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // identical vectors share the signature → always probed; cosine 1.0
+    // puts them at the top of the bucket-local ranking
+    val copies = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(100001L), lit(100010L))).as("vec_id"),
+        col("embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").unionByName(copies)
+    val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding", qv, 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert((100001L to 100010L).forall(lsh.contains),
+      s"planted copies missing from ANN result: $lsh")
+  }
+
+  test("planted identical embeddings found by near-dup pairs") {
+    val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
+    val dup = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairs(e.unionByName(dup), "vec_id",
+      "embedding", threshold = 0.99)
+    assert(pairs.count() == 10)
+  }
+}

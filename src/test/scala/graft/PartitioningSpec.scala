@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog._
+import graft.functions.Murmur3
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Murmur3Spec extends AnyFunSuite {
+  // Iceberg spec appendix B test vectors (public): murmur3_x86_32 seed 0
+  test("matches Iceberg bucket-hash vectors") {
+    assert(Murmur3.hashLong(34L) == 2017239379)
+    assert(Murmur3.hashBytes("iceberg".getBytes("UTF-8"), 0) == 1210000089)
+    // date 2017-11-16 = epoch day 17486
+    assert(Murmur3.hashLong(17486L) == -653330422)
+    // timestamp 2017-11-16T22:31:08 UTC in micros
+    assert(Murmur3.hashLong(1510871468000000L) == -2047944441)
+    assert(Murmur3.hashDouble(1.0) == -142385009)
+  }
+
+  test("bool/int widening semantics (reference ducklake_murmur3.cpp)") {
+    assert(Murmur3.hashAny(true, BooleanType) == Murmur3.hashLong(1L))
+    assert(Murmur3.hashAny(34.toByte, ByteType) == Murmur3.hashLong(34L))
+    assert(Murmur3.hashAny(34.toShort, ShortType) == Murmur3.hashLong(34L))
+    assert(Murmur3.hashAny(34, IntegerType) == Murmur3.hashLong(34L))
+    assert(Murmur3.hashAny(1.0f, FloatType) == Murmur3.hashDouble(1.0))
+  }
+}
+
+class PartitioningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graftpart").toString
+    Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+  }
+
+  test("identity partitioning: hive paths + pruning + NULL partition") {
+    val lake = freshLake()
+    lake.createTable("pt", StructType(Seq(
+      StructField("part_key", IntegerType), StructField("v", StringType))))
+    lake.setPartitionedBy("pt", Seq(("part_key", "identity")))
+    val rows = (0 until 1000).map(i => (if (i % 100 == 0) None else Some(i % 2),
+      s"thisisastring_$i"))
+    lake.append("pt", rows.toDF("part_key", "v"))
+    assert(lake.table("pt").count() == 1000)
+    // hive-style dirs incl __HIVE_DEFAULT_PARTITION__ for NULL keys
+    val files = lake.listFiles("pt").collect().map(_.getString(0))
+    assert(files.exists(_.contains("part_key=0/")))
+    assert(files.exists(_.contains("part_key=1/")))
+    assert(files.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    // eq filter prunes to one partition's files
+    val t = lake.meta.tableByName("pt", lake.currentSnapshotId()).get
+    val all = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId())
+    val pruned = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId(),
+      partitionEq = Seq((0L, "1")))
+    assert(pruned.size < all.size)
+    // odd i → part_key 1 (i%100==0 rows are all even → NULL never odd)
+    assert(lake.table("pt", Some(col("part_key") === 1)).count() == 500)
+  }
+
+  test("year transform partitioning + bucket transform") {
+    val lake = freshLake()
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("1995-03-01 00:00:00")),
+      (2, java.sql.Timestamp.valueOf("1996-07-01 00:00:00")),
+      (3, java.sql.Timestamp.valueOf("1996-08-01 00:00:00"))
+    ).toDF("id", "ts")
+    lake.createTable("yt", df.schema)
+    lake.setPartitionedBy("yt", Seq(("ts", "year")))
+    lake.append("yt", df)
+    val files = lake.listFiles("yt").collect().map(_.getString(0))
+    assert(files.exists(_.contains("ts_year=1995")))
+    assert(files.exists(_.contains("ts_year=1996")))
+    // eq filter on ts prunes by year partition
+    val t = lake.meta.tableByName("yt", lake.currentSnapshotId()).get
+    val pruned = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId(),
+      partitionEq = Seq((0L, "1995")))
+    assert(pruned.size == 1)
+
+    // bucket(4): same key → same bucket dir; reference murmur3 semantics
+    val lake2 = freshLake()
+    val df2 = (1L to 100L).map(i => (i, i % 10)).toDF("id", "k")
+    lake2.createTable("bt", df2.schema)
+    lake2.setPartitionedBy("bt", Seq(("k", "bucket(4)")))
+    lake2.append("bt", df2)
+    assert(lake2.table("bt").count() == 100)
+    val expectBucket = (Murmur3.hashLong(7L) & Int.MaxValue) % 4
+    assert(lake2.table("bt", Some(col("k") === 7L)).count() == 10)
+    val t2 = lake2.meta.tableByName("bt", lake2.currentSnapshotId()).get
+    val pruned2 = lake2.meta.filesForScan(t2.tableId,
+      lake2.currentSnapshotId(),
+      partitionEq = Seq((0L, expectBucket.toString)))
+    assert(pruned2.size < lake2.meta.filesForScan(t2.tableId,
+      lake2.currentSnapshotId()).size)
+  }
+
+  test("partitioned table supports delete + time travel") {
+    val lake = freshLake()
+    val df = (0 until 100).map(i => (i, i % 3)).toDF("id", "p")
+    lake.createTable("pd", df.schema)
+    lake.setPartitionedBy("pd", Seq(("p", "identity")))
+    lake.append("pd", df)
+    val v1 = lake.currentSnapshotId()
+    lake.delete("pd", col("p") === 1)
+    assert(lake.table("pd").count() == 67)
+    assert(lake.tableAtVersion("pd", v1).count() == 100)
+  }
+}

@@ -19,7 +19,7 @@ class RelationalQueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  for (q <- operators.RelationalQueries.queries) {
+  for (pack <- SparkEntry.packs; q <- pack.queries) {
     test(s"${q.name} runs and returns rows") {
       val df = q.fn(spark, dir)
       assert(df.columns.nonEmpty)
