@@ -164,11 +164,78 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val t = resolve(name, Some(snap.snapshotId))
     val cols = meta.columnsOf(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
-    val aligned = alignColumns(df, cols)
+    val aligned0 = alignColumns(df, cols)
+
+    // data inlining: inserts at or under the row limit live as rows in the
+    // catalog DB (reference ducklake_inline_data.cpp:15-120; limit option
+    // ducklake_extension.cpp:36-38, default off here)
+    val inlineLimit = meta.getOption("data_inlining_row_limit")
+      .map(_.toInt).getOrElse(0)
+    if (inlineLimit > 0) {
+      val sample = aligned0.toJSON.take(inlineLimit + 1)
+      if (sample.length <= inlineLimit)
+        return meta.appendInlined(t.tableId, sample.toSeq)
+    }
+
+    // sort-on-insert: inject the table's sort spec below the write
+    // (reference ducklake_insert.cpp:768-846)
+    val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
+    val sortOn = meta.getOption("sort_on_insert").forall(_ == "true")
+    val aligned =
+      if (sortSpec.nonEmpty && sortOn)
+        aligned0.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
+          if (ord == "desc") col(e).desc else col(e).asc
+        }: _*)
+      else aligned0
+
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)))
     meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+  }
+
+  /** ALTER TABLE ... SET SORTED BY (reference ducklake_sort_data.cpp). */
+  def setSortedBy(table: String, exprs: Seq[(String, String)]): Unit = {
+    val t = resolve(table)
+    meta.setSortSpec(t.tableId,
+      exprs.map { case (e, ord) => (e, ord, "nulls_last") })
+  }
+
+  def setCommitMessage(author: String, message: String): Unit =
+    meta.setCommitMessage(author, message)
+
+  def setOption(key: String, value: String): Unit = meta.setOption(key, value)
+  def options(): Seq[(String, String)] = meta.options()
+
+  /** Flush inlined rows to Parquet, preserving rowids + insertion
+    * snapshots via materialized columns (reference
+    * ducklake_flush_inlined_data.cpp:608-686). */
+  def flushInlinedData(name: String): Long = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    if (inlined.isEmpty) return 0L
+    val rows = inlinedDf(inlined, toStruct(cols))
+      .select((cols.map(c => col(c.name)) :+
+        col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
+    val rel = writeAndCollectPlain(name, rows.coalesce(1))
+    val pending = statsFor(rel, cols)
+    meta.endInlinedRows(t.tableId, inlined.map(_._1), Seq(pending),
+      isFlush = true, explicitRowIdStart = Some(inlined.map(_._1).min))
+    inlined.size.toLong
+  }
+
+  /** inlined rows as a DataFrame with rowid/snapshot_id attached */
+  private def inlinedDf(rows: Seq[(Long, Long, String)],
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    rows.toDF("rowid", "snapshot_id", "j")
+      .select(from_json(col("j"), schema).as("r"), col("rowid"),
+        col("snapshot_id"))
+      .select((schema.fieldNames.map(n => col(s"r.$n").as(n)) :+
+        col("rowid") :+ col("snapshot_id")): _*)
   }
 
   /** (label, transform-column) per partition field; label doubles as the
@@ -334,7 +401,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId,
       statsFilters, partEq)
     val df = buildScan(name, schema, scanFiles, snap, withMeta)
-    filter.map(df.filter).getOrElse(df)
+    // inlined-data pseudo-files: rows living in the catalog DB join the
+    // scan (reference ducklake_multi_file_list.cpp:360-374)
+    val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    val full = if (inlined.isEmpty) df else {
+      val extra = inlinedDf(inlined, schema)
+      val shaped =
+        if (withMeta) extra
+          .withColumn("filename", lit(InlinedFile))
+          .withColumn("file_row_number", col("rowid"))
+          .select(df.columns.map(col).toSeq: _*)
+        else extra.select(schema.fieldNames.map(col).toSeq: _*)
+      df.unionByName(shaped)
+    }
+    filter.map(full.filter).getOrElse(full)
   }
 
   /** Assemble the multi-file scan: parquet reader over the pruned file
@@ -354,30 +434,41 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (withMeta) full else schema)
       return empty
     }
-    val hasMaterializedRowId =
-      readSchemaOf(scanFiles.head.file.path).fieldNames.contains(RowIdCol)
-    val readSchema =
-      if (hasMaterializedRowId)
-        StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
-          StructField(SnapCol, LongType))
-      else schema
-    val paths = scanFiles.map(f => abs(f.file.path))
-    val base = spark.read.schema(readSchema).parquet(paths: _*)
-      .withColumn("__abs", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-
+    // Files written by compaction/flush carry materialized rowid+snapshot
+    // columns which take precedence over row_id_start + row_index
+    // (reference ducklake_multi_file_reader.cpp:574-596); a snapshot can mix
+    // both kinds, so scan them as two groups and union.
+    val (matFiles, rawFiles) = scanFiles.partition(f =>
+      readSchemaOf(f.file.path).fieldNames.contains(RowIdCol))
     val fileInfo = scanFiles.map { f =>
       (absUri(f.file.path), f.file.path, f.file.rowIdStart,
         f.file.beginSnapshot)
     }.toDF("__abs", "__rel", "__start", "__fsnap")
 
-    val withIds = base
-      .join(broadcast(fileInfo), Seq("__abs"))
-      .withColumn("rowid",
-        if (hasMaterializedRowId) col(RowIdCol)
-        else col("__start") + col("__pos"))
-      .withColumn("snapshot_id",
-        if (hasMaterializedRowId) col(SnapCol) else col("__fsnap"))
+    def readGroup(group: Seq[ScanFile], materialized: Boolean) = {
+      val readSchema =
+        if (materialized)
+          StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
+            StructField(SnapCol, LongType))
+        else schema
+      val base = spark.read.schema(readSchema)
+        .parquet(group.map(f => abs(f.file.path)): _*)
+        .withColumn("__abs", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(fileInfo), Seq("__abs"))
+      base
+        .withColumn("rowid",
+          if (materialized) col(RowIdCol) else col("__start") + col("__pos"))
+        .withColumn("snapshot_id",
+          if (materialized) col(SnapCol) else col("__fsnap"))
+        .drop(RowIdCol, SnapCol)
+    }
+    val groups =
+      (if (matFiles.nonEmpty) Seq(readGroup(matFiles, materialized = true))
+      else Nil) ++
+        (if (rawFiles.nonEmpty) Seq(readGroup(rawFiles, materialized = false))
+        else Nil)
+    val withIds = groups.reduce(_ unionByName _)
 
     // positional delete files: (file_path, pos) pairs; snapshot-filtered so
     // time travel sees only deletes committed by then
@@ -427,7 +518,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
 
   private def readSchemaOf(relPath: String): StructType =
-    spark.read.parquet(abs(relPath)).schema
+    Lake.fileSchemaCache.computeIfAbsent(abs(relPath),
+      p => spark.read.parquet(p).schema)
 
   private def abs(rel: String): String = fs.resolve(rel).toString
   /** matches Spark's _metadata.file_path rendering (Hadoop Path.toString:
@@ -451,11 +543,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private def deleteByPosition(name: String, t: TableInfo, snap: Snapshot,
-      newDeletes: DataFrame, newFiles: Seq[PendingDataFile] = Nil): Long = {
+      newDeletes0: DataFrame, newFiles: Seq[PendingDataFile] = Nil): Long = {
+    // inlined rows delete by ending their validity in the catalog DB
+    val inlinedIds = newDeletes0.filter(col("file_path") === InlinedFile)
+      .select("pos").collect().map(_.getLong(0)).toSeq
+    if (inlinedIds.nonEmpty) meta.endInlinedRows(t.tableId, inlinedIds)
+    val newDeletes = newDeletes0.filter(col("file_path") =!= InlinedFile)
     val perFile = newDeletes.groupBy("file_path").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFile.isEmpty && newFiles.isEmpty) return 0L
-    if (perFile.isEmpty) { meta.appendFiles(t.tableId, newFiles); return 0L }
+    if (perFile.isEmpty && newFiles.isEmpty) return inlinedIds.size.toLong
+    if (perFile.isEmpty) {
+      meta.appendFiles(t.tableId, newFiles)
+      return inlinedIds.size.toLong
+    }
 
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
     val byRel = files.map(f => f.file.path -> f.file).toMap
@@ -491,7 +591,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val newlyDeleted = perFile.values.sum
     meta.commitDeletes(t.tableId, snap.snapshotId, deletes, newFiles,
       removedRows = newlyDeleted)
-    newlyDeleted
+    newlyDeleted + inlinedIds.size
   }
 
   /** UPDATE = delete + insert in one snapshot; un-SET columns are
@@ -942,6 +1042,14 @@ object Lake {
     * ducklake_multi_file_reader.cpp:574-596) */
   val RowIdCol = "_ducklake_internal_row_id"
   val SnapCol = "_ducklake_internal_snapshot_id"
+
+  /** pseudo-filename for rows inlined in the catalog DB */
+  val InlinedFile = "__ducklake_inlined__"
+
+  /** data files are immutable → their physical schema is cacheable */
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
 
   /** Attach (or create) a lake: Derby catalog dir + data dir. */
   def attach(spark: SparkSession, catalogDir: String,

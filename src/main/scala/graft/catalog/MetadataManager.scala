@@ -278,6 +278,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   val retryWaitMs = 100L
   val retryBackoff = 1.5
 
+  /** one-shot author/message for the NEXT commit (reference
+    * ducklake_set_commit_message.cpp). */
+  @volatile private var pendingCommitMessage: Option[(String, String)] = None
+  def setCommitMessage(author: String, message: String): Unit =
+    pendingCommitMessage = Some((author, message))
+
   /** Run `body` against a fresh snapshot and commit it as snapshot
     * base+1. On a lost race (PK violation on snapshot_id) re-checks
     * conflicts via `conflictCheck(committedSince)` and retries.
@@ -287,6 +293,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       schemaChange: Boolean = false,
       conflictCheck: (Connection, Long) => Unit = (_, _) => ())(
       body: (Connection, Snapshot, TxnIds) => Unit): Snapshot = {
+    val changes0 = pendingCommitMessage match {
+      case Some((author, msg)) if changes.commitMessage.isEmpty =>
+        pendingCommitMessage = None
+        changes.copy(author = Some(author), commitMessage = Some(msg))
+      case _ => changes
+    }
     var attempt = 0
     var wait = retryWaitMs
     while (true) {
@@ -311,8 +323,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         exec(c,
           """INSERT INTO ducklake_snapshot_changes (snapshot_id, changes_made,
             |author, commit_message) VALUES (?, ?, ?, ?)""".stripMargin,
-          Long.box(newSnap.snapshotId), changes.summary,
-          changes.author.orNull, changes.commitMessage.orNull)
+          Long.box(newSnap.snapshotId), changes0.summary,
+          changes0.author.orNull, changes0.commitMessage.orNull)
         if (schemaChange) {
           exec(c,
             "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (?, ?)",
@@ -1009,6 +1021,142 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       PartitionSpec(pid, fields)
     }
   }
+
+  // ------------------------------------------------------------- sort specs
+
+  /** Versioned table sort spec (reference ducklake_sort_info /
+    * ducklake_sort_expression, metadata_manager.cpp:291-295). */
+  def setSortSpec(tableId: Long,
+      exprs: Seq[(String, String, String)]): Unit = // (expr, order, nulls)
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      exec(c,
+        "UPDATE ducklake_sort_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(tableId))
+      val sid = ids.newCatalogId()
+      exec(c,
+        """INSERT INTO ducklake_sort_info (sort_info_id, table_id,
+          |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
+        Long.box(sid), Long.box(tableId), Long.box(snap.snapshotId))
+      exprs.zipWithIndex.foreach { case ((e, order, nulls), i) =>
+        exec(c,
+          """INSERT INTO ducklake_sort_expression (sort_info_id, table_id,
+            |sort_key_index, expression, dialect, sort_order, null_order)
+            |VALUES (?, ?, ?, ?, 'spark', ?, ?)""".stripMargin,
+          Long.box(sid), Long.box(tableId), Long.box(i.toLong), e, order,
+          nulls)
+      }
+    }
+
+  def currentSortSpec(tableId: Long,
+      snapshotId: Long): Seq[(String, String, String)] = withConn { c =>
+    val sids = query(c,
+      """SELECT sort_info_id FROM ducklake_sort_info
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId))(
+      _.getLong(1))
+    sids.headOption.toSeq.flatMap { sid =>
+      query(c,
+        """SELECT expression, sort_order, null_order
+          |FROM ducklake_sort_expression WHERE sort_info_id = ?
+          |ORDER BY sort_key_index""".stripMargin, Long.box(sid))(rs =>
+        (rs.getString(1), rs.getString(2), rs.getString(3)))
+    }
+  }
+
+  // ------------------------------------------------------------ inlined data
+
+  /** Per-table inlined-data tables: tiny inserts live as rows in the
+    * catalog DB instead of Parquet files (reference
+    * ducklake_inline_data.cpp:15-120; rows flushed to Parquet by
+    * flush_inlined_data). Rows carry begin/end snapshots for time travel
+    * and rowids for identity. */
+  private def inlinedTableName(tableId: Long) = s"ducklake_inlined_data_$tableId"
+
+  private def ensureInlinedTable(c: Connection, tableId: Long): Unit = {
+    val name = inlinedTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) {
+      Using.resource(c.createStatement())(_.executeUpdate(
+        s"""CREATE TABLE $name (
+           |  row_id BIGINT NOT NULL, begin_snapshot BIGINT,
+           |  end_snapshot BIGINT, row_json VARCHAR(32000))""".stripMargin))
+      exec(c,
+        "INSERT INTO ducklake_inlined_data_tables (table_id, table_name, schema_version) VALUES (?, ?, 0)",
+        Long.box(tableId), name)
+    }
+  }
+
+  /** Insert small row batches directly into the catalog DB. */
+  def appendInlined(tableId: Long, rowsJson: Seq[String]): Snapshot =
+    commitSnapshot(SnapshotChanges(insertedIntoTables = Seq(tableId))) {
+      (c, snap, _) =>
+        ensureInlinedTable(c, tableId)
+        var rowId = qLong(c,
+          "SELECT next_row_id FROM ducklake_table_stats WHERE table_id = ?",
+          Long.box(tableId)).getOrElse(0L)
+        rowsJson.foreach { j =>
+          exec(c,
+            s"""INSERT INTO ${inlinedTableName(tableId)}
+               |(row_id, begin_snapshot, end_snapshot, row_json)
+               |VALUES (?, ?, NULL, ?)""".stripMargin,
+            Long.box(rowId), Long.box(snap.snapshotId), j)
+          rowId += 1
+        }
+        exec(c,
+          """UPDATE ducklake_table_stats SET record_count = record_count + ?,
+            |next_row_id = ? WHERE table_id = ?""".stripMargin,
+          Long.box(rowsJson.size.toLong), Long.box(rowId), Long.box(tableId))
+    }
+
+  /** live inlined rows at a snapshot: (row_id, begin_snapshot, json) */
+  def liveInlinedRows(tableId: Long,
+      snapshotId: Long): Seq[(Long, Long, String)] = withConn { c =>
+    if (!tableExists(c, inlinedTableName(tableId).toUpperCase)) Nil
+    else query(c,
+      s"""SELECT row_id, begin_snapshot, row_json
+         |FROM ${inlinedTableName(tableId)}
+         |WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)
+         |ORDER BY row_id""".stripMargin,
+      Long.box(snapshotId), Long.box(snapshotId))(rs =>
+      (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+  }
+
+  /** Delete inlined rows (end their validity) + optionally register
+    * replacement files (flush) in ONE snapshot. */
+  def endInlinedRows(tableId: Long, rowIds: Seq[Long],
+      newFiles: Seq[PendingDataFile] = Nil, isFlush: Boolean = false,
+      explicitRowIdStart: Option[Long] = None): Snapshot =
+    commitSnapshot(SnapshotChanges(
+      deletedFromTables = if (isFlush) Nil else Seq(tableId),
+      compactedTables = if (isFlush) Seq(tableId) else Nil)) {
+      (c, snap, ids) =>
+        rowIds.foreach { rid =>
+          exec(c,
+            s"""UPDATE ${inlinedTableName(tableId)} SET end_snapshot = ?
+               |WHERE row_id = ? AND end_snapshot IS NULL""".stripMargin,
+            Long.box(snap.snapshotId), Long.box(rid))
+        }
+        newFiles.foreach { f =>
+          val fid = ids.newFileId()
+          exec(c,
+            """INSERT INTO ducklake_data_file (data_file_id, table_id,
+              |begin_snapshot, end_snapshot, file_order, path,
+              |path_is_relative, file_format, record_count, file_size_bytes,
+              |footer_size, row_id_start, partition_id)
+              |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL)""".stripMargin,
+            Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
+            f.path, Long.box(f.recordCount), Long.box(f.fileSizeBytes),
+            Long.box(explicitRowIdStart.getOrElse(0L)))
+          f.columnStats.foreach(s => insertColStats(c, fid, tableId,
+            f.recordCount, s))
+        }
+        if (!isFlush && rowIds.nonEmpty) {
+          exec(c,
+            "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+            Long.box(rowIds.size.toLong), Long.box(tableId))
+        }
+    }
 
   // ------------------------------------------------------------------ views
 

@@ -384,7 +384,110 @@ object RelationalQueries extends QueryPack {
        |  ${oLsum(oSl2("value"), "100.0")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** TPC-H q13 shape: LEFT OUTER join + per-group count + count histogram. */
+  private def qOuterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(!col("o_orderpriority").like("4-%")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val qOuterHistogramSql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4-%'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H q19 shape: disjunction of conjunctive predicates across a join. */
+  private def qDisjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity") >= 1 &&
+          col("l_quantity") <= 11 && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity") >= 10 &&
+            col("l_quantity") <= 20 && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity") >= 20 &&
+            col("l_quantity") <= 30 && col("p_size").between(1, 15)))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val qDisjunctiveSql =
+    s"""SELECT ${oRevenue("l_extendedprice", "l_discount")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey AND (
+       |  (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin
+
+  /** TPC-H q2 shape: min-per-group subquery (cheapest supplier per nation). */
+  private def qMinPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val s = t.supplier.join(broadcast(t.nation),
+      col("s_nationkey") === col("n_nationkey"))
+    val minBal = s.groupBy(col("n_name").as("mn_name"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    s.join(minBal, col("n_name") === col("mn_name") &&
+      col("s_acctbal") === col("min_bal"))
+      .select(col("n_name"), col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("n_name"), col("s_suppkey"))
+  }
+
+  private val qMinPerGroupSql =
+    """SELECT n_name, s_suppkey, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal = (
+      |  SELECT MIN(s2.s_acctbal) FROM supplier s2 JOIN nation n2
+      |    ON s2.s_nationkey = n2.n_nationkey
+      |  WHERE n2.n_name = nation.n_name)
+      |ORDER BY n_name, s_suppkey""".stripMargin
+
+  /** TPC-H q15 shape: top revenue supplier via a derived revenue view. */
+  private def qRevenueView(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount"))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("mr"))
+      .join(t.supplier, col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val qRevenueViewSql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${oRevenue("l_extendedprice", "l_discount")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q13_outer_histogram", qOuterHistogram, Some(qOuterHistogramSql)),
+    QueryDef("q19_disjunctive", qDisjunctive, Some(qDisjunctiveSql)),
+    QueryDef("q2_min_per_group", qMinPerGroup, Some(qMinPerGroupSql)),
+    QueryDef("q15_revenue_view", qRevenueView, Some(qRevenueViewSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q3_topk", q3TopK, Some(q3Sql)),
     QueryDef("q5_join", q5Join, Some(q5Sql)),

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data inlining (reference test/sql/data_inlining/, 40 files), sort specs,
+  * commit messages, and mixed materialized/raw scans. */
+class InliningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graftinl").toString
+    Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+  }
+
+  test("small inserts inline into catalog DB; scan unions them") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // no parquet files yet — rows live in the catalog
+    assert(lake.listFiles("t").count() == 0)
+    assert(lake.table("t").count() == 2)
+    // big insert goes to parquet; scan unions both
+    lake.append("t", (10 to 40).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(lake.listFiles("t").count() > 0)
+    assert(lake.table("t").count() == 33)
+    // rowids unique across inlined + file rows
+    assert(lake.tableWithRowId("t").select("rowid").distinct().count() == 33)
+  }
+
+  test("delete hits inlined rows; time travel sees them") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    lake.append("t", Seq(1, 2, 3).toDF("id"))
+    val v1 = lake.currentSnapshotId()
+    val n = lake.delete("t", col("id") === 2)
+    assert(n == 1)
+    assert(lake.table("t").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(lake.tableAtVersion("t", v1).count() == 3)
+  }
+
+  test("flush_inlined_data moves rows to parquet, preserving rowids") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    lake.append("t", Seq(1, 2, 3).toDF("id"))
+    val ridsBefore = lake.tableWithRowId("t")
+      .select("id", "rowid").as[(Int, Long)].collect().toMap
+    val flushed = lake.flushInlinedData("t")
+    assert(flushed == 3)
+    assert(lake.listFiles("t").count() == 1)
+    assert(lake.table("t").count() == 3)
+    val ridsAfter = lake.tableWithRowId("t")
+      .select("id", "rowid").as[(Int, Long)].collect().toMap
+    assert(ridsAfter == ridsBefore)
+    // flushing again is a no-op
+    assert(lake.flushInlinedData("t") == 0)
+  }
+
+  test("sort-on-insert orders rows within written files") {
+    val lake = freshLake()
+    lake.createTable("s", StructType(Seq(StructField("id", IntegerType))))
+    lake.setSortedBy("s", Seq(("id", "desc")))
+    lake.append("s", Seq(3, 1, 2).toDF("id").coalesce(1))
+    val rows = lake.tableWithRowId("s")
+      .orderBy("file_row_number").select("id").as[Int].collect().toSeq
+    assert(rows == Seq(3, 2, 1))
+  }
+
+  test("commit message lands on the next snapshot") {
+    val lake = freshLake()
+    lake.createTable("m", StructType(Seq(StructField("id", IntegerType))))
+    lake.setCommitMessage("tester", "hello commit")
+    lake.append("m", Seq(1).toDF("id"))
+    val last = lake.snapshots().orderBy(col("snapshot_id").desc).limit(1)
+      .collect()(0)
+    assert(last.getAs[String]("author") == "tester")
+    assert(last.getAs[String]("commit_message") == "hello commit")
+  }
+
+  test("mixed scan: compacted (materialized rowid) + fresh raw files") {
+    val lake = freshLake()
+    lake.createTable("mx", StructType(Seq(StructField("id", LongType))))
+    (0 until 3).foreach(k =>
+      lake.append("mx", (k * 10L until (k + 1) * 10L).toDF("id")))
+    lake.mergeAdjacentFiles("mx")
+    // new raw append AFTER compaction → snapshot mixes both file kinds
+    lake.append("mx", (100L to 109L).toDF("id"))
+    val rows = lake.tableWithRowId("mx")
+    assert(rows.count() == 40)
+    assert(rows.select("rowid").distinct().count() == 40)
+    assert(rows.filter(col("rowid").isNull).count() == 0)
+  }
+}
