@@ -24,7 +24,7 @@ object Bench {
       // so few shuffle partitions and no AQE win; at cluster scale the lake
       // sessions use shuffle.partitions≈cores and AQE on (see LakeSession).
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -32,7 +32,7 @@ object Bench {
       // split size would scan each with ONE task. Small split size fans the
       // scan out across local cores (on a real cluster the files are many).
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "8m"))
       .config("spark.sql.files.openCostInBytes", "0")
       // single-host micro-bench: compression and locality waits only add
       // constant per-stage latency at this scale

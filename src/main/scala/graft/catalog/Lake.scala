@@ -470,18 +470,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else Nil)
     val withIds = groups.reduce(_ unionByName _)
 
-    // positional delete files: (file_path, pos) pairs; snapshot-filtered so
-    // time travel sees only deletes committed by then
-    val deletePaths = scanFiles.flatMap(_.deleteFiles)
+    // delete files (positional parquet or roaring DVs); snapshot-filtered
+    // so time travel sees only deletes committed by then
+    val delEntries = scanFiles.flatMap(_.deleteFiles)
       .filter(_.beginSnapshot <= snap.snapshotId)
-      .map(_.path).distinct
-    val afterDeletes = if (deletePaths.isEmpty) withIds else {
-      val dels = spark.read
-        .schema(StructType(Seq(StructField("file_path", StringType),
-          StructField("pos", LongType))))
-        .parquet(deletePaths.map(abs): _*)
-        .select(col("file_path").as("__rel"), col("pos").as("__pos"))
-      withIds.join(dels, Seq("__rel", "__pos"), "left_anti")
+    val relById = scanFiles.map(f => f.file.dataFileId -> f.file.path).toMap
+    val afterDeletes = deleteRowsDf(delEntries, relById) match {
+      case None => withIds
+      case Some(dels) =>
+        withIds.join(
+          dels.select(col("file_path").as("__rel"), col("pos").as("__pos")),
+          Seq("__rel", "__pos"), "left_anti")
     }
 
     val out =
@@ -516,6 +515,36 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         f"%%${c.toInt}%02X"
       case c => c.toString
     }
+
+  /** All deleted (file_path, pos) rows of a set of delete-file entries,
+    * reading positional parquet and expanding roaring DVs (DV blobs are
+    * small; at scale they'd broadcast as bitmaps rather than expand, but
+    * the anti-join form keeps one code path). */
+  private def deleteRowsDf(entries: Seq[DeleteFileEntry],
+      relById: Map[Long, String]): Option[DataFrame] = {
+    import spark.implicits._
+    val (roaring, parquetE) = entries.partition(_.format == "roaring")
+    val pq =
+      if (parquetE.isEmpty) None
+      else Some(spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(parquetE.map(e => abs(e.path)).distinct: _*))
+    val rr =
+      if (roaring.isEmpty) None
+      else {
+        val rows = roaring.flatMap { e =>
+          val bytes = Files.readAllBytes(fs.resolve(e.path))
+          DeletionVectors.positions(bytes)
+            .map(p => (relById(e.dataFileId), p))
+        }
+        Some(rows.toDF("file_path", "pos"))
+      }
+    (pq, rr) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
 
   private def readSchemaOf(relPath: String): StructType =
     Lake.fileSchemaCache.computeIfAbsent(abs(relPath),
@@ -563,34 +592,53 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     // union with previous live deletes for the affected files
     val prev = meta.liveDeleteFiles(t.tableId, snap.snapshotId, affectedIds)
-    val prevPaths = prev.values.map(_.path).toSeq.distinct
-    val prevRows = if (prevPaths.isEmpty) None
-    else Some(spark.read.parquet(prevPaths.map(abs): _*)
-      .filter(col("file_path").isin(perFile.keys.toSeq: _*)))
+    val relById = files.map(f => f.file.dataFileId -> f.file.path).toMap
+    val prevRows = deleteRowsDf(prev.values.toSeq, relById)
+      .map(_.filter(col("file_path").isin(perFile.keys.toSeq: _*)))
     val all = prevRows.map(newDeletes.unionByName(_).distinct())
       .getOrElse(newDeletes)
-
-    // one physical delete parquet per DELETE statement, sorted (file, pos)
-    val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
-    val stagingDir = fs.resolve(name).resolve(s"delstage-${UUID.randomUUID()}")
-    all.coalesce(1).sortWithinPartitions("file_path", "pos")
-      .write.parquet(stagingDir.toString)
-    val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
-    val dst = fs.resolve(name).resolve(delName)
-    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-
-    val totalPerFile = all.groupBy("file_path").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val size = Files.size(dst)
-    val deletes = totalPerFile.toSeq.map { case (rel, n) =>
-      (byRel(rel).dataFileId, s"$name/$delName", n, size)
-    }
     val newlyDeleted = perFile.values.sum
-    meta.commitDeletes(t.tableId, snap.snapshotId, deletes, newFiles,
-      removedRows = newlyDeleted)
+
+    val useDv = meta.getOption("write_deletion_vectors").contains("true")
+    val deletes =
+      if (useDv) {
+        // one roaring DV blob per affected data file (reference
+        // write_deletion_vectors option → puffin/roaring path)
+        val grouped = all.groupBy("file_path")
+          .agg(collect_list(col("pos")).as("ps")).collect()
+        grouped.toSeq.map { r =>
+          val rel = r.getString(0)
+          val ps = r.getSeq[Long](1)
+          val bytes = DeletionVectors.serialize(ps.iterator)
+          val dvName = s"ducklake-dv-${UUID.randomUUID()}.bin"
+          Files.write(fs.resolve(name).resolve(dvName), bytes)
+          (byRel(rel).dataFileId, s"$name/$dvName", ps.size.toLong,
+            bytes.length.toLong)
+        }
+      } else {
+        // one positional delete parquet per DELETE, sorted (file, pos)
+        val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
+        val stagingDir =
+          fs.resolve(name).resolve(s"delstage-${UUID.randomUUID()}")
+        all.coalesce(1).sortWithinPartitions("file_path", "pos")
+          .write.parquet(stagingDir.toString)
+        val part = Files.list(stagingDir)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = fs.resolve(name).resolve(delName)
+        Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+        Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        val totalPerFile = all.groupBy("file_path")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val size = Files.size(dst)
+        totalPerFile.toSeq.map { case (rel, n) =>
+          (byRel(rel).dataFileId, s"$name/$delName", n, size)
+        }
+      }
+    meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
+      format = if (useDv) "roaring" else "parquet",
+      newFiles = newFiles, removedRows = newlyDeleted)
     newlyDeleted + inlinedIds.size
   }
 
@@ -711,17 +759,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val full = dataFiles.map(f => ScanFile(f, Nil))
     val rows = buildScan(name, schema, full,
       Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
-    val newDelPaths = created.map { case (d, _) => (d.path, d.beginSnapshot) }
-    val delRows = spark.read.parquet(
-      newDelPaths.map(p => abs(p._1)).distinct: _*)
+    val relById = dataFiles.map(f => f.dataFileId -> f.path).toMap
+    val delRows = deleteRowsDf(created.map(_._1), relById).get
       .select(col("file_path"), col("pos"))
     val prevIds = dataFiles.map(_.dataFileId).toSet
     val prevDeletes = meta.liveDeleteFiles(t.tableId, startVersion, prevIds)
-    val prevRows =
-      if (prevDeletes.isEmpty) None
-      else Some(spark.read
-        .parquet(prevDeletes.values.map(d => abs(d.path)).toSeq.distinct: _*)
-        .select(col("file_path"), col("pos")))
+    val prevRows = deleteRowsDf(prevDeletes.values.toSeq, relById)
+      .map(_.select(col("file_path"), col("pos")))
     val delta = prevRows.map(delRows.except).getOrElse(delRows)
     rows.join(delta,
       rows("filename") === delta("file_path") &&

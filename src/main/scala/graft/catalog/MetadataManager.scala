@@ -595,6 +595,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * `baseSnapshot` (reference transaction_state CheckForConflicts). */
   def commitDeletes(tableId: Long, baseSnapshot: Long,
       deletes: Seq[(Long, String, Long, Long)], // (dataFileId, path, deleteCount, fileSize)
+      format: String = "parquet",
       newFiles: Seq[PendingDataFile] = Nil,
       removedRows: Long = 0L): Snapshot = {
     val touched = deletes.map(_._1).toSet
@@ -631,9 +632,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
             |begin_snapshot, end_snapshot, data_file_id, path,
             |path_is_relative, file_format, delete_count, file_size_bytes)
-            |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?)""".stripMargin,
+            |VALUES (?, ?, ?, NULL, ?, ?, true, ?, ?, ?)""".stripMargin,
           Long.box(ids.newFileId()), Long.box(tableId),
-          Long.box(snap.snapshotId), Long.box(dataFileId), path,
+          Long.box(snap.snapshotId), Long.box(dataFileId), path, format,
           Long.box(deleteCount), Long.box(fileSize))
       }
       if (newFiles.nonEmpty) insertFiles(c, snap, ids, tableId, newFiles, None)
@@ -703,14 +704,14 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     }
     val deletes = query(c,
       """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
-        |path, delete_count FROM ducklake_delete_file
+        |path, delete_count, file_format FROM ducklake_delete_file
         |WHERE table_id = ? AND begin_snapshot <= ?
         |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
       Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
       DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
         rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
         rs.getLong("data_file_id"), rs.getString("path"),
-        rs.getLong("delete_count"))
+        rs.getLong("delete_count"), rs.getString("file_format"))
     }.groupBy(_.dataFileId)
     dataFiles.map(f => ScanFile(f, deletes.getOrElse(f.dataFileId, Nil)))
   }
@@ -740,7 +741,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       endSnap: Long): Seq[(DeleteFileEntry, DataFileEntry)] = withConn { c =>
     query(c,
       """SELECT d.delete_file_id, d.begin_snapshot, d.end_snapshot,
-        |d.data_file_id, d.path, d.delete_count,
+        |d.data_file_id, d.path, d.delete_count, d.file_format,
         |f.begin_snapshot AS f_begin, f.end_snapshot AS f_end,
         |f.file_order, f.path AS f_path, f.record_count, f.file_size_bytes,
         |f.row_id_start, f.partition_id
@@ -752,7 +753,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       (DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
         rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
         rs.getLong("data_file_id"), rs.getString("path"),
-        rs.getLong("delete_count")),
+        rs.getLong("delete_count"), rs.getString("file_format")),
         DataFileEntry(rs.getLong("data_file_id"), tableId,
           rs.getLong("f_begin"), optLong(rs, "f_end"),
           rs.getLong("file_order"), rs.getString("f_path"),
@@ -768,14 +769,14 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     if (dataFileIds.isEmpty) Map.empty
     else query(c,
       """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
-        |path, delete_count FROM ducklake_delete_file
+        |path, delete_count, file_format FROM ducklake_delete_file
         |WHERE table_id = ? AND begin_snapshot <= ?
         |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
       Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId)) { rs =>
       DeleteFileEntry(rs.getLong("delete_file_id"), tableId,
         rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
         rs.getLong("data_file_id"), rs.getString("path"),
-        rs.getLong("delete_count"))
+        rs.getLong("delete_count"), rs.getString("file_format"))
     }.filter(d => dataFileIds.contains(d.dataFileId))
       .map(d => d.dataFileId -> d).toMap
   }

@@ -55,7 +55,10 @@ final case class DeleteFileEntry(
     endSnapshot: Option[Long],
     dataFileId: Long,
     path: String,
-    deleteCount: Long)
+    deleteCount: Long,
+    /** 'parquet' (positional file/pos rows) or 'roaring' (serialized
+      * RoaringBitmap deletion vector, reference ducklake_deletion_vector) */
+    format: String = "parquet")
 
 /** Per-file per-column min/max/null stats, VARCHAR-encoded like the
   * reference (ducklake_file_column_stats,

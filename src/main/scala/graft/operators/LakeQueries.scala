@@ -204,9 +204,28 @@ object LakeQueries extends QueryPack {
       |SELECT p_partkey + 10000000, 'new' AS flag FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** DELETE via roaring deletion vectors instead of positional parquet
+    * (reference write_deletion_vectors option / ducklake_deletion_vector). */
+  private def qDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    lake.setOption("write_deletion_vectors", "true")
+    lake.createTableAs("orders", Tables(spark, dir).orders)
+    lake.delete("orders", col("o_orderstatus") === "F")
+    lake.delete("orders", col("o_orderkey") % 100 === 0) // union path
+    lake.table("orders")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qDeleteDvSql =
+    """SELECT o_orderkey FROM orders
+      |WHERE o_orderstatus <> 'F' AND o_orderkey % 100 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_delete", qDelete, Some(qDeleteSql)),
+    QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),
     QueryDef("lake_update", qUpdate, Some(qUpdateSql)),
     QueryDef("lake_merge", qMerge, Some(qMergeSql)),
     QueryDef("lake_time_travel", qTimeTravel, Some(qTimeTravelSql)),
