@@ -55,6 +55,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def changeColumnType(table: String, column: String, to: DataType): Unit =
     meta.changeColumnType(resolve(table).tableId, column,
       DuckLakeTypes.toTypeString(to))
+  /** SET NOT NULL verifies existing data first, like the reference. */
+  def setNotNull(table: String, column: String): Unit = {
+    val nulls = this.table(table).filter(col(column).isNull).limit(1).count()
+    require(nulls == 0, s"column $column contains NULL values")
+    meta.setNullsAllowed(resolve(table).tableId, column, allowed = false)
+  }
+  def dropNotNull(table: String, column: String): Unit =
+    meta.setNullsAllowed(resolve(table).tableId, column, allowed = true)
+  def setColumnDefault(table: String, column: String, default: String): Unit =
+    meta.setColumnDefault(resolve(table).tableId, column, Option(default))
 
   def createView(name: String, sql: String): Unit = meta.createView(name, sql)
 
@@ -133,6 +143,42 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       table(t.name).createOrReplaceTempView(t.name)
     }
     spark.sql(sql)
+  }
+
+  /** SQL entry point: registers every lake table (current snapshot) as a
+    * temp view, expands stored macros, and delegates to Spark SQL — the
+    * "attach and query" experience of the reference. */
+  def sql(sqlText: String): DataFrame = {
+    val snap = meta.currentSnapshot()
+    meta.listTables(snap.snapshotId).foreach { t =>
+      scan(t.name, snap, None, withMeta = false)
+        .createOrReplaceTempView(t.name)
+    }
+    spark.sql(expandMacros(sqlText, snap.snapshotId))
+  }
+
+  /** CREATE MACRO name(params) AS body (reference ducklake_macro tables);
+    * expansion is textual parameter substitution at call sites. */
+  def createMacro(name: String, params: Seq[String], body: String): Unit =
+    meta.createMacro(name, params, body)
+
+  private def expandMacros(sqlText: String, snapshotId: Long): String = {
+    var out = sqlText
+    meta.listMacros(snapshotId).foreach { m =>
+      meta.macroByName(m, snapshotId).foreach { case (params, body) =>
+        val call = (s"""(?i)\\b$m\\s*\\(([^()]*)\\)""").r
+        out = call.replaceAllIn(out, mt => {
+          val args = mt.group(1).split(",").map(_.trim)
+          var expanded = body
+          params.zip(args).foreach { case (p, a) =>
+            expanded = expanded.replaceAll(s"\\b$p\\b",
+              java.util.regex.Matcher.quoteReplacement(a))
+          }
+          java.util.regex.Matcher.quoteReplacement(s"($expanded)")
+        })
+      }
+    }
+    out
   }
 
   private def resolve(name: String,

@@ -944,6 +944,15 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   def renameColumn(tableId: Long, oldName: String, newName: String): Unit =
     alterColumn(tableId, oldName)(ci => ci.copy(name = newName))
 
+  /** SET / DROP NOT NULL (reference ducklake_table_entry.cpp:661,711). */
+  def setNullsAllowed(tableId: Long, name: String, allowed: Boolean): Unit =
+    alterColumn(tableId, name)(_.copy(nullsAllowed = allowed))
+
+  /** SET DEFAULT (reference ducklake_table_entry.cpp:731). */
+  def setColumnDefault(tableId: Long, name: String,
+      default: Option[String]): Unit =
+    alterColumn(tableId, name)(_.copy(defaultValue = default))
+
   /** Widening-only type change (reference: "only widening type promotions
     * are allowed", test/configs/attach_ducklake.json). */
   def changeColumnType(tableId: Long, name: String, newType: String): Unit = {
@@ -1186,6 +1195,61 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         |  AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)""".stripMargin,
       name, schema, Long.box(snapshotId), Long.box(snapshotId))(
       _.getString(1)).headOption
+  }
+
+  // ---------------------------------------------------------------- macros
+
+  /** SQL macros, stored multi-dialect like the reference (ducklake_macro /
+    * _impl / _parameters, metadata_manager.cpp:284-290). */
+  def createMacro(name: String, params: Seq[String], body: String,
+      isTableMacro: Boolean = false, dialect: String = "spark"): Unit =
+    commitSnapshot(SnapshotChanges(createdTables = Seq(s"macro:$name")),
+      schemaChange = true) { (c, snap, ids) =>
+      val mid = ids.newCatalogId()
+      exec(c,
+        """INSERT INTO ducklake_macro (macro_id, schema_id, macro_name,
+          |begin_snapshot, end_snapshot, is_table_macro)
+          |VALUES (?, 0, ?, ?, NULL, ?)""".stripMargin,
+        Long.box(mid), name, Long.box(snap.snapshotId),
+        Boolean.box(isTableMacro))
+      exec(c,
+        "INSERT INTO ducklake_macro_impl (macro_id, dialect, body) VALUES (?, ?, ?)",
+        Long.box(mid), dialect, body)
+      params.zipWithIndex.foreach { case (p, i) =>
+        exec(c,
+          """INSERT INTO ducklake_macro_parameters (macro_id, parameter_index,
+            |parameter_name) VALUES (?, ?, ?)""".stripMargin,
+          Long.box(mid), Long.box(i.toLong), p)
+      }
+    }
+
+  /** (params, body) of a live macro at a snapshot. */
+  def macroByName(name: String, snapshotId: Long,
+      dialect: String = "spark"): Option[(Seq[String], String)] =
+    withConn { c =>
+      val mids = query(c,
+        """SELECT macro_id FROM ducklake_macro
+          |WHERE macro_name = ? AND begin_snapshot <= ?
+          |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+        name, Long.box(snapshotId), Long.box(snapshotId))(_.getLong(1))
+      mids.headOption.flatMap { mid =>
+        val body = query(c,
+          "SELECT body FROM ducklake_macro_impl WHERE macro_id = ? AND dialect = ?",
+          Long.box(mid), dialect)(_.getString(1)).headOption
+        val params = query(c,
+          """SELECT parameter_name FROM ducklake_macro_parameters
+            |WHERE macro_id = ? ORDER BY parameter_index""".stripMargin,
+          Long.box(mid))(_.getString(1))
+        body.map(b => (params, b))
+      }
+    }
+
+  def listMacros(snapshotId: Long): Seq[String] = withConn { c =>
+    query(c,
+      """SELECT macro_name FROM ducklake_macro
+        |WHERE begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(snapshotId), Long.box(snapshotId))(_.getString(1))
   }
 
   // ---------------------------------------------------------------- options
