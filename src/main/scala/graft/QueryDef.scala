@@ -37,16 +37,20 @@ object QueryDsl {
   // The final rescale runs the identical IEEE double expression tree in both
   // engines, so results are bit-identical.
 
+  // floor(x·s + 0.5) == round-half-away for values that are not exactly at
+  // a .5 boundary — true for ≤2/4-decimal source data, where x·s lands on
+  // an integer ± ulp. Unlike round(), it stays in pure double codegen (no
+  // per-row BigDecimal), and the oracle SQL uses the identical formula.
   /** value ×100 as long (money, 2-decimal) */
-  def sl2(c: Column): Column = round(c * 100, 0).cast("long")
+  def sl2(c: Column): Column = floor(c * 100 + 0.5).cast("long")
   /** value ×10000 as long (rates, ≤4-decimal) */
-  def sl4(c: Column): Column = round(c * 10000, 0).cast("long")
+  def sl4(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
   /** long sum → double at given inverse scale, e.g. lsum(x, 1e6) = Σx/1e6 */
   def lsum(c: Column, inv: Double): Column = sum(c).cast("double") / inv
 
   /** oracle-SQL twins (same arithmetic tree, DuckDB dialect) */
-  def oSl2(x: String): String = s"CAST(ROUND(($x)*100,0) AS BIGINT)"
-  def oSl4(x: String): String = s"CAST(ROUND(($x)*10000,0) AS BIGINT)"
+  def oSl2(x: String): String = s"CAST(FLOOR(($x)*100 + 0.5) AS BIGINT)"
+  def oSl4(x: String): String = s"CAST(FLOOR(($x)*10000 + 0.5) AS BIGINT)"
   def oLsum(x: String, inv: String): String =
     s"CAST(CAST(SUM($x) AS BIGINT) AS DOUBLE) / $inv"
 
