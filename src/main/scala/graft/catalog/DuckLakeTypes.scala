@@ -91,7 +91,23 @@ object DuckLakeTypes {
   def isWidening(from: String, to: String): Boolean =
     from == to ||
       (widenOrder.contains(from) && widenOrder.contains(to) &&
-        widenOrder(from) < widenOrder(to))
+        widenOrder(from) < widenOrder(to)) ||
+      structWidening(from, to)
+
+  /** struct→struct is widening when every existing field keeps its name
+    * with a widening-compatible type, in order; NEW trailing fields may be
+    * appended (they read back NULL from old files — the schema-on-read
+    * analog of the reference's ADD FIELD, ducklake_table_entry.cpp:1148). */
+  private def structWidening(from: String, to: String): Boolean =
+    (fromTypeString(from), fromTypeString(to)) match {
+      case (a: StructType, b: StructType) =>
+        a.fields.length <= b.fields.length &&
+          a.fields.zip(b.fields).forall { case (fa, fb) =>
+            fa.name == fb.name &&
+              isWidening(toTypeString(fa.dataType), toTypeString(fb.dataType))
+          }
+      case _ => false
+    }
 
   private def inner(s: String, prefix: String): String =
     s.stripPrefix(prefix).stripSuffix(">")

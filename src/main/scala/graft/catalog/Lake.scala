@@ -66,6 +66,27 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def setColumnDefault(table: String, column: String, default: String): Unit =
     meta.setColumnDefault(resolve(table).tableId, column, Option(default))
 
+  /** ALTER TABLE ... ADD FIELD col.field (nested evolution, reference
+    * ducklake_table_entry.cpp:1148): appends a nullable field to a struct
+    * column; old files read the field back as NULL (schema-on-read). */
+  def addField(table: String, column: String, field: StructField): Unit = {
+    val t = resolve(table)
+    val snap = meta.currentSnapshot()
+    val ci = meta.columnsOf(t.tableId, snap.snapshotId)
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+    DuckLakeTypes.fromTypeString(ci.typeString) match {
+      case st: StructType =>
+        require(!st.fieldNames.contains(field.name),
+          s"field ${field.name} already exists")
+        val newType = StructType(st.fields :+ field.copy(nullable = true))
+        meta.changeColumnType(t.tableId, column,
+          DuckLakeTypes.toTypeString(newType))
+      case other => throw new IllegalArgumentException(
+        s"$column is not a struct (is $other)")
+    }
+  }
+
   def createView(name: String, sql: String): Unit = meta.createView(name, sql)
 
   /** ALTER TABLE ... SET PARTITIONED BY (reference
