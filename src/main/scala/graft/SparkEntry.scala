@@ -12,6 +12,8 @@ object SparkEntry {
   /** All query packs. Order is presentation-only. */
   def packs: Seq[QueryPack] = Seq(
     operators.RelationalQueries,
+    operators.MoreTpchQueries,
+    operators.EventQueries,
     operators.LakeQueries,
     operators.PipelineQueries,
   )

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.QueryDsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickBench-style event analytics (the reference's second benchmark
+  * corpus, test/sql/clickbench/clickbench.test_slow): high-cardinality
+  * group-bys, top-k entities, time-series bucketing, and JSON property
+  * extraction over the events table. */
+object EventQueries extends QueryPack {
+
+  /** hits-style: top users by activity + exact value volume. */
+  private def topUsers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("value")), 100.0).as("total_value"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val topUsersSql =
+    s"""SELECT user_id, COUNT(*) AS n,
+       |  ${oLsum(oSl2("value"), "100.0")} AS total_value
+       |FROM events GROUP BY user_id
+       |ORDER BY n DESC, user_id LIMIT 20""".stripMargin
+
+  /** minute-grain time series for one event type on one day. */
+  private def minuteSeries(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy-MM-dd HH:mm").as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("minute"))
+  }
+
+  private val minuteSeriesSql =
+    """SELECT STRFTIME(DATE_TRUNC('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |  COUNT(*) AS n
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      |GROUP BY 1 ORDER BY minute""".stripMargin
+
+  /** JSON property extraction + bucketed aggregation (json scalar surface
+    * — DuckLake's `json` alias type, SURVEY.md §1.3). */
+  private def jsonBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("k_bucket"))
+  }
+
+  private val jsonBucketsSql =
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  /** sessionization-lite: per-user event-to-event gap stats via lag
+    * window (analytic function over big partition count). */
+  private def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("total_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .filter(col("n_gaps") >= 5)
+      .orderBy(col("user_id"))
+  }
+
+  private val gapStatsSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_s) AS total_gap_s,
+      |  MAX(gap_s) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY user_id HAVING COUNT(*) >= 5
+      |ORDER BY user_id""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("cb_top_users", topUsers, Some(topUsersSql)),
+    QueryDef("cb_minute_series", minuteSeries, Some(minuteSeriesSql)),
+    QueryDef("cb_json_buckets", jsonBuckets, Some(jsonBucketsSql)),
+    QueryDef("cb_gap_stats", gapStats, Some(gapStatsSql)),
+  )
+}
