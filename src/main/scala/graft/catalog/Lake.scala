@@ -257,9 +257,32 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
-      spec.map(partitionPlan(_, cols)))
-    meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+      spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId))
+    val committed = meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+
+    // auto_compact: opportunistic merge when small files accumulate
+    // (reference auto_compact option, ducklake_set_option.cpp)
+    if (meta.getOption("auto_compact").contains("true")) {
+      val target = meta.getOption("target_file_size").map(_.toLong)
+        .getOrElse(512L * 1024 * 1024)
+      val live = meta.filesForScan(t.tableId, committed.snapshotId)
+      if (live.count(_.file.fileSizeBytes < target / 2) > 8)
+        mergeAdjacentFiles(name, target)
+    }
+    committed
   }
+
+  /** target_file_size → maxRecordsPerFile, from observed bytes/row of the
+    * table's existing files (reference target-file-size write sizing,
+    * ducklake_extension.cpp:46-47). None until stats exist. */
+  private def targetRowsPerFile(tableId: Long): Option[Long] =
+    for {
+      targetStr <- meta.getOption("target_file_size")
+      target = targetStr.toLong
+      stats <- meta.tableStats(tableId)
+      if stats.recordCount > 0 && stats.fileSizeBytes > 0
+      bytesPerRow = stats.fileSizeBytes.toDouble / stats.recordCount
+    } yield math.max(1L, (target / bytesPerRow).toLong)
 
   /** ALTER TABLE ... SET SORTED BY (reference ducklake_sort_data.cpp). */
   def setSortedBy(table: String, exprs: Seq[(String, String)]): Unit = {
@@ -340,19 +363,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * the reference, ducklake_partition_data.cpp:125-128), return entries. */
   private def writeAndCollect(table: String, df: DataFrame,
       cols: Seq[ColumnInfo],
-      partition: Option[Seq[(String, Column)]] = None): Seq[PendingDataFile] = {
+      partition: Option[Seq[(String, Column)]] = None,
+      maxRowsPerFile: Option[Long] = None): Seq[PendingDataFile] = {
     val stagingName = s"stage-${UUID.randomUUID()}"
     val stagingDir = fs.resolve(table).resolve(stagingName)
-    partition match {
+    val writer0 = partition match {
       case Some(parts) =>
         val withParts = parts.zipWithIndex.foldLeft(df) {
           case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
         }
-        withParts.write
-          .partitionBy(parts.indices.map(i => s"__p$i"): _*)
-          .parquet(stagingDir.toString)
-      case None => df.write.parquet(stagingDir.toString)
+        withParts.write.partitionBy(parts.indices.map(i => s"__p$i"): _*)
+      case None => df.write
     }
+    maxRowsPerFile.fold(writer0)(n =>
+      writer0.option("maxRecordsPerFile", n)).parquet(stagingDir.toString)
 
     val written = spark.read
       .parquet(stagingDir.toString)
@@ -998,13 +1022,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     out.toSeq
   }
 
-  /** CHECKPOINT pipeline in the reference's order: expire → merge-adjacent
-    * → rewrite → cleanup (reference ducklake_checkpoint.cpp:14-35). */
+  /** CHECKPOINT pipeline in the reference's order: flush-inlined → expire
+    * → merge-adjacent → rewrite → cleanup (reference
+    * ducklake_checkpoint.cpp:14-35); expiry bound and rewrite threshold
+    * come from the expire_older_than / rewrite_delete_threshold options
+    * when not given explicitly. */
   def checkpoint(name: String,
       expireOlderThanMs: Option[Long] = None): Unit = {
-    expireOlderThanMs.foreach(ms => expireSnapshots(Some(ms)))
-    mergeAdjacentFiles(name)
-    rewriteDataFiles(name)
+    flushInlinedData(name)
+    val expireMs = expireOlderThanMs.orElse(
+      meta.getOption("expire_older_than").map(_.toLong)
+        .map(System.currentTimeMillis() - _))
+    expireMs.foreach(ms => expireSnapshots(Some(ms)))
+    val target = meta.getOption("target_file_size").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    mergeAdjacentFiles(name, target)
+    rewriteDataFiles(name,
+      meta.getOption("rewrite_delete_threshold").map(_.toDouble)
+        .getOrElse(0.95))
     cleanupOldFiles(None)
   }
 

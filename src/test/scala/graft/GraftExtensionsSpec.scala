@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Lake
+import graft.plans.{GraftExtensions, LakeRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalyst-resolution SQL access: `SELECT ... FROM graft.tbl` without
+  * temp views, resolved through the lake's pruned scan. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql resolves graft.<table> through the extension rule") {
+    val base = SparkTestSession.spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graftext").toString
+      val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+      LakeRegistry.register("graft", lake)
+      lake.createTableAs("ev", Seq((1L, "a"), (2L, "b"), (3L, "a"))
+        .toDF("id", "tag"))
+
+      val out = spark.sql(
+        "SELECT tag, COUNT(*) AS n FROM graft.ev GROUP BY tag ORDER BY tag")
+        .collect()
+      assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+
+      // DML through the lake is immediately visible to SQL
+      lake.delete("ev", col("id") === 1L)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev")
+        .head().getLong(0) == 2L)
+
+      // joins between lake tables and inline data
+      lake.createTableAs("dim", Seq(("a", "alpha"), ("b", "beta"))
+        .toDF("tag", "label"))
+      val joined = spark.sql(
+        """SELECT label, COUNT(*) AS n FROM graft.ev e
+          |JOIN graft.dim d ON e.tag = d.tag GROUP BY label ORDER BY label"""
+          .stripMargin).collect()
+      assert(joined.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("alpha", 1L), ("beta", 1L)))
+
+      // unregistered alias still errors cleanly
+      intercept[Exception](spark.sql("SELECT * FROM nope.ev").collect())
+    } finally {
+      LakeRegistry.unregister("graft")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
