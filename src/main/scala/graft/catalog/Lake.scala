@@ -525,6 +525,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (withMeta) full else schema)
       return empty
     }
+    // FAST PATH: a plain read (no virtual columns requested) of files with
+    // no applicable deletes needs none of the rowid machinery — it is a
+    // bare multi-file parquet scan, fully open to Catalyst pushdown with
+    // no joins in the plan.
+    val liveDeletes = scanFiles.flatMap(_.deleteFiles)
+      .exists(_.beginSnapshot <= snap.snapshotId)
+    if (!withMeta && !liveDeletes) {
+      return spark.read.schema(schema)
+        .parquet(scanFiles.map(f => abs(f.file.path)): _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
+
     // Files written by compaction/flush carry materialized rowid+snapshot
     // columns which take precedence over row_id_start + row_index
     // (reference ducklake_multi_file_reader.cpp:574-596); a snapshot can mix
