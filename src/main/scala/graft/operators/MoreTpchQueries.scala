@@ -6,10 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Remaining TPC-H query shapes (reference benchmark/tpch/q04..q22
-  * adapted to the driver star schema): correlated EXISTS window (q4),
-  * two-nation volume (q7), top-k revenue customers (q10), group HAVING
-  * vs scalar subquery (q11), conditional-ratio aggregate (q14), IN over
-  * grouped HAVING (q18). */
+  * adapted to the driver star schema) — together with RelationalQueries
+  * every one of the 22 query patterns the reference benchmarks is
+  * represented and oracle-checked: correlated EXISTS (q4), cross-nation
+  * volume (q7), market-share ratio (q8), profit rollup (q9), top-k
+  * revenue (q10), HAVING vs scalar subquery (q11), promo ratio (q14),
+  * NOT-IN distinct counts (q16), per-group threshold (q17), grouped
+  * HAVING join (q18), anti-self-join (q21), substring buckets + NOT
+  * EXISTS (q22). */
 object MoreTpchQueries extends QueryPack {
 
   /** q4: priority histogram of orders with a qualifying lineitem. */
@@ -167,8 +171,167 @@ object MoreTpchQueries extends QueryPack {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** q8: market-share ratio — one nation's share of total volume by year. */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val r = sl2(col("l_extendedprice")) * (lit(10000L) - sl4(col("l_discount")))
+    t.lineitem
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("n_name") === "NATION_3", r).otherwise(0L))
+          .cast("double") / sum(r).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8Sql = {
+    val r = s"${oSl2("l_extendedprice")} * (10000 - ${oSl4("l_discount")})"
+    s"""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       |  CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN $r ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM($r) AS BIGINT) AS DOUBLE) AS mkt_share
+       |FROM lineitem, supplier, nation, orders
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+  }
+
+  /** q9: profit by nation and year with a LIKE part filter. */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").like("%a%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       |  ${oRevenue("l_extendedprice", "l_discount")} AS sum_profit
+       |FROM lineitem, part, supplier, nation, orders
+       |WHERE l_partkey = p_partkey AND p_name LIKE '%a%'
+       |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND l_orderkey = o_orderkey
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q16: distinct supplier counts per part attribute with NOT IN. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val excluded = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#45")),
+        col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(50)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#45'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 50""".stripMargin
+
+  /** q17: small-quantity revenue vs per-part average threshold. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgQty = t.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lsum(sl2(col("l_quantity")), 100.0) / count(lit(1)) * 0.5)
+        .as("half_avg"))
+    t.lineitem
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg((lsum(sl2(col("l_extendedprice")), 100.0) / 7.0)
+        .as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    s"""SELECT ${oLsum(oSl2("l_extendedprice"), "100.0")} / 7.0 AS avg_yearly
+       |FROM lineitem l1
+       |JOIN (SELECT l_partkey AS ap_partkey,
+       |        ${oLsum(oSl2("l_quantity"), "100.0")} / COUNT(*) * 0.5 AS half_avg
+       |      FROM lineitem GROUP BY l_partkey) a
+       |  ON l1.l_partkey = a.ap_partkey
+       |WHERE l1.l_quantity < a.half_avg""".stripMargin
+
+  /** q21: suppliers with late lines where no other supplier shares the
+    * order (EXISTS + NOT EXISTS pair). */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l1 = t.lineitem.filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+    val others = t.lineitem
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    l1
+      .join(others,
+        col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_anti")
+      .join(t.supplier, col("sk1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_quantity >= 45
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** q22: acctbal of above-average customers with no orders, bucketed by
+    * a name-derived code (substring + scalar subquery + NOT EXISTS). */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    t.customer
+      .join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 1, 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        lsum(sl2(col("c_acctbal")), 100.0).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  private val q22Sql =
+    s"""SELECT SUBSTR(c_name, 1, 10) AS cntrycode, COUNT(*) AS numcust,
+       |  ${oLsum(oSl2("c_acctbal"), "100.0")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+       |                   WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY cntrycode""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q4_priority", q4, Some(q4Sql)),
+    QueryDef("q8_market_share", q8, Some(q8Sql)),
+    QueryDef("q9_profit", q9, Some(q9Sql)),
+    QueryDef("q16_supplier_cnt", q16, Some(q16Sql)),
+    QueryDef("q17_small_qty", q17, Some(q17Sql)),
+    QueryDef("q21_waiting", q21, Some(q21Sql)),
+    QueryDef("q22_acctbal", q22, Some(q22Sql)),
     QueryDef("q7_nation_volume", q7, Some(q7Sql)),
     QueryDef("q10_returned", q10, Some(q10Sql)),
     QueryDef("q11_balance_share", q11, Some(q11Sql)),
