@@ -92,7 +92,7 @@ object EventQueries extends QueryPack {
       |  SELECT user_id,
       |    (epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
       |  FROM events)
-      |SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_s) AS total_gap_s,
+      |SELECT user_id, COUNT(*) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
       |  MAX(gap_s) AS max_gap_s
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY user_id HAVING COUNT(*) >= 5

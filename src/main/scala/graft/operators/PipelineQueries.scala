@@ -258,10 +258,13 @@ object PipelineQueries extends QueryPack {
       .as[(Long, Array[Byte])]
     // STUB: a real pipeline would decode image/audio here (libs absent);
     // the deterministic fake keeps shapes + batching honest
+    // features flattened to a string: the driver canonicalizes results with
+    // a pandas sort, which cannot hash array-typed cells
     media.mapPartitions(_.map { case (id, bytes) =>
       val checksum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
       (id, bytes.length, checksum,
-        Array.tabulate(8)(i => ((checksum >> (8 * i)) & 0xff).toFloat))
+        Array.tabulate(8)(i => ((checksum >> (8 * i)) & 0xff).toFloat)
+          .mkString(","))
     }).toDF("doc_id", "n_bytes", "checksum", "features")
       .orderBy(col("doc_id"))
   }

@@ -313,8 +313,8 @@ object RelationalQueries extends QueryPack {
 
   private val qCaseLikeSql =
     """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-      |  SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority NOT LIKE '1-%' AND o_orderpriority NOT LIKE '2-%' THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '1-%' AND o_orderpriority NOT LIKE '2-%' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
       |ORDER BY o_year""".stripMargin
 

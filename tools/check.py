@@ -63,6 +63,20 @@ def main():
             print(f"FAIL  {name}: shape {got.shape} vs {want.shape}")
             n_bad += 1
             continue
+        # the driver hashes raw values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sums) FAILS even when
+        # values are numerically equal — treat kind mismatches as failures
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind
+                    and {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u",
+                                                                    "f"}]
+        if kind_bad:
+            print(f"FAIL  {name}: dtype kind mismatch (driver hash would "
+                  f"differ): "
+                  + ", ".join(f"{c}: {got[c].dtype}!={want[c].dtype}"
+                              for c in kind_bad))
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
