@@ -18,7 +18,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // Local-bench tuning: at sf0.1 per-stage scheduling overhead dominates,
       // so few shuffle partitions and no AQE win; at cluster scale the lake
@@ -34,15 +34,32 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT", "8m"))
       .config("spark.sql.files.openCostInBytes", "0")
+      // file-size-based broadcast decisions: the testdata tables are single
+      // snappy parquet files, so a higher threshold lets the planner pick
+      // broadcast for the filtered orders/customer sides the way a
+      // stats-driven CBO (or AQE at cluster scale) would
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "64m"))
       // single-host micro-bench: compression and locality waits only add
       // constant per-stage latency at this scale
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // planning-cost knobs: constraint propagation is quadratic in plan
+      // width and buys nothing on these shapes; no partitioned sources →
+      // dynamic partition pruning only adds optimizer passes
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc knobs for local sweeps: SPARK_GRAFT_CONF="k1=v1;k2=v2"
+    val tuned = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = tuned.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries

@@ -109,6 +109,22 @@ object DuckLakeTypes {
       case _ => false
     }
 
+  /** struct<a:t1,b:t2> → Seq((a,t1),(b,t2)); empty for non-structs. */
+  def structFieldStrings(ts: String): Seq[(String, String)] = {
+    val t = ts.trim
+    if (!t.startsWith("struct<")) Nil
+    else splitTop(inner(t, "struct<")).toSeq.map { f =>
+      val i = f.indexOf(':')
+      (f.substring(0, i), f.substring(i + 1))
+    }
+  }
+
+  def isStruct(ts: String): Boolean = ts.trim.startsWith("struct<")
+
+  /** Reassemble a struct type string from (name, typeString) pairs. */
+  def mkStructString(fields: Seq[(String, String)]): String =
+    fields.map { case (n, t) => s"$n:$t" }.mkString("struct<", ",", ">")
+
   private def inner(s: String, prefix: String): String =
     s.stripPrefix(prefix).stripSuffix(">")
 

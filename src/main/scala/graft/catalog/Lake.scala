@@ -45,13 +45,32 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def renameTable(oldName: String, newName: String): Unit =
     meta.renameTable(oldName, newName)
 
-  def addColumn(table: String, field: StructField): Unit =
+  def addColumn(table: String, field: StructField,
+      defaultValue: Option[String] = None): Unit =
     meta.addColumn(resolve(table).tableId, field.name,
-      DuckLakeTypes.toTypeString(field.dataType), field.nullable)
+      DuckLakeTypes.toTypeString(field.dataType), field.nullable,
+      defaultValue)
   def dropColumn(table: String, column: String): Unit =
     meta.dropColumn(resolve(table).tableId, column)
-  def renameColumn(table: String, oldName: String, newName: String): Unit =
+  def renameColumn(table: String, oldName: String, newName: String): Unit = {
+    // inlined rows live as JSON keyed by column name — flush them to
+    // parquet first so the epoch mapping (by column_id) covers them
+    flushInlinedData(table)
     meta.renameColumn(resolve(table).tableId, oldName, newName)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN col.field TO new (nested, reference
+    * ducklake_table_entry.cpp RenameField): metadata-only; old files keep
+    * reading via the stable field column_id. */
+  def renameField(table: String, path: String, newName: String): Unit = {
+    flushInlinedData(table)
+    meta.renameField(resolve(table).tableId,
+      path.split("\\.").toSeq, newName)
+  }
+
+  /** ALTER TABLE ... DROP COLUMN col.field (nested drop). */
+  def dropField(table: String, path: String): Unit =
+    meta.dropField(resolve(table).tableId, path.split("\\.").toSeq)
   def changeColumnType(table: String, column: String, to: DataType): Unit =
     meta.changeColumnType(resolve(table).tableId, column,
       DuckLakeTypes.toTypeString(to))
@@ -479,8 +498,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],
       withMeta: Boolean): DataFrame = {
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val schema = toStruct(cols)
     val statsFilters = filter.toSeq.flatMap(f =>
       extractStatsFilters(ColumnBridge.expr(f), cols))
@@ -491,7 +510,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     } yield eq
     val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId,
       statsFilters, partEq)
-    val df = buildScan(name, schema, scanFiles, snap, withMeta)
+    val df = buildScan(t, allCols, scanFiles, snap, withMeta)
     // inlined-data pseudo-files: rows living in the catalog DB join the
     // scan (reference ducklake_multi_file_list.cpp:360-374)
     val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
@@ -511,11 +530,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** Assemble the multi-file scan: parquet reader over the pruned file
     * list, rowid from row_id_start + _metadata.row_index (or the
     * materialized column after compaction, reference
-    * ducklake_multi_file_reader.cpp:574-596), positional delete anti-join. */
-  private def buildScan(table: String, schema: StructType,
+    * ducklake_multi_file_reader.cpp:574-596), positional delete anti-join.
+    *
+    * Files are read with the column names/types of the schema epoch they
+    * were written under and projected to the current schema by column_id
+    * (the field-id mapping of reference ducklake_multi_file_reader.cpp /
+    * ducklake_name_map.cpp) — so RENAME/DROP, including nested fields, are
+    * metadata-only and old files still read correctly. */
+  private def buildScan(t: TableInfo, allCols: Seq[ColumnInfo],
       scanFiles: Seq[ScanFile], snap: Snapshot,
       withMeta: Boolean): DataFrame = {
     import spark.implicits._
+    val cols = allCols.filter(_.parentColumn.isEmpty)
+    val schema = toStruct(cols)
     if (scanFiles.isEmpty) {
       val full = schema
         .add("rowid", LongType).add("snapshot_id", LongType)
@@ -525,40 +552,78 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (withMeta) full else schema)
       return empty
     }
+
+    // schema epoch per file: floor-lookup its begin_snapshot in the
+    // schema-version history; files from older epochs read under their
+    // own column names/types and map to the current schema by column_id
+    val vers = meta.schemaVersions()
+    def versionAt(s: Long): (Long, Long) = {
+      val i = vers.lastIndexWhere(_._1 <= s)
+      val e = vers(if (i < 0) 0 else i)
+      (e._2, e._1)
+    }
+    val curVer = versionAt(snap.snapshotId)._1
+    val planCache = scala.collection.mutable.Map.empty[
+      Long, Option[(StructType, Seq[Column])]]
+    def epochPlanOf(file: DataFileEntry): Option[(StructType, Seq[Column])] = {
+      val (ver, repr) = versionAt(file.beginSnapshot)
+      planCache.getOrElseUpdate(ver,
+        if (ver == curVer) None
+        else epochProjection(allCols,
+          meta.columnsOf(t.tableId, repr)))
+    }
+    val epochGroups: Seq[(Option[(StructType, Seq[Column])], Seq[ScanFile])] =
+      scanFiles.groupBy(f => versionAt(f.file.beginSnapshot)._1).toSeq
+        .sortBy(_._1).map { case (_, fs) => (epochPlanOf(fs.head.file), fs) }
+
     // FAST PATH: a plain read (no virtual columns requested) of files with
     // no applicable deletes needs none of the rowid machinery — it is a
-    // bare multi-file parquet scan, fully open to Catalyst pushdown with
-    // no joins in the plan.
+    // bare multi-file parquet scan (per epoch), fully open to Catalyst
+    // pushdown with no joins in the plan.
     val liveDeletes = scanFiles.flatMap(_.deleteFiles)
       .exists(_.beginSnapshot <= snap.snapshotId)
     if (!withMeta && !liveDeletes) {
-      return spark.read.schema(schema)
-        .parquet(scanFiles.map(f => abs(f.file.path)): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+      return epochGroups.map { case (plan, fs) =>
+        val paths = fs.map(f => abs(f.file.path))
+        plan match {
+          case None => spark.read.schema(schema).parquet(paths: _*)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          case Some((readSchema, projs)) =>
+            spark.read.schema(readSchema).parquet(paths: _*)
+              .select(projs: _*)
+        }
+      }.reduce(_ unionByName _)
     }
 
     // Files written by compaction/flush carry materialized rowid+snapshot
     // columns which take precedence over row_id_start + row_index
     // (reference ducklake_multi_file_reader.cpp:574-596); a snapshot can mix
-    // both kinds, so scan them as two groups and union.
-    val (matFiles, rawFiles) = scanFiles.partition(f =>
-      readSchemaOf(f.file.path).fieldNames.contains(RowIdCol))
+    // both kinds, so scan them as (epoch × materialized) groups and union.
     val fileInfo = scanFiles.map { f =>
       (absUri(f.file.path), f.file.path, f.file.rowIdStart,
         f.file.beginSnapshot)
     }.toDF("__abs", "__rel", "__start", "__fsnap")
 
-    def readGroup(group: Seq[ScanFile], materialized: Boolean) = {
+    def readGroup(group: Seq[ScanFile], materialized: Boolean,
+        plan: Option[(StructType, Seq[Column])]) = {
+      val dataSchema = plan.map(_._1).getOrElse(schema)
       val readSchema =
         if (materialized)
-          StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
+          StructType(dataSchema.fields :+ StructField(RowIdCol, LongType) :+
             StructField(SnapCol, LongType))
-        else schema
-      val base = spark.read.schema(readSchema)
+        else dataSchema
+      val base0 = spark.read.schema(readSchema)
         .parquet(group.map(f => abs(f.file.path)): _*)
         .withColumn("__abs", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(fileInfo), Seq("__abs"))
+      val base1 = plan match {
+        case None => base0
+        case Some((_, projs)) =>
+          val carried = Seq(col("__abs"), col("__pos")) ++
+            (if (materialized) Seq(col(RowIdCol), col(SnapCol)) else Nil)
+          base0.select(projs ++ carried: _*)
+      }
+      val base = base1.join(broadcast(fileInfo), Seq("__abs"))
       base
         .withColumn("rowid",
           if (materialized) col(RowIdCol) else col("__start") + col("__pos"))
@@ -566,11 +631,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           if (materialized) col(SnapCol) else col("__fsnap"))
         .drop(RowIdCol, SnapCol)
     }
-    val groups =
-      (if (matFiles.nonEmpty) Seq(readGroup(matFiles, materialized = true))
-      else Nil) ++
-        (if (rawFiles.nonEmpty) Seq(readGroup(rawFiles, materialized = false))
-        else Nil)
+    val groups = epochGroups.flatMap { case (plan, fs) =>
+      val (matFiles, rawFiles) = fs.partition(f =>
+        readSchemaOf(f.file.path).fieldNames.contains(RowIdCol))
+      (if (matFiles.nonEmpty)
+        Seq(readGroup(matFiles, materialized = true, plan)) else Nil) ++
+        (if (rawFiles.nonEmpty)
+          Seq(readGroup(rawFiles, materialized = false, plan)) else Nil)
+    }
     val withIds = groups.reduce(_ unionByName _)
 
     // delete files (positional parquet or roaring DVs); snapshot-filtered
@@ -595,6 +663,70 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             col("__pos").as("file_row_number")): _*)
       else afterDeletes.select(schema.fieldNames.map(col).toSeq: _*)
     out
+  }
+
+  /** Read-schema + projection converting files written under an older
+    * schema epoch to the current one, matching columns (and nested struct
+    * fields) by stable column_id. None when the epoch is read-identical. */
+  private def epochProjection(curAll: Seq[ColumnInfo],
+      oldAll: Seq[ColumnInfo]): Option[(StructType, Seq[Column])] = {
+    val curTop = curAll.filter(_.parentColumn.isEmpty)
+    val oldTop = oldAll.filter(_.parentColumn.isEmpty)
+    val oldById = oldTop.map(c => c.columnId -> c).toMap
+    val identical = curTop.size == oldTop.size &&
+      curTop.zip(oldTop).forall { case (a, b) =>
+        a.columnId == b.columnId && a.name == b.name &&
+          a.typeString == b.typeString
+      }
+    if (identical) None
+    else {
+      val readFields = curTop.flatMap(cc => oldById.get(cc.columnId)).map(oc =>
+        StructField(oc.name, DuckLakeTypes.fromTypeString(oc.typeString),
+          nullable = true))
+      val projs = curTop.map { cc =>
+        oldById.get(cc.columnId) match {
+          case None => // column added after the file was written:
+            // old rows read the column's initial_default (reference
+            // ducklake_multi_file_reader.cpp default-value handling)
+            lit(cc.initialDefault.orNull)
+              .cast(DuckLakeTypes.fromTypeString(cc.typeString)).as(cc.name)
+          case Some(oc) =>
+            mapExpr(col(oc.name), oc, cc, oldAll, curAll).as(cc.name)
+        }
+      }
+      Some((StructType(readFields), projs))
+    }
+  }
+
+  /** Expression converting one column from its old epoch shape to the
+    * current one: identity when unchanged, recursive struct rebuild (fields
+    * matched by column_id) for nested evolution, plain cast for widening. */
+  private def mapExpr(src: Column, oc: ColumnInfo, cc: ColumnInfo,
+      oldAll: Seq[ColumnInfo], curAll: Seq[ColumnInfo]): Column = {
+    val curDt = DuckLakeTypes.fromTypeString(cc.typeString)
+    if (oc.typeString == cc.typeString) src
+    else if (DuckLakeTypes.isStruct(cc.typeString) &&
+      DuckLakeTypes.isStruct(oc.typeString)) {
+      val oldKids = oldAll.filter(_.parentColumn.contains(oc.columnId))
+        .sortBy(_.columnOrder)
+      val curKids = curAll.filter(_.parentColumn.contains(cc.columnId))
+        .sortBy(_.columnOrder)
+      if (curKids.isEmpty || oldKids.isEmpty) src.cast(curDt)
+      else {
+        val oldKidById = oldKids.map(k => k.columnId -> k).toMap
+        val fields = curKids.map { k =>
+          oldKidById.get(k.columnId) match {
+            case Some(ok) =>
+              mapExpr(src.getField(ok.name), ok, k, oldAll, curAll).as(k.name)
+            case None =>
+              lit(k.initialDefault.orNull)
+                .cast(DuckLakeTypes.fromTypeString(k.typeString)).as(k.name)
+          }
+        }
+        when(src.isNotNull, struct(fields: _*))
+          .otherwise(lit(null)).cast(curDt)
+      }
+    } else src.cast(curDt)
   }
 
   /** Spark/Hive escape partition dir values as %XX for special chars;
@@ -833,12 +965,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def tableInsertions(name: String, startVersion: Long,
       endVersion: Long): DataFrame = {
     val t = resolve(name, Some(endVersion))
-    val cols = meta.columnsOf(t.tableId, endVersion)
-      .filter(_.parentColumn.isEmpty)
-    val schema = toStruct(cols)
+    val allCols = meta.columnsOf(t.tableId, endVersion)
     val files = meta.filesInsertedIn(t.tableId, startVersion, endVersion)
       .map(f => ScanFile(f, Nil))
-    buildScan(name, schema,
+    buildScan(t, allCols,
       files, Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
   }
 
@@ -848,19 +978,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def tableDeletions(name: String, startVersion: Long,
       endVersion: Long): DataFrame = {
     val t = resolve(name, Some(endVersion))
-    val cols = meta.columnsOf(t.tableId, endVersion)
-      .filter(_.parentColumn.isEmpty)
-    val schema = toStruct(cols)
+    val allCols = meta.columnsOf(t.tableId, endVersion)
     val created = meta.deleteFilesCreatedIn(t.tableId, startVersion, endVersion)
     if (created.isEmpty)
-      return buildScan(name, schema, Nil,
+      return buildScan(t, allCols, Nil,
         Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
 
     // rows deleted in range = positions in new delete files MINUS positions
     // already deleted at startVersion (delta of the unioned files)
     val dataFiles = created.map(_._2).distinct
     val full = dataFiles.map(f => ScanFile(f, Nil))
-    val rows = buildScan(name, schema, full,
+    val rows = buildScan(t, allCols, full,
       Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
     val relById = dataFiles.map(f => f.dataFileId -> f.path).toMap
     val delRows = deleteRowsDf(created.map(_._1), relById).get
@@ -895,8 +1023,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       targetFileSize: Long = 512L * 1024 * 1024): Int = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
     // greedy adjacent grouping, stop before exceeding target
     val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[ScanFile]]
@@ -914,8 +1042,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     if (cur.size > 1) groups += cur.toSeq
 
     groups.foreach { group =>
-      val schema = toStruct(cols)
-      val rows = buildScan(name, schema, group, snap, withMeta = true)
+      val rows = buildScan(t, allCols, group, snap, withMeta = true)
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+
           col("snapshot_id").as(SnapCol)): _*)
@@ -937,8 +1064,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def rewriteDataFiles(name: String, deleteThreshold: Double = 0.95): Int = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
     val candidates = files.filter { f =>
       val deleted = f.deleteFiles.map(_.deleteCount).max0
@@ -951,8 +1078,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     if (fullyDead.nonEmpty)
       meta.commitDropFiles(t.tableId, fullyDead.map(_.file.dataFileId))
     partial.foreach { f =>
-      val schema = toStruct(cols)
-      val rows = buildScan(name, schema, Seq(f), snap, withMeta = true)
+      val rows = buildScan(t, allCols, Seq(f), snap, withMeta = true)
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))

@@ -421,7 +421,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       snapshotId: Long): Seq[ColumnInfo] =
     query(c,
       """SELECT column_id, column_order, column_name, column_type,
-        |nulls_allowed, parent_column, default_value
+        |nulls_allowed, parent_column, default_value, initial_default
         |FROM ducklake_column
         |WHERE table_id = ? AND begin_snapshot <= ?
         |  AND (end_snapshot IS NULL OR end_snapshot > ?)
@@ -430,8 +430,18 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       ColumnInfo(rs.getLong("column_id"), rs.getLong("column_order"),
         rs.getString("column_name"), rs.getString("column_type"),
         rs.getBoolean("nulls_allowed"), optLong(rs, "parent_column"),
-        optString(rs, "default_value"))
+        optString(rs, "default_value"), optString(rs, "initial_default"))
     }
+
+  /** (begin_snapshot, schema_version) history, ascending — maps a data
+    * file's begin_snapshot to the schema epoch it was written under
+    * (reference ducklake_schema_versions). */
+  def schemaVersions(): Seq[(Long, Long)] = withConn { c =>
+    query(c,
+      """SELECT begin_snapshot, schema_version FROM ducklake_schema_versions
+        |ORDER BY begin_snapshot""".stripMargin)(
+      rs => (rs.getLong(1), rs.getLong(2)))
+  }
 
   def createTable(name: String, columns: Seq[(String, String, Boolean)],
       schema: String = "main", ifNotExists: Boolean = false): TableInfo = {
@@ -458,13 +468,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         Long.box(tid), uuid, Long.box(snap.snapshotId), Long.box(schemaId),
         name, name)
       columns.zipWithIndex.foreach { case ((cname, ctype, nullable), i) =>
-        exec(c,
-          """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
-            |table_id, column_order, column_name, column_type, nulls_allowed)
-            |VALUES (?, ?, NULL, ?, ?, ?, ?, ?)""".stripMargin,
-          Long.box(ids.newCatalogId()), Long.box(snap.snapshotId),
-          Long.box(tid), Long.box(i.toLong), cname, ctype,
-          Boolean.box(nullable))
+        insertColumnTree(c, ids, snap.snapshotId, tid, i.toLong, cname, ctype,
+          nullable, default = None, initial = None, parent = None)
       }
       exec(c,
         """INSERT INTO ducklake_table_stats (table_id, record_count,
@@ -913,32 +918,111 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   // ------------------------------------------------------- schema evolution
 
+  /** Insert a column row; struct types additionally get one child row per
+    * field (recursively), giving every nested field a stable column_id —
+    * the identity that makes rename/drop safe over old files (reference
+    * ducklake_column.parent_column, SURVEY.md §1.2). */
+  private def insertColumnTree(c: Connection, ids: TxnIds, snapId: Long,
+      tableId: Long, order: Long, name: String, typeString: String,
+      nullable: Boolean, default: Option[String], initial: Option[String],
+      parent: Option[Long]): Long = {
+    val cid = ids.newCatalogId()
+    exec(c,
+      """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
+        |table_id, column_order, column_name, column_type, nulls_allowed,
+        |default_value, initial_default, parent_column)
+        |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+      Long.box(cid), Long.box(snapId), Long.box(tableId), Long.box(order),
+      name, typeString, Boolean.box(nullable), default.orNull, initial.orNull,
+      parent.map(Long.box).orNull)
+    DuckLakeTypes.structFieldStrings(typeString).zipWithIndex.foreach {
+      case ((fn, ft), i) =>
+        insertColumnTree(c, ids, snapId, tableId, i.toLong, fn, ft,
+          nullable = true, default = None, initial = None,
+          parent = Some(cid))
+    }
+    cid
+  }
+
+  /** close a column row and its live descendants (for drops) */
+  private def closeColumnTree(c: Connection, snapId: Long, tableId: Long,
+      cols: Seq[ColumnInfo], cid: Long): Unit = {
+    exec(c,
+      """UPDATE ducklake_column SET end_snapshot = ?
+        |WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL""".stripMargin,
+      Long.box(snapId), Long.box(tableId), Long.box(cid))
+    cols.filter(_.parentColumn.contains(cid)).foreach(ch =>
+      closeColumnTree(c, snapId, tableId, cols, ch.columnId))
+  }
+
+  /** close + reopen a row under the same column_id (versioned alter) */
+  private def reopenColumn(c: Connection, snapId: Long, tableId: Long,
+      updated: ColumnInfo): Unit = {
+    exec(c,
+      """UPDATE ducklake_column SET end_snapshot = ?
+        |WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL""".stripMargin,
+      Long.box(snapId), Long.box(tableId), Long.box(updated.columnId))
+    exec(c,
+      """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
+        |table_id, column_order, column_name, column_type, nulls_allowed,
+        |default_value, initial_default, parent_column)
+        |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+      Long.box(updated.columnId), Long.box(snapId), Long.box(tableId),
+      Long.box(updated.columnOrder), updated.name, updated.typeString,
+      Boolean.box(updated.nullsAllowed), updated.defaultValue.orNull,
+      updated.initialDefault.orNull, updated.parentColumn.map(Long.box).orNull)
+  }
+
+  /** Reconcile a struct column's child rows with a new type string,
+    * matching by field name (widening keeps names/positions, so identity is
+    * preserved; appended fields get fresh column_ids). */
+  private def syncStructChildren(c: Connection, ids: TxnIds, snapId: Long,
+      tableId: Long, parentId: Long, newType: String): Unit = {
+    val fields = DuckLakeTypes.structFieldStrings(newType)
+    if (fields.isEmpty) return
+    val live = columnsOf(c, tableId, snapId)
+      .filter(_.parentColumn.contains(parentId))
+    fields.zipWithIndex.foreach { case ((fn, ft), i) =>
+      live.find(_.name == fn) match {
+        case Some(ch) if ch.typeString == ft && ch.columnOrder == i.toLong =>
+          if (DuckLakeTypes.isStruct(ft))
+            syncStructChildren(c, ids, snapId, tableId, ch.columnId, ft)
+        case Some(ch) =>
+          reopenColumn(c, snapId, tableId,
+            ch.copy(typeString = ft, columnOrder = i.toLong))
+          if (DuckLakeTypes.isStruct(ft))
+            syncStructChildren(c, ids, snapId, tableId, ch.columnId, ft)
+        case None =>
+          insertColumnTree(c, ids, snapId, tableId, i.toLong, fn, ft,
+            nullable = true, default = None, initial = None,
+            parent = Some(parentId))
+      }
+    }
+    val kept = fields.map(_._1).toSet
+    live.filterNot(ch => kept.contains(ch.name)).foreach(ch =>
+      closeColumnTree(c, snapId, tableId,
+        columnsOf(c, tableId, snapId), ch.columnId))
+  }
+
   def addColumn(tableId: Long, name: String, typeString: String,
       nullable: Boolean = true, defaultValue: Option[String] = None): Unit =
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, ids) =>
       val maxOrder = qLong(c,
         """SELECT MAX(column_order) FROM ducklake_column
-          |WHERE table_id = ? AND end_snapshot IS NULL""".stripMargin,
+          |WHERE table_id = ? AND end_snapshot IS NULL AND parent_column IS NULL""".stripMargin,
         Long.box(tableId)).getOrElse(-1L)
-      exec(c,
-        """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
-          |table_id, column_order, column_name, column_type, nulls_allowed,
-          |default_value, initial_default)
-          |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
-        Long.box(ids.newCatalogId()), Long.box(snap.snapshotId),
-        Long.box(tableId), Long.box(maxOrder + 1), name, typeString,
-        Boolean.box(nullable), defaultValue.orNull, defaultValue.orNull)
+      insertColumnTree(c, ids, snap.snapshotId, tableId, maxOrder + 1, name,
+        typeString, nullable, defaultValue, defaultValue, parent = None)
     }
 
   def dropColumn(tableId: Long, name: String): Unit =
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, _) =>
-      val n = exec(c,
-        """UPDATE ducklake_column SET end_snapshot = ?
-          |WHERE table_id = ? AND column_name = ? AND end_snapshot IS NULL""".stripMargin,
-        Long.box(snap.snapshotId), Long.box(tableId), name)
-      if (n == 0) throw new IllegalArgumentException(s"no column $name")
+      val cols = columnsOf(c, tableId, snap.snapshotId - 1)
+      val ci = cols.find(x => x.parentColumn.isEmpty && x.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+      closeColumnTree(c, snap.snapshotId, tableId, cols, ci.columnId)
     }
 
   def renameColumn(tableId: Long, oldName: String, newName: String): Unit =
@@ -964,27 +1048,78 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     }
   }
 
-  private def alterColumn(tableId: Long, name: String)(
-      f: ColumnInfo => ColumnInfo): Unit =
+  /** RENAME a nested struct field addressed by path (e.g. Seq(col, sub)):
+    * metadata-only thanks to stable child column_ids. */
+  def renameField(tableId: Long, path: Seq[String], newName: String): Unit =
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      val cols = columnsOf(c, tableId, snap.snapshotId - 1)
+      val chain = resolvePath(cols, path)
+      val leaf = chain.last
+      val siblings = cols.filter(_.parentColumn == leaf.parentColumn)
+      require(!siblings.exists(s => s.columnId != leaf.columnId &&
+        s.name == newName), s"field $newName already exists")
+      reopenColumn(c, snap.snapshotId, tableId, leaf.copy(name = newName))
+      refreshAncestorTypes(c, snap.snapshotId, tableId, chain.init)
+    }
+
+  /** DROP a nested struct field addressed by path. */
+  def dropField(tableId: Long, path: Seq[String]): Unit =
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, _) =>
       val cols = columnsOf(c, tableId, snap.snapshotId - 1)
-      val ci = cols.find(_.name == name)
+      val chain = resolvePath(cols, path)
+      val leaf = chain.last
+      val siblings = cols.filter(_.parentColumn == leaf.parentColumn)
+      require(siblings.size > 1, "cannot drop the last field of a struct")
+      closeColumnTree(c, snap.snapshotId, tableId, cols, leaf.columnId)
+      refreshAncestorTypes(c, snap.snapshotId, tableId, chain.init)
+    }
+
+  /** top-level column → … → addressed nested field */
+  private def resolvePath(cols: Seq[ColumnInfo],
+      path: Seq[String]): Seq[ColumnInfo] = {
+    require(path.size >= 2, s"need col.field path, got ${path.mkString(".")}")
+    val top = cols.find(x => x.parentColumn.isEmpty && x.name == path.head)
+      .getOrElse(throw new IllegalArgumentException(s"no column ${path.head}"))
+    path.tail.foldLeft(Seq(top)) { (chain, seg) =>
+      val next = cols
+        .find(x => x.parentColumn.contains(chain.last.columnId) &&
+          x.name == seg)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no field $seg in ${chain.map(_.name).mkString(".")}"))
+      chain :+ next
+    }
+  }
+
+  /** After a child change, rewrite each ancestor's struct type string from
+    * its live children, innermost first (rows visible at snapId reflect the
+    * change just made). */
+  private def refreshAncestorTypes(c: Connection, snapId: Long,
+      tableId: Long, ancestors: Seq[ColumnInfo]): Unit =
+    ancestors.reverse.foreach { anc =>
+      val live = columnsOf(c, tableId, snapId)
+      val kids = live.filter(_.parentColumn.contains(anc.columnId))
+        .sortBy(_.columnOrder)
+      val ts = DuckLakeTypes.mkStructString(
+        kids.map(k => (k.name, k.typeString)))
+      val cur = live.find(_.columnId == anc.columnId).getOrElse(anc)
+      reopenColumn(c, snapId, tableId, cur.copy(typeString = ts))
+    }
+
+  private def alterColumn(tableId: Long, name: String)(
+      f: ColumnInfo => ColumnInfo): Unit =
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      val cols = columnsOf(c, tableId, snap.snapshotId - 1)
+      val ci = cols.find(x => x.parentColumn.isEmpty && x.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
       val updated = f(ci)
-      exec(c,
-        """UPDATE ducklake_column SET end_snapshot = ?
-          |WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL""".stripMargin,
-        Long.box(snap.snapshotId), Long.box(tableId), Long.box(ci.columnId))
-      exec(c,
-        """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
-          |table_id, column_order, column_name, column_type, nulls_allowed,
-          |default_value, parent_column)
-          |VALUES (?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
-        Long.box(ci.columnId), Long.box(snap.snapshotId), Long.box(tableId),
-        Long.box(ci.columnOrder), updated.name, updated.typeString,
-        Boolean.box(updated.nullsAllowed), updated.defaultValue.orNull,
-        ci.parentColumn.map(Long.box).orNull)
+      reopenColumn(c, snap.snapshotId, tableId, updated)
+      if (DuckLakeTypes.isStruct(updated.typeString) &&
+        updated.typeString != ci.typeString)
+        syncStructChildren(c, ids, snap.snapshotId, tableId, ci.columnId,
+          updated.typeString)
     }
 
   // ------------------------------------------------------------ partitioning

@@ -27,7 +27,10 @@ final case class ColumnInfo(
     typeString: String,
     nullsAllowed: Boolean,
     parentColumn: Option[Long] = None,
-    defaultValue: Option[String] = None)
+    defaultValue: Option[String] = None,
+    /** value old files (written before this column existed) read back,
+      * reference ducklake_column.initial_default */
+    initialDefault: Option[String] = None)
 
 /** One immutable Parquet data file of a table
   * (reference metadata table ducklake_data_file,

@@ -212,6 +212,8 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("se").count() == 2)
     lake.renameColumn("se", "extra", "extra2")
     assert(lake.table("se").columns.contains("extra2"))
+    // data written under the OLD name still reads back (epoch mapping)
+    assert(lake.table("se").filter(col("extra2") === "x").count() == 1)
     lake.dropColumn("se", "extra2")
     assert(lake.table("se").columns.toSeq == Seq("id", "v"))
     // widening ok, narrowing rejected
