@@ -185,16 +185,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     spark.sql(sql)
   }
 
-  /** SQL entry point: registers every lake table (current snapshot) as a
-    * temp view, expands stored macros, and delegates to Spark SQL — the
-    * "attach and query" experience of the reference. */
+  /** SQL entry point — the "attach and query" experience of the reference.
+    * DML/DDL statements (INSERT/UPDATE/DELETE/MERGE INTO, CREATE/ALTER/
+    * DROP TABLE, CREATE VIEW) route to the Lake API via [[LakeSql]]; plain
+    * queries register every lake table (current snapshot) as a temp view,
+    * expand stored macros, and delegate to Spark SQL. */
   def sql(sqlText: String): DataFrame = {
-    val snap = meta.currentSnapshot()
-    meta.listTables(snap.snapshotId).foreach { t =>
-      scan(t.name, snap, None, withMeta = false)
-        .createOrReplaceTempView(t.name)
+    val stmt = sqlText.trim.stripSuffix(";").trim
+    def runQuery(q: String): DataFrame = {
+      val snap = meta.currentSnapshot()
+      meta.listTables(snap.snapshotId).foreach { t =>
+        scan(t.name, snap, None, withMeta = false)
+          .createOrReplaceTempView(t.name)
+      }
+      spark.sql(expandMacros(q, snap.snapshotId))
     }
-    spark.sql(expandMacros(sqlText, snap.snapshotId))
+    LakeSql.dispatch(this, spark, stmt, runQuery).getOrElse(runQuery(stmt))
   }
 
   /** CREATE MACRO name(params) AS body (reference ducklake_macro tables);

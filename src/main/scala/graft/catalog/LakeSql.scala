@@ -1,0 +1,285 @@
+package graft.catalog
+
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** SQL statement front-end for [[Lake.sql]]. The reference drives every
+  * table operation through SQL (INSERT/UPDATE/DELETE/MERGE INTO, CREATE /
+  * ALTER / DROP TABLE — reference test/sql corpus), so the Spark engine
+  * accepts the same statement shapes and routes them to the Lake API;
+  * anything unrecognized is treated as a query and delegated to Spark SQL
+  * (views of the current snapshot pre-registered). Scalar expressions use
+  * Spark SQL syntax — the "spark" dialect of the stored-view/macro model.
+  *
+  * DML results follow DuckDB's convention of returning an affected-row
+  * "Count" column.
+  */
+private[catalog] object LakeSql {
+
+  private val Insert =
+    """(?is)^INSERT\s+INTO\s+([\w$]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|VALUES|TABLE)\b.*)$""".r
+  private val Delete =
+    """(?is)^DELETE\s+FROM\s+([\w$]+)(?:\s+WHERE\s+(.+))?$""".r
+  private val Update =
+    """(?is)^UPDATE\s+([\w$]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val Ctas =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w$]+)\s+AS\s+(.+)$""".r
+  private val CreateTable =
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w$]+)\s*\((.+)\)\s*$""".r
+  private val DropTable =
+    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w$]+)\s*$""".r
+  private val CreateView =
+    """(?is)^CREATE\s+VIEW\s+([\w$]+)\s+AS\s+(.+)$""".r
+  private val RenameTable =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+RENAME\s+TO\s+([\w$]+)\s*$""".r
+  private val RenameColumn =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+RENAME\s+(?:COLUMN\s+)?([\w$.]+)\s+TO\s+([\w$]+)\s*$""".r
+  private val AddColumn =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ADD\s+(?:COLUMN|FIELD)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w$.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?\s*$""".r
+  private val DropColumn =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+DROP\s+(?:COLUMN|FIELD)\s+([\w$.]+)\s*$""".r
+  private val AlterType =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$""".r
+  private val SetDefault =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+SET\s+DEFAULT\s+(.+?)\s*$""".r
+  private val DropDefault =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+DEFAULT\s*$""".r
+  private val SetNotNull =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+SET\s+NOT\s+NULL\s*$""".r
+  private val DropNotNull =
+    """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+NOT\s+NULL\s*$""".r
+  private val Merge =
+    """(?is)^MERGE\s+INTO\s+([\w$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+)$""".r
+
+  /** Try to handle `stmt` as a DML/DDL statement; None → plain query. */
+  def dispatch(lake: Lake, spark: SparkSession, stmt: String,
+      runQuery: String => DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    def count(n: Long): DataFrame = Seq(n).toDF("Count")
+
+    stmt match {
+      case Insert(tbl, colList, query) => Some {
+        val df0 = runQuery(query)
+        val names = Option(colList).map(_.split(",").map(_.trim).toSeq)
+        val tableCols = lake.schemaOf(tbl).fieldNames.toSeq
+        val df = names match {
+          case Some(ns) => df0.toDF(ns: _*)
+          case None if df0.columns.length == tableCols.length =>
+            // positional (covers VALUES, whose columns are col1, col2, …)
+            df0.toDF(tableCols: _*)
+          case None => df0
+        }
+        val n = df.count()
+        lake.append(tbl, df)
+        count(n)
+      }
+
+      case Delete(tbl, whereOpt) => Some {
+        count(lake.delete(tbl,
+          Option(whereOpt).map(expr).getOrElse(lit(true))))
+      }
+
+      case Update(tbl, setList, whereOpt) => Some {
+        val assigns = splitTop(setList).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"bad SET assignment: $a")
+          a.substring(0, i).trim -> expr(a.substring(i + 1).trim)
+        }.toMap
+        count(lake.update(tbl, assigns,
+          Option(whereOpt).map(expr).getOrElse(lit(true))))
+      }
+
+      case Ctas(orReplace, tbl, query) => Some {
+        if (orReplace != null)
+          try lake.dropTable(tbl) catch { case _: IllegalArgumentException => }
+        val df = runQuery(query)
+        lake.createTableAs(tbl, df)
+        count(lake.table(tbl).count())
+      }
+
+      case CreateTable(ifNotExists, tbl, colDefs) => Some {
+        val fields = splitTop(colDefs, angle = true).map(parseColumnDef)
+        lake.createTable(tbl, StructType(fields.map(_._1)),
+          ifNotExists = ifNotExists != null)
+        fields.foreach { case (f, default) =>
+          default.foreach(d => lake.setColumnDefault(tbl, f.name, d))
+        }
+        count(0L)
+      }
+
+      case DropTable(tbl) => Some { lake.dropTable(tbl); count(0L) }
+
+      case CreateView(v, query) => Some { lake.createView(v, query); count(0L) }
+
+      case RenameTable(oldName, newName) => Some {
+        lake.renameTable(oldName, newName); count(0L)
+      }
+
+      case RenameColumn(tbl, path, newName) => Some {
+        if (path.contains(".")) lake.renameField(tbl, path, newName)
+        else lake.renameColumn(tbl, path, newName)
+        count(0L)
+      }
+
+      case AddColumn(tbl, path, typeDdl, defaultOpt) => Some {
+        val (field, inlineDefault) = parseColumnDef(
+          s"${path.split("\\.").last} $typeDdl") match {
+          case (f, d) => (f, d)
+        }
+        val default = Option(defaultOpt).map(stripQuotes).orElse(inlineDefault)
+        if (path.contains(".")) {
+          val segs = path.split("\\.")
+          require(segs.length == 2,
+            s"ADD FIELD supports one nesting level, got $path")
+          lake.addField(tbl, segs(0), field)
+        } else lake.addColumn(tbl, field, default)
+        count(0L)
+      }
+
+      case DropColumn(tbl, path) => Some {
+        if (path.contains(".")) lake.dropField(tbl, path)
+        else lake.dropColumn(tbl, path)
+        count(0L)
+      }
+
+      case AlterType(tbl, colName, typeDdl) => Some {
+        lake.changeColumnType(tbl, colName,
+          StructType.fromDDL(s"x $typeDdl").head.dataType)
+        count(0L)
+      }
+
+      case SetDefault(tbl, colName, default) => Some {
+        lake.setColumnDefault(tbl, colName, stripQuotes(default)); count(0L)
+      }
+      case DropDefault(tbl, colName) => Some {
+        lake.setColumnDefault(tbl, colName, null); count(0L)
+      }
+      case SetNotNull(tbl, colName) => Some {
+        lake.setNotNull(tbl, colName); count(0L)
+      }
+      case DropNotNull(tbl, colName) => Some {
+        lake.dropNotNull(tbl, colName); count(0L)
+      }
+
+      case Merge(tbl, tgtAliasOpt, usingPart, onPart, whenPart) => Some {
+        val (source, srcAlias) = parseUsing(usingPart, runQuery)
+        val onKey = parseOnKey(onPart)
+        val up = whenPart.toUpperCase(Locale.ROOT)
+        // remap the statement's aliases onto the merge API's fixed t/s
+        def remap(e: String): String = {
+          var out = e
+          Option(tgtAliasOpt).foreach(a =>
+            out = out.replaceAll(s"(?i)\\b$a\\.", "t."))
+          srcAlias.foreach(a => out = out.replaceAll(s"(?i)\\b$a\\.", "s."))
+          out.replaceAll(s"(?i)\\b$tbl\\.", "t.")
+        }
+        val updateRe =
+          """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|$)""".r
+        val matchedUpdate = updateRe.findFirstMatchIn(whenPart).map { m =>
+          splitTop(m.group(1)).map { a =>
+            val i = a.indexOf('=')
+            a.substring(0, i).trim.split("\\.").last ->
+              expr(remap(a.substring(i + 1).trim))
+          }.toMap
+        }
+        val matchedDelete =
+          "(?is)WHEN\\s+MATCHED\\s+THEN\\s+DELETE".r
+            .findFirstIn(whenPart).isDefined
+        val notMatchedInsert =
+          "(?is)WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*\\*?".r
+            .findFirstIn(whenPart).isDefined
+        require(matchedUpdate.isDefined || matchedDelete || notMatchedInsert,
+          s"unsupported MERGE actions: $whenPart")
+        require(!up.contains("INSERT ("),
+          "MERGE ... INSERT with a column list is not supported; use INSERT *")
+        lake.merge(tbl, source, onKey,
+          whenMatchedUpdate = matchedUpdate,
+          whenMatchedDelete = matchedDelete,
+          whenNotMatchedInsert = notMatchedInsert)
+        count(source.count())
+      }
+
+      case _ => None
+    }
+  }
+
+  /** USING (subquery) [AS] alias | USING table [alias] */
+  private def parseUsing(usingPart: String,
+      runQuery: String => DataFrame): (DataFrame, Option[String]) = {
+    val u = usingPart.trim
+    if (u.startsWith("(")) {
+      val close = matchingParen(u)
+      val sub = u.substring(1, close)
+      val alias = u.substring(close + 1).trim
+        .replaceAll("(?i)^AS\\s+", "").trim
+      (runQuery(sub), if (alias.isEmpty) None else Some(alias))
+    } else {
+      val parts = u.split("\\s+")
+      val alias = parts.drop(1).filterNot(_.equalsIgnoreCase("AS")).headOption
+      (runQuery(s"SELECT * FROM ${parts(0)}"), alias)
+    }
+  }
+
+  /** `a.k = b.k` (same column name both sides) or bare `k` → k */
+  private def parseOnKey(onPart: String): String = {
+    val Eq = """(?is)^\s*(?:[\w$]+\.)?([\w$]+)\s*=\s*(?:[\w$]+\.)?([\w$]+)\s*$""".r
+    onPart.trim match {
+      case Eq(a, b) if a.equalsIgnoreCase(b) => a
+      case bare if bare.matches("[\\w$]+") => bare
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be an equality on one shared key column, got: $other")
+    }
+  }
+
+  /** `name TYPE [NOT NULL] [DEFAULT v]` → (field, default) */
+  private def parseColumnDef(d: String): (StructField, Option[String]) = {
+    val DefaultRe = """(?is)^(.*?)\s+DEFAULT\s+(.+)$""".r
+    val (core, default) = d.trim match {
+      case DefaultRe(c, v) => (c.trim, Some(stripQuotes(v.trim)))
+      case c => (c, None)
+    }
+    val notNull = "(?is)\\s+NOT\\s+NULL\\s*$".r.findFirstIn(core).isDefined
+    val base = "(?is)\\s+NOT\\s+NULL\\s*$".r.replaceAllIn(core, "")
+    val parsed = StructType.fromDDL(base).head
+    (parsed.copy(nullable = !notNull), default)
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def matchingParen(s: String): Int = {
+    var depth = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+    }
+    throw new IllegalArgumentException(s"unbalanced parens: $s")
+  }
+
+  /** split on commas at paren depth 0 (function calls in expressions);
+    * angle brackets tracked too when splitting type definitions — never in
+    * expressions, where < and > are comparison operators */
+  private def splitTop(s: String, angle: Boolean = false): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; sb += c
+      case c @ (')' | ']') => depth -= 1; sb += c
+      case c @ '<' if angle => depth += 1; sb += c
+      case c @ '>' if angle => depth -= 1; sb += c
+      case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.result().trim
+    out.toSeq
+  }
+}

@@ -204,6 +204,60 @@ object LakeQueries extends QueryPack {
       |SELECT p_partkey + 10000000, 'new' AS flag FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** RENAME (top-level and nested) is metadata-only: files written under
+    * the old names must still read their data via the column_id mapping
+    * (reference ducklake_multi_file_reader.cpp field-id resolution). */
+  private def qRenameMapping(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    val part = Tables(spark, dir).part
+    lake.createTableAs("p", part.select("p_partkey", "p_name", "p_size"))
+    lake.renameColumn("p", "p_name", "part_name")
+    // post-rename appends mix with pre-rename files in one scan
+    lake.append("p", part.select(
+      (col("p_partkey") + 10000000L).as("p_partkey"),
+      col("p_name").as("part_name"), col("p_size")))
+    lake.dropColumn("p", "p_size")
+    lake.table("p")
+      .select(col("p_partkey"), col("part_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qRenameMappingSql =
+    """SELECT p_partkey, p_name AS part_name FROM part
+      |UNION ALL
+      |SELECT p_partkey + 10000000, p_name AS part_name FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Full SQL statement surface: DELETE / UPDATE / INSERT INTO ... SELECT
+    * / SELECT routed through lake.sql (the reference's attach-and-run-SQL
+    * experience, LakeSql front-end). */
+  private def qSqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    lake.createTableAs("o", Tables(spark, dir).orders
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    lake.sql("DELETE FROM o WHERE o_orderstatus = 'F'")
+    lake.sql(
+      "UPDATE o SET o_orderpriority = '0-SQL' WHERE o_orderstatus = 'P'")
+    lake.sql(
+      """INSERT INTO o
+        |SELECT o_orderkey + 10000000, o_orderstatus, 'NEW'
+        |FROM o WHERE o_orderstatus = 'O'""".stripMargin)
+    lake.sql(
+      "SELECT o_orderkey, o_orderpriority FROM o ORDER BY o_orderkey")
+  }
+
+  private val qSqlDmlSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'P' THEN '0-SQL'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderstatus <> 'F')
+      |SELECT o_orderkey, o_orderpriority FROM base
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, 'NEW' FROM base
+      |WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** DELETE via roaring deletion vectors instead of positional parquet
     * (reference write_deletion_vectors option / ducklake_deletion_vector). */
   private def qDeleteDv(spark: SparkSession, dir: String): DataFrame = {
@@ -235,5 +289,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_pruned_scan", qPrunedScan, Some(qPrunedScanSql)),
     QueryDef("lake_schema_evolution", qSchemaEvolution,
       Some(qSchemaEvolutionSql)),
+    QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
+    QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
   )
 }

@@ -37,4 +37,74 @@ class SqlSurfaceSpec extends AnyFunSuite {
     lake.delete("sales", col("id") === 1)
     assert(lake.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0) == 2)
   }
+
+  test("SQL DML statements route to the lake API") {
+    val dir = Files.createTempDirectory("graftsqldml").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.sql("CREATE TABLE t (id BIGINT NOT NULL, v STRING, amt DOUBLE DEFAULT 0)")
+    assert(lake.sql("INSERT INTO t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+      .head().getLong(0) == 2)
+    lake.sql("INSERT INTO t (id, v, amt) SELECT id + 10, v, amt * 2 FROM t")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM t").head().getLong(0) == 4)
+    assert(lake.sql("UPDATE t SET v = upper(v) WHERE id > 10")
+      .head().getLong(0) == 2)
+    assert(lake.sql("SELECT v FROM t WHERE id = 11").head().getString(0)
+      == "A")
+    assert(lake.sql("DELETE FROM t WHERE id > 10").head().getLong(0) == 2)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM t").head().getLong(0) == 2)
+
+    // CTAS + DROP
+    lake.sql("CREATE TABLE t2 AS SELECT id, amt FROM t WHERE id = 1")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM t2").head().getLong(0) == 1)
+    lake.sql("DROP TABLE t2")
+    intercept[Exception](lake.table("t2").count())
+
+    // ALTER: rename/add/drop/type/default/not-null
+    lake.sql("ALTER TABLE t RENAME COLUMN v TO label")
+    assert(lake.sql("SELECT label FROM t WHERE id = 1").head().getString(0)
+      == "a")
+    lake.sql("ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'none'")
+    assert(lake.sql("SELECT tag FROM t WHERE id = 1").head().getString(0)
+      == "none")
+    lake.sql("ALTER TABLE t DROP COLUMN tag")
+    assert(!lake.schemaOf("t").fieldNames.contains("tag"))
+    lake.sql("ALTER TABLE t ALTER COLUMN id SET NOT NULL")
+    lake.sql("ALTER TABLE t RENAME TO sales2")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM sales2").head().getLong(0) == 2)
+  }
+
+  test("MERGE INTO statement (update + insert)") {
+    val dir = Files.createTempDirectory("graftsqlmrg").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("tgt", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    lake.createTableAs("src", Seq((2L, 99.0), (3L, 30.0)).toDF("k", "x"))
+    lake.sql(
+      """MERGE INTO tgt USING src s ON tgt.k = s.k
+        |WHEN MATCHED THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = lake.table("tgt").orderBy("k").as[(Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("nested field DDL through SQL") {
+    val dir = Files.createTempDirectory("graftsqlnst").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    lake.createTable("n", schema)
+    lake.append("n", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Row(7, "x"))), 1), schema))
+    lake.sql("ALTER TABLE n RENAME COLUMN st.b TO label")
+    assert(lake.sql("SELECT st.label AS l FROM n").head().getString(0) == "x")
+    lake.sql("ALTER TABLE n ADD FIELD st.c INT")
+    assert(lake.sql("SELECT st.c AS c FROM n").head().isNullAt(0))
+    lake.sql("ALTER TABLE n DROP COLUMN st.label")
+    val st = lake.schemaOf("n")("st").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("a", "c"))
+  }
 }
