@@ -31,6 +31,34 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   private def fs = Paths.get(dataPath)
 
+  /** Parquet modular-encryption options when the lake is encrypted
+    * (reference "encrypted" lake option, ducklake_storage.cpp:32): footer +
+    * data of every data/delete file encrypted with a per-file DEK wrapped
+    * by the master key held in ducklake_metadata (see
+    * [[graft.sources.CatalogKmsClient]]). Empty for plaintext lakes. */
+  private def cryptoOpts: Map[String, String] =
+    if (!meta.getOption("encrypted").contains("true")) Map.empty
+    else {
+      val b64 = meta.getOption("encryption_master_key").getOrElse {
+        val k = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(k)
+        val s = java.util.Base64.getEncoder.encodeToString(k)
+        meta.setOption("encryption_master_key", s)
+        s
+      }
+      Map(
+        "parquet.crypto.factory.class" ->
+          "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+        "parquet.encryption.kms.client.class" ->
+          "graft.sources.CatalogKmsClient",
+        "parquet.encryption.uniform.key" -> "graft-master",
+        graft.sources.CatalogKmsClient.MasterKeyConf -> b64)
+    }
+
+  /** parquet reader honoring the lake's encryption settings */
+  private def pqRead: org.apache.spark.sql.DataFrameReader =
+    spark.read.options(cryptoOpts)
+
   // ------------------------------------------------------------ DDL surface
 
   def createTable(name: String, schema: StructType,
@@ -397,13 +425,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val withParts = parts.zipWithIndex.foldLeft(df) {
           case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
         }
-        withParts.write.partitionBy(parts.indices.map(i => s"__p$i"): _*)
-      case None => df.write
+        withParts.write.options(cryptoOpts).partitionBy(parts.indices.map(i => s"__p$i"): _*)
+      case None => df.write.options(cryptoOpts)
     }
     maxRowsPerFile.fold(writer0)(n =>
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir.toString)
 
-    val written = spark.read
+    val written = pqRead
       .parquet(stagingDir.toString)
       .select(cols.map(c => col(c.name)
         .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*)
@@ -592,10 +620,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       return epochGroups.map { case (plan, fs) =>
         val paths = fs.map(f => abs(f.file.path))
         plan match {
-          case None => spark.read.schema(schema).parquet(paths: _*)
+          case None => pqRead.schema(schema).parquet(paths: _*)
             .select(schema.fieldNames.map(col).toSeq: _*)
           case Some((readSchema, projs)) =>
-            spark.read.schema(readSchema).parquet(paths: _*)
+            pqRead.schema(readSchema).parquet(paths: _*)
               .select(projs: _*)
         }
       }.reduce(_ unionByName _)
@@ -618,7 +646,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           StructType(dataSchema.fields :+ StructField(RowIdCol, LongType) :+
             StructField(SnapCol, LongType))
         else dataSchema
-      val base0 = spark.read.schema(readSchema)
+      val base0 = pqRead.schema(readSchema)
         .parquet(group.map(f => abs(f.file.path)): _*)
         .withColumn("__abs", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
@@ -767,7 +795,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val (roaring, parquetE) = entries.partition(_.format == "roaring")
     val pq =
       if (parquetE.isEmpty) None
-      else Some(spark.read
+      else Some(pqRead
         .schema(StructType(Seq(StructField("file_path", StringType),
           StructField("pos", LongType))))
         .parquet(parquetE.map(e => abs(e.path)).distinct: _*))
@@ -789,7 +817,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   private def readSchemaOf(relPath: String): StructType =
     Lake.fileSchemaCache.computeIfAbsent(abs(relPath),
-      p => spark.read.parquet(p).schema)
+      p => pqRead.parquet(p).schema)
 
   private def abs(rel: String): String = fs.resolve(rel).toString
   /** matches Spark's _metadata.file_path rendering (Hadoop Path.toString:
@@ -862,7 +890,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val stagingDir =
           fs.resolve(name).resolve(s"delstage-${UUID.randomUUID()}")
         all.coalesce(1).sortWithinPartitions("file_path", "pos")
-          .write.parquet(stagingDir.toString)
+          .write.options(cryptoOpts).parquet(stagingDir.toString)
         val part = Files.list(stagingDir)
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
         val dst = fs.resolve(name).resolve(delName)
@@ -1103,7 +1131,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** write a (small) DataFrame as one parquet file, return its rel path */
   private def writeAndCollectPlain(table: String, df: DataFrame): String = {
     val stagingDir = fs.resolve(table).resolve(s"stage-${UUID.randomUUID()}")
-    df.write.parquet(stagingDir.toString)
+    df.write.options(cryptoOpts).parquet(stagingDir.toString)
     val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
       .findFirst().get()
     val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
@@ -1116,7 +1144,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   private def statsFor(relPath: String,
       cols: Seq[ColumnInfo]): PendingDataFile = {
-    val df = spark.read.parquet(abs(relPath))
+    val df = pqRead.parquet(abs(relPath))
     val rows = df.count()
     val stats = cols.map { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
@@ -1235,6 +1263,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * ducklake_add_data_files.cpp:44-69): schema-checked by name, stats
     * collected in one pass per file set. */
   def addDataFiles(name: String, parquetPaths: Seq[String]): Snapshot = {
+    require(cryptoOpts.isEmpty,
+      "add_data_files into an encrypted lake is not supported " +
+        "(foreign files are plaintext)") // parity: reference rejects too
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val cols = meta.columnsOf(t.tableId, snap.snapshotId)

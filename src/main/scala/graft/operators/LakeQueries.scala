@@ -258,6 +258,23 @@ object LakeQueries extends QueryPack {
       |WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Encrypted lake round-trip: data + delete files written with parquet
+    * modular encryption (reference "encrypted" option), master key in the
+    * catalog DB; the oracle reproduces results from the plaintext source. */
+  private def qEncrypted(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    lake.setOption("encrypted", "true")
+    lake.createTableAs("orders", Tables(spark, dir).orders)
+    lake.delete("orders", col("o_orderstatus") === "P")
+    lake.table("orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qEncryptedSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderstatus <> 'P' ORDER BY o_orderkey""".stripMargin
+
   /** DELETE via roaring deletion vectors instead of positional parquet
     * (reference write_deletion_vectors option / ducklake_deletion_vector). */
   private def qDeleteDv(spark: SparkSession, dir: String): DataFrame = {
@@ -291,5 +308,6 @@ object LakeQueries extends QueryPack {
       Some(qSchemaEvolutionSql)),
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
+    QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),
   )
 }
