@@ -27,6 +27,7 @@ object DuckLakeTypes {
     case TimestampType => "timestamptz"
     case TimestampNTZType => "timestamp"
     case CalendarIntervalType => "interval"
+    case VariantType => "variant"
     case a: ArrayType =>
       s"list<${toTypeString(a.elementType)}>"
     case m: MapType =>
@@ -63,6 +64,10 @@ object DuckLakeTypes {
           "timestamp_ns" => TimestampNTZType
       case "time" | "time_ns" => LongType // µs/ns since midnight
       case "interval" => CalendarIntervalType
+      case "variant" => VariantType // semi-structured (reference
+      // ducklake_types.cpp:61,134 → Spark 4 VariantType + parse_json)
+      case "geometry" => BinaryType // WKB bytes (reference :64,136; Spark
+      // has no geometry type — spatial fns would be ST_* expressions)
       case dec if dec.startsWith("decimal(") =>
         val args = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
         DecimalType(args(0).trim.toInt, args(1).trim.toInt)

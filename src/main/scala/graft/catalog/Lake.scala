@@ -3,6 +3,8 @@ package graft.catalog
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -289,7 +291,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // data inlining: inserts at or under the row limit live as rows in the
     // catalog DB (reference ducklake_inline_data.cpp:15-120; limit option
     // ducklake_extension.cpp:36-38, default off here)
-    val inlineLimit = meta.getOption("data_inlining_row_limit")
+    val inlineLimit = optionFor(name, "data_inlining_row_limit")
       .map(_.toInt).getOrElse(0)
     if (inlineLimit > 0) {
       val sample = aligned0.toJSON.take(inlineLimit + 1)
@@ -300,7 +302,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // sort-on-insert: inject the table's sort spec below the write
     // (reference ducklake_insert.cpp:768-846)
     val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
-    val sortOn = meta.getOption("sort_on_insert").forall(_ == "true")
+    val sortOn = optionFor(name, "sort_on_insert").forall(_ == "true")
     val aligned =
       if (sortSpec.nonEmpty && sortOn)
         aligned0.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
@@ -315,8 +317,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     // auto_compact: opportunistic merge when small files accumulate
     // (reference auto_compact option, ducklake_set_option.cpp)
-    if (meta.getOption("auto_compact").contains("true")) {
-      val target = meta.getOption("target_file_size").map(_.toLong)
+    if (optionFor(name, "auto_compact").contains("true")) {
+      val target = optionFor(name, "target_file_size").map(_.toLong)
         .getOrElse(512L * 1024 * 1024)
       val live = meta.filesForScan(t.tableId, committed.snapshotId)
       if (live.count(_.file.fileSizeBytes < target / 2) > 8)
@@ -330,7 +332,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * ducklake_extension.cpp:46-47). None until stats exist. */
   private def targetRowsPerFile(tableId: Long): Option[Long] =
     for {
-      targetStr <- meta.getOption("target_file_size")
+      targetStr <- meta.getOptionScoped("target_file_size", "table", tableId)
+        .orElse(meta.getOption("target_file_size"))
       target = targetStr.toLong
       stats <- meta.tableStats(tableId)
       if stats.recordCount > 0 && stats.fileSizeBytes > 0
@@ -347,8 +350,36 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def setCommitMessage(author: String, message: String): Unit =
     meta.setCommitMessage(author, message)
 
-  def setOption(key: String, value: String): Unit = meta.setOption(key, value)
+  /** ducklake_set_option: global, or table-scoped when `table` is given
+    * (reference ducklake_set_option.cpp table_name=> parameter). */
+  def setOption(key: String, value: String,
+      table: Option[String] = None): Unit = table match {
+    case Some(t) =>
+      meta.setOption(key, value, Some("table"), Some(resolve(t).tableId))
+    case None => meta.setOption(key, value)
+  }
   def options(): Seq[(String, String)] = meta.options()
+
+  /** table-scoped value wins over the global one */
+  private def optionFor(table: String, key: String): Option[String] = {
+    val tid = scala.util.Try(resolve(table).tableId).toOption
+    tid.flatMap(id => meta.getOptionScoped(key, "table", id))
+      .orElse(meta.getOption(key))
+  }
+
+  /** Parquet writer options from ducklake_set_option (reference
+    * ducklake_set_option.cpp): compression codec + level, row-group byte
+    * sizing — mapped onto the parquet-hadoop keys Spark's writer honors. */
+  private def writeOpts(table: String): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    optionFor(table, "parquet_compression")
+      .foreach(v => m += "compression" -> v)
+    optionFor(table, "parquet_compression_level")
+      .foreach(v => m += "parquet.compression.codec.zstd.level" -> v)
+    optionFor(table, "parquet_row_group_size_bytes")
+      .foreach(v => m += "parquet.block.size" -> v)
+    m.toMap ++ cryptoOpts
+  }
 
   /** Flush inlined rows to Parquet, preserving rowids + insertion
     * snapshots via materialized columns (reference
@@ -425,8 +456,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val withParts = parts.zipWithIndex.foldLeft(df) {
           case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
         }
-        withParts.write.options(cryptoOpts).partitionBy(parts.indices.map(i => s"__p$i"): _*)
-      case None => df.write.options(cryptoOpts)
+        withParts.write.options(writeOpts(table))
+          .partitionBy(parts.indices.map(i => s"__p$i"): _*)
+      case None => df.write.options(writeOpts(table))
     }
     maxRowsPerFile.fold(writer0)(n =>
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir.toString)
@@ -606,9 +638,37 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else epochProjection(allCols,
           meta.columnsOf(t.tableId, repr)))
     }
+    // foreign files registered via add_data_files read under their own
+    // parquet column names (ducklake_name_mapping), projected to the
+    // current schema by column_id — same shape as the epoch mapping
+    def nameMappedPlan(mid: Long,
+        sample: DataFileEntry): (StructType, Seq[Column]) = {
+      val srcById = meta.nameMapping(mid)
+        .map { case (s, cid) => cid -> s }.toMap
+      val fileSchema = readSchemaOf(sample.path)
+      val readFields = cols.flatMap(cc => srcById.get(cc.columnId).map { s =>
+        fileSchema.fields.find(_.name == s)
+          .getOrElse(StructField(s, DuckLakeTypes.fromTypeString(cc.typeString)))
+      })
+      val projs = cols.map { cc =>
+        val dt = DuckLakeTypes.fromTypeString(cc.typeString)
+        srcById.get(cc.columnId) match {
+          case Some(s) => col(s).cast(dt).as(cc.name)
+          case None => lit(cc.initialDefault.orNull).cast(dt).as(cc.name)
+        }
+      }
+      (StructType(readFields), projs)
+    }
     val epochGroups: Seq[(Option[(StructType, Seq[Column])], Seq[ScanFile])] =
-      scanFiles.groupBy(f => versionAt(f.file.beginSnapshot)._1).toSeq
-        .sortBy(_._1).map { case (_, fs) => (epochPlanOf(fs.head.file), fs) }
+      scanFiles.groupBy(f => f.file.mappingId match {
+        case Some(mid) => (1L, mid)
+        case None => (0L, versionAt(f.file.beginSnapshot)._1)
+      }).toSeq.sortBy(_._1).map { case ((kind, id), fs) =>
+        val plan =
+          if (kind == 1L) Some(nameMappedPlan(id, fs.head.file))
+          else epochPlanOf(fs.head.file)
+        (plan, fs)
+      }
 
     // FAST PATH: a plain read (no virtual columns requested) of files with
     // no applicable deletes needs none of the rowid machinery — it is a
@@ -1131,7 +1191,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** write a (small) DataFrame as one parquet file, return its rel path */
   private def writeAndCollectPlain(table: String, df: DataFrame): String = {
     val stagingDir = fs.resolve(table).resolve(s"stage-${UUID.randomUUID()}")
-    df.write.options(cryptoOpts).parquet(stagingDir.toString)
+    df.write.options(writeOpts(table)).parquet(stagingDir.toString)
     val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
       .findFirst().get()
     val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
@@ -1142,19 +1202,27 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     s"$table/$finalName"
   }
 
-  private def statsFor(relPath: String,
-      cols: Seq[ColumnInfo]): PendingDataFile = {
+  /** Per-file stats over table columns; `srcNames` (columnId → parquet
+    * column name) redirects to foreign names for name-mapped files —
+    * columns absent from the file record all-NULL stats. */
+  private def statsFor(relPath: String, cols: Seq[ColumnInfo],
+      srcNames: Map[Long, String] = Map.empty): PendingDataFile = {
     val df = pqRead.parquet(abs(relPath))
     val rows = df.count()
     val stats = cols.map { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
-      if (StatsCodec.statsSupported(dt)) {
-        val r = df.agg(min(col(c.name)), max(col(c.name)),
-          count(col(c.name))).collect()(0)
-        FileColumnStats(c.columnId, StatsCodec.encode(r.get(0), dt),
-          StatsCodec.encode(r.get(1), dt), rows - r.getLong(2),
-          numeric = StatsCodec.isNumeric(dt))
-      } else FileColumnStats(c.columnId, None, None, 0L)
+      val srcOpt =
+        if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
+      srcOpt match {
+        case None => FileColumnStats(c.columnId, None, None, rows)
+        case Some(src) if StatsCodec.statsSupported(dt) =>
+          val r = df.agg(min(col(src).cast(dt)), max(col(src).cast(dt)),
+            count(col(src))).collect()(0)
+          FileColumnStats(c.columnId, StatsCodec.encode(r.get(0), dt),
+            StatsCodec.encode(r.get(1), dt), rows - r.getLong(2),
+            numeric = StatsCodec.isNumeric(dt))
+        case _ => FileColumnStats(c.columnId, None, None, 0L)
+      }
     }
     PendingDataFile(relPath, rows, Files.size(fs.resolve(relPath)), stats)
   }
@@ -1260,9 +1328,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   // -------------------------------------------------- foreign file import
 
   /** Register pre-existing Parquet files without rewriting them (reference
-    * ducklake_add_data_files.cpp:44-69): schema-checked by name, stats
-    * collected in one pass per file set. */
-  def addDataFiles(name: String, parquetPaths: Seq[String]): Snapshot = {
+    * ducklake_add_data_files.cpp:44-69): schema-checked, stats collected
+    * per file. Foreign column names resolve through `columnMapping`
+    * (file name → table name) and are recorded as a ducklake_name_mapping
+    * so scans read the file under its own names (reference
+    * ducklake_name_map.cpp); `allowMissing` lets files omit table columns
+    * (read back as initial_default/NULL), `ignoreExtraColumns` skips
+    * unknown file columns, `hivePartitions` infers partition values from
+    * key=value segments of the source path. */
+  def addDataFiles(name: String, parquetPaths: Seq[String],
+      columnMapping: Map[String, String] = Map.empty,
+      allowMissing: Boolean = false,
+      ignoreExtraColumns: Boolean = false,
+      hivePartitions: Boolean = false): Snapshot = {
     require(cryptoOpts.isEmpty,
       "add_data_files into an encrypted lake is not supported " +
         "(foreign files are plaintext)") // parity: reference rejects too
@@ -1270,14 +1348,58 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val t = resolve(name, Some(snap.snapshotId))
     val cols = meta.columnsOf(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
+    val byName = cols.map(c => c.name -> c).toMap
+    val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val pending = parquetPaths.map { p =>
       val src = Paths.get(p)
+      val fileSchema = spark.read.parquet(p).schema
+      val resolved: Seq[(String, ColumnInfo)] =
+        fileSchema.fields.toSeq.flatMap { f =>
+          byName.get(columnMapping.getOrElse(f.name, f.name)) match {
+            case Some(ci) => Some(f.name -> ci)
+            case None if ignoreExtraColumns => None
+            case None => throw new IllegalArgumentException(
+              s"file $p has unknown column ${f.name} " +
+                "(set ignoreExtraColumns or map it)")
+          }
+        }
+      val matchedIds = resolved.map(_._2.columnId).toSet
+      val missing = cols.filterNot(c => matchedIds.contains(c.columnId))
+      if (missing.nonEmpty && !allowMissing)
+        throw new IllegalArgumentException(
+          s"file $p is missing columns ${missing.map(_.name).mkString(", ")}" +
+            " (set allowMissing)")
+      val identity = missing.isEmpty && resolved.forall { case (sn, ci) =>
+        sn == ci.name && fileSchema(sn).dataType ==
+          DuckLakeTypes.fromTypeString(ci.typeString)
+      }
+      val mappingId =
+        if (identity) None
+        else Some(meta.createNameMapping(t.tableId,
+          resolved.map { case (sn, ci) => (sn, ci.columnId) }))
+      // hive-style partition inference from the source path
+      val kv = src.iterator().asScala.map(_.toString)
+        .filter(_.contains("=")).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> unescapeHive(seg.substring(i + 1))
+        }.toMap
+      val partVals =
+        if (!hivePartitions) Nil
+        else spec.toSeq.flatMap(_.fields.flatMap { pf =>
+          cols.find(_.columnId == pf.columnId)
+            .filter(_ => pf.transform == "identity")
+            .flatMap(ci => kv.get(ci.name))
+            .map(v => (pf.keyIndex, v)).toSeq
+        })
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
       val dst = fs.resolve(name).resolve(finalName)
       Files.copy(src, dst)
-      statsFor(s"$name/$finalName", cols)
+      statsFor(s"$name/$finalName", cols,
+        resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap)
+        .copy(mappingId = mappingId, partitionValues = partVals)
     }
-    meta.appendFiles(t.tableId, pending)
+    meta.appendFiles(t.tableId, pending,
+      spec.filter(_ => hivePartitions).map(_.partitionId))
   }
 
   /** Equality conjuncts on partitioned columns → (key_index, transformed

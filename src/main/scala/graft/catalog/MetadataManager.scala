@@ -544,12 +544,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         """INSERT INTO ducklake_data_file (data_file_id, table_id,
           |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
           |file_format, record_count, file_size_bytes, footer_size,
-          |row_id_start, partition_id)
-          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?)""".stripMargin,
+          |row_id_start, partition_id, mapping_id)
+          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?)""".stripMargin,
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         Long.box(order.toLong), f.path, Long.box(f.recordCount),
         Long.box(f.fileSizeBytes), Long.box(rowIdStart),
-        partitionId.map(Long.box).orNull)
+        partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull)
       f.columnStats.foreach(s => insertColStats(c, fid, tableId,
         f.recordCount, s))
       f.partitionValues.foreach { case (keyIndex, v) =>
@@ -694,7 +694,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     val dataFiles = query(c,
       s"""SELECT f.data_file_id, f.begin_snapshot, f.end_snapshot,
          |f.file_order, f.path, f.record_count, f.file_size_bytes,
-         |f.row_id_start, f.partition_id
+         |f.row_id_start, f.partition_id, f.mapping_id
          |FROM ducklake_data_file f
          |WHERE f.table_id = ? AND f.begin_snapshot <= ?
          |  AND (f.end_snapshot IS NULL OR f.end_snapshot > ?)
@@ -705,7 +705,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
         rs.getLong("file_order"), rs.getString("path"),
         rs.getLong("record_count"), rs.getLong("file_size_bytes"),
-        rs.getLong("row_id_start"), optLong(rs, "partition_id"))
+        rs.getLong("row_id_start"), optLong(rs, "partition_id"),
+        mappingId = optLong(rs, "mapping_id"))
     }
     val deletes = query(c,
       """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
@@ -1390,19 +1391,63 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   // ---------------------------------------------------------------- options
 
   /** Scoped key/value options (reference ducklake_set_option.cpp). */
+  // ---------------------------------------------------------- name mappings
+
+  /** Register a name→column_id mapping for foreign files
+    * (ducklake_add_data_files; reference ducklake_name_map.cpp +
+    * WriteNewColumnMappings, ducklake_metadata_manager.cpp:4192-4216). */
+  def createNameMapping(tableId: Long,
+      entries: Seq[(String, Long)]): Long = withConn { c =>
+    val mid = qLong(c,
+      "SELECT MAX(mapping_id) FROM ducklake_column_mapping")
+      .getOrElse(0L) + 1
+    exec(c,
+      "INSERT INTO ducklake_column_mapping (mapping_id, table_id, type) VALUES (?, ?, 'map_by_name')",
+      Long.box(mid), Long.box(tableId))
+    entries.foreach { case (src, columnId) =>
+      exec(c,
+        """INSERT INTO ducklake_name_mapping (mapping_id, column_id,
+          |source_name, target_field_id, parent_column, is_partition)
+          |VALUES (?, ?, ?, ?, NULL, false)""".stripMargin,
+        Long.box(mid), Long.box(columnId), src, Long.box(columnId))
+    }
+    mid
+  }
+
+  /** (source_name, column_id) pairs of a mapping */
+  def nameMapping(mappingId: Long): Seq[(String, Long)] = withConn { c =>
+    query(c,
+      """SELECT source_name, column_id FROM ducklake_name_mapping
+        |WHERE mapping_id = ?""".stripMargin,
+      Long.box(mappingId))(rs => (rs.getString(1), rs.getLong(2)))
+  }
+
   def setOption(key: String, value: String, scope: Option[String] = None,
       scopeId: Option[Long] = None): Unit = withConn { c =>
     exec(c,
-      "DELETE FROM ducklake_metadata WHERE mkey = ? AND ((scope IS NULL AND ? IS NULL) OR scope = ?)",
-      key, scope.orNull, scope.orNull)
+      """DELETE FROM ducklake_metadata WHERE mkey = ?
+        |AND ((scope IS NULL AND ? IS NULL) OR scope = ?)
+        |AND ((scope_id IS NULL AND ? IS NULL) OR scope_id = ?)""".stripMargin,
+      key, scope.orNull, scope.orNull, scopeId.map(Long.box).orNull,
+      scopeId.map(Long.box).orNull)
     exec(c,
       "INSERT INTO ducklake_metadata (mkey, mvalue, scope, scope_id) VALUES (?, ?, ?, ?)",
       key, value, scope.orNull, scopeId.map(Long.box).orNull)
   }
 
   def getOption(key: String): Option[String] = withConn { c =>
-    query(c, "SELECT mvalue FROM ducklake_metadata WHERE mkey = ?", key)(
-      _.getString(1)).headOption
+    query(c,
+      "SELECT mvalue FROM ducklake_metadata WHERE mkey = ? AND scope IS NULL",
+      key)(_.getString(1)).headOption
+  }
+
+  /** scoped option (reference ducklake_set_option table_name=> scope):
+    * e.g. scope='table', scopeId=table_id */
+  def getOptionScoped(key: String, scope: String,
+      scopeId: Long): Option[String] = withConn { c =>
+    query(c,
+      "SELECT mvalue FROM ducklake_metadata WHERE mkey = ? AND scope = ? AND scope_id = ?",
+      key, scope, Long.box(scopeId))(_.getString(1)).headOption
   }
 
   def options(): Seq[(String, String)] = withConn { c =>

@@ -46,7 +46,10 @@ final case class DataFileEntry(
     fileSizeBytes: Long,
     rowIdStart: Long,
     partitionId: Option[Long] = None,
-    partitionValues: Seq[(Long, String)] = Nil)
+    partitionValues: Seq[(Long, String)] = Nil,
+    /** ducklake_column_mapping id for foreign files whose parquet column
+      * names differ from the table's (ducklake_add_data_files) */
+    mappingId: Option[Long] = None)
 
 /** Positional delete file covering one data file
   * (reference ducklake_delete_file,
@@ -85,7 +88,8 @@ final case class PendingDataFile(
     recordCount: Long,
     fileSizeBytes: Long,
     columnStats: Seq[FileColumnStats],
-    partitionValues: Seq[(Long, String)] = Nil)
+    partitionValues: Seq[(Long, String)] = Nil,
+    mappingId: Option[Long] = None)
 
 /** Scan-time resolution: data file + the delete files applying to it. */
 final case class ScanFile(

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ducklake_set_option surface: parquet write options and table scoping
+  * (reference ducklake_set_option.cpp — table_name=> scope wins over the
+  * global value). */
+class OptionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dataSize(dir: String, table: String): Long = {
+    val p = java.nio.file.Paths.get(s"$dir/data/$table")
+    Files.walk(p).filter(_.toString.endsWith(".parquet"))
+      .mapToLong(Files.size).sum()
+  }
+
+  test("parquet_compression applies; table scope beats global") {
+    val dir = Files.createTempDirectory("graftopt").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val df = (1 to 20000).map(i => (i.toLong, s"value_$i" * 3))
+      .toDF("id", "v")
+
+    lake.setOption("parquet_compression", "uncompressed")
+    lake.createTable("big", df.schema)
+    lake.append("big", df)
+    val uncompressed = dataSize(dir, "big")
+
+    // table-scoped zstd on a second table overrides the global setting
+    lake.createTable("small", df.schema)
+    lake.setOption("parquet_compression", "zstd", table = Some("small"))
+    lake.setOption("parquet_compression_level", "6", table = Some("small"))
+    lake.append("small", df)
+    val compressed = dataSize(dir, "small")
+
+    assert(compressed < uncompressed / 2,
+      s"zstd ($compressed B) should be far smaller than uncompressed " +
+        s"($uncompressed B)")
+    assert(lake.table("small").count() == 20000)
+
+    // scoped row-group sizing is honored without breaking reads
+    lake.setOption("parquet_row_group_size_bytes", "65536",
+      table = Some("small"))
+    lake.append("small", df)
+    assert(lake.table("small").count() == 40000)
+  }
+
+  test("scoped options are isolated per table") {
+    val dir = Files.createTempDirectory("graftopt2").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("a", Seq((1, "x")).toDF("id", "v"))
+    lake.createTableAs("b", Seq((1, "x")).toDF("id", "v"))
+    lake.setOption("target_file_size", "1000", table = Some("a"))
+    lake.setOption("target_file_size", "2000", table = Some("b"))
+    val opts = lake.options()
+    // both scoped rows survive (scope_id respected on upsert)
+    assert(opts.count(_._1 == "target_file_size") == 2)
+  }
+}
