@@ -314,6 +314,38 @@ object PipelineQueries extends QueryPack {
        |  ${graft.QueryDsl.oLsum(graft.QueryDsl.oSl2("value"), "100.0")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** Streaming ingestion INTO the lake (LakeSink foreachBatch sink with
+    * idempotent batch tracking), verified by aggregating the landed table
+    * against batch SQL over the source. */
+  private def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
+    val work = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
+    lake.createTable("ev", stream.schema)
+    graft.streaming.LakeSink.ingestAvailable(lake, "ev", stream,
+      s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      s"$work/ckpt")
+    lake.table("ev")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamIngestSql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", textLangId, Some(textLangIdSql)),
@@ -330,5 +362,6 @@ object PipelineQueries extends QueryPack {
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode, None),
     QueryDef("stream_window", streamWindow, Some(streamWindowSql)),
+    QueryDef("stream_ingest", streamIngest, Some(streamIngestSql)),
   )
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.catalog.Lake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingestion INTO a lake table — the write-side
+  * counterpart of [[ChangeFeed]] (the reference only reads changes; a
+  * Spark-native lake naturally accepts `writeStream` too).
+  *
+  * Exactly-once: Spark's foreachBatch replays a batch after failure, so
+  * each (query, batchId) is recorded in catalog metadata and replayed
+  * batches are skipped — append becomes idempotent per batch. Every
+  * committed batch is one lake snapshot (streaming micro-batch ≡ the
+  * reference's statement-level snapshot granularity).
+  *
+  * At scale the append itself is a distributed parquet write; only the
+  * batch-id bookkeeping touches the catalog (one row per batch).
+  */
+object LakeSink {
+
+  /** Idempotent per-batch append used by the sink; public so tests (and
+    * custom foreachBatch pipelines) can drive it directly. Returns true
+    * when the batch was applied, false when it was a replayed duplicate. */
+  def appendBatch(lake: Lake, table: String, queryName: String,
+      batchId: Long, batch: DataFrame): Boolean = {
+    val key = s"stream_last_batch:$queryName:$table"
+    val last = lake.options().collectFirst {
+      case (k, v) if k == key => v.toLong
+    }.getOrElse(-1L)
+    if (batchId <= last) false
+    else {
+      lake.append(table, batch)
+      lake.setOption(key, batchId.toString)
+      true
+    }
+  }
+
+  /** Attach a streaming DataFrame to a lake table. Caller starts the
+    * returned writer (and may set its own trigger/checkpoint options). */
+  def into(lake: Lake, table: String, stream: DataFrame,
+      queryName: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(lake, table, queryName, batchId, batch): Unit
+      }
+
+  /** Convenience: drain all currently-available input into the table
+    * (AvailableNow), blocking until done. */
+  def ingestAvailable(lake: Lake, table: String, stream: DataFrame,
+      queryName: String, checkpointDir: String): StreamingQuery = {
+    val q = into(lake, table, stream, queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
