@@ -68,12 +68,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val cols = schema.fields.map(f =>
       (f.name, DuckLakeTypes.toTypeString(f.dataType), f.nullable)).toSeq
     Files.createDirectories(fs.resolve(name))
-    meta.createTable(name, cols, ifNotExists = ifNotExists)
+    val (s, t) = splitName(name)
+    meta.createTable(t, cols, schema = s, ifNotExists = ifNotExists)
   }
 
-  def dropTable(name: String): Unit = meta.dropTable(name)
-  def renameTable(oldName: String, newName: String): Unit =
-    meta.renameTable(oldName, newName)
+  def dropTable(name: String): Unit = {
+    val (s, t) = splitName(name)
+    meta.dropTable(t, s)
+  }
+  def renameTable(oldName: String, newName: String): Unit = {
+    val (s, t) = splitName(oldName)
+    val (s2, t2) = splitName(newName)
+    require(s == s2, "rename cannot move a table across schemas")
+    meta.renameTable(t, t2, s)
+  }
 
   def addColumn(table: String, field: StructField,
       defaultValue: Option[String] = None): Unit =
@@ -257,12 +265,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     out
   }
 
+  /** `schema.table` → (schema, table); unqualified names live in main
+    * (reference schema model, ducklake_schema). */
+  private def splitName(name: String): (String, String) = {
+    val i = name.indexOf('.')
+    if (i < 0) ("main", name) else (name.substring(0, i), name.substring(i + 1))
+  }
+
   private def resolve(name: String,
       snapshotId: Option[Long] = None): TableInfo = {
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
-    meta.tableByName(name, sid)
+    val (s, t) = splitName(name)
+    meta.tableByName(t, sid, s)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
   }
+
+  def createSchema(name: String): Unit = meta.createSchema(name)
+  def dropSchema(name: String): Unit = meta.dropSchema(name)
+  def listSchemas(): Seq[String] = meta.listSchemas().map(_.name)
 
   def schemaOf(name: String, snapshotId: Option[Long] = None): StructType = {
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)

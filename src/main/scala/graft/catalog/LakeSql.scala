@@ -21,17 +21,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
 private[catalog] object LakeSql {
 
   private val Insert =
-    """(?is)^INSERT\s+INTO\s+([\w$]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|VALUES|TABLE)\b.*)$""".r
+    """(?is)^INSERT\s+INTO\s+([\w$.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|VALUES|TABLE)\b.*)$""".r
   private val Delete =
-    """(?is)^DELETE\s+FROM\s+([\w$]+)(?:\s+WHERE\s+(.+))?$""".r
+    """(?is)^DELETE\s+FROM\s+([\w$.]+)(?:\s+WHERE\s+(.+))?$""".r
   private val Update =
-    """(?is)^UPDATE\s+([\w$]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+    """(?is)^UPDATE\s+([\w$.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
   private val Ctas =
-    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w$]+)\s+AS\s+(.+)$""".r
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w$.]+)\s+AS\s+(.+)$""".r
   private val CreateTable =
-    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w$]+)\s*\((.+)\)\s*$""".r
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w$.]+)\s*\((.+)\)\s*$""".r
   private val DropTable =
-    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w$]+)\s*$""".r
+    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w$.]+)\s*$""".r
+  private val CreateSchema =
+    """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w$]+)\s*$""".r
+  private val DropSchema =
+    """(?is)^DROP\s+SCHEMA\s+([\w$]+)\s*$""".r
   private val CreateView =
     """(?is)^CREATE\s+VIEW\s+([\w$]+)\s+AS\s+(.+)$""".r
   private val RenameTable =
@@ -112,6 +116,9 @@ private[catalog] object LakeSql {
       }
 
       case DropTable(tbl) => Some { lake.dropTable(tbl); count(0L) }
+
+      case CreateSchema(sc) => Some { lake.createSchema(sc); count(0L) }
+      case DropSchema(sc) => Some { lake.dropSchema(sc); count(0L) }
 
       case CreateView(v, query) => Some { lake.createView(v, query); count(0L) }
 

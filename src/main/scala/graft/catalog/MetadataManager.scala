@@ -382,6 +382,32 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     created
   }
 
+  def listSchemas(): Seq[SchemaInfo] = withConn { c =>
+    query(c,
+      """SELECT schema_id, schema_uuid, schema_name FROM ducklake_schema
+        |WHERE end_snapshot IS NULL ORDER BY schema_id""".stripMargin)(
+      rs => SchemaInfo(rs.getLong(1), rs.getString(2), rs.getString(3)))
+  }
+
+  /** DROP SCHEMA: must be empty; "main" is permanent. */
+  def dropSchema(name: String): Unit = {
+    require(name != "main", "cannot drop schema main")
+    commitSnapshot(SnapshotChanges(droppedTables = Seq(s"schema:$name")),
+      schemaChange = true) { (c, snap, _) =>
+      val live = query(c,
+        """SELECT COUNT(*) FROM ducklake_table t
+          |JOIN ducklake_schema s ON t.schema_id = s.schema_id
+          |WHERE s.schema_name = ? AND t.end_snapshot IS NULL""".stripMargin,
+        name)(_.getLong(1)).head
+      if (live > 0) throw new IllegalArgumentException(
+        s"schema $name is not empty")
+      val n = exec(c,
+        "UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_name = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), name)
+      if (n == 0) throw new IllegalArgumentException(s"no schema $name")
+    }
+  }
+
   // ---------------------------------------------------------------- tables
 
   def tableByName(name: String, snapshotId: Long,

@@ -40,10 +40,24 @@ case class ResolveLakeRelation(spark: SparkSession)
               lake.table(table).queryExecution.analyzed)
           case None => u
         }
+      // graft.<schema>.<table> → non-main lake schemas
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 3 =>
+        val Seq(alias, schema, table) = u.multipartIdentifier
+        LakeRegistry.get(alias) match {
+          case Some(lake) =>
+            SubqueryAlias(table,
+              lake.table(s"$schema.$table").queryExecution.analyzed)
+          case None => u
+        }
     }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // hint-resolution batch runs BEFORE the main Resolution batch, so
+    // graft.<schema>.<table> is rewritten before the builtin relation
+    // resolver rejects the three-part name (REQUIRES_SINGLE_PART_NAMESPACE)
+    e.injectHintResolutionRule(ResolveLakeRelation)
     e.injectResolutionRule(ResolveLakeRelation)
+  }
 }
