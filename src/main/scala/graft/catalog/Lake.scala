@@ -1255,7 +1255,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * ducklake_cleanup_old_files). Returns deleted paths. */
   def cleanupOldFiles(olderThanMs: Option[Long] = None,
       dryRun: Boolean = false): Seq[String] = {
-    val paths = meta.takeScheduledDeletions(olderThanMs)
+    // delete_older_than option supplies the default age bound (reference
+    // ducklake_set_option.cpp)
+    val bound = olderThanMs.orElse(
+      meta.getOption("delete_older_than").map(_.toLong)
+        .map(System.currentTimeMillis() - _))
+    val paths = meta.takeScheduledDeletions(bound)
     if (!dryRun) paths.foreach(p => Files.deleteIfExists(fs.resolve(p)))
     paths
   }
@@ -1317,6 +1322,33 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId
+
+  /** ducklake_settings(): every known option with its current value and
+    * default (reference ducklake_settings.cpp); set options not in the
+    * known list are included too. */
+  def settings(): DataFrame = {
+    import spark.implicits._
+    val known = Seq(
+      "data_inlining_row_limit" -> "0",
+      "sort_on_insert" -> "true",
+      "auto_compact" -> "false",
+      "target_file_size" -> (512L * 1024 * 1024).toString,
+      "rewrite_delete_threshold" -> "0.95",
+      "expire_older_than" -> "",
+      "delete_older_than" -> "",
+      "require_commit_message" -> "false",
+      "write_deletion_vectors" -> "false",
+      "encrypted" -> "false",
+      "parquet_compression" -> "snappy",
+      "parquet_compression_level" -> "",
+      "parquet_row_group_size_bytes" -> "")
+    val set = options().toMap
+    val rows = known.map { case (k, d) =>
+      (k, set.getOrElse(k, d), d)
+    } ++ set.view.filterKeys(k => !known.exists(_._1 == k)).toSeq
+      .map { case (k, v) => (k, v, "") }
+    rows.toDF("setting", "value", "default_value")
+  }
 
   /** table_info() (reference ducklake_table_info.cpp). */
   def tableInfo(): DataFrame = {

@@ -299,6 +299,15 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         changes.copy(author = Some(author), commitMessage = Some(msg))
       case _ => changes
     }
+    // require_commit_message option (reference ducklake_set_option.cpp):
+    // data-changing snapshots must carry a message
+    if (changes0.commitMessage.isEmpty &&
+      (changes0.insertedIntoTables.nonEmpty ||
+        changes0.deletedFromTables.nonEmpty) &&
+      getOption("require_commit_message").contains("true"))
+      throw new IllegalStateException(
+        "require_commit_message is set: call setCommitMessage before " +
+          "committing data changes")
     var attempt = 0
     var wait = retryWaitMs
     while (true) {

@@ -48,6 +48,24 @@ class OptionsSpec extends AnyFunSuite {
     assert(lake.table("small").count() == 40000)
   }
 
+  test("require_commit_message gates data changes; settings() lists") {
+    val dir = Files.createTempDirectory("graftopt3").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", Seq((1, "a")).toDF("id", "v"))
+    lake.setOption("require_commit_message", "true")
+    intercept[IllegalStateException] {
+      lake.append("t", Seq((2, "b")).toDF("id", "v"))
+    }
+    lake.setCommitMessage("ci", "load batch 2")
+    lake.append("t", Seq((2, "b")).toDF("id", "v"))
+    assert(lake.table("t").count() == 2)
+    // DDL (non-data) changes stay exempt, like the reference
+    lake.addColumn("t", org.apache.spark.sql.types.StructField("x",
+      org.apache.spark.sql.types.LongType))
+    val s = lake.settings().collect().map(r => r.getString(0)).toSet
+    assert(s.contains("require_commit_message") && s.contains("encrypted"))
+  }
+
   test("scoped options are isolated per table") {
     val dir = Files.createTempDirectory("graftopt2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
