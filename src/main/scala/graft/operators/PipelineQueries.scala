@@ -222,6 +222,16 @@ object PipelineQueries extends QueryPack {
       qv, 20)
   }
 
+  /** IVF coarse-quantized ANN (rows-only; recall vs brute force in
+    * DedupSpec) — the reindex-once/probe-few scale path. */
+  private def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      qv, 20)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Opaque-binary media column plumbing: schema (id, media BINARY, meta),
@@ -358,6 +368,7 @@ object PipelineQueries extends QueryPack {
     QueryDef("embed_topk", embedTopK, Some(embedTopKSql)),
     QueryDef("embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("embed_lsh_topk", embedLshTopK, None),
+    QueryDef("embed_ivf_topk", embedIvfTopK, None),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode, None),

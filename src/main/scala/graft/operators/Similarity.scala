@@ -81,6 +81,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: vectors
+    * are assigned to their nearest of `nlist` centroids ONCE (at 100 TB
+    * this is a materialized index column, recomputed only on reindex) and
+    * a probe scans the `nprobe` clusters nearest the query instead of the
+    * full table. Centroids are deterministic: the lexicographically first
+    * `nlist` ids seed them, refined by one Lloyd iteration as a single
+    * groupBy-avg pass.
+    *
+    * Returns the top-k within the probed clusters. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+
+    // deterministic seeds: first nlist vectors by id
+    val seeds = base.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def nearestIdx(cents: Array[Array[Float]])(vec: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(cosineScaled(scaled(vec), scaled(typedLit(c.toSeq)))
+          .as("s"), lit(i).as("i"))
+      }
+      // argmax cosine = nearest centroid
+      aggregate(array(scored: _*),
+        struct(lit(-2d).as("s"), lit(-1).as("i")),
+        (acc, x) => when(x.getField("s") > acc.getField("s"), x)
+          .otherwise(acc)).getField("i")
+    }
+
+    // one Lloyd refinement: mean of assigned vectors per seed cluster
+    val dim = seeds.head.length
+    val refined = base
+      .groupBy(nearestIdx(seeds)(col("v")).as("c"))
+      .agg(array((0 until dim).map(d =>
+        avg(element_at(col("v"), d + 1).cast("double")).cast("float")): _*)
+        .as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = seeds.indices.map(i => refined.getOrElse(i, seeds(i))).toArray
+
+    // probe the nprobe clusters nearest the query (driver-side: centroids
+    // are tiny), then brute-force within them
+    val qScores = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
+      val na = math.sqrt(c.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+      (i, dot / (na * nb))
+    }
+    val probeIds = qScores.sortBy(-_._2).take(nprobe).map(_._1)
+
+    val qLit = typedLit(queryVec.toSeq)
+    base.withColumn("c", nearestIdx(cents)(col("v")))
+      .filter(col("c").isin(probeIds.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        cosineScaled(scaled(col("v")), scaled(qLit)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold (brute force n²; used on candidate
     * blocks — callers block first at scale). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

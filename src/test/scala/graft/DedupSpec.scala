@@ -72,6 +72,28 @@ class DedupSpec extends AnyFunSuite {
       s"planted copies missing from ANN result: $lsh")
   }
 
+  test("IVF ANN recalls planted copies and agrees with brute force") {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val copies = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(100001L), lit(100010L))).as("vec_id"),
+        col("embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").unionByName(copies)
+    // identical vectors land in the query's own cluster → always probed
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", qv, 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert((100001L to 100010L).forall(ivf.contains),
+      s"planted copies missing from IVF result: $ivf")
+    // broad probe ≈ brute force: with all clusters probed, results match
+    val all = Similarity.ivfTopK(corpus, "vec_id", "embedding", qv, 20,
+      nlist = 8, nprobe = 8).collect().map(r => r.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 20)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(all == bf)
+  }
+
   test("planted identical embeddings found by near-dup pairs") {
     val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
     val dup = e.filter(col("vec_id") < 10)
