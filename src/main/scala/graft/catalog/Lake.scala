@@ -530,11 +530,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val v = unescapeHive(seg.substring(seg.indexOf('=') + 1))
         (i.toLong, v)
       }
-      val hiveDirs = partition.map { parts =>
-        partVals.zip(parts).map { case ((_, v), (label, _)) =>
-          s"$label=${escapeHive(v)}"
-        }.mkString("/")
-      }.filter(_.nonEmpty)
+      // hive_file_pattern=false → flat layout: partition values live only
+      // in the catalog (reads never do directory discovery, so pruning is
+      // unaffected; object stores prefer flat keys)
+      val hiveDirs = partition
+        .filter(_ => optionFor(table, "hive_file_pattern")
+          .forall(_ == "true"))
+        .map { parts =>
+          partVals.zip(parts).map { case ((_, v), (label, _)) =>
+            s"$label=${escapeHive(v)}"
+          }.mkString("/")
+        }.filter(_.nonEmpty)
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
       val relPath = hiveDirs.map(d => s"$table/$d/$finalName")
         .getOrElse(s"$table/$finalName")

@@ -66,6 +66,24 @@ class OptionsSpec extends AnyFunSuite {
     assert(s.contains("require_commit_message") && s.contains("encrypted"))
   }
 
+  test("hive_file_pattern=false writes flat files; pruning unaffected") {
+    val dir = Files.createTempDirectory("graftopt4").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    import org.apache.spark.sql.functions.col
+    lake.createTable("p", Seq((1L, "eu")).toDF("id", "region").schema)
+    lake.setPartitionedBy("p", Seq(("region", "identity")))
+    lake.setOption("hive_file_pattern", "false", table = Some("p"))
+    lake.append("p", Seq((1L, "eu"), (2L, "us")).toDF("id", "region"))
+    // no key=value dirs on disk
+    val dirs = Files.walk(java.nio.file.Paths.get(s"$dir/data/p"))
+      .filter(Files.isDirectory(_)).map[String](_.getFileName.toString)
+      .toArray.map(_.toString)
+    assert(!dirs.exists(_.contains("=")), dirs.mkString(","))
+    // catalog partition values still prune
+    assert(lake.table("p", Some(col("region") === "eu")).count() == 1)
+    assert(lake.table("p").count() == 2)
+  }
+
   test("scoped options are isolated per table") {
     val dir = Files.createTempDirectory("graftopt2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
