@@ -97,7 +97,18 @@ object DuckLakeTypes {
     from == to ||
       (widenOrder.contains(from) && widenOrder.contains(to) &&
         widenOrder(from) < widenOrder(to)) ||
-      structWidening(from, to)
+      structWidening(from, to) || nestedWidening(from, to)
+
+  /** list<a>→list<b> / map<k,a>→map<k2,b> widening when the element
+    * (resp. key and value) types widen. */
+  private def nestedWidening(from: String, to: String): Boolean =
+    (isList(from) && isList(to) ||
+      isMap(from) && isMap(to)) && {
+      val a = childSpecs(from); val b = childSpecs(to)
+      a.length == b.length && a.zip(b).forall { case ((_, ta), (_, tb)) =>
+        isWidening(ta, tb)
+      }
+    }
 
   /** struct→struct is widening when every existing field keeps its name
     * with a widening-compatible type, in order; NEW trailing fields may be
@@ -125,6 +136,32 @@ object DuckLakeTypes {
   }
 
   def isStruct(ts: String): Boolean = ts.trim.startsWith("struct<")
+  def isList(ts: String): Boolean = ts.trim.startsWith("list<")
+  def isMap(ts: String): Boolean = ts.trim.startsWith("map<")
+
+  /** Child slots of a nested type, with the reference's canonical child
+    * names (ducklake_field_data.cpp GetNewNestedType): struct → fields,
+    * list → ("element"), map → ("key","value"). Leaf types → empty. */
+  def childSpecs(ts: String): Seq[(String, String)] = {
+    val t = ts.trim
+    if (isStruct(t)) structFieldStrings(t)
+    else if (isList(t)) Seq("element" -> inner(t, "list<"))
+    else if (isMap(t)) {
+      val parts = splitTop(inner(t, "map<"))
+      Seq("key" -> parts(0).trim, "value" -> parts(1).trim)
+    } else Nil
+  }
+
+  /** Reassemble a nested type string of `parentTs`'s kind from its
+    * (possibly renamed/retyped) children. */
+  def rebuildNested(parentTs: String,
+      children: Seq[(String, String)]): String = {
+    val t = parentTs.trim
+    if (isStruct(t)) mkStructString(children)
+    else if (isList(t)) s"list<${children.head._2}>"
+    else if (isMap(t)) s"map<${children(0)._2},${children(1)._2}>"
+    else parentTs
+  }
 
   /** Reassemble a struct type string from (name, typeString) pairs. */
   def mkStructString(fields: Seq[(String, String)]): String =

@@ -123,25 +123,39 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def setColumnDefault(table: String, column: String, default: String): Unit =
     meta.setColumnDefault(resolve(table).tableId, column, Option(default))
 
-  /** ALTER TABLE ... ADD FIELD col.field (nested evolution, reference
-    * ducklake_table_entry.cpp:1148): appends a nullable field to a struct
-    * column; old files read the field back as NULL (schema-on-read). */
+  /** ALTER TABLE ... ADD FIELD col[.path].field (nested evolution,
+    * reference ducklake_table_entry.cpp:1148): appends a nullable field to
+    * a struct column — the path may descend through nested structs and
+    * list/map child slots (`element`/`key`/`value`); old files read the
+    * field back as NULL (schema-on-read). */
   def addField(table: String, column: String, field: StructField): Unit = {
     val t = resolve(table)
     val snap = meta.currentSnapshot()
+    val segs = column.split("\\.").toSeq
     val ci = meta.columnsOf(t.tableId, snap.snapshotId)
-      .find(_.name == column)
-      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
-    DuckLakeTypes.fromTypeString(ci.typeString) match {
-      case st: StructType =>
-        require(!st.fieldNames.contains(field.name),
+      .find(c => c.parentColumn.isEmpty && c.name == segs.head)
+      .getOrElse(throw new IllegalArgumentException(s"no column ${segs.head}"))
+
+    // rewrite the addressed subtree of the type string, bottom-up
+    def rewrite(ts: String, path: Seq[String]): String = path match {
+      case Nil =>
+        require(DuckLakeTypes.isStruct(ts),
+          s"$column is not a struct (is $ts)")
+        val fields = DuckLakeTypes.structFieldStrings(ts)
+        require(!fields.exists(_._1 == field.name),
           s"field ${field.name} already exists")
-        val newType = StructType(st.fields :+ field.copy(nullable = true))
-        meta.changeColumnType(t.tableId, column,
-          DuckLakeTypes.toTypeString(newType))
-      case other => throw new IllegalArgumentException(
-        s"$column is not a struct (is $other)")
+        DuckLakeTypes.mkStructString(fields :+
+          (field.name -> DuckLakeTypes.toTypeString(field.dataType)))
+      case seg +: rest =>
+        val kids = DuckLakeTypes.childSpecs(ts)
+        require(kids.exists(_._1 == seg),
+          s"no field $seg in $ts")
+        DuckLakeTypes.rebuildNested(ts, kids.map { case (n, kt) =>
+          if (n == seg) (n, rewrite(kt, rest)) else (n, kt)
+        })
     }
+    meta.changeColumnType(t.tableId, segs.head,
+      rewrite(ci.typeString, segs.tail))
   }
 
   def createView(name: String, sql: String): Unit = meta.createView(name, sql)
@@ -819,18 +833,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   /** Expression converting one column from its old epoch shape to the
-    * current one: identity when unchanged, recursive struct rebuild (fields
-    * matched by column_id) for nested evolution, plain cast for widening. */
+    * current one: identity when unchanged, recursive rebuild for nested
+    * evolution (struct fields matched by column_id; list/map recurse into
+    * their element/key/value child slots), plain cast for widening. */
   private def mapExpr(src: Column, oc: ColumnInfo, cc: ColumnInfo,
       oldAll: Seq[ColumnInfo], curAll: Seq[ColumnInfo]): Column = {
     val curDt = DuckLakeTypes.fromTypeString(cc.typeString)
+    def kidsOf(ci: ColumnInfo, all: Seq[ColumnInfo]): Seq[ColumnInfo] =
+      all.filter(_.parentColumn.contains(ci.columnId)).sortBy(_.columnOrder)
     if (oc.typeString == cc.typeString) src
     else if (DuckLakeTypes.isStruct(cc.typeString) &&
       DuckLakeTypes.isStruct(oc.typeString)) {
-      val oldKids = oldAll.filter(_.parentColumn.contains(oc.columnId))
-        .sortBy(_.columnOrder)
-      val curKids = curAll.filter(_.parentColumn.contains(cc.columnId))
-        .sortBy(_.columnOrder)
+      val oldKids = kidsOf(oc, oldAll)
+      val curKids = kidsOf(cc, curAll)
       if (curKids.isEmpty || oldKids.isEmpty) src.cast(curDt)
       else {
         val oldKidById = oldKids.map(k => k.columnId -> k).toMap
@@ -845,6 +860,25 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         }
         when(src.isNotNull, struct(fields: _*))
           .otherwise(lit(null)).cast(curDt)
+      }
+    } else if (DuckLakeTypes.isList(cc.typeString) &&
+      DuckLakeTypes.isList(oc.typeString)) {
+      (kidsOf(oc, oldAll), kidsOf(cc, curAll)) match {
+        case (Seq(ok), Seq(ck)) if ok.columnId == ck.columnId =>
+          transform(src, x => mapExpr(x, ok, ck, oldAll, curAll))
+            .cast(curDt)
+        case _ => src.cast(curDt)
+      }
+    } else if (DuckLakeTypes.isMap(cc.typeString) &&
+      DuckLakeTypes.isMap(oc.typeString)) {
+      (kidsOf(oc, oldAll), kidsOf(cc, curAll)) match {
+        case (Seq(okK, okV), Seq(ckK, ckV))
+          if okK.columnId == ckK.columnId && okV.columnId == ckV.columnId =>
+          val keyed = transform_keys(src,
+            (k, _) => mapExpr(k, okK, ckK, oldAll, curAll))
+          transform_values(keyed,
+            (_, v) => mapExpr(v, okV, ckV, oldAll, curAll)).cast(curDt)
+        case _ => src.cast(curDt)
       }
     } else src.cast(curDt)
   }

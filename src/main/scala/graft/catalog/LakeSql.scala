@@ -140,9 +140,7 @@ private[catalog] object LakeSql {
         val default = Option(defaultOpt).map(stripQuotes).orElse(inlineDefault)
         if (path.contains(".")) {
           val segs = path.split("\\.")
-          require(segs.length == 2,
-            s"ADD FIELD supports one nesting level, got $path")
-          lake.addField(tbl, segs(0), field)
+          lake.addField(tbl, segs.init.mkString("."), field)
         } else lake.addColumn(tbl, field, default)
         count(0L)
       }

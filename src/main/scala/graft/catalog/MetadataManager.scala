@@ -971,7 +971,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       Long.box(cid), Long.box(snapId), Long.box(tableId), Long.box(order),
       name, typeString, Boolean.box(nullable), default.orNull, initial.orNull,
       parent.map(Long.box).orNull)
-    DuckLakeTypes.structFieldStrings(typeString).zipWithIndex.foreach {
+    DuckLakeTypes.childSpecs(typeString).zipWithIndex.foreach {
       case ((fn, ft), i) =>
         insertColumnTree(c, ids, snapId, tableId, i.toLong, fn, ft,
           nullable = true, default = None, initial = None,
@@ -1014,19 +1014,20 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * preserved; appended fields get fresh column_ids). */
   private def syncStructChildren(c: Connection, ids: TxnIds, snapId: Long,
       tableId: Long, parentId: Long, newType: String): Unit = {
-    val fields = DuckLakeTypes.structFieldStrings(newType)
+    val fields = DuckLakeTypes.childSpecs(newType)
     if (fields.isEmpty) return
+    def nested(ts: String): Boolean =
+      DuckLakeTypes.childSpecs(ts).nonEmpty
     val live = columnsOf(c, tableId, snapId)
       .filter(_.parentColumn.contains(parentId))
     fields.zipWithIndex.foreach { case ((fn, ft), i) =>
       live.find(_.name == fn) match {
         case Some(ch) if ch.typeString == ft && ch.columnOrder == i.toLong =>
-          if (DuckLakeTypes.isStruct(ft))
-            syncStructChildren(c, ids, snapId, tableId, ch.columnId, ft)
+          () // unchanged subtree
         case Some(ch) =>
           reopenColumn(c, snapId, tableId,
             ch.copy(typeString = ft, columnOrder = i.toLong))
-          if (DuckLakeTypes.isStruct(ft))
+          if (nested(ft))
             syncStructChildren(c, ids, snapId, tableId, ch.columnId, ft)
         case None =>
           insertColumnTree(c, ids, snapId, tableId, i.toLong, fn, ft,
@@ -1092,6 +1093,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       val cols = columnsOf(c, tableId, snap.snapshotId - 1)
       val chain = resolvePath(cols, path)
       val leaf = chain.last
+      require(DuckLakeTypes.isStruct(chain.init.last.typeString),
+        "RENAME FIELD target must be a struct field " +
+          "(list/map child slots have fixed names)")
       val siblings = cols.filter(_.parentColumn == leaf.parentColumn)
       require(!siblings.exists(s => s.columnId != leaf.columnId &&
         s.name == newName), s"field $newName already exists")
@@ -1106,6 +1110,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       val cols = columnsOf(c, tableId, snap.snapshotId - 1)
       val chain = resolvePath(cols, path)
       val leaf = chain.last
+      require(DuckLakeTypes.isStruct(chain.init.last.typeString),
+        "DROP FIELD target must be a struct field")
       val siblings = cols.filter(_.parentColumn == leaf.parentColumn)
       require(siblings.size > 1, "cannot drop the last field of a struct")
       closeColumnTree(c, snap.snapshotId, tableId, cols, leaf.columnId)
@@ -1137,7 +1143,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       val live = columnsOf(c, tableId, snapId)
       val kids = live.filter(_.parentColumn.contains(anc.columnId))
         .sortBy(_.columnOrder)
-      val ts = DuckLakeTypes.mkStructString(
+      val ts = DuckLakeTypes.rebuildNested(anc.typeString,
         kids.map(k => (k.name, k.typeString)))
       val cur = live.find(_.columnId == anc.columnId).getOrElse(anc)
       reopenColumn(c, snapId, tableId, cur.copy(typeString = ts))
@@ -1152,7 +1158,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
       val updated = f(ci)
       reopenColumn(c, snap.snapshotId, tableId, updated)
-      if (DuckLakeTypes.isStruct(updated.typeString) &&
+      if (DuckLakeTypes.childSpecs(updated.typeString).nonEmpty &&
         updated.typeString != ci.typeString)
         syncStructChildren(c, ids, snap.snapshotId, tableId, ci.columnId,
           updated.typeString)

@@ -104,6 +104,55 @@ class SchemaMappingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](lake.dropField("nd", "st.a"))
   }
 
+  test("rename/add field inside list<struct> keeps old-file data") {
+    val lake = freshLake()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("sku", StringType), StructField("qty", IntegerType)))))))
+    lake.createTable("lst", schema)
+    lake.append("lst", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(Row("a", 2), Row("b", 3))),
+        Row(2L, null)), 1), schema))
+    // rename a field inside the list's element struct
+    lake.renameField("lst", "items.element.qty", "quantity")
+    val got = lake.table("lst").orderBy("id")
+      .select(expr("transform(items, x -> x.quantity)").as("qs"))
+      .collect()
+    assert(got(0).getSeq[Int](0) == Seq(2, 3))
+    assert(got(1).isNullAt(0)) // null list stays null through the mapping
+    // add a field into the element struct; old rows read NULL
+    lake.addField("lst", "items.element", StructField("price", DoubleType))
+    val r = lake.table("lst").filter(col("id") === 1)
+      .select(expr("items[0].price")).head()
+    assert(r.isNullAt(0))
+    // new appends with the full shape coexist with old files
+    lake.append("lst", spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(3L, Seq(Row("c", 1, 9.5)))), 1), lake.schemaOf("lst")))
+    val all = lake.table("lst").orderBy("id")
+      .select(expr("aggregate(items, 0, (a, x) -> a + x.quantity)").as("s"))
+      .collect()
+    assert(all.map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq ==
+      Seq(5, -1, 1))
+  }
+
+  test("map value struct rename keeps old-file data") {
+    val lake = freshLake()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", MapType(StringType, StructType(Seq(
+        StructField("v", IntegerType), StructField("u", StringType)))))))
+    lake.createTable("mp", schema)
+    lake.append("mp", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Map("w" -> Row(10, "kg")))), 1), schema))
+    lake.renameField("mp", "attrs.value.u", "unit")
+    val r = lake.table("mp").select(expr("attrs['w'].unit")).head()
+    assert(r.getString(0) == "kg")
+  }
+
   test("rename + widening + deletes combine on the non-fast scan path") {
     val lake = freshLake()
     lake.createTableAs("m",
