@@ -250,10 +250,35 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         scan(t.name, snap, None, withMeta = false)
           .createOrReplaceTempView(t.name)
       }
-      spark.sql(expandMacros(q, snap.snapshotId))
+      spark.sql(expandMacros(rewriteAtClauses(q), snap.snapshotId))
     }
     LakeSql.dispatch(this, spark, stmt, runQuery).getOrElse(runQuery(stmt))
   }
+
+  private val AtClause =
+    """(?is)\b([\w$.]+)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*('[^']*'|[^\s)]+)\s*\)""".r
+
+  /** `FROM t AT (VERSION => v | TIMESTAMP => 'ts')` — the reference's
+    * time-travel clause (ducklake_transaction.cpp:1613-1645) — rewritten
+    * to a snapshot-pinned temp view. */
+  private def rewriteAtClauses(q: String): String =
+    AtClause.replaceAllIn(q, m => {
+      val tbl = m.group(1)
+      val raw = m.group(3)
+      val df = m.group(2).toUpperCase(java.util.Locale.ROOT) match {
+        case "VERSION" => tableAtVersion(tbl, raw.toLong)
+        case _ =>
+          val ms =
+            if (raw.startsWith("'"))
+              java.sql.Timestamp
+                .valueOf(raw.stripPrefix("'").stripSuffix("'")).getTime
+            else raw.toLong
+          tableAtTime(tbl, ms)
+      }
+      val vn = s"${tbl.replace('.', '_')}__at__${raw.replaceAll("\\W", "")}"
+      df.createOrReplaceTempView(vn)
+      java.util.regex.Matcher.quoteReplacement(vn)
+    })
 
   /** CREATE MACRO name(params) AS body (reference ducklake_macro tables);
     * expansion is textual parameter substitution at call sites. */

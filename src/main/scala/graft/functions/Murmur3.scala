@@ -95,13 +95,37 @@ object Murmur3 {
   }
 }
 
-/** Catalyst expression wrapper; eval path only (used at write/partition
-  * time, not in scan-hot loops). */
-case class Murmur3Hash32(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+/** Catalyst expression with full codegen (bucket-partitioned writes put
+  * this in the per-row hot path): the generated code calls the static
+  * Murmur3 helpers directly, keeping the write projection inside
+  * whole-stage codegen. */
+case class Murmur3Hash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     Murmur3.hashAny(input, child.dataType)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = "graft.functions.Murmur3"
+      val call = child.dataType match {
+        case BooleanType => s"$m.hashLong($c ? 1L : 0L)"
+        case ByteType | ShortType | IntegerType | DateType =>
+          s"$m.hashLong((long) $c)"
+        case LongType | TimestampType | TimestampNTZType =>
+          s"$m.hashLong($c)"
+        case FloatType => s"$m.hashDouble((double) $c)"
+        case DoubleType => s"$m.hashDouble($c)"
+        case StringType => s"$m.hashBytes($c.getBytes(), 0)"
+        case BinaryType => s"$m.hashBytes($c, 0)"
+        case _: DecimalType =>
+          s"$m.hashBytes($c.toJavaBigDecimal().unscaledValue().toByteArray(), 0)"
+        case other => throw new IllegalArgumentException(
+          s"murmur3_32 unsupported: $other")
+      }
+      s"${ev.value} = $call;"
+    })
+
   override protected def withNewChildInternal(c: Expression): Murmur3Hash32 =
     copy(child = c)
   override def prettyName: String = "murmur3_32"

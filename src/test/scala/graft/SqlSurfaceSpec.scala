@@ -73,6 +73,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lake.sql("SELECT COUNT(*) AS n FROM sales2").head().getLong(0) == 2)
   }
 
+  test("AT (VERSION => v) time-travel clause in SQL") {
+    val dir = Files.createTempDirectory("graftsqlat").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("tt", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = lake.currentSnapshotId()
+    lake.sql("DELETE FROM tt WHERE id = 2")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM tt").head().getLong(0) == 1)
+    assert(lake.sql(s"SELECT COUNT(*) AS n FROM tt AT (VERSION => $v1)")
+      .head().getLong(0) == 2)
+    // joins between current and historical versions of the same table
+    val gone = lake.sql(
+      s"""SELECT o.id FROM tt AT (VERSION => $v1) o
+         |LEFT ANTI JOIN tt c ON o.id = c.id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gone == Seq(2L))
+  }
+
   test("MERGE INTO statement (update + insert)") {
     val dir = Files.createTempDirectory("graftsqlmrg").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
