@@ -112,11 +112,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def changeColumnType(table: String, column: String, to: DataType): Unit =
     meta.changeColumnType(resolve(table).tableId, column,
       DuckLakeTypes.toTypeString(to))
-  /** SET NOT NULL verifies existing data first, like the reference. */
+  /** SET NOT NULL verifies existing data first, like the reference —
+    * using the cumulative table column stats when they already prove no
+    * NULLs exist (contains_null=false is definitive: deletes cannot add
+    * nulls), falling back to a data scan otherwise. */
   def setNotNull(table: String, column: String): Unit = {
-    val nulls = this.table(table).filter(col(column).isNull).limit(1).count()
-    require(nulls == 0, s"column $column contains NULL values")
-    meta.setNullsAllowed(resolve(table).tableId, column, allowed = false)
+    val t = resolve(table)
+    val ci = meta.columnsOf(t.tableId, meta.currentSnapshot().snapshotId)
+      .find(c => c.parentColumn.isEmpty && c.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+    val provenClean = meta.tableColumnStats(t.tableId)
+      .find(_._1 == ci.columnId).exists(s => !s._2)
+    if (!provenClean) {
+      val nulls =
+        this.table(table).filter(col(column).isNull).limit(1).count()
+      require(nulls == 0, s"column $column contains NULL values")
+    }
+    meta.setNullsAllowed(t.tableId, column, allowed = false)
   }
   def dropNotNull(table: String, column: String): Unit =
     meta.setNullsAllowed(resolve(table).tableId, column, allowed = true)
@@ -1387,6 +1399,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId
+
+  /** Cumulative per-column table stats (reference
+    * ducklake_table_column_stats via the stats surface). */
+  def tableColumnStats(name: String): DataFrame = {
+    import spark.implicits._
+    val t = resolve(name)
+    val cols = meta.columnsOf(t.tableId, meta.currentSnapshot().snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    val byId = cols.map(c => c.columnId -> c.name).toMap
+    meta.tableColumnStats(t.tableId).map { case (cid, nul, nan, mn, mx) =>
+      (byId.getOrElse(cid, cid.toString), nul, nan,
+        mn.orNull, mx.orNull)
+    }.toDF("column_name", "contains_null", "contains_nan",
+      "min_value", "max_value")
+  }
 
   /** ducklake_settings(): every known option with its current value and
     * default (reference ducklake_settings.cpp); set options not in the

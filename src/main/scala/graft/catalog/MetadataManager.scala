@@ -603,6 +603,71 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         |WHERE table_id = ?""".stripMargin,
       Long.box(totalRows), Long.box(rowIdStart), Long.box(totalBytes),
       Long.box(tableId))
+    mergeTableColumnStats(c, tableId, files.flatMap(_.columnStats))
+  }
+
+  /** Cumulative per-column table stats (reference
+    * ducklake_table_column_stats, updated on every insert): contains_null/
+    * contains_nan only widen; min/max merge numerically for numeric
+    * columns, lexically otherwise. Conservative under deletes (a false
+    * contains_null is definitive; true may be stale). */
+  private def mergeTableColumnStats(c: Connection, tableId: Long,
+      stats: Seq[FileColumnStats]): Unit =
+    stats.groupBy(_.columnId).foreach { case (cid, ss) =>
+      val existing = query(c,
+        """SELECT contains_null, contains_nan, min_value, max_value
+          |FROM ducklake_table_column_stats
+          |WHERE table_id = ? AND column_id = ?""".stripMargin,
+        Long.box(tableId), Long.box(cid)) { rs =>
+        (rs.getBoolean(1), rs.getBoolean(2),
+          Option(rs.getString(3)), Option(rs.getString(4)))
+      }.headOption
+      val numeric = ss.exists(_.numeric)
+      def lt(a: String, b: String): Boolean =
+        if (numeric)
+          scala.util.Try(a.toDouble < b.toDouble).getOrElse(a < b)
+        else a < b
+      def mergeMin(a: Option[String], b: Option[String]) = (a, b) match {
+        case (Some(x), Some(y)) => Some(if (lt(x, y)) x else y)
+        case _ => a.orElse(b)
+      }
+      def mergeMax(a: Option[String], b: Option[String]) = (a, b) match {
+        case (Some(x), Some(y)) => Some(if (lt(x, y)) y else x)
+        case _ => a.orElse(b)
+      }
+      val newMin = ss.map(_.minValue).reduce(mergeMin)
+      val newMax = ss.map(_.maxValue).reduce(mergeMax)
+      val nulls = ss.exists(_.nullCount > 0)
+      val nans = ss.exists(_.nanCount > 0)
+      existing match {
+        case Some((en, ea, emin, emax)) =>
+          exec(c,
+            """UPDATE ducklake_table_column_stats SET contains_null = ?,
+              |contains_nan = ?, min_value = ?, max_value = ?
+              |WHERE table_id = ? AND column_id = ?""".stripMargin,
+            Boolean.box(en || nulls), Boolean.box(ea || nans),
+            mergeMin(emin, newMin).orNull, mergeMax(emax, newMax).orNull,
+            Long.box(tableId), Long.box(cid))
+        case None =>
+          exec(c,
+            """INSERT INTO ducklake_table_column_stats (table_id, column_id,
+              |contains_null, contains_nan, min_value, max_value)
+              |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin,
+            Long.box(tableId), Long.box(cid), Boolean.box(nulls),
+            Boolean.box(nans), newMin.orNull, newMax.orNull)
+      }
+    }
+
+  /** (columnId, containsNull, containsNan, min, max) global stats */
+  def tableColumnStats(tableId: Long): Seq[(Long, Boolean, Boolean,
+      Option[String], Option[String])] = withConn { c =>
+    query(c,
+      """SELECT column_id, contains_null, contains_nan, min_value, max_value
+        |FROM ducklake_table_column_stats WHERE table_id = ?
+        |ORDER BY column_id""".stripMargin, Long.box(tableId)) { rs =>
+      (rs.getLong(1), rs.getBoolean(2), rs.getBoolean(3),
+        Option(rs.getString(4)), Option(rs.getString(5)))
+    }
   }
 
   /** Stats row insert. Numeric stats land BOTH as the canonical VARCHAR

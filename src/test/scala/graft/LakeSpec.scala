@@ -223,6 +223,24 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("global table column stats accumulate across appends") {
+    val lake = freshLake()
+    lake.createTableAs("st", Seq((5, Some("b")), (9, None)).toDF("id", "v"))
+    lake.append("st", Seq((1, Some("z"))).toDF("id", "v"))
+    val stats = lake.tableColumnStats("st").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("id").getBoolean(1) === false) // no nulls in id
+    assert(stats("v").getBoolean(1) === true) // v had a null
+    assert(stats("id").getString(3).toDouble == 1.0) // merged min
+    assert(stats("id").getString(4).toDouble == 9.0) // merged max
+    // contains_null=false lets SET NOT NULL skip the scan; =true verifies
+    lake.setNotNull("st", "id")
+    intercept[IllegalArgumentException](lake.setNotNull("st", "v"))
+    // after deleting the null row the data-scan path accepts v
+    lake.delete("st", col("v").isNull)
+    lake.setNotNull("st", "v")
+  }
+
   test("views resolve against lake tables") {
     val lake = freshLake()
     lake.createTableAs("vt", Seq((1, 10), (2, 20)).toDF("k", "x"))
