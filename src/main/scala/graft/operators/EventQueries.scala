@@ -98,10 +98,52 @@ object EventQueries extends QueryPack {
       |GROUP BY user_id HAVING COUNT(*) >= 5
       |ORDER BY user_id""".stripMargin
 
+  /** AS-OF join (DuckDB ASOF JOIN, which Spark lacks): each click matched
+    * to the user's most recent prior-or-same-time purchase. */
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"))
+    AsofJoin.asof(clicks, purchases, "user_id", "ts", rightSuffix = "")
+      .select(col("event_id"), col("purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofJoinSql =
+    """WITH a AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'click'),
+      |     b AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+      |           WHERE event_type = 'purchase')
+      |SELECT a.event_id, b.purchase_id
+      |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
+  /** Band (range) join via bucketized equi-join instead of a nested loop:
+    * customer/supplier balance pairs within ±1.0. */
+  private def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    RangeJoin.bandJoin(
+      t.customer.select(col("c_custkey"), col("c_acctbal")),
+      t.supplier.select(col("s_suppkey"), col("s_acctbal")),
+      "c_acctbal", "s_acctbal", band = 1.0)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  private val qBandJoinSql =
+    """SELECT c_custkey, s_suppkey FROM customer, supplier
+      |WHERE ABS(c_acctbal - s_acctbal) <= 1.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("cb_top_users", topUsers, Some(topUsersSql)),
     QueryDef("cb_minute_series", minuteSeries, Some(minuteSeriesSql)),
     QueryDef("cb_json_buckets", jsonBuckets, Some(jsonBucketsSql)),
     QueryDef("cb_gap_stats", gapStats, Some(gapStatsSql)),
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_band_join", qBandJoin, Some(qBandJoinSql)),
   )
 }
