@@ -138,6 +138,34 @@ object EventQueries extends QueryPack {
       |WHERE ABS(c_acctbal - s_acctbal) <= 1.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** Interpolated quantiles per group (ClickBench-style latency
+    * percentiles); Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition. */
+  private def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qQuantilesSql =
+    """SELECT event_type, QUANTILE_CONT(value, 0.5) AS p50,
+      |  QUANTILE_CONT(value, 0.95) AS p95, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL-sketch distinct counts (rows-only: sketch implementations differ
+    * across engines; the accuracy bound is asserted in SketchSpec). */
+  private def qApproxUniq(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("cb_top_users", topUsers, Some(topUsersSql)),
     QueryDef("cb_minute_series", minuteSeries, Some(minuteSeriesSql)),
@@ -145,5 +173,7 @@ object EventQueries extends QueryPack {
     QueryDef("cb_gap_stats", gapStats, Some(gapStatsSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_band_join", qBandJoin, Some(qBandJoinSql)),
+    QueryDef("cb_quantiles", qQuantiles, Some(qQuantilesSql)),
+    QueryDef("cb_approx_uniq", qApproxUniq, None),
   )
 }
