@@ -279,6 +279,56 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Stubbed media resize over binary batches: clamp payload to a target
+    * byte budget (a real pipeline would decode + downscale; libs absent).
+    * Byte-length accounting is oracle-checked; the content transform is
+    * exercised in specs. */
+  private def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val resized = bytes.take(64) // STUB: real decode+resize goes here
+      (id, bytes.length.toLong, resized.length.toLong)
+    }).toDF("doc_id", "orig_bytes", "resized_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalResizeSql =
+    """SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS orig_bytes,
+      |  CAST(LEAST(STRLEN(text), 64) AS BIGINT) AS resized_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed frame sampling: each media payload splits into 4 frames
+    * (byte slices standing in for video frames); per-frame sizes are
+    * oracle-checked, the slice contents flow through the typed pipeline. */
+  private def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      val n = 4
+      val base = bytes.length / n
+      val rem = bytes.length % n
+      var off = 0
+      (0 until n).map { i =>
+        val len = base + (if (i < rem) 1 else 0)
+        val frame = bytes.slice(off, off + len) // the real per-frame bytes
+        off += len
+        (id, i.toLong, frame.length.toLong)
+      }
+    }).toDF("doc_id", "frame_no", "frame_len")
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  private val multimodalFramesSql =
+    """SELECT d.doc_id, t.frame_no,
+      |  (STRLEN(d.text) + 3 - t.frame_no) // 4 AS frame_len
+      |FROM documents d, RANGE(4) t(frame_no)
+      |ORDER BY d.doc_id, t.frame_no""".stripMargin
+
   // ------------------------------------------------------------- streaming
 
   /** Structured Streaming windowed aggregation over the events table
@@ -372,6 +422,10 @@ object PipelineQueries extends QueryPack {
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode, None),
+    QueryDef("multimodal_resize", multimodalResize,
+      Some(multimodalResizeSql)),
+    QueryDef("multimodal_frames", multimodalFrames,
+      Some(multimodalFramesSql)),
     QueryDef("stream_window", streamWindow, Some(streamWindowSql)),
     QueryDef("stream_ingest", streamIngest, Some(streamIngestSql)),
   )
