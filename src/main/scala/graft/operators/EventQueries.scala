@@ -122,20 +122,20 @@ object EventQueries extends QueryPack {
       |ORDER BY a.event_id""".stripMargin
 
   /** Band (range) join via bucketized equi-join instead of a nested loop:
-    * customer/supplier balance pairs within ±1.0. */
+    * customer/supplier balance pairs within ±10. */
   private def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     RangeJoin.bandJoin(
       t.customer.select(col("c_custkey"), col("c_acctbal")),
       t.supplier.select(col("s_suppkey"), col("s_acctbal")),
-      "c_acctbal", "s_acctbal", band = 1.0)
+      "c_acctbal", "s_acctbal", band = 10.0)
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
   private val qBandJoinSql =
     """SELECT c_custkey, s_suppkey FROM customer, supplier
-      |WHERE ABS(c_acctbal - s_acctbal) <= 1.0
+      |WHERE ABS(c_acctbal - s_acctbal) <= 10.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
   /** Interpolated quantiles per group (ClickBench-style latency
