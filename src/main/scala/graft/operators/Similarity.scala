@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ScaledCosineFunctions.scaledCosine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -38,7 +39,7 @@ object Similarity {
       queryVec: Array[Float], k: Int): DataFrame = {
     val qLit = typedLit(queryVec.toSeq)
     df.select(col(idCol).as("vec_id"),
-      cosineScaled(scaled(col(vecCol)), scaled(qLit)).as("score"))
+      scaledCosine(col(vecCol), qLit).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -76,7 +77,7 @@ object Similarity {
     val qLit = typedLit(queryVec.toSeq)
     withSig.filter(col("sig").isin(probes: _*))
       .select(col("vec_id"),
-        cosineScaled(scaled(col("v")), scaled(qLit)).as("score"))
+        scaledCosine(col("v"), qLit).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -102,8 +103,8 @@ object Similarity {
       .map(r => r.getSeq[Float](1).toArray)
     def nearestIdx(cents: Array[Array[Float]])(vec: Column): Column = {
       val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(cosineScaled(scaled(vec), scaled(typedLit(c.toSeq)))
-          .as("s"), lit(i).as("i"))
+        struct(scaledCosine(vec, typedLit(c.toSeq)).as("s"),
+          lit(i).as("i"))
       }
       // argmax cosine = nearest centroid
       aggregate(array(scored: _*),
@@ -136,7 +137,7 @@ object Similarity {
     base.withColumn("c", nearestIdx(cents)(col("v")))
       .filter(col("c").isin(probeIds.toIndexedSeq: _*))
       .select(col("vec_id"),
-        cosineScaled(scaled(col("v")), scaled(qLit)).as("score"))
+        scaledCosine(col("v"), qLit).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
