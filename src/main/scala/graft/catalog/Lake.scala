@@ -1217,34 +1217,43 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
-    // greedy adjacent grouping, stop before exceeding target
-    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[ScanFile]]
-    var cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
-    var curSize = 0L
-    files.foreach { f =>
-      if (cur.nonEmpty && curSize + f.file.fileSizeBytes > targetFileSize) {
-        if (cur.size > 1) groups += cur.toSeq
-        cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
-        curSize = 0L
-      }
-      cur += f
-      curSize += f.file.fileSizeBytes
+    // only files of the SAME partition merge (reference "same partition"
+    // constraint, ducklake_compaction_functions.cpp:289-400) — so the
+    // merged file keeps its partition values and stays prunable
+    val partVals = meta.filePartitionValues(t.tableId)
+    val byPartition = files.groupBy(f =>
+      (f.file.partitionId, partVals.getOrElse(f.file.dataFileId, Nil)))
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[Long], Seq[(Long, String)], Seq[ScanFile])]
+    byPartition.toSeq.sortBy(_._2.head.file.dataFileId).foreach {
+      case ((pid, pv), pFiles) =>
+        // greedy adjacent grouping, stop before exceeding target
+        var cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
+        var curSize = 0L
+        pFiles.foreach { f =>
+          if (cur.nonEmpty &&
+            curSize + f.file.fileSizeBytes > targetFileSize) {
+            if (cur.size > 1) groups += ((pid, pv, cur.toSeq))
+            cur = scala.collection.mutable.ArrayBuffer.empty[ScanFile]
+            curSize = 0L
+          }
+          cur += f
+          curSize += f.file.fileSizeBytes
+        }
+        if (cur.size > 1) groups += ((pid, pv, cur.toSeq))
     }
-    if (cur.size > 1) groups += cur.toSeq
 
-    groups.foreach { group =>
+    groups.foreach { case (pid, pv, group) =>
       val rows = buildScan(t, allCols, group, snap, withMeta = true)
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+
           col("snapshot_id").as(SnapCol)): _*)
-      val extCols = cols ++ Seq(
-        ColumnInfo(-1, cols.size, RowIdCol, "int64", nullsAllowed = false),
-        ColumnInfo(-2, cols.size + 1, SnapCol, "int64", nullsAllowed = false))
       val merged = writeAndCollectPlain(name, rows.coalesce(1))
-      val statsFiles = statsFor(merged, cols)
+      val statsFiles = statsFor(merged, cols).copy(partitionValues = pv)
       val removed = group.map(_.file.recordCount).sum - statsFiles.recordCount
       meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
-        statsFiles, group.head.file.rowIdStart, removedRows = removed)
+        statsFiles, group.head.file.rowIdStart, removedRows = removed,
+        partitionId = pid)
     }
     groups.size
   }
@@ -1268,15 +1277,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     if (fullyDead.nonEmpty)
       meta.commitDropFiles(t.tableId, fullyDead.map(_.file.dataFileId))
+    val partVals = meta.filePartitionValues(t.tableId)
     partial.foreach { f =>
       val rows = buildScan(t, allCols, Seq(f), snap, withMeta = true)
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))
-      val stats = statsFor(merged, cols)
+      val stats = statsFor(merged, cols).copy(partitionValues =
+        partVals.getOrElse(f.file.dataFileId, Nil))
       meta.commitCompaction(t.tableId, Seq(f.file.dataFileId), stats,
         f.file.rowIdStart,
-        removedRows = 0L) // table row count already reflects the deletes
+        removedRows = 0L, // table row count already reflects the deletes
+        partitionId = f.file.partitionId)
     }
     candidates.size
   }

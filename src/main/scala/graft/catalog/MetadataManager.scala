@@ -963,9 +963,23 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   /** Compaction commit: ends the input files, inserts the merged file with
     * an explicit row_id_start (rowids must survive compaction — reference
     * ducklake_compaction_functions.cpp:289-400). */
+  /** per-file hive partition values (key_index → value) */
+  def filePartitionValues(tableId: Long): Map[Long, Seq[(Long, String)]] =
+    withConn { c =>
+      query(c,
+        """SELECT data_file_id, partition_key_index, partition_value
+          |FROM ducklake_file_partition_value WHERE table_id = ?
+          |ORDER BY data_file_id, partition_key_index""".stripMargin,
+        Long.box(tableId))(rs =>
+        (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3))).toMap
+    }
+
   def commitCompaction(tableId: Long, inputFileIds: Seq[Long],
       merged: PendingDataFile, mergedRowIdStart: Long,
-      removedRows: Long = 0L): Snapshot =
+      removedRows: Long = 0L,
+      partitionId: Option[Long] = None): Snapshot =
     commitSnapshot(SnapshotChanges(compactedTables = Seq(tableId)),
       conflictCheck = (c, _) => {
         val stillLive = query(c,
@@ -989,10 +1003,18 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
           |file_format, record_count, file_size_bytes, footer_size,
           |row_id_start, partition_id)
-          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL)""".stripMargin,
+          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, ?)""".stripMargin,
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         merged.path, Long.box(merged.recordCount),
-        Long.box(merged.fileSizeBytes), Long.box(mergedRowIdStart))
+        Long.box(merged.fileSizeBytes), Long.box(mergedRowIdStart),
+        partitionId.map(Long.box).orNull)
+      merged.partitionValues.foreach { case (keyIndex, v) =>
+        exec(c,
+          """INSERT INTO ducklake_file_partition_value (data_file_id,
+            |table_id, partition_key_index, partition_value)
+            |VALUES (?, ?, ?, ?)""".stripMargin,
+          Long.box(fid), Long.box(tableId), Long.box(keyIndex), v)
+      }
       merged.columnStats.foreach(s => insertColStats(c, fid, tableId,
         merged.recordCount, s))
       if (removedRows != 0L) {

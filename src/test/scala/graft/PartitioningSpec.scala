@@ -98,6 +98,29 @@ class PartitioningSpec extends AnyFunSuite {
       lake2.currentSnapshotId()).size)
   }
 
+  test("compaction merges within partitions and keeps them prunable") {
+    val dir = Files.createTempDirectory("graftpc").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTable("pc", Seq((1L, "eu")).toDF("id", "region").schema)
+    lake.setPartitionedBy("pc", Seq(("region", "identity")))
+    // several small appends per partition → many files
+    (0 until 3).foreach { k =>
+      lake.append("pc", Seq((k * 10L, "eu"), (k * 10L + 1, "us"))
+        .toDF("id", "region"))
+    }
+    val before = lake.listFiles("pc").count()
+    assert(before >= 6)
+    val merged = lake.mergeAdjacentFiles("pc")
+    assert(merged >= 2) // one merge group per partition, never across
+    assert(lake.table("pc").count() == 6)
+    // merged files keep partition values → pruning still skips files
+    val scanned = lake.listFiles("pc").count()
+    assert(scanned < before)
+    assert(lake.table("pc", Some(col("region") === "eu")).count() == 3)
+    // rowids survive partition-aware compaction
+    assert(lake.tableWithRowId("pc").select("rowid").distinct().count() == 6)
+  }
+
   test("partitioned table supports delete + time travel") {
     val lake = freshLake()
     val df = (0 until 100).map(i => (i, i % 3)).toDF("id", "p")
