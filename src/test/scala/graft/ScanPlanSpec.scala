@@ -27,6 +27,30 @@ class ScanPlanSpec extends AnyFunSuite {
       s"filter not pushed:\n$fplan")
   }
 
+  test("epoch-mapped scan (post-rename) still pushes filters to parquet") {
+    val dir = Files.createTempDirectory("graftsp3").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t",
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v"))
+    lake.renameColumn("t", "v", "doubled")
+    val df = lake.table("t", Some(col("doubled") > 100L))
+    // filter lands on the renamed projection but must reach the scan
+    // under the file's ORIGINAL column name
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"mapping must stay join-free:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,100)]"),
+      s"filter not pushed through the epoch projection:\n$plan")
+    assert(df.count() == 50)
+    // mixed epochs: post-rename appends produce a second scan branch,
+    // each with its own pushdown
+    lake.append("t", Seq((200L, 500L)).toDF("id", "doubled"))
+    val plan2 = lake.table("t", Some(col("doubled") > 100L))
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("GreaterThan(v,100)") &&
+      plan2.contains("GreaterThan(doubled,100)"),
+      s"per-epoch pushdown missing:\n$plan2")
+  }
+
   test("deletes switch the scan to the anti-join path; results correct") {
     val dir = Files.createTempDirectory("graftsp2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
