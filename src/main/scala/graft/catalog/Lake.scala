@@ -1311,24 +1311,36 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     s"$table/$finalName"
   }
 
-  /** Per-file stats over table columns; `srcNames` (columnId → parquet
-    * column name) redirects to foreign names for name-mapped files —
-    * columns absent from the file record all-NULL stats. */
+  /** Per-file stats over table columns in ONE aggregation job; `srcNames`
+    * (columnId → parquet column name) redirects to foreign names for
+    * name-mapped files — columns absent from the file record all-NULL
+    * stats. */
   private def statsFor(relPath: String, cols: Seq[ColumnInfo],
       srcNames: Map[Long, String] = Map.empty): PendingDataFile = {
     val df = pqRead.parquet(abs(relPath))
-    val rows = df.count()
+    def srcOf(c: ColumnInfo): Option[String] =
+      if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val dt = DuckLakeTypes.fromTypeString(c.typeString)
+      srcOf(c) match {
+        case Some(src) if StatsCodec.statsSupported(dt) =>
+          Seq(min(col(src).cast(dt)).as(s"min_${c.columnId}"),
+            max(col(src).cast(dt)).as(s"max_${c.columnId}"),
+            count(col(src)).as(s"cnt_${c.columnId}"))
+        case _ => Nil
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = r.getAs[Long]("__rows")
     val stats = cols.map { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
-      val srcOpt =
-        if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
-      srcOpt match {
+      srcOf(c) match {
         case None => FileColumnStats(c.columnId, None, None, rows)
-        case Some(src) if StatsCodec.statsSupported(dt) =>
-          val r = df.agg(min(col(src).cast(dt)), max(col(src).cast(dt)),
-            count(col(src))).collect()(0)
-          FileColumnStats(c.columnId, StatsCodec.encode(r.get(0), dt),
-            StatsCodec.encode(r.get(1), dt), rows - r.getLong(2),
+        case Some(_) if StatsCodec.statsSupported(dt) =>
+          FileColumnStats(c.columnId,
+            StatsCodec.encode(r.getAs[Any](s"min_${c.columnId}"), dt),
+            StatsCodec.encode(r.getAs[Any](s"max_${c.columnId}"), dt),
+            rows - r.getAs[Long](s"cnt_${c.columnId}"),
             numeric = StatsCodec.isNumeric(dt))
         case _ => FileColumnStats(c.columnId, None, None, 0L)
       }
