@@ -361,10 +361,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     // data inlining: inserts at or under the row limit live as rows in the
     // catalog DB (reference ducklake_inline_data.cpp:15-120; limit option
-    // ducklake_extension.cpp:36-38, default off here)
+    // ducklake_extension.cpp:36-38, default off here; inside a
+    // multi-statement transaction inserts always write files so the whole
+    // txn commits atomically)
     val inlineLimit = optionFor(name, "data_inlining_row_limit")
       .map(_.toInt).getOrElse(0)
-    if (inlineLimit > 0) {
+    if (inlineLimit > 0 && txn.isEmpty) {
       val sample = aligned0.toJSON.take(inlineLimit + 1)
       if (sample.length <= inlineLimit)
         return meta.appendInlined(t.tableId, sample.toSeq)
@@ -384,18 +386,81 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId))
-    val committed = meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
-
-    // auto_compact: opportunistic merge when small files accumulate
-    // (reference auto_compact option, ducklake_set_option.cpp)
-    if (optionFor(name, "auto_compact").contains("true")) {
-      val target = optionFor(name, "target_file_size").map(_.toLong)
-        .getOrElse(512L * 1024 * 1024)
-      val live = meta.filesForScan(t.tableId, committed.snapshotId)
-      if (live.count(_.file.fileSizeBytes < target / 2) > 8)
-        mergeAdjacentFiles(name, target)
+    txn match {
+      case Some(st) => // buffer; one snapshot at transaction commit
+        st.appends += ((t.tableId, name, spec.map(_.partitionId), files))
+        snap
+      case None =>
+        val committed =
+          meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+        // auto_compact: opportunistic merge when small files accumulate
+        // (reference auto_compact option, ducklake_set_option.cpp)
+        if (optionFor(name, "auto_compact").contains("true")) {
+          val target = optionFor(name, "target_file_size").map(_.toLong)
+            .getOrElse(512L * 1024 * 1024)
+          val live = meta.filesForScan(t.tableId, committed.snapshotId)
+          if (live.count(_.file.fileSizeBytes < target / 2) > 8)
+            mergeAdjacentFiles(name, target)
+        }
+        committed
     }
-    committed
+  }
+
+  // ---------------------------------------------- multi-statement txns
+
+  /** Buffered state of an open transaction: data/delete files are staged
+    * on disk as statements run, metadata lands as ONE snapshot at commit
+    * (reference FlushChanges, ducklake_transaction.cpp:1371-1545).
+    * Statements inside the transaction read their own writes (reference
+    * transaction-local file list, ducklake_multi_file_list.cpp:282-291). */
+  private final class TxnState(val base: Snapshot) {
+    // append batches in statement order
+    val appends = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long], Seq[PendingDataFile])]
+    // tableId → (dataFileId → (delete path, count, size, format), removed)
+    val deletes = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (scala.collection.mutable.LinkedHashMap[
+        Long, (String, Long, Long, String)], Long)]
+    def pendingFiles(tableId: Long): Seq[PendingDataFile] =
+      appends.filter(_._1 == tableId).flatMap(_._4).toSeq
+    def pendingPaths(tableId: Long): Set[String] =
+      pendingFiles(tableId).map(_.path).toSet
+  }
+
+  @volatile private var txn: Option[TxnState] = None
+
+  /** Run `body` as one transaction: every append/delete/update/merge
+    * inside buffers its files and commits as a single snapshot at the end;
+    * an exception rolls everything back (staged files removed, catalog
+    * untouched). Reads inside the transaction see its own writes. DDL and
+    * maintenance ops still commit immediately (statement-level, as in the
+    * reference's auto-commit), and deleting rows inserted by the same
+    * transaction is not supported. One open transaction per Lake handle. */
+  def transaction[T](body: => T): T = {
+    require(txn.isEmpty, "nested transactions are not supported")
+    val st = new TxnState(meta.currentSnapshot())
+    txn = Some(st)
+    try {
+      val out = body
+      txn = None // commit path: metadata transaction below
+      val appends = st.appends.toSeq.map { case (tid, _, pid, files) =>
+        (tid, pid, files)
+      }
+      val dels = st.deletes.toSeq.map { case (tid, (m, removed)) =>
+        (tid, m.toSeq.map { case (fid, (p, n, s, _)) => (fid, p, n, s) },
+          removed)
+      }
+      if (appends.nonEmpty || dels.nonEmpty)
+        meta.commitTransaction(st.base.snapshotId, appends, dels)
+      out
+    } catch {
+      case e: Throwable =>
+        // rollback: remove every staged file; catalog was never touched
+        (st.appends.flatMap(_._4.map(_.path)) ++
+          st.deletes.values.flatMap(_._1.values.map(_._1)))
+          .foreach(p => Files.deleteIfExists(fs.resolve(p)))
+        throw e
+    } finally txn = None
   }
 
   /** target_file_size → maxRecordsPerFile, from observed bytes/row of the
@@ -651,8 +716,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       ps <- meta.currentPartitionSpec(t.tableId, snap.snapshotId).toSeq
       eq <- extractPartitionEq(ColumnBridge.expr(f), cols, ps)
     } yield eq
-    val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId,
+    val scanFiles0 = meta.filesForScan(t.tableId, snap.snapshotId,
       statsFilters, partEq)
+    // transaction-local deletes overlay the committed file list
+    val scanFiles = txn match {
+      case Some(st) if snap.snapshotId >= st.base.snapshotId =>
+        st.deletes.get(t.tableId) match {
+          case Some((m, _)) if m.nonEmpty =>
+            scanFiles0.map { sf =>
+              m.get(sf.file.dataFileId).map { case (p, n, _, fmt) =>
+                sf.copy(deleteFiles = sf.deleteFiles :+ DeleteFileEntry(
+                  -1L, t.tableId, snap.snapshotId, None,
+                  sf.file.dataFileId, p, n, fmt))
+              }.getOrElse(sf)
+            }
+          case _ => scanFiles0
+        }
+      case _ => scanFiles0
+    }
     val df = buildScan(t, allCols, scanFiles, snap, withMeta)
     // inlined-data pseudo-files: rows living in the catalog DB join the
     // scan (reference ducklake_multi_file_list.cpp:360-374)
@@ -667,7 +748,38 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else extra.select(schema.fieldNames.map(col).toSeq: _*)
       df.unionByName(shaped)
     }
-    filter.map(full.filter).getOrElse(full)
+    // transaction-local files: statements inside an open transaction read
+    // their own uncommitted writes (reference transaction-local list,
+    // ducklake_multi_file_list.cpp:282-291); rowids are provisional
+    // (negative) until commit assigns the real sequence
+    val withTxn = txn match {
+      case Some(st) if snap.snapshotId >= st.base.snapshotId &&
+        st.pendingFiles(t.tableId).nonEmpty =>
+        import spark.implicits._
+        val bufFiles = st.pendingFiles(t.tableId)
+        val p0 = pqRead.schema(schema)
+          .parquet(bufFiles.map(f => abs(f.path)): _*)
+        val shaped =
+          if (!withMeta) p0.select(schema.fieldNames.map(col).toSeq: _*)
+          else {
+            val info = bufFiles.map(f => (absUri(f.path), f.path))
+              .toDF("__abs", "__rel")
+            p0.withColumn("__abs", col("_metadata.file_path"))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(broadcast(info), Seq("__abs"))
+              .withColumn("rowid",
+                -org.apache.spark.sql.functions
+                  .abs(xxhash64(col("__rel"), col("__pos"))) - 2L)
+              .withColumn("snapshot_id", lit(-1L))
+              .select((schema.fieldNames.map(col).toSeq :+
+                col("rowid") :+ col("snapshot_id") :+
+                col("__rel").as("filename") :+
+                col("__pos").as("file_row_number")): _*)
+          }
+        full.unionByName(shaped)
+      case _ => full
+    }
+    filter.map(withTxn.filter).getOrElse(withTxn)
   }
 
   /** Assemble the multi-file scan: parquet reader over the pruned file
@@ -1002,13 +1114,26 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // inlined rows delete by ending their validity in the catalog DB
     val inlinedIds = newDeletes0.filter(col("file_path") === InlinedFile)
       .select("pos").collect().map(_.getLong(0)).toSeq
+    txn.foreach { st =>
+      if (inlinedIds.nonEmpty) throw new UnsupportedOperationException(
+        "deleting inlined rows inside a transaction is not supported")
+    }
     if (inlinedIds.nonEmpty) meta.endInlinedRows(t.tableId, inlinedIds)
     val newDeletes = newDeletes0.filter(col("file_path") =!= InlinedFile)
     val perFile = newDeletes.groupBy("file_path").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    txn.foreach { st =>
+      if (perFile.keys.exists(st.pendingPaths(t.tableId).contains))
+        throw new UnsupportedOperationException(
+          "DELETE/UPDATE of rows inserted in the same transaction " +
+            "is not supported")
+    }
     if (perFile.isEmpty && newFiles.isEmpty) return inlinedIds.size.toLong
     if (perFile.isEmpty) {
-      meta.appendFiles(t.tableId, newFiles)
+      txn match {
+        case Some(st) => st.appends += ((t.tableId, name, None, newFiles))
+        case None => meta.appendFiles(t.tableId, newFiles)
+      }
       return inlinedIds.size.toLong
     }
 
@@ -1016,11 +1141,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val byRel = files.map(f => f.file.path -> f.file).toMap
     val affectedIds = perFile.keys.map(byRel(_).dataFileId).toSet
 
-    // union with previous live deletes for the affected files
-    val prev = meta.liveDeleteFiles(t.tableId, snap.snapshotId, affectedIds)
+    // union with previous live deletes for the affected files — including
+    // delete files buffered earlier in the same transaction
+    val prevCommitted =
+      meta.liveDeleteFiles(t.tableId, snap.snapshotId, affectedIds)
+    val bufPrev = txn.flatMap(_.deletes.get(t.tableId)).map(_._1)
+      .getOrElse(scala.collection.mutable.LinkedHashMap
+        .empty[Long, (String, Long, Long, String)])
+    val prevEntries = prevCommitted.values.toSeq ++
+      bufPrev.collect { case (fid, (p, n, _, fmt))
+        if affectedIds.contains(fid) =>
+        DeleteFileEntry(-1L, t.tableId, snap.snapshotId, None, fid, p, n, fmt)
+      }
     val relById = files.map(f => f.file.dataFileId -> f.file.path).toMap
-    val prevRows = deleteRowsDf(prev.values.toSeq, relById)
-      .map(_.filter(col("file_path").isin(perFile.keys.toSeq: _*)))
+    val prevRows = deleteRowsDf(prevEntries, relById)
+      .map(_.filter(col("file_path").isin(perFile.keys.toSeq: _*))
+        .distinct())
     val all = prevRows.map(newDeletes.unionByName(_).distinct())
       .getOrElse(newDeletes)
     val newlyDeleted = perFile.values.sum
@@ -1062,9 +1198,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           (byRel(rel).dataFileId, s"$name/$delName", n, size)
         }
       }
-    meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
-      format = if (useDv) "roaring" else "parquet",
-      newFiles = newFiles, removedRows = newlyDeleted)
+    txn match {
+      case Some(st) => // buffer: supersedes earlier txn deletes per file
+        val (m, removed) = st.deletes.getOrElse(t.tableId,
+          (scala.collection.mutable.LinkedHashMap
+            .empty[Long, (String, Long, Long, String)], 0L))
+        deletes.foreach { case (fid, p, n, sz) =>
+          m(fid) = (p, n, sz, if (useDv) "roaring" else "parquet")
+        }
+        st.deletes(t.tableId) = (m, removed + newlyDeleted)
+        if (newFiles.nonEmpty)
+          st.appends += ((t.tableId, name, None, newFiles))
+      case None =>
+        meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
+          format = if (useDv) "roaring" else "parquet",
+          newFiles = newFiles, removedRows = newlyDeleted)
+    }
     newlyDeleted + inlinedIds.size
   }
 

@@ -751,6 +751,74 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     }
   }
 
+  /** Multi-statement transaction commit: all buffered appends and deletes
+    * land as ONE snapshot (reference FlushChanges/RunCommitLoop,
+    * ducklake_transaction.cpp:1371-1545), with the same semantic conflict
+    * checks the individual commits use. */
+  def commitTransaction(baseSnapshot: Long,
+      appends: Seq[(Long, Option[Long], Seq[PendingDataFile])],
+      deletes: Seq[(Long, Seq[(Long, String, Long, Long)], Long)])
+      : Snapshot = {
+    val touched = deletes.flatMap(_._2.map(_._1)).toSet
+    val tables = (appends.map(_._1) ++ deletes.map(_._1)).distinct
+    commitSnapshot(
+      SnapshotChanges(
+        insertedIntoTables = appends.map(_._1),
+        deletedFromTables = deletes.map(_._1)),
+      conflictCheck = (c, _) => {
+        tables.foreach { tid =>
+          val live = query(c,
+            "SELECT COUNT(*) FROM ducklake_table WHERE table_id = ? AND end_snapshot IS NULL",
+            Long.box(tid))(_.getLong(1)).head
+          if (live == 0) throw new CommitConflictException(
+            s"table $tid was dropped concurrently")
+        }
+        if (touched.nonEmpty) {
+          deletes.foreach { case (tid, _, _) =>
+            val conflicting = query(c,
+              """SELECT DISTINCT data_file_id FROM ducklake_delete_file
+                |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
+              Long.box(tid), Long.box(baseSnapshot))(_.getLong(1))
+              .toSet.intersect(touched)
+            if (conflicting.nonEmpty) throw new CommitConflictException(
+              s"concurrent delete on data files $conflicting")
+            val gone = query(c,
+              """SELECT data_file_id FROM ducklake_data_file
+                |WHERE table_id = ? AND end_snapshot IS NOT NULL
+                |  AND end_snapshot > ?""".stripMargin,
+              Long.box(tid), Long.box(baseSnapshot))(_.getLong(1))
+              .toSet.intersect(touched)
+            if (gone.nonEmpty) throw new CommitConflictException(
+              s"data files $gone were rewritten concurrently")
+          }
+        }
+      }) { (c, snap, ids) =>
+      appends.foreach { case (tid, partitionId, files) =>
+        insertFiles(c, snap, ids, tid, files, partitionId)
+      }
+      deletes.foreach { case (tid, entries, removedRows) =>
+        entries.foreach { case (dataFileId, path, deleteCount, fileSize) =>
+          exec(c,
+            """UPDATE ducklake_delete_file SET end_snapshot = ?
+              |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
+            Long.box(snap.snapshotId), Long.box(dataFileId))
+          exec(c,
+            """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
+              |begin_snapshot, end_snapshot, data_file_id, path,
+              |path_is_relative, file_format, delete_count, file_size_bytes)
+              |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?)""".stripMargin,
+            Long.box(ids.newFileId()), Long.box(tid),
+            Long.box(snap.snapshotId), Long.box(dataFileId), path,
+            Long.box(deleteCount), Long.box(fileSize))
+        }
+        if (removedRows != 0L)
+          exec(c,
+            "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+            Long.box(removedRows), Long.box(tid))
+      }
+    }
+  }
+
   // ------------------------------------------------------------------ scans
 
   /** Data files of a table visible at a snapshot, minus files provably

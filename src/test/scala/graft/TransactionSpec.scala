@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-statement transactions (reference BEGIN…COMMIT over the lake,
+  * ducklake_transaction.cpp FlushChanges): buffered statements commit as
+  * one snapshot, read their own writes, and roll back atomically. */
+class TransactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("grafttx").toString
+    Lake.attach(spark, s"$dir/cat", s"$dir/data")
+  }
+
+  test("multiple statements commit as one snapshot") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v"))
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.append("t", Seq((4L, "d")).toDF("id", "v"))
+      lake.delete("t", col("id") === 1L)
+      lake.append("t", Seq((5L, "e")).toDF("id", "v"))
+    }
+    assert(lake.currentSnapshotId() == before + 1) // ONE snapshot
+    assert(lake.table("t").orderBy("id").select("id").as[Long]
+      .collect().toSeq == Seq(2L, 3L, 4L, 5L))
+    // time travel to before the txn sees none of it
+    assert(lake.tableAtVersion("t", before).count() == 3)
+    // rowids finalized for the txn's rows
+    assert(lake.tableWithRowId("t").select("rowid").distinct().count() == 4)
+    assert(lake.tableWithRowId("t").agg(min(col("rowid"))).head()
+      .getLong(0) >= 0L)
+  }
+
+  test("statements read their own writes; outside readers see nothing") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, 10.0)).toDF("id", "x"))
+    lake.transaction {
+      lake.append("t", Seq((2L, 20.0)).toDF("id", "x"))
+      // read-your-writes inside the txn
+      assert(lake.table("t").count() == 2)
+      assert(lake.sql("SELECT SUM(x) AS s FROM t").head().getDouble(0)
+        == 30.0)
+      lake.delete("t", col("id") === 1L)
+      assert(lake.table("t").count() == 1)
+      // second delete on the same committed file unions with the first
+      lake.append("t", Seq((3L, 30.0)).toDF("id", "x"))
+      assert(lake.table("t").orderBy("id").select("id").as[Long]
+        .collect().toSeq == Seq(2L, 3L))
+    }
+    assert(lake.table("t").orderBy("id").select("id").as[Long]
+      .collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("exception rolls back everything") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
+    val before = lake.currentSnapshotId()
+    intercept[RuntimeException] {
+      lake.transaction {
+        lake.append("t", Seq((2L, "b")).toDF("id", "v"))
+        lake.delete("t", col("id") === 1L)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(lake.currentSnapshotId() == before)
+    assert(lake.table("t").count() == 1)
+    assert(lake.table("t").head().getLong(0) == 1L)
+    // a new transaction works after rollback
+    lake.transaction { lake.append("t", Seq((9L, "z")).toDF("id", "v")) }
+    assert(lake.table("t").count() == 2)
+  }
+
+  test("consecutive deletes in one txn union; guards fire") {
+    val lake = freshLake()
+    lake.createTableAs("t", (1L to 100L).toDF("id"))
+    lake.transaction {
+      lake.delete("t", col("id") <= 10L)
+      lake.delete("t", col("id") > 90L)
+      assert(lake.table("t").count() == 80)
+      // deleting rows appended in the same txn is rejected
+      lake.append("t", Seq(500L).toDF("id"))
+      intercept[UnsupportedOperationException] {
+        lake.delete("t", col("id") === 500L)
+      }
+    }
+    // the failed statement didn't poison the txn's committed state
+    assert(lake.table("t").count() == 81)
+    assert(lake.table("t", Some(col("id") === 500L)).count() == 1)
+  }
+}
