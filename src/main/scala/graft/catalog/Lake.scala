@@ -429,6 +429,38 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   @volatile private var txn: Option[TxnState] = None
 
+  /** BEGIN: start buffering DML statements into one transaction. */
+  def begin(): Unit = {
+    require(txn.isEmpty, "a transaction is already open")
+    txn = Some(new TxnState(meta.currentSnapshot()))
+  }
+
+  /** COMMIT: land every buffered statement as ONE snapshot (shared
+    * conflict checks; no-op commit when nothing was buffered). */
+  def commit(): Unit = {
+    val st = txn.getOrElse(
+      throw new IllegalStateException("no open transaction"))
+    txn = None
+    val appends = st.appends.toSeq.map { case (tid, _, pid, files) =>
+      (tid, pid, files)
+    }
+    val dels = st.deletes.toSeq.map { case (tid, (m, removed)) =>
+      (tid, m.toSeq.map { case (fid, (p, n, s, _)) => (fid, p, n, s) },
+        removed)
+    }
+    if (appends.nonEmpty || dels.nonEmpty)
+      meta.commitTransaction(st.base.snapshotId, appends, dels)
+  }
+
+  /** ROLLBACK: discard the open transaction — staged files removed from
+    * disk, catalog untouched. */
+  def rollback(): Unit = txn.foreach { st =>
+    txn = None
+    (st.appends.flatMap(_._4.map(_.path)) ++
+      st.deletes.values.flatMap(_._1.values.map(_._1)))
+      .foreach(p => Files.deleteIfExists(fs.resolve(p)))
+  }
+
   /** Run `body` as one transaction: every append/delete/update/merge
     * inside buffers its files and commits as a single snapshot at the end;
     * an exception rolls everything back (staged files removed, catalog
@@ -437,29 +469,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * reference's auto-commit), and deleting rows inserted by the same
     * transaction is not supported. One open transaction per Lake handle. */
   def transaction[T](body: => T): T = {
-    require(txn.isEmpty, "nested transactions are not supported")
-    val st = new TxnState(meta.currentSnapshot())
-    txn = Some(st)
+    begin()
     try {
       val out = body
-      txn = None // commit path: metadata transaction below
-      val appends = st.appends.toSeq.map { case (tid, _, pid, files) =>
-        (tid, pid, files)
-      }
-      val dels = st.deletes.toSeq.map { case (tid, (m, removed)) =>
-        (tid, m.toSeq.map { case (fid, (p, n, s, _)) => (fid, p, n, s) },
-          removed)
-      }
-      if (appends.nonEmpty || dels.nonEmpty)
-        meta.commitTransaction(st.base.snapshotId, appends, dels)
+      commit()
       out
     } catch {
-      case e: Throwable =>
-        // rollback: remove every staged file; catalog was never touched
-        (st.appends.flatMap(_._4.map(_.path)) ++
-          st.deletes.values.flatMap(_._1.values.map(_._1)))
-          .foreach(p => Files.deleteIfExists(fs.resolve(p)))
-        throw e
+      case e: Throwable => rollback(); throw e
     } finally txn = None
   }
 

@@ -56,6 +56,10 @@ private[catalog] object LakeSql {
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+SET\s+NOT\s+NULL\s*$""".r
   private val DropNotNull =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+NOT\s+NULL\s*$""".r
+  private val Begin =
+    """(?is)^(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
+  private val Commit = """(?is)^COMMIT\s*$""".r
+  private val Rollback = """(?is)^(?:ROLLBACK|ABORT)\s*$""".r
   private val Merge =
     """(?is)^MERGE\s+INTO\s+([\w$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+)$""".r
 
@@ -116,6 +120,10 @@ private[catalog] object LakeSql {
       }
 
       case DropTable(tbl) => Some { lake.dropTable(tbl); count(0L) }
+
+      case Begin() => Some { lake.begin(); count(0L) }
+      case Commit() => Some { lake.commit(); count(0L) }
+      case Rollback() => Some { lake.rollback(); count(0L) }
 
       case CreateSchema(sc) => Some { lake.createSchema(sc); count(0L) }
       case DropSchema(sc) => Some { lake.dropSchema(sc); count(0L) }

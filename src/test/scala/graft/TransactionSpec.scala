@@ -78,6 +78,25 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 2)
   }
 
+  test("BEGIN/COMMIT/ROLLBACK through SQL") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE t (id BIGINT, v STRING)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    val before = lake.currentSnapshotId()
+    lake.sql("BEGIN TRANSACTION")
+    lake.sql("INSERT INTO t VALUES (2, 'b')")
+    lake.sql("DELETE FROM t WHERE id = 1")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM t").head().getLong(0) == 1)
+    lake.sql("COMMIT")
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("t").head().getLong(0) == 2L)
+
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO t VALUES (3, 'c')")
+    lake.sql("ROLLBACK")
+    assert(lake.table("t").count() == 1)
+  }
+
   test("consecutive deletes in one txn union; guards fire") {
     val lake = freshLake()
     lake.createTableAs("t", (1L to 100L).toDF("id"))
