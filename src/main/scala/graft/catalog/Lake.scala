@@ -421,10 +421,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val deletes = scala.collection.mutable.LinkedHashMap
       .empty[Long, (scala.collection.mutable.LinkedHashMap[
         Long, (String, Long, Long, String)], Long)]
+    // temp dirs holding materialized positions etc.; removed at txn end
+    val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     def pendingFiles(tableId: Long): Seq[PendingDataFile] =
       appends.filter(_._1 == tableId).flatMap(_._4).toSeq
     def pendingPaths(tableId: Long): Set[String] =
       pendingFiles(tableId).map(_.path).toSet
+    def cleanupScratch(): Unit = scratchDirs.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+    }
   }
 
   @volatile private var txn: Option[TxnState] = None
@@ -450,6 +458,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     if (appends.nonEmpty || dels.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels)
+    st.cleanupScratch()
   }
 
   /** ROLLBACK: discard the open transaction — staged files removed from
@@ -459,6 +468,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     (st.appends.flatMap(_._4.map(_.path)) ++
       st.deletes.values.flatMap(_._1.values.map(_._1)))
       .foreach(p => Files.deleteIfExists(fs.resolve(p)))
+    st.cleanupScratch()
   }
 
   /** Run `body` as one transaction: every append/delete/update/merge
@@ -1135,22 +1145,38 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         "deleting inlined rows inside a transaction is not supported")
     }
     if (inlinedIds.nonEmpty) meta.endInlinedRows(t.tableId, inlinedIds)
-    val newDeletes = newDeletes0.filter(col("file_path") =!= InlinedFile)
+    val newDeletes1 = newDeletes0.filter(col("file_path") =!= InlinedFile)
+    // deletes hitting rows inserted by the SAME transaction rewrite the
+    // staged (uncommitted) files in place — no delete file needed, the
+    // rows simply never commit (reference transaction-local delete).
+    // The matched positions are materialized FIRST: the lazy plan reads
+    // the staged files, which the rewrite below replaces on disk.
+    val (newDeletes, pendingDeleted) = txn match {
+      case Some(st) if st.pendingPaths(t.tableId).nonEmpty =>
+        val pending = st.pendingPaths(t.tableId)
+        val tmp = fs.resolve(name).resolve(s"txnpos-${UUID.randomUUID()}")
+        newDeletes1.write.parquet(tmp.toString)
+        st.scratchDirs += tmp.toString
+        val mat = spark.read.parquet(tmp.toString)
+        val hits = mat.filter(col("file_path").isin(pending.toSeq: _*))
+          .groupBy("file_path").agg(collect_list(col("pos")).as("ps"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+          .toMap
+        val removed =
+          if (hits.nonEmpty) rewritePendingFiles(st, t, name, hits) else 0L
+        (mat.filter(!col("file_path").isin(pending.toSeq: _*)), removed)
+      case _ => (newDeletes1, 0L)
+    }
     val perFile = newDeletes.groupBy("file_path").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    txn.foreach { st =>
-      if (perFile.keys.exists(st.pendingPaths(t.tableId).contains))
-        throw new UnsupportedOperationException(
-          "DELETE/UPDATE of rows inserted in the same transaction " +
-            "is not supported")
-    }
-    if (perFile.isEmpty && newFiles.isEmpty) return inlinedIds.size.toLong
+    if (perFile.isEmpty && newFiles.isEmpty)
+      return inlinedIds.size.toLong + pendingDeleted
     if (perFile.isEmpty) {
       txn match {
         case Some(st) => st.appends += ((t.tableId, name, None, newFiles))
         case None => meta.appendFiles(t.tableId, newFiles)
       }
-      return inlinedIds.size.toLong
+      return inlinedIds.size.toLong + pendingDeleted
     }
 
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
@@ -1230,7 +1256,45 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           format = if (useDv) "roaring" else "parquet",
           newFiles = newFiles, removedRows = newlyDeleted)
     }
-    newlyDeleted + inlinedIds.size
+    newlyDeleted + inlinedIds.size + pendingDeleted
+  }
+
+  /** DELETE hitting rows staged by the open transaction: rewrite those
+    * staged files without the matched positions (all-rows-hit files are
+    * simply dropped from the buffer). Returns rows removed. */
+  private def rewritePendingFiles(st: TxnState, t: TableInfo, name: String,
+      hits: Map[String, Set[Long]]): Long = {
+    var removed = 0L
+    val cols = meta.columnsOf(t.tableId, st.base.snapshotId)
+      .filter(_.parentColumn.isEmpty)
+    st.appends.zipWithIndex.foreach {
+      case ((tid, tname, pid, files), bi) =>
+        if (tid == t.tableId && files.exists(f => hits.contains(f.path))) {
+          val kept = files.flatMap { f =>
+            hits.get(f.path) match {
+              case None => Some(f)
+              case Some(positions) =>
+                removed += positions.size
+                val replacement =
+                  if (positions.size >= f.recordCount) None
+                  else {
+                    val rows = pqRead.parquet(abs(f.path))
+                      .withColumn("__pos", col("_metadata.row_index"))
+                      .filter(!col("__pos").isin(positions.toSeq: _*))
+                      .select(cols.map(c => col(c.name)): _*)
+                    val rel = writeAndCollectPlain(name, rows.coalesce(1))
+                    Some(statsFor(rel, cols).copy(
+                      partitionValues = f.partitionValues,
+                      mappingId = f.mappingId))
+                  }
+                Files.deleteIfExists(fs.resolve(f.path))
+                replacement
+            }
+          }
+          st.appends(bi) = (tid, tname, pid, kept)
+        }
+    }
+    removed
   }
 
   /** UPDATE = delete + insert in one snapshot; un-SET columns are

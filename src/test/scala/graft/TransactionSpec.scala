@@ -97,21 +97,39 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 1)
   }
 
-  test("consecutive deletes in one txn union; guards fire") {
+  test("consecutive deletes in one txn union; txn-local rows deletable") {
     val lake = freshLake()
     lake.createTableAs("t", (1L to 100L).toDF("id"))
     lake.transaction {
       lake.delete("t", col("id") <= 10L)
       lake.delete("t", col("id") > 90L)
       assert(lake.table("t").count() == 80)
-      // deleting rows appended in the same txn is rejected
-      lake.append("t", Seq(500L).toDF("id"))
-      intercept[UnsupportedOperationException] {
-        lake.delete("t", col("id") === 500L)
-      }
+      // rows appended AND deleted in the same txn never commit: the
+      // staged file rewrites without them
+      lake.append("t", Seq(500L, 501L, 502L).toDF("id"))
+      assert(lake.delete("t", col("id") >= 501L) == 2L)
+      assert(lake.table("t").count() == 81)
+      // a delete spanning committed + txn-local rows works too
+      lake.delete("t", col("id") === 500L || col("id") === 50L)
+      assert(lake.table("t").count() == 79)
     }
-    // the failed statement didn't poison the txn's committed state
-    assert(lake.table("t").count() == 81)
-    assert(lake.table("t", Some(col("id") === 500L)).count() == 1)
+    assert(lake.table("t").count() == 79)
+    assert(lake.table("t", Some(col("id") >= 500L)).count() == 0)
+    assert(lake.table("t", Some(col("id") === 50L)).count() == 0)
+  }
+
+  test("concurrent transactions: delete-vs-delete conflicts at commit") {
+    val dir = Files.createTempDirectory("grafttxc").toString
+    val a = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val b = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    a.createTableAs("t", (1L to 100L).toDF("id").coalesce(1))
+    a.begin()
+    a.delete("t", col("id") <= 10L)
+    b.begin()
+    b.delete("t", col("id") >= 90L) // same (single) data file
+    a.commit()
+    intercept[CommitConflictException](b.commit())
+    // loser rolled nothing in; winner's delete visible
+    assert(a.table("t").count() == 90)
   }
 }
