@@ -262,10 +262,46 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         scan(t.name, snap, None, withMeta = false)
           .createOrReplaceTempView(t.name)
       }
-      spark.sql(expandMacros(rewriteAtClauses(q), snap.snapshotId))
+      spark.sql(expandMacros(rewriteTableFns(rewriteAtClauses(q)),
+        snap.snapshotId))
     }
     LakeSql.dispatch(this, spark, stmt, runQuery).getOrElse(runQuery(stmt))
   }
+
+  private val TableFn =
+    """(?is)\b((?:FROM|JOIN)\s+)(snapshots|table_info|settings|options|list_files|table_changes|table_insertions|table_deletions)\s*\(([^)]*)\)""".r
+
+  /** The reference's metadata table functions in FROM position
+    * (ducklake_snapshots/table_info/list_files/table_changes …,
+    * base_metadata_function.cpp + default_functions.cpp) — each call
+    * becomes a registered temp view. */
+  private def rewriteTableFns(q: String): String =
+    TableFn.replaceAllIn(q, m => {
+      def arg(i: Int): String = m.group(3).split(",")(i).trim
+        .stripPrefix("'").stripSuffix("'")
+      val df = m.group(2).toLowerCase(java.util.Locale.ROOT) match {
+        case "snapshots" => snapshots()
+        case "table_info" => tableInfo()
+        case "settings" => settings()
+        case "options" =>
+          import spark.implicits._
+          options().toDF("option_key", "option_value")
+        case "list_files" =>
+          listFiles(arg(0),
+            if (m.group(3).split(",").length > 1) Some(arg(1).toLong)
+            else None)
+        case "table_changes" =>
+          tableChanges(arg(0), arg(1).toLong, arg(2).toLong)
+        case "table_insertions" =>
+          tableInsertions(arg(0), arg(1).toLong, arg(2).toLong)
+        case "table_deletions" =>
+          tableDeletions(arg(0), arg(1).toLong, arg(2).toLong)
+      }
+      val vn = s"__fn_${m.group(2).toLowerCase(java.util.Locale.ROOT)}_" +
+        math.abs(m.group(3).hashCode).toString
+      df.createOrReplaceTempView(vn)
+      java.util.regex.Matcher.quoteReplacement(m.group(1) + vn)
+    })
 
   private val AtClause =
     """(?is)\b([\w$.]+)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*('[^']*'|[^\s)]+)\s*\)""".r

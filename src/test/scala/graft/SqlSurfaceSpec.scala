@@ -90,6 +90,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(gone == Seq(2L))
   }
 
+  test("metadata table functions in FROM position") {
+    val dir = Files.createTempDirectory("graftsqlfn").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = lake.currentSnapshotId()
+    lake.sql("DELETE FROM t WHERE id = 1")
+    val s2 = lake.currentSnapshotId()
+
+    assert(lake.sql("SELECT COUNT(*) AS n FROM snapshots()")
+      .head().getLong(0) >= 3)
+    assert(lake.sql(
+      "SELECT record_count FROM table_info() WHERE table_name = 't'")
+      .head().getLong(0) == 1)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM list_files('t')")
+      .head().getLong(0) >= 1)
+    val changes = lake.sql(
+      s"SELECT change_type, COUNT(*) AS n FROM table_changes('t', $s1, $s2) " +
+        "GROUP BY change_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes == Map("delete" -> 1L))
+    assert(lake.sql(
+      "SELECT value FROM settings() WHERE setting = 'encrypted'")
+      .head().getString(0) == "false")
+  }
+
   test("MERGE INTO statement (update + insert)") {
     val dir = Files.createTempDirectory("graftsqlmrg").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
