@@ -56,6 +56,8 @@ private[catalog] object LakeSql {
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+SET\s+NOT\s+NULL\s*$""".r
   private val DropNotNull =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+NOT\s+NULL\s*$""".r
+  private val Call =
+    """(?is)^CALL\s+(?:ducklake[._])?(\w+)\s*\(([^)]*)\)\s*$""".r
   private val Begin =
     """(?is)^(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
   private val Commit = """(?is)^COMMIT\s*$""".r
@@ -120,6 +122,41 @@ private[catalog] object LakeSql {
       }
 
       case DropTable(tbl) => Some { lake.dropTable(tbl); count(0L) }
+
+      // maintenance table functions as CALLs (reference registers them in
+      // ducklake_extension.cpp:53-126; CALL ducklake.merge_adjacent_files
+      // etc.)
+      case Call(fn, rawArgs) => Some {
+        val args = splitTop(rawArgs).filter(_.nonEmpty).map(stripQuotes)
+        fn.toLowerCase(Locale.ROOT) match {
+          case "merge_adjacent_files" =>
+            count(lake.mergeAdjacentFiles(args(0),
+              args.lift(1).map(_.toLong).getOrElse(512L * 1024 * 1024))
+              .toLong)
+          case "rewrite_data_files" =>
+            count(lake.rewriteDataFiles(args(0),
+              args.lift(1).map(_.toDouble).getOrElse(0.95)).toLong)
+          case "expire_snapshots" =>
+            count(lake.expireSnapshots(
+              args.headOption.map(_.toLong)).size.toLong)
+          case "cleanup_old_files" =>
+            count(lake.cleanupOldFiles(
+              args.headOption.map(_.toLong)).size.toLong)
+          case "delete_orphaned_files" =>
+            count(lake.deleteOrphanedFiles(args(0)).size.toLong)
+          case "flush_inlined_data" =>
+            count(lake.flushInlinedData(args(0)))
+          case "checkpoint" => lake.checkpoint(args(0)); count(0L)
+          case "set_option" =>
+            lake.setOption(args(0), args(1), args.lift(2)); count(0L)
+          case "set_commit_message" =>
+            lake.setCommitMessage(args(0), args(1)); count(0L)
+          case "add_data_files" =>
+            lake.addDataFiles(args(0), args.drop(1)); count(0L)
+          case other => throw new IllegalArgumentException(
+            s"unknown function: $other")
+        }
+      }
 
       case Begin() => Some { lake.begin(); count(0L) }
       case Commit() => Some { lake.commit(); count(0L) }

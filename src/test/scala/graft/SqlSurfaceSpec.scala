@@ -115,6 +115,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getString(0) == "false")
   }
 
+  test("maintenance functions via CALL") {
+    val dir = Files.createTempDirectory("graftsqlcall").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
+    lake.sql("INSERT INTO t VALUES (2, 'b')")
+    lake.sql("INSERT INTO t VALUES (3, 'c')")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM list_files('t')")
+      .head().getLong(0) == 3)
+    assert(lake.sql("CALL merge_adjacent_files('t')").head().getLong(0) == 1)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM list_files('t')")
+      .head().getLong(0) == 1)
+    assert(lake.table("t").count() == 3)
+    lake.sql("CALL set_option('target_file_size', '1000000', 't')")
+    assert(lake.options().exists(_._1 == "target_file_size"))
+    lake.sql("CALL checkpoint('t')")
+    assert(lake.table("t").count() == 3)
+  }
+
   test("MERGE INTO statement (update + insert)") {
     val dir = Files.createTempDirectory("graftsqlmrg").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
