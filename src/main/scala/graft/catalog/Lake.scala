@@ -649,14 +649,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       maxRowsPerFile: Option[Long] = None): Seq[PendingDataFile] = {
     val stagingName = s"stage-${UUID.randomUUID()}"
     val stagingDir = fs.resolve(table).resolve(stagingName)
+    // per_thread_output=false → one output file per insert instead of one
+    // per task (reference per_thread_output option)
+    val df0 =
+      if (optionFor(table, "per_thread_output").contains("false"))
+        df.coalesce(1)
+      else df
     val writer0 = partition match {
       case Some(parts) =>
-        val withParts = parts.zipWithIndex.foldLeft(df) {
+        val withParts = parts.zipWithIndex.foldLeft(df0) {
           case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
         }
         withParts.write.options(writeOpts(table))
           .partitionBy(parts.indices.map(i => s"__p$i"): _*)
-      case None => df.write.options(writeOpts(table))
+      case None => df0.write.options(writeOpts(table))
     }
     maxRowsPerFile.fold(writer0)(n =>
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir.toString)
@@ -1688,6 +1694,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId
+
+  /** ducklake_last_committed_snapshot: with the single-transaction commit
+    * pipeline this equals the current snapshot (an open buffered
+    * transaction has not touched the catalog yet). */
+  def lastCommittedSnapshotId(): Long = currentSnapshotId()
 
   /** Cumulative per-column table stats (reference
     * ducklake_table_column_stats via the stats surface). */

@@ -84,6 +84,20 @@ class OptionsSpec extends AnyFunSuite {
     assert(lake.table("p").count() == 2)
   }
 
+  test("per_thread_output=false writes one file per insert") {
+    val dir = Files.createTempDirectory("graftopt5").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8)
+    lake.createTable("one", df.schema)
+    lake.setOption("per_thread_output", "false", table = Some("one"))
+    lake.append("one", df)
+    assert(lake.listFiles("one").count() == 1)
+    lake.createTable("many", df.schema)
+    lake.append("many", df)
+    assert(lake.listFiles("many").count() > 1)
+  }
+
   test("scoped options are isolated per table") {
     val dir = Files.createTempDirectory("graftopt2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
