@@ -489,7 +489,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       (tid, pid, files)
     }
     val dels = st.deletes.toSeq.map { case (tid, (m, removed)) =>
-      (tid, m.toSeq.map { case (fid, (p, n, s, _)) => (fid, p, n, s) },
+      (tid, m.toSeq.map { case (fid, (p, n, s, fmt)) => (fid, p, n, s, fmt) },
         removed)
     }
     if (appends.nonEmpty || dels.nonEmpty)

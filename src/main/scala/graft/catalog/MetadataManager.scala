@@ -757,7 +757,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * checks the individual commits use. */
   def commitTransaction(baseSnapshot: Long,
       appends: Seq[(Long, Option[Long], Seq[PendingDataFile])],
-      deletes: Seq[(Long, Seq[(Long, String, Long, Long)], Long)])
+      deletes: Seq[(Long, Seq[(Long, String, Long, Long, String)], Long)])
       : Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1)).distinct
@@ -797,7 +797,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         insertFiles(c, snap, ids, tid, files, partitionId)
       }
       deletes.foreach { case (tid, entries, removedRows) =>
-        entries.foreach { case (dataFileId, path, deleteCount, fileSize) =>
+        entries.foreach {
+          case (dataFileId, path, deleteCount, fileSize, format) =>
           exec(c,
             """UPDATE ducklake_delete_file SET end_snapshot = ?
               |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
@@ -806,9 +807,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
             """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
               |begin_snapshot, end_snapshot, data_file_id, path,
               |path_is_relative, file_format, delete_count, file_size_bytes)
-              |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?)""".stripMargin,
+              |VALUES (?, ?, ?, NULL, ?, ?, true, ?, ?, ?)""".stripMargin,
             Long.box(ids.newFileId()), Long.box(tid),
-            Long.box(snap.snapshotId), Long.box(dataFileId), path,
+            Long.box(snap.snapshotId), Long.box(dataFileId), path, format,
             Long.box(deleteCount), Long.box(fileSize))
         }
         if (removedRows != 0L)

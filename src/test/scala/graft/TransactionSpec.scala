@@ -118,6 +118,38 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("t", Some(col("id") === 50L)).count() == 0)
   }
 
+  test("UPDATE and MERGE inside a transaction") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "x"))
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.update("t", Map("x" -> (col("x") * 2)), col("id") <= 2L)
+      // read-your-writes of the rewrite
+      assert(lake.sql("SELECT SUM(x) AS s FROM t").head().getDouble(0)
+        == 90.0)
+      lake.merge("t", Seq((3L, 99.0), (4L, 40.0)).toDF("id", "x"), "id",
+        whenMatchedUpdate = Some(Map("x" -> col("s.x"))))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("t").orderBy("id").select("x").as[Double]
+      .collect().toSeq == Seq(20.0, 40.0, 99.0, 40.0))
+  }
+
+  test("transaction with deletion vectors") {
+    val lake = freshLake()
+    lake.setOption("write_deletion_vectors", "true")
+    lake.createTableAs("t", (1L to 50L).toDF("id").coalesce(1))
+    lake.transaction {
+      lake.delete("t", col("id") <= 10L)
+      lake.delete("t", col("id") > 45L) // unions into one DV per file
+      assert(lake.table("t").count() == 35)
+    }
+    assert(lake.table("t").count() == 35)
+    assert(lake.tableWithRowId("t").select("rowid").distinct().count()
+      == 35)
+  }
+
   test("concurrent transactions: delete-vs-delete conflicts at commit") {
     val dir = Files.createTempDirectory("grafttxc").toString
     val a = Lake.attach(spark, s"$dir/cat", s"$dir/data")
