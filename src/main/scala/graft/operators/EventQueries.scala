@@ -35,9 +35,11 @@ object EventQueries extends QueryPack {
       .filter(col("event_type") === "purchase" &&
         col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
-      .groupBy(date_format(date_trunc("minute", col("ts")),
-        "yyyy-MM-dd HH:mm").as("minute"))
+      // agg on the truncated timestamp; format only the output groups
+      .groupBy(date_trunc("minute", col("ts")).as("minute_ts"))
       .agg(count(lit(1)).as("n"))
+      .select(date_format(col("minute_ts"), "yyyy-MM-dd HH:mm").as("minute"),
+        col("n"))
       .orderBy(col("minute"))
   }
 

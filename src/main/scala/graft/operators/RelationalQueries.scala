@@ -368,13 +368,16 @@ object RelationalQueries extends QueryPack {
   /** Date/time bucketing over the events table (hourly rollup). */
   private def qDateTrunc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Aggregate on the truncated TIMESTAMP (8-byte long key) and render the
+    // string AFTER the agg — formatting ~3k group keys instead of ~6M rows,
+    // and the shuffle carries longs, not 19-byte strings.
     t.events
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
-          .as("hr"),
-        col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).as("hr_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         lsum(sl2(col("value")), 100.0).as("total_value"))
+      .select(
+        date_format(col("hr_ts"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hr"), col("event_type"))
   }
 
