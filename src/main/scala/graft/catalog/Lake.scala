@@ -117,11 +117,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * NULLs exist (contains_null=false is definitive: deletes cannot add
     * nulls), falling back to a data scan otherwise. */
   def setNotNull(table: String, column: String): Unit = {
+    val snapId = meta.currentSnapshot().snapshotId
     val t = resolve(table)
-    val ci = meta.columnsOf(t.tableId, meta.currentSnapshot().snapshotId)
+    val ci = meta.columnsOf(t.tableId, snapId)
       .find(c => c.parentColumn.isEmpty && c.name == column)
       .getOrElse(throw new IllegalArgumentException(s"no column $column"))
-    val provenClean = meta.tableColumnStats(t.tableId)
+    // contains_null=false is only PROOF when (a) null counts are reliably
+    // tracked for the type and (b) no inlined rows exist (appendInlined
+    // does not merge into the cumulative column stats)
+    val statsTrustworthy = StatsCodec.statsSupported(
+      DuckLakeTypes.fromTypeString(ci.typeString)) &&
+      meta.liveInlinedRows(t.tableId, snapId).isEmpty
+    val provenClean = statsTrustworthy && meta.tableColumnStats(t.tableId)
       .find(_._1 == ci.columnId).exists(s => !s._2)
     if (!provenClean) {
       val nulls =
@@ -277,8 +284,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * becomes a registered temp view. */
   private def rewriteTableFns(q: String): String =
     TableFn.replaceAllIn(q, m => {
-      def arg(i: Int): String = m.group(3).split(",")(i).trim
-        .stripPrefix("'").stripSuffix("'")
+      // depth/quote-aware arg split: quoted names may contain commas/parens
+      val args = LakeSql.splitTop(m.group(3)).filter(_.nonEmpty)
+      def arg(i: Int): String = {
+        val a = args(i)
+        if (a.startsWith("'") && a.endsWith("'") && a.length >= 2)
+          a.substring(1, a.length - 1).replace("''", "'")
+        else a
+      }
       val df = m.group(2).toLowerCase(java.util.Locale.ROOT) match {
         case "snapshots" => snapshots()
         case "table_info" => tableInfo()
@@ -288,7 +301,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           options().toDF("option_key", "option_value")
         case "list_files" =>
           listFiles(arg(0),
-            if (m.group(3).split(",").length > 1) Some(arg(1).toLong)
+            if (args.length > 1) Some(arg(1).toLong)
             else None)
         case "table_changes" =>
           tableChanges(arg(0), arg(1).toLong, arg(2).toLong)
@@ -388,7 +401,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * Stats for every column are collected in a single distributed pass
     * grouped by output file (the reference collects them inside the COPY,
     * ducklake_insert.cpp:119-242). */
-  def append(name: String, df: DataFrame): Snapshot = {
+  def append(name: String, df: DataFrame): Snapshot =
+    append(name, df, Nil, None)
+
+  /** Append variant whose `commitOptions` / `batchGuard` land in the SAME
+    * catalog transaction as the file registration (streaming sink
+    * exactly-once — see [[MetadataManager.appendFiles]]). */
+  def append(name: String, df: DataFrame,
+      commitOptions: Seq[(String, String)],
+      batchGuard: Option[(String, Long)]): Snapshot = {
+    require(commitOptions.isEmpty && batchGuard.isEmpty || txn.isEmpty,
+      "commit options cannot be attached to a buffered transaction append")
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val cols = meta.columnsOf(t.tableId, snap.snapshotId)
@@ -399,10 +422,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // catalog DB (reference ducklake_inline_data.cpp:15-120; limit option
     // ducklake_extension.cpp:36-38, default off here; inside a
     // multi-statement transaction inserts always write files so the whole
-    // txn commits atomically)
+    // txn commits atomically; batch-guarded appends always write files so
+    // the marker commits atomically with the data)
     val inlineLimit = optionFor(name, "data_inlining_row_limit")
       .map(_.toInt).getOrElse(0)
-    if (inlineLimit > 0 && txn.isEmpty) {
+    if (inlineLimit > 0 && txn.isEmpty && commitOptions.isEmpty &&
+      batchGuard.isEmpty) {
       val sample = aligned0.toJSON.take(inlineLimit + 1)
       if (sample.length <= inlineLimit)
         return meta.appendInlined(t.tableId, sample.toSeq)
@@ -428,7 +453,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         snap
       case None =>
         val committed =
-          meta.appendFiles(t.tableId, files, spec.map(_.partitionId))
+          try meta.appendFiles(t.tableId, files, spec.map(_.partitionId),
+            setOptions = commitOptions, batchGuard = batchGuard)
+          catch {
+            case e: DuplicateBatchException =>
+              // replayed batch lost the race — remove its staged files
+              files.foreach(f => Files.deleteIfExists(fs.resolve(f.path)))
+              throw e
+          }
         // auto_compact: opportunistic merge when small files accumulate
         // (reference auto_compact option, ducklake_set_option.cpp)
         if (optionFor(name, "auto_compact").contains("true")) {
@@ -484,7 +516,6 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def commit(): Unit = {
     val st = txn.getOrElse(
       throw new IllegalStateException("no open transaction"))
-    txn = None
     val appends = st.appends.toSeq.map { case (tid, _, pid, files) =>
       (tid, pid, files)
     }
@@ -492,8 +523,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       (tid, m.toSeq.map { case (fid, (p, n, s, fmt)) => (fid, p, n, s, fmt) },
         removed)
     }
+    // txn is cleared only AFTER the catalog commit succeeds: on a
+    // CommitConflictException (or any failure) the staged state stays so
+    // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels)
+    txn = None
     st.cleanupScratch()
   }
 
@@ -1598,7 +1633,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           Seq(min(col(src).cast(dt)).as(s"min_${c.columnId}"),
             max(col(src).cast(dt)).as(s"max_${c.columnId}"),
             count(col(src)).as(s"cnt_${c.columnId}"))
-        case _ => Nil
+        case Some(src) => // no min/max for the type, but nulls still count
+          Seq(count(col(src)).as(s"cnt_${c.columnId}"))
+        case None => Nil
       }
     }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -1613,7 +1650,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             StatsCodec.encode(r.getAs[Any](s"max_${c.columnId}"), dt),
             rows - r.getAs[Long](s"cnt_${c.columnId}"),
             numeric = StatsCodec.isNumeric(dt))
-        case _ => FileColumnStats(c.columnId, None, None, 0L)
+        case _ => FileColumnStats(c.columnId, None, None,
+          rows - r.getAs[Long](s"cnt_${c.columnId}"))
       }
     }
     PendingDataFile(relPath, rows, Files.size(fs.resolve(relPath)), stats)

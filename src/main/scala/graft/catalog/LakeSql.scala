@@ -314,20 +314,36 @@ private[catalog] object LakeSql {
     throw new IllegalArgumentException(s"unbalanced parens: $s")
   }
 
-  /** split on commas at paren depth 0 (function calls in expressions);
-    * angle brackets tracked too when splitting type definitions — never in
-    * expressions, where < and > are comparison operators */
-  private def splitTop(s: String, angle: Boolean = false): Seq[String] = {
+  /** split on commas at paren depth 0 (function calls in expressions),
+    * ignoring commas/parens inside single-quoted strings ('' escapes a
+    * quote); angle brackets tracked too when splitting type definitions —
+    * never in expressions, where < and > are comparison operators */
+  private[catalog] def splitTop(s: String,
+      angle: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inQuote = false
     val sb = new StringBuilder
-    s.foreach {
-      case c @ ('(' | '[') => depth += 1; sb += c
-      case c @ (')' | ']') => depth -= 1; sb += c
-      case c @ '<' if angle => depth += 1; sb += c
-      case c @ '>' if angle => depth -= 1; sb += c
-      case ',' if depth == 0 => out += sb.result().trim; sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        sb += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            sb += '\''; i += 1
+          } else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true; sb += c
+        case '(' | '[' => depth += 1; sb += c
+        case ')' | ']' => depth -= 1; sb += c
+        case '<' if angle => depth += 1; sb += c
+        case '>' if angle => depth -= 1; sb += c
+        case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+        case other => sb += other
+      }
+      i += 1
     }
     if (sb.nonEmpty) out += sb.result().trim
     out.toSeq

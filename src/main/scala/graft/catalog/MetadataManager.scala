@@ -550,8 +550,16 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   /** Register written Parquet files + stats as a new snapshot; assigns
     * row_id_start values from table_stats.next_row_id (reference
     * ducklake_insert.cpp:119-242 sink semantics). */
+  /** `setOptions` land in the SAME catalog transaction as the file
+    * inserts (used by the streaming sink to make its batch marker atomic
+    * with the append); `batchGuard=(key, id)` re-checks inside the commit
+    * that no marker ≥ id was concurrently recorded and raises
+    * [[DuplicateBatchException]] — so a replayed micro-batch can never
+    * append twice even across writer crashes. */
   def appendFiles(tableId: Long, files: Seq[PendingDataFile],
-      partitionId: Option[Long] = None): Snapshot =
+      partitionId: Option[Long] = None,
+      setOptions: Seq[(String, String)] = Nil,
+      batchGuard: Option[(String, Long)] = None): Snapshot =
     commitSnapshot(SnapshotChanges(insertedIntoTables = Seq(tableId)),
       conflictCheck = (c, _) => {
         val cur = currentSnapshot(c)
@@ -560,8 +568,23 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           Long.box(tableId), Long.box(cur.snapshotId))(_.getLong(1)).head
         if (live == 0) throw new CommitConflictException(
           s"table $tableId was dropped concurrently")
+        batchGuard.foreach { case (key, batchId) =>
+          val last = query(c,
+            "SELECT mvalue FROM ducklake_metadata WHERE mkey = ? AND scope IS NULL",
+            key)(_.getString(1)).headOption.flatMap(v =>
+            scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+          if (batchId <= last)
+            throw new DuplicateBatchException(key, batchId)
+        }
       }) { (c, snap, ids) =>
       insertFiles(c, snap, ids, tableId, files, partitionId)
+      setOptions.foreach { case (k, v) =>
+        exec(c,
+          "DELETE FROM ducklake_metadata WHERE mkey = ? AND scope IS NULL", k)
+        exec(c,
+          "INSERT INTO ducklake_metadata (mkey, mvalue, scope, scope_id) VALUES (?, ?, NULL, NULL)",
+          k, v)
+      }
     }
 
   /** Shared file-insertion used by append / update / compaction bodies. */
@@ -772,6 +795,19 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
             Long.box(tid))(_.getLong(1)).head
           if (live == 0) throw new CommitConflictException(
             s"table $tid was dropped concurrently")
+          // concurrent ALTER since BEGIN: files staged under the old schema
+          // would get begin_snapshot = commit snapshot and be misread under
+          // the post-ALTER epoch mapping (reference transaction conflict
+          // rules, ducklake_transaction.cpp CheckForConflicts)
+          val altered = query(c,
+            """SELECT COUNT(*) FROM ducklake_column WHERE table_id = ?
+              |AND (begin_snapshot > ?
+              |     OR (end_snapshot IS NOT NULL AND end_snapshot > ?))""".stripMargin,
+            Long.box(tid), Long.box(baseSnapshot),
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (altered > 0) throw new CommitConflictException(
+            s"table $tid was altered concurrently (schema change since " +
+              s"transaction start at snapshot $baseSnapshot)")
         }
         if (touched.nonEmpty) {
           deletes.foreach { case (tid, _, _) =>

@@ -136,6 +136,12 @@ final case class SnapshotChanges(
   * (reference src/storage/ducklake_transaction_state.cpp:142-243). */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Raised inside the conflict-checked commit when a streaming batch marker
+  * shows the batch already landed — the caller treats it as a replayed
+  * duplicate, not an error. */
+final class DuplicateBatchException(val key: String, val batchId: Long)
+  extends RuntimeException(s"batch $batchId for $key already committed")
+
 /** Pushed-filter primitive for catalog-side file pruning: column `op`
   * value, evaluated against VARCHAR-encoded per-file min/max (reference
   * ducklake_metadata_manager.cpp:1492-1593). */

@@ -22,7 +22,12 @@ object LakeSink {
 
   /** Idempotent per-batch append used by the sink; public so tests (and
     * custom foreachBatch pipelines) can drive it directly. Returns true
-    * when the batch was applied, false when it was a replayed duplicate. */
+    * when the batch was applied, false when it was a replayed duplicate.
+    *
+    * The (queryName, batchId) marker commits in the SAME catalog
+    * transaction as the appended files (and is re-checked inside the
+    * conflict-checked commit), so a crash can never land the data without
+    * the marker — the append is atomic-exactly-once per batch. */
   def appendBatch(lake: Lake, table: String, queryName: String,
       batchId: Long, batch: DataFrame): Boolean = {
     val key = s"stream_last_batch:$queryName:$table"
@@ -30,11 +35,15 @@ object LakeSink {
       case (k, v) if k == key => v.toLong
     }.getOrElse(-1L)
     if (batchId <= last) false
-    else {
-      lake.append(table, batch)
-      lake.setOption(key, batchId.toString)
-      true
-    }
+    else
+      try {
+        lake.append(table, batch,
+          commitOptions = Seq(key -> batchId.toString),
+          batchGuard = Some((key, batchId)))
+        true
+      } catch {
+        case _: graft.catalog.DuplicateBatchException => false
+      }
   }
 
   /** Attach a streaming DataFrame to a lake table. Caller starts the

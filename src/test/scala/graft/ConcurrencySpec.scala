@@ -73,6 +73,29 @@ class ConcurrencySpec extends AnyFunSuite {
         Seq(PendingDataFile("gone/fake.parquet", 1L, 10L, Nil)))
     }
   }
+
+  test("transaction commit conflicts with a concurrent schema change") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
+    lake.begin()
+    lake.append("t", Seq((2L, "b")).toDF("id", "v"))
+    // DDL commits immediately (statement-level) — an ALTER landing between
+    // BEGIN and COMMIT would make the staged file (written under the old
+    // schema) read under the post-ALTER epoch; must conflict instead
+    lake.addColumn("t", StructField("extra", IntegerType))
+    val e = intercept[CommitConflictException](lake.commit())
+    assert(e.getMessage.contains("altered concurrently"))
+    // failed commit kept the txn state: rollback cleans the staged files
+    lake.rollback()
+    assert(lake.table("t").count() == 1)
+    assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty)
+    // and a fresh transaction works after the rollback
+    lake.transaction {
+      lake.append("t", Seq((3L, "c", 7)).toDF("id", "v", "extra"))
+    }
+    assert(lake.table("t").count() == 2)
+  }
 }
 
 /** All-types round-trip (FIXTURES.md §2: DuckDB test_all_types() minus the

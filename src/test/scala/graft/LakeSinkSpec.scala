@@ -47,4 +47,25 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(LakeSink.appendBatch(lake, "t", "q2", 0L, b))
     assert(lake.table("t").count() == 6)
   }
+
+  test("batch marker commits atomically with the append (guard in commit)") {
+    val dir = Files.createTempDirectory("graftsink3").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTable("t", StructType(Seq(StructField("id", LongType))))
+    val b = Seq(1L, 2L).toDF("id")
+    assert(LakeSink.appendBatch(lake, "t", "q", 0L, b))
+    // the marker landed in the SAME snapshot as the data: no extra
+    // snapshot beyond createTable + one append
+    assert(lake.currentSnapshotId() == 2L)
+    // a replay that somehow passed the pre-check (crash race: two drivers
+    // replaying the same batch) is still rejected INSIDE the
+    // conflict-checked commit — and its staged files are removed
+    val key = "stream_last_batch:q:t"
+    intercept[DuplicateBatchException] {
+      lake.append("t", b, commitOptions = Seq(key -> "0"),
+        batchGuard = Some((key, 0L)))
+    }
+    assert(lake.table("t").count() == 2) // no duplicate rows
+    assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty) // no litter
+  }
 }

@@ -241,6 +241,17 @@ class LakeSpec extends AnyFunSuite {
     lake.setNotNull("st", "v")
   }
 
+  test("SET NOT NULL never trusts stats blind to inlined rows") {
+    val lake = freshLake()
+    lake.createTableAs("sn", Seq((1, Some("a"))).toDF("id", "v"))
+    // file stats now say contains_null=false for v — but inlined appends
+    // bypass the cumulative stats merge, so a NULL can hide there
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.append("sn", Seq((2, None: Option[String])).toDF("id", "v"))
+    // stats still claim no nulls; the data scan must catch the inlined one
+    intercept[IllegalArgumentException](lake.setNotNull("sn", "v"))
+  }
+
   test("views resolve against lake tables") {
     val lake = freshLake()
     lake.createTableAs("vt", Seq((1, 10), (2, 20)).toDF("k", "x"))
