@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -22,16 +21,18 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: metadata work happens on the driver (as in the reference,
   * where it is SQL against the catalog DB); all row work is distributed
-  * DataFrame jobs. File moves assume a rename-capable filesystem (local /
-  * HDFS); on object stores the staging step would write final names
-  * directly.
+  * DataFrame jobs. All file I/O goes through [[LakeIO]] (Hadoop
+  * FileSystem API), so data_path may live on local FS, HDFS or an object
+  * store; moves assume a rename-capable filesystem (local / HDFS) — on
+  * object stores the staging step would write final names directly.
   */
 class Lake(val spark: SparkSession, val meta: MetadataManager,
     val dataPath: String) {
 
   import Lake._
 
-  private def fs = Paths.get(dataPath)
+  /** storage layer — serializable, shared with executor-side writers */
+  val io = new LakeIO(dataPath)
 
   /** Parquet modular-encryption options when the lake is encrypted
     * (reference "encrypted" lake option, ducklake_storage.cpp:32): footer +
@@ -67,7 +68,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       ifNotExists: Boolean = false): TableInfo = {
     val cols = schema.fields.map(f =>
       (f.name, DuckLakeTypes.toTypeString(f.dataType), f.nullable)).toSeq
-    Files.createDirectories(fs.resolve(name))
+    io.mkdirs(name)
     val (s, t) = splitName(name)
     meta.createTable(t, cols, schema = s, ifNotExists = ifNotExists)
   }
@@ -458,7 +459,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           catch {
             case e: DuplicateBatchException =>
               // replayed batch lost the race — remove its staged files
-              files.foreach(f => Files.deleteIfExists(fs.resolve(f.path)))
+              files.foreach(f => io.delete(f.path))
               throw e
           }
         // auto_compact: opportunistic merge when small files accumulate
@@ -489,18 +490,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val deletes = scala.collection.mutable.LinkedHashMap
       .empty[Long, (scala.collection.mutable.LinkedHashMap[
         Long, (String, Long, Long, String)], Long)]
-    // temp dirs holding materialized positions etc.; removed at txn end
+    // temp dirs (lake-relative) holding materialized positions etc.;
+    // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     def pendingFiles(tableId: Long): Seq[PendingDataFile] =
       appends.filter(_._1 == tableId).flatMap(_._4).toSeq
     def pendingPaths(tableId: Long): Set[String] =
       pendingFiles(tableId).map(_.path).toSet
-    def cleanupScratch(): Unit = scratchDirs.foreach { d =>
-      val p = Paths.get(d)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => Files.deleteIfExists(x))
-    }
+    def cleanupScratch(): Unit =
+      scratchDirs.foreach(d => io.deleteRecursively(d))
   }
 
   @volatile private var txn: Option[TxnState] = None
@@ -538,7 +536,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     txn = None
     (st.appends.flatMap(_._4.map(_.path)) ++
       st.deletes.values.flatMap(_._1.values.map(_._1)))
-      .foreach(p => Files.deleteIfExists(fs.resolve(p)))
+      .foreach(p => io.delete(p))
     st.cleanupScratch()
   }
 
@@ -628,7 +626,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .select((cols.map(c => col(c.name)) :+
         col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
     val rel = writeAndCollectPlain(name, rows.coalesce(1))
-    val pending = statsFor(rel, cols)
+    val pending = statsFor(rel, cols).copy(hasRowIds = true)
     meta.endInlinedRows(t.tableId, inlined.map(_._1), Seq(pending),
       isFlush = true, explicitRowIdStart = Some(inlined.map(_._1).min))
     inlined.size.toLong
@@ -674,6 +672,25 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     df.select(exprs: _*)
   }
 
+  /** Shredded variant paths of a table (reference
+    * ducklake_variant_stats.cpp shredding): the table option
+    * `variant_shredded_paths` lists `column:$.path:type` entries separated
+    * by `;` — each gets per-file min/max stats at write time and prunes
+    * files on `variant_get(column, path)` filters. */
+  private def variantShreddedSpecs(table: String,
+      cols: Seq[ColumnInfo]): Seq[(ColumnInfo, String, DataType)] =
+    optionFor(table, "variant_shredded_paths").toSeq.flatMap(_.split(';'))
+      .map(_.trim).filter(_.nonEmpty).flatMap { spec =>
+        spec.split(':') match {
+          case Array(cname, path, tpe) =>
+            cols.find(c => c.name == cname && c.typeString == "variant")
+              .map(ci => (ci, path,
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseDataType(tpe)))
+          case _ => None
+        }
+      }
+
   /** Write df under a staging dir, collect per-file stats in ONE agg pass,
     * move files to their final ducklake-<uuid> names (hive-style partition
     * dirs when a spec is set, NULL keys → __HIVE_DEFAULT_PARTITION__ like
@@ -682,8 +699,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       cols: Seq[ColumnInfo],
       partition: Option[Seq[(String, Column)]] = None,
       maxRowsPerFile: Option[Long] = None): Seq[PendingDataFile] = {
-    val stagingName = s"stage-${UUID.randomUUID()}"
-    val stagingDir = fs.resolve(table).resolve(stagingName)
+    val stagingRel = s"$table/stage-${UUID.randomUUID()}"
+    val stagingDir = io.abs(stagingRel)
     // per_thread_output=false → one output file per insert instead of one
     // per task (reference per_thread_output option)
     val df0 =
@@ -700,10 +717,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case None => df0.write.options(writeOpts(table))
     }
     maxRowsPerFile.fold(writer0)(n =>
-      writer0.option("maxRecordsPerFile", n)).parquet(stagingDir.toString)
+      writer0.option("maxRecordsPerFile", n)).parquet(stagingDir)
 
     val written = pqRead
-      .parquet(stagingDir.toString)
+      .parquet(stagingDir)
       .select(cols.map(c => col(c.name)
         .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*)
     val statAggs = cols.flatMap { c =>
@@ -718,13 +735,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           else Nil)
       else Seq(count(col(c.name)).as(s"cnt_${c.name}"))
     }
+    // shredded-variant-path stats ride in the SAME aggregation pass
+    val shredded = variantShreddedSpecs(table, cols)
+    val varAggs = shredded.zipWithIndex.flatMap { case ((ci, path, dt), i) =>
+      val g = variant_get(col(ci.name), path, dt.sql)
+      Seq(min(g).as(s"vmin_$i"), max(g).as(s"vmax_$i"),
+        count(g).as(s"vcnt_$i"))
+    }
     val statRows = written
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), statAggs: _*)
+      .agg(count(lit(1)).as("__rows"), statAggs ++ varAggs: _*)
       .collect()
 
+    // staging-dir path prefix (scheme-free) for relativizing written files
+    val stagingPrefix = new org.apache.hadoop.fs.Path(
+      new java.net.URI(io.absUri(stagingRel))).toUri.getPath
     statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
-      val srcPath = Paths.get(new java.net.URI(row.getAs[String]("__file")))
+      val srcPath = new org.apache.hadoop.fs.Path(
+        new java.net.URI(row.getAs[String]("__file")))
       val rows = row.getAs[Long]("__rows")
       val stats = cols.map { c =>
         val dt = DuckLakeTypes.fromTypeString(c.typeString)
@@ -742,9 +770,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
       // partition dir segments __p{i}=<escaped-value> between staging root
       // and the part file; rebuild them with readable hive labels
-      val relSegs = stagingDir.relativize(srcPath).iterator()
-      val segs = scala.collection.mutable.ArrayBuffer.empty[String]
-      relSegs.forEachRemaining(s => segs += s.toString)
+      val segs = srcPath.toUri.getPath.stripPrefix(stagingPrefix)
+        .stripPrefix("/").split("/").toSeq
       val partVals = segs.dropRight(1).zipWithIndex.map { case (seg, i) =>
         val v = unescapeHive(seg.substring(seg.indexOf('=') + 1))
         (i.toLong, v)
@@ -760,21 +787,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             s"$label=${escapeHive(v)}"
           }.mkString("/")
         }.filter(_.nonEmpty)
+      val varStats = shredded.zipWithIndex.map { case ((ci, path, dt), i) =>
+        VariantPathStats(ci.columnId, path,
+          StatsCodec.encode(row.getAs[Any](s"vmin_$i"), dt),
+          StatsCodec.encode(row.getAs[Any](s"vmax_$i"), dt),
+          rows - row.getAs[Long](s"vcnt_$i"),
+          numeric = StatsCodec.isNumeric(dt))
+      }
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
       val relPath = hiveDirs.map(d => s"$table/$d/$finalName")
         .getOrElse(s"$table/$finalName")
-      val dst = fs.resolve(relPath)
-      Files.createDirectories(dst.getParent)
-      Files.move(srcPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      PendingDataFile(relPath, rows, Files.size(dst), stats,
-        partitionValues = partVals.toSeq)
+      io.move(srcPath.toString, relPath)
+      PendingDataFile(relPath, rows, io.size(relPath), stats,
+        partitionValues = partVals.toSeq, variantStats = varStats)
     }.tapEach(_ => ()).toSeq match {
       case done =>
         // remove staging leftovers (_SUCCESS etc.)
-        if (Files.exists(stagingDir)) {
-          Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-        }
+        io.deleteRecursively(stagingRel)
         done
     }
   }
@@ -812,15 +841,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val schema = toStruct(cols)
-    val statsFilters = filter.toSeq.flatMap(f =>
-      extractStatsFilters(ColumnBridge.expr(f), cols))
+    val filterExpr = filter.map(f =>
+      normalizeOps(ColumnBridge.toCatalyst(f)))
+    val statsFilters = filterExpr.toSeq.flatMap(e =>
+      extractStatsFilters(e, cols))
     val partEq = for {
-      f <- filter.toSeq
+      e <- filterExpr.toSeq
       ps <- meta.currentPartitionSpec(t.tableId, snap.snapshotId).toSeq
-      eq <- extractPartitionEq(ColumnBridge.expr(f), cols, ps)
+      eq <- extractPartitionEq(e, cols, ps)
     } yield eq
+    val variantFilters = filterExpr.toSeq.flatMap(e =>
+      extractVariantFilters(e, cols))
     val scanFiles0 = meta.filesForScan(t.tableId, snap.snapshotId,
-      statsFilters, partEq)
+      statsFilters, partEq, variantFilters)
     // transaction-local deletes overlay the committed file list
     val scanFiles = txn match {
       case Some(st) if snap.snapshotId >= st.base.snapshotId =>
@@ -1017,9 +1050,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           if (materialized) col(SnapCol) else col("__fsnap"))
         .drop(RowIdCol, SnapCol)
     }
+    // materialized-vs-raw split comes from the catalog flag recorded at
+    // compaction/flush commit — no parquet footer reads on the driver
+    // (a first scan of a 100k-file table stays metadata-only)
     val groups = epochGroups.flatMap { case (plan, fs) =>
-      val (matFiles, rawFiles) = fs.partition(f =>
-        readSchemaOf(f.file.path).fieldNames.contains(RowIdCol))
+      val (matFiles, rawFiles) = fs.partition(_.file.hasRowIds)
       (if (matFiles.nonEmpty)
         Seq(readGroup(matFiles, materialized = true, plan)) else Nil) ++
         (if (rawFiles.nonEmpty)
@@ -1174,11 +1209,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val rr =
       if (roaring.isEmpty) None
       else {
-        val rows = roaring.flatMap { e =>
-          val bytes = Files.readAllBytes(fs.resolve(e.path))
-          DeletionVectors.positions(bytes)
-            .map(p => (relById(e.dataFileId), p))
-        }
+        // expand DV blobs executor-side (a 100k-file table would other-
+        // wise serially open 100k blobs on the driver); io is serializable
+        val lakeIo = io
+        val blobs = roaring.map(e => (e.path, relById(e.dataFileId)))
+        val rows = spark.sparkContext
+          .parallelize(blobs, math.min(blobs.size, 32).max(1))
+          .flatMap { case (dvPath, dataRel) =>
+            DeletionVectors.positions(lakeIo.readAllBytes(dvPath))
+              .map(p => (dataRel, p))
+          }
         Some(rows.toDF("file_path", "pos"))
       }
     (pq, rr) match {
@@ -1191,12 +1231,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     Lake.fileSchemaCache.computeIfAbsent(abs(relPath),
       p => pqRead.parquet(p).schema)
 
-  private def abs(rel: String): String = fs.resolve(rel).toString
+  private def abs(rel: String): String = io.abs(rel)
   /** matches Spark's _metadata.file_path rendering (Hadoop Path.toString:
     * scheme + single slash on local FS) */
-  private def absUri(rel: String): String =
-    new org.apache.hadoop.fs.Path(
-      java.nio.file.Paths.get(abs(rel)).toUri).toString
+  private def absUri(rel: String): String = io.absUri(rel)
 
   // ------------------------------------------------------------------- DML
 
@@ -1231,10 +1269,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val (newDeletes, pendingDeleted) = txn match {
       case Some(st) if st.pendingPaths(t.tableId).nonEmpty =>
         val pending = st.pendingPaths(t.tableId)
-        val tmp = fs.resolve(name).resolve(s"txnpos-${UUID.randomUUID()}")
-        newDeletes1.write.parquet(tmp.toString)
-        st.scratchDirs += tmp.toString
-        val mat = spark.read.parquet(tmp.toString)
+        val tmpRel = s"$name/txnpos-${UUID.randomUUID()}"
+        newDeletes1.write.parquet(io.abs(tmpRel))
+        st.scratchDirs += tmpRel
+        val mat = spark.read.parquet(io.abs(tmpRel))
         val hits = mat.filter(col("file_path").isin(pending.toSeq: _*))
           .groupBy("file_path").agg(collect_list(col("pos")).as("ps"))
           .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
@@ -1280,41 +1318,69 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .getOrElse(newDeletes)
     val newlyDeleted = perFile.values.sum
 
+    // Both delete formats are written EXECUTOR-side after ONE shuffle on
+    // file_path (positions never funnel through a single task and never
+    // collect() to the driver — a 10⁹-row bulk delete stays distributed;
+    // the driver only sees (file, path, count, size) tuples, one per
+    // affected data file). Reference: ducklake_delete.cpp:36-206.
     val useDv = meta.getOption("write_deletion_vectors").contains("true")
+    val nParts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, perFile.size))
+    val shuffled = all.repartition(nParts, col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
     val deletes =
       if (useDv) {
         // one roaring DV blob per affected data file (reference
-        // write_deletion_vectors option → puffin/roaring path)
-        val grouped = all.groupBy("file_path")
-          .agg(collect_list(col("pos")).as("ps")).collect()
-        grouped.toSeq.map { r =>
-          val rel = r.getString(0)
-          val ps = r.getSeq[Long](1)
-          val bytes = DeletionVectors.serialize(ps.iterator)
-          val dvName = s"ducklake-dv-${UUID.randomUUID()}.bin"
-          Files.write(fs.resolve(name).resolve(dvName), bytes)
-          (byRel(rel).dataFileId, s"$name/$dvName", ps.size.toLong,
-            bytes.length.toLong)
+        // write_deletion_vectors option → puffin/roaring path), each
+        // serialized and written by the task that owns its positions
+        import spark.implicits._
+        val lakeIo = io
+        val tableDir = name
+        val written = shuffled.as[(String, Long)].mapPartitions { it =>
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(String, String, Long, Long)]
+          var cur: String = null
+          var bm: org.roaringbitmap.RoaringBitmap = null
+          var n = 0L
+          def flush(): Unit = if (cur != null) {
+            bm.runOptimize()
+            val bos = new java.io.ByteArrayOutputStream()
+            bm.serialize(new java.io.DataOutputStream(bos))
+            val bytes = bos.toByteArray
+            val dvRel = s"$tableDir/ducklake-dv-${UUID.randomUUID()}.bin"
+            lakeIo.write(dvRel, bytes)
+            out += ((cur, dvRel, n, bytes.length.toLong))
+          }
+          it.foreach { case (rel, pos) =>
+            if (rel != cur) { flush(); cur = rel
+              bm = new org.roaringbitmap.RoaringBitmap(); n = 0L }
+            bm.add(pos.toInt); n += 1
+          }
+          flush()
+          out.iterator
+        }.collect()
+        written.toSeq.map { case (rel, dvRel, n, sz) =>
+          (byRel(rel).dataFileId, dvRel, n, sz)
         }
       } else {
-        // one positional delete parquet per DELETE, sorted (file, pos)
-        val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
-        val stagingDir =
-          fs.resolve(name).resolve(s"delstage-${UUID.randomUUID()}")
-        all.coalesce(1).sortWithinPartitions("file_path", "pos")
-          .write.options(cryptoOpts).parquet(stagingDir.toString)
-        val part = Files.list(stagingDir)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = fs.resolve(name).resolve(delName)
-        Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-        Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        val totalPerFile = all.groupBy("file_path")
-          .agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val size = Files.size(dst)
-        totalPerFile.toSeq.map { case (rel, n) =>
-          (byRel(rel).dataFileId, s"$name/$delName", n, size)
+        // positional delete parquet, one part file per shuffle task (each
+        // data file's positions wholly in one part, sorted (file, pos));
+        // parts move to final names and map back to their data files
+        val delStageRel = s"$name/delstage-${UUID.randomUUID()}"
+        shuffled.write.options(cryptoOpts).parquet(io.abs(delStageRel))
+        val staged = pqRead.parquet(io.abs(delStageRel))
+          .groupBy(input_file_name().as("__part"), col("file_path"))
+          .agg(count(lit(1)).as("n")).collect()
+        val moved = staged.map(_.getString(0)).distinct.map { p =>
+          val rel = s"$name/ducklake-delete-${UUID.randomUUID()}.parquet"
+          io.move(new org.apache.hadoop.fs.Path(
+            new java.net.URI(p)).toString, rel)
+          p -> ((rel, io.size(rel)))
+        }.toMap
+        io.deleteRecursively(delStageRel)
+        staged.toSeq.map { r =>
+          val (rel, size) = moved(r.getString(0))
+          (byRel(r.getString(1)).dataFileId, rel, r.getLong(2), size)
         }
       }
     txn match {
@@ -1364,7 +1430,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
                       partitionValues = f.partitionValues,
                       mappingId = f.mappingId))
                   }
-                Files.deleteIfExists(fs.resolve(f.path))
+                io.delete(f.path)
                 replacement
             }
           }
@@ -1555,7 +1621,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           col("rowid").as(RowIdCol) :+
           col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))
-      val statsFiles = statsFor(merged, cols).copy(partitionValues = pv)
+      val statsFiles = statsFor(merged, cols)
+        .copy(partitionValues = pv, hasRowIds = true)
       val removed = group.map(_.file.recordCount).sum - statsFiles.recordCount
       meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
         statsFiles, group.head.file.rowIdStart, removedRows = removed,
@@ -1590,7 +1657,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))
       val stats = statsFor(merged, cols).copy(partitionValues =
-        partVals.getOrElse(f.file.dataFileId, Nil))
+        partVals.getOrElse(f.file.dataFileId, Nil), hasRowIds = true)
       meta.commitCompaction(t.tableId, Seq(f.file.dataFileId), stats,
         f.file.rowIdStart,
         removedRows = 0L, // table row count already reflects the deletes
@@ -1605,15 +1672,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   /** write a (small) DataFrame as one parquet file, return its rel path */
   private def writeAndCollectPlain(table: String, df: DataFrame): String = {
-    val stagingDir = fs.resolve(table).resolve(s"stage-${UUID.randomUUID()}")
-    df.write.options(writeOpts(table)).parquet(stagingDir.toString)
-    val part = Files.list(stagingDir).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val stagingRel = s"$table/stage-${UUID.randomUUID()}"
+    df.write.options(writeOpts(table)).parquet(io.abs(stagingRel))
+    val part = io.listFiles(stagingRel)
+      .find(_.endsWith(".parquet")).get
     val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
-    val dst = fs.resolve(table).resolve(finalName)
-    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    io.move(part, s"$table/$finalName")
+    io.deleteRecursively(stagingRel)
     s"$table/$finalName"
   }
 
@@ -1654,7 +1719,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           rows - r.getAs[Long](s"cnt_${c.columnId}"))
       }
     }
-    PendingDataFile(relPath, rows, Files.size(fs.resolve(relPath)), stats)
+    PendingDataFile(relPath, rows, io.size(relPath), stats)
   }
 
   def expireSnapshots(olderThanMs: Option[Long] = None,
@@ -1671,7 +1736,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       meta.getOption("delete_older_than").map(_.toLong)
         .map(System.currentTimeMillis() - _))
     val paths = meta.takeScheduledDeletions(bound)
-    if (!dryRun) paths.foreach(p => Files.deleteIfExists(fs.resolve(p)))
+    if (!dryRun) paths.foreach(p => io.delete(p))
     paths
   }
 
@@ -1682,16 +1747,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val t = resolve(name, Some(snap.snapshotId))
     val known = meta.filesForScan(t.tableId, snap.snapshotId)
       .flatMap(f => f.file.path +: f.deleteFiles.map(_.path)).toSet
-    val dir = fs.resolve(name)
-    if (!Files.exists(dir)) return Nil
-    val orphans = Files.list(dir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    orphans.forEachRemaining { p =>
-      val rel = s"$name/${p.getFileName}"
-      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
-        !known.contains(rel)) {
+    io.list(name).foreach { fname =>
+      val rel = s"$name/$fname"
+      if (fname.endsWith(".parquet") && !known.contains(rel)) {
         out += rel
-        if (!dryRun) Files.deleteIfExists(p)
+        if (!dryRun) io.delete(rel)
       }
     }
     out.toSeq
@@ -1833,7 +1894,6 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val byName = cols.map(c => c.name -> c).toMap
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val pending = parquetPaths.map { p =>
-      val src = Paths.get(p)
       val fileSchema = spark.read.parquet(p).schema
       val resolved: Seq[(String, ColumnInfo)] =
         fileSchema.fields.toSeq.flatMap { f =>
@@ -1860,7 +1920,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else Some(meta.createNameMapping(t.tableId,
           resolved.map { case (sn, ci) => (sn, ci.columnId) }))
       // hive-style partition inference from the source path
-      val kv = src.iterator().asScala.map(_.toString)
+      val kv = p.split('/').iterator
         .filter(_.contains("=")).map { seg =>
           val i = seg.indexOf('=')
           seg.substring(0, i) -> unescapeHive(seg.substring(i + 1))
@@ -1874,8 +1934,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             .map(v => (pf.keyIndex, v)).toSeq
         })
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
-      val dst = fs.resolve(name).resolve(finalName)
-      Files.copy(src, dst)
+      io.copyIn(p, s"$name/$finalName")
       statsFor(s"$name/$finalName", cols,
         resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap)
         .copy(mappingId = mappingId, partitionValues = partVals)
@@ -1906,6 +1965,92 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         extractPartitionEq(l, cols, ps) ++ extractPartitionEq(r, cols, ps)
       case EqualTo(a, l: Literal) => eq(a, l)
       case EqualTo(l: Literal, a) => eq(a, l)
+      case _ => Nil
+    }
+  }
+
+  /** Column-API comparison/boolean operators arrive from the Spark 4
+    * ColumnNode converter as `UnresolvedFunction(">", a, b)` etc. —
+    * rewrite the known ones to their catalyst forms so the extraction
+    * matchers below (shared with the SQL path, which delivers resolved
+    * catalyst expressions) see one shape. */
+  private def normalizeOps(e: Expression): Expression = e.transformUp {
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      if uf.nameParts.size == 1 && !uf.isDistinct =>
+      (uf.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+        uf.arguments) match {
+        case (">", Seq(a, b)) => GreaterThan(a, b)
+        case ("<", Seq(a, b)) => LessThan(a, b)
+        case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
+        case ("<=", Seq(a, b)) => LessThanOrEqual(a, b)
+        case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
+        case ("and", Seq(a, b)) => And(a, b)
+        case ("isnull", Seq(a)) => IsNull(a)
+        case ("isnotnull", Seq(a)) => IsNotNull(a)
+        case _ => uf
+      }
+  }
+
+  /** `variant_get(col, '$.path') op literal` conjuncts → variant-path
+    * pruning filters (only paths with shredded stats actually prune —
+    * unknown paths simply never match a stats row). */
+  private def extractVariantFilters(e: Expression,
+      cols: Seq[ColumnInfo]): Seq[VariantStatsFilter] = {
+    val byName = cols.map(c => c.name -> c).toMap
+    def attrName(ex: Expression): Option[String] = ex match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def strLit(ex: Expression): Option[String] = ex match {
+      case Literal(s, StringType) if s != null => Some(s.toString)
+      case _ => None
+    }
+    def vg(ex: Expression): Option[(ColumnInfo, String, DataType)] =
+      ex match {
+        // resolved form (SQL path after analysis)
+        case g: org.apache.spark.sql.catalyst.expressions.variant.VariantGet =>
+          for {
+            n <- attrName(g.child)
+            ci <- byName.get(n)
+            p <- strLit(g.path)
+          } yield (ci, p, g.dataType)
+        // unresolved form (DataFrame path: functions.variant_get builds an
+        // UnresolvedFunction("variant_get", col, path, targetType))
+        case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if uf.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+            == Seq("variant_get") && uf.arguments.size == 3 =>
+          for {
+            n <- attrName(uf.arguments.head)
+            ci <- byName.get(n)
+            p <- strLit(uf.arguments(1))
+            ts <- strLit(uf.arguments(2))
+            dt <- scala.util.Try(
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(ts)).toOption
+          } yield (ci, p, dt)
+        case _ => None
+      }
+    def mk(ex: Expression, op: String, l: Literal): Seq[VariantStatsFilter] =
+      (for {
+        (ci, p, dt) <- vg(ex)
+        enc <- StatsCodec.encode(l.value, l.dataType)
+      } yield VariantStatsFilter(ci.columnId, p, op, enc,
+        StatsCodec.isNumeric(dt))).toSeq
+    e match {
+      case And(l, r) =>
+        extractVariantFilters(l, cols) ++ extractVariantFilters(r, cols)
+      case EqualTo(a, l: Literal) => mk(a, "=", l)
+      case EqualTo(l: Literal, a) => mk(a, "=", l)
+      case GreaterThan(a, l: Literal) => mk(a, ">", l)
+      case GreaterThan(l: Literal, a) => mk(a, "<", l)
+      case GreaterThanOrEqual(a, l: Literal) => mk(a, ">=", l)
+      case GreaterThanOrEqual(l: Literal, a) => mk(a, "<=", l)
+      case LessThan(a, l: Literal) => mk(a, "<", l)
+      case LessThan(l: Literal, a) => mk(a, ">", l)
+      case LessThanOrEqual(a, l: Literal) => mk(a, "<=", l)
+      case LessThanOrEqual(l: Literal, a) => mk(a, ">=", l)
       case _ => Nil
     }
   }
@@ -1976,10 +2121,14 @@ object Lake {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
 
-  /** Attach (or create) a lake: Derby catalog dir + data dir. */
+  private[graft] def fileSchemaCacheSize: Int = fileSchemaCache.size
+  private[graft] def clearFileSchemaCache(): Unit = fileSchemaCache.clear()
+
+  /** Attach (or create) a lake: Derby catalog dir + data dir (any
+    * Hadoop-FileSystem scheme). */
   def attach(spark: SparkSession, catalogDir: String,
       dataPath: String): Lake = {
-    Files.createDirectories(Paths.get(dataPath))
+    new LakeIO(dataPath).mkdirsRoot()
     val mgr = new MetadataManager(MetadataManager.derbyUrl(catalogDir))
     mgr.initialize(dataPath)
     new Lake(spark, mgr, mgr.dataPath)

@@ -21,6 +21,10 @@ import scala.util.Using
   */
 class MetadataManager(val jdbcUrl: String) extends Serializable {
 
+  /** backend dialect resolved from the URL (Derby embedded default;
+    * Postgres/SQLite for server/file catalogs — [[CatalogDialect]]) */
+  val dialect: CatalogDialect = CatalogDialect.forUrl(jdbcUrl)
+
   // ---------------------------------------------------------------- plumbing
 
   protected def connect(): Connection = {
@@ -111,13 +115,18 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       |  file_size_bytes BIGINT, footer_size BIGINT, row_id_start BIGINT,
       |  partition_id BIGINT, encryption_key VARCHAR(256),
       |  partial_max_file_size_bytes BIGINT, mapping_id BIGINT,
-      |  row_group_count BIGINT)""",
+      |  row_group_count BIGINT, has_row_ids BOOLEAN DEFAULT false)""",
     """CREATE TABLE ducklake_file_column_stats (
       |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
       |  column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
       |  min_value VARCHAR(1024), max_value VARCHAR(1024),
       |  min_numeric DOUBLE, max_numeric DOUBLE,
       |  contains_nan BOOLEAN)""",
+    """CREATE TABLE ducklake_file_variant_stats (
+      |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
+      |  variant_path VARCHAR(1024), null_count BIGINT,
+      |  min_value VARCHAR(1024), max_value VARCHAR(1024),
+      |  min_numeric DOUBLE, max_numeric DOUBLE)""",
     """CREATE TABLE ducklake_delete_file (
       |  delete_file_id BIGINT NOT NULL PRIMARY KEY, table_id BIGINT,
       |  begin_snapshot BIGINT, end_snapshot BIGINT, data_file_id BIGINT,
@@ -187,7 +196,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     val fresh = !tableExists(c, "DUCKLAKE_SNAPSHOT")
     if (fresh) {
       createTableStatements.foreach { ddl =>
-        Using.resource(c.createStatement())(_.executeUpdate(ddl))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(ddl)))
       }
       exec(c,
         "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('version','0.3')")
@@ -361,10 +370,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   }
 
   /** PK/unique violation or serialization failure → retryable. */
-  private def isConflict(e: SQLException): Boolean = {
-    val st = Option(e.getSQLState).getOrElse("")
-    st.startsWith("23") || st == "40001" || st.startsWith("XJ")
-  }
+  private def isConflict(e: SQLException): Boolean =
+    dialect.isConflictState(Option(e.getSQLState).getOrElse(""))
 
   // --------------------------------------------------------------- schemas
 
@@ -480,6 +487,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   def createTable(name: String, columns: Seq[(String, String, Boolean)],
       schema: String = "main", ifNotExists: Boolean = false): TableInfo = {
+    dialect.checkIdentifier(name) // backend limit (PG: 63, reference
+    // postgres_metadata_manager identifier handling)
     var created: TableInfo = null
     commitSnapshot(SnapshotChanges(createdTables = Seq(s"$schema.$name")),
       schemaChange = true,
@@ -602,14 +611,28 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         """INSERT INTO ducklake_data_file (data_file_id, table_id,
           |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
           |file_format, record_count, file_size_bytes, footer_size,
-          |row_id_start, partition_id, mapping_id)
-          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?)""".stripMargin,
+          |row_id_start, partition_id, mapping_id, has_row_ids)
+          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         Long.box(order.toLong), f.path, Long.box(f.recordCount),
         Long.box(f.fileSizeBytes), Long.box(rowIdStart),
-        partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull)
+        partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull,
+        Boolean.box(f.hasRowIds))
       f.columnStats.foreach(s => insertColStats(c, fid, tableId,
         f.recordCount, s))
+      f.variantStats.foreach { s =>
+        def num(v: Option[String]): Object =
+          if (!s.numeric) null
+          else v.flatMap(x => scala.util.Try(x.toDouble).toOption)
+            .map(Double.box).orNull
+        exec(c,
+          """INSERT INTO ducklake_file_variant_stats (data_file_id, table_id,
+            |column_id, variant_path, null_count, min_value, max_value,
+            |min_numeric, max_numeric) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+          Long.box(fid), Long.box(tableId), Long.box(s.columnId), s.path,
+          Long.box(s.nullCount), s.minValue.orNull, s.maxValue.orNull,
+          num(s.minValue), num(s.maxValue))
+      }
       f.partitionValues.foreach { case (keyIndex, v) =>
         exec(c,
           """INSERT INTO ducklake_file_partition_value (data_file_id, table_id,
@@ -864,7 +887,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * sees a file list (SURVEY.md §4: our main custom optimization). */
   def filesForScan(tableId: Long, snapshotId: Long,
       filters: Seq[StatsFilter] = Nil,
-      partitionEq: Seq[(Long, String)] = Nil): Seq[ScanFile] = withConn { c =>
+      partitionEq: Seq[(Long, String)] = Nil,
+      variantFilters: Seq[VariantStatsFilter] = Nil): Seq[ScanFile] =
+    withConn { c =>
     // partition pruning: equality on transformed partition values; files
     // written before the spec (partition_id NULL) are never pruned
     // (reference ducklake_metadata_manager.cpp:1719-1740)
@@ -895,11 +920,33 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
          | WHERE s.data_file_id = f.data_file_id AND s.column_id = ${f.columnId}
          | AND $minE IS NOT NULL AND $prunable)""".stripMargin
     }.mkString("\n")
-    val pruneClauses = pruneClauses0 + "\n" + partClauses
+    // shredded-variant-path pruning (reference ducklake_variant_stats.cpp):
+    // same prove-no-row-matches shape against per-path min/max
+    val variantClauses = variantFilters.map { f =>
+      val (minE, maxE) =
+        if (f.numeric) ("s.min_numeric", "s.max_numeric")
+        else ("s.min_value", "s.max_value")
+      val v = if (f.numeric) f.value else s"'${f.value.replace("'", "''")}'"
+      val prunable = f.op match {
+        case "=" => s"($minE > $v OR $maxE < $v)"
+        case ">" => s"($maxE <= $v)"
+        case ">=" => s"($maxE < $v)"
+        case "<" => s"($minE >= $v)"
+        case "<=" => s"($minE > $v)"
+        case other => throw new IllegalArgumentException(other)
+      }
+      s"""AND NOT EXISTS (SELECT 1 FROM ducklake_file_variant_stats s
+         | WHERE s.data_file_id = f.data_file_id
+         | AND s.column_id = ${f.columnId}
+         | AND s.variant_path = '${f.path.replace("'", "''")}'
+         | AND $minE IS NOT NULL AND $prunable)""".stripMargin
+    }.mkString("\n")
+    val pruneClauses =
+      pruneClauses0 + "\n" + variantClauses + "\n" + partClauses
     val dataFiles = query(c,
       s"""SELECT f.data_file_id, f.begin_snapshot, f.end_snapshot,
          |f.file_order, f.path, f.record_count, f.file_size_bytes,
-         |f.row_id_start, f.partition_id, f.mapping_id
+         |f.row_id_start, f.partition_id, f.mapping_id, f.has_row_ids
          |FROM ducklake_data_file f
          |WHERE f.table_id = ? AND f.begin_snapshot <= ?
          |  AND (f.end_snapshot IS NULL OR f.end_snapshot > ?)
@@ -911,7 +958,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         rs.getLong("file_order"), rs.getString("path"),
         rs.getLong("record_count"), rs.getLong("file_size_bytes"),
         rs.getLong("row_id_start"), optLong(rs, "partition_id"),
-        mappingId = optLong(rs, "mapping_id"))
+        mappingId = optLong(rs, "mapping_id"),
+        hasRowIds = rs.getBoolean("has_row_ids"))
     }
     val deletes = query(c,
       """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
@@ -933,7 +981,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       endSnap: Long): Seq[DataFileEntry] = withConn { c =>
     query(c,
       """SELECT data_file_id, begin_snapshot, end_snapshot, file_order, path,
-        |record_count, file_size_bytes, row_id_start, partition_id
+        |record_count, file_size_bytes, row_id_start, partition_id,
+        |has_row_ids
         |FROM ducklake_data_file
         |WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ?
         |ORDER BY data_file_id""".stripMargin,
@@ -942,7 +991,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
         rs.getLong("file_order"), rs.getString("path"),
         rs.getLong("record_count"), rs.getLong("file_size_bytes"),
-        rs.getLong("row_id_start"), optLong(rs, "partition_id"))
+        rs.getLong("row_id_start"), optLong(rs, "partition_id"),
+        hasRowIds = rs.getBoolean("has_row_ids"))
     }
   }
 
@@ -955,7 +1005,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         |d.data_file_id, d.path, d.delete_count, d.file_format,
         |f.begin_snapshot AS f_begin, f.end_snapshot AS f_end,
         |f.file_order, f.path AS f_path, f.record_count, f.file_size_bytes,
-        |f.row_id_start, f.partition_id
+        |f.row_id_start, f.partition_id, f.has_row_ids
         |FROM ducklake_delete_file d
         |JOIN ducklake_data_file f ON d.data_file_id = f.data_file_id
         |WHERE d.table_id = ? AND d.begin_snapshot > ? AND d.begin_snapshot <= ?
@@ -969,7 +1019,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           rs.getLong("f_begin"), optLong(rs, "f_end"),
           rs.getLong("file_order"), rs.getString("f_path"),
           rs.getLong("record_count"), rs.getLong("file_size_bytes"),
-          rs.getLong("row_id_start"), optLong(rs, "partition_id")))
+          rs.getLong("row_id_start"), optLong(rs, "partition_id"),
+          hasRowIds = rs.getBoolean("has_row_ids")))
     }
   }
 
@@ -1103,12 +1154,13 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           Long.box(snap.snapshotId), Long.box(fid))
       }
       val fid = ids.newFileId()
+      // merged files always embed the materialized rowid/snapshot columns
       exec(c,
         """INSERT INTO ducklake_data_file (data_file_id, table_id,
           |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
           |file_format, record_count, file_size_bytes, footer_size,
-          |row_id_start, partition_id)
-          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, ?)""".stripMargin,
+          |row_id_start, partition_id, has_row_ids)
+          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, ?, true)""".stripMargin,
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         merged.path, Long.box(merged.recordCount),
         Long.box(merged.fileSizeBytes), Long.box(mergedRowIdStart),
@@ -1518,15 +1570,17 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         }
         newFiles.foreach { f =>
           val fid = ids.newFileId()
+          // flushed files materialize rowid/snapshot columns
           exec(c,
             """INSERT INTO ducklake_data_file (data_file_id, table_id,
               |begin_snapshot, end_snapshot, file_order, path,
               |path_is_relative, file_format, record_count, file_size_bytes,
-              |footer_size, row_id_start, partition_id)
-              |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL)""".stripMargin,
+              |footer_size, row_id_start, partition_id, has_row_ids)
+              |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL, ?)""".stripMargin,
             Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
             f.path, Long.box(f.recordCount), Long.box(f.fileSizeBytes),
-            Long.box(explicitRowIdStart.getOrElse(0L)))
+            Long.box(explicitRowIdStart.getOrElse(0L)),
+            Boolean.box(f.hasRowIds))
           f.columnStats.foreach(s => insertColStats(c, fid, tableId,
             f.recordCount, s))
         }

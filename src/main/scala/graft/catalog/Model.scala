@@ -49,7 +49,11 @@ final case class DataFileEntry(
     partitionValues: Seq[(Long, String)] = Nil,
     /** ducklake_column_mapping id for foreign files whose parquet column
       * names differ from the table's (ducklake_add_data_files) */
-    mappingId: Option[Long] = None)
+    mappingId: Option[Long] = None,
+    /** file physically embeds the materialized rowid/snapshot columns
+      * (written by compaction/flush) — recorded at commit so scans never
+      * sniff parquet footers to classify files */
+    hasRowIds: Boolean = false)
 
 /** Positional delete file covering one data file
   * (reference ducklake_delete_file,
@@ -89,7 +93,9 @@ final case class PendingDataFile(
     fileSizeBytes: Long,
     columnStats: Seq[FileColumnStats],
     partitionValues: Seq[(Long, String)] = Nil,
-    mappingId: Option[Long] = None)
+    mappingId: Option[Long] = None,
+    hasRowIds: Boolean = false,
+    variantStats: Seq[VariantPathStats] = Nil)
 
 /** Scan-time resolution: data file + the delete files applying to it. */
 final case class ScanFile(
@@ -147,3 +153,18 @@ final class DuplicateBatchException(val key: String, val batchId: Long)
   * ducklake_metadata_manager.cpp:1492-1593). */
 final case class StatsFilter(columnId: Long, op: String, value: String,
     numeric: Boolean)
+
+/** Per-file stats for one SHREDDED path of a variant column (reference
+  * ducklake_variant_stats.cpp): min/max/null-count of
+  * `variant_get(column, path)` so variant-path filters can prune files. */
+final case class VariantPathStats(
+    columnId: Long,
+    path: String,
+    minValue: Option[String],
+    maxValue: Option[String],
+    nullCount: Long,
+    numeric: Boolean)
+
+/** Pushed variant-path filter: `variant_get(col, path) op value`. */
+final case class VariantStatsFilter(columnId: Long, path: String,
+    op: String, value: String, numeric: Boolean)

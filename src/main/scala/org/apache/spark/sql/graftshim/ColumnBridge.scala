@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters (needed
   * since Spark 4 wraps Column around ColumnNode). Lives under
@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression
+    * (UnresolvedFunction/UnresolvedAttribute/Literal…). `expression`
+    * above wraps lazily in a ColumnNodeExpression leaf, which pattern
+    * matchers walking the tree (filter extraction for catalog pruning)
+    * cannot see into. */
+  def toCatalyst(c: Column): Expression =
+    try ColumnNodeToExpressionConverter(c.node)
+    catch { case _: Throwable => ExpressionUtils.expression(c) }
 }

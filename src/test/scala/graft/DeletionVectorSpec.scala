@@ -62,4 +62,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(lake.table("u").count() == 50)
     assert(lake.table("u").filter(col("id") > 1000L).count() == 5)
   }
+
+  test("bulk delete across many files writes distributed, per-file") {
+    // DV path: one blob per data file, serialized executor-side; the
+    // positional path (sibling lake) writes one part per shuffle task —
+    // neither funnels the statement's positions through a single task or
+    // collects them on the driver
+    val lake = freshLake()
+    lake.createTableAs("m", (1L to 12000L).toDF("id").repartition(120))
+    val t = lake.meta.tableByName("m", lake.currentSnapshotId()).get
+    val nFiles = lake.meta.filesForScan(t.tableId,
+      lake.currentSnapshotId()).size
+    assert(nFiles >= 100, s"expected >=100 data files, got $nFiles")
+    assert(lake.delete("m", col("id") % 2 === 0) == 6000)
+    val dels = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId())
+      .flatMap(_.deleteFiles)
+    assert(dels.size == nFiles) // every file got its own DV blob
+    assert(dels.map(_.path).distinct.size == nFiles)
+    assert(lake.table("m").count() == 6000)
+
+    // positional path across the same shape: parts map 1:1 to tasks, so
+    // multiple delete parquet files exist (not coalesce(1))
+    val dir2 = Files.createTempDirectory("graftdel").toString
+    val lake2 = Lake.attach(spark, s"$dir2/catalog", s"$dir2/data")
+    lake2.createTableAs("m", (1L to 12000L).toDF("id").repartition(120))
+    assert(lake2.delete("m", col("id") % 2 === 0) == 6000)
+    val t2 = lake2.meta.tableByName("m", lake2.currentSnapshotId()).get
+    val dels2 = lake2.meta.filesForScan(t2.tableId,
+      lake2.currentSnapshotId()).flatMap(_.deleteFiles)
+    assert(dels2.map(_.path).distinct.size > 1)
+    assert(lake2.table("m").count() == 6000)
+    // and positions within each part stay sorted per file for locality
+    assert(lake2.table("m").agg(sum(col("id"))).head().getLong(0)
+      == (1L to 12000L by 2).sum)
+  }
 }

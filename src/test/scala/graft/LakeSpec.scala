@@ -171,6 +171,15 @@ class LakeSpec extends AnyFunSuite {
     // delete after compaction works on merged file
     lake.delete("c", col("id") < 5L)
     assert(lake.table("c").count() == 35)
+
+    // mixed table (merged + fresh append): the materialized-rowid split
+    // comes from the catalog flag — a scan does ZERO driver footer reads
+    lake.append("c", (100L until 110L).toDF("id"))
+    Lake.clearFileSchemaCache()
+    assert(lake.tableWithRowId("c").count() == 45)
+    assert(Lake.fileSchemaCacheSize == 0)
+    // rowids still unique across merged + raw files
+    assert(lake.tableWithRowId("c").select("rowid").distinct().count() == 45)
   }
 
   test("rewrite_data_files drops dead rows when threshold met") {

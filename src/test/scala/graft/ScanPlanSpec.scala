@@ -27,6 +27,29 @@ class ScanPlanSpec extends AnyFunSuite {
       s"filter not pushed:\n$fplan")
   }
 
+  test("DataFrame-path filter reaches CATALOG file pruning") {
+    // guards the Column→Expression conversion: Spark 4 Columns are node
+    // trees; if extraction sees only a lazy wrapper, stats pruning
+    // silently turns off and every file is scanned
+    val dir = Files.createTempDirectory("graftsp4").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", (1L to 100L).toDF("id").coalesce(1))
+    lake.append("t", (101L to 200L).toDF("id").coalesce(1))
+    val df = lake.table("t", Some(col("id") > 150L))
+    val nFiles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(nFiles == 1, s"catalog pruning missing: scanned $nFiles files")
+    assert(df.count() == 50)
+    // conjunctions and equality prune too
+    val df2 = lake.table("t",
+      Some(col("id") >= 10L && col("id") <= 20L))
+    val n2 = df2.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(n2 == 1 && df2.count() == 11)
+  }
+
   test("epoch-mapped scan (post-rename) still pushes filters to parquet") {
     val dir = Files.createTempDirectory("graftsp3").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
