@@ -3,16 +3,24 @@ package graft.plans
 import graft.catalog.Lake
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Attribute, AttributeReference, Expression, NamedExpression,
+  PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** SQL-transparent lake access via Catalyst (SURVEY.md §4's "cleaner
-  * long-term home"): a resolution rule rewrites `graft.<table>` (or any
-  * registered catalog alias) into the lake's pruned-scan plan, so plain
-  * `spark.sql("SELECT ... FROM graft.events")` hits the catalog file
-  * list, stats pruning, delete filters and inlined rows — no DSv2
-  * machinery, no temp views.
+  * long-term home"): `graft.<table>` resolves to a placeholder leaf during
+  * analysis, and an operator-optimization rule expands it AFTER Catalyst
+  * has pushed predicates down — so the conjuncts sitting on the relation
+  * reach [[graft.catalog.MetadataManager.filesForScan]] as catalog stats/
+  * partition pruning, exactly like the DataFrame path's `filter` argument
+  * (reference ducklake_metadata_manager.cpp:1492-1593). Running inside the
+  * fixed-point batch also lets column pruning and further pushdown
+  * optimize ACROSS the expansion boundary.
   *
   * Register with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -28,28 +36,78 @@ object LakeRegistry {
   def get(alias: String): Option[Lake] = Option(lakes.get(alias))
 }
 
+/** Resolved stand-in for a lake table: carries stable attribute ids
+  * through analysis; expanded by [[ExpandLakeScan]] once predicates have
+  * been pushed onto it. */
+case class LakeRelationPlaceholder(alias: String, table: String,
+    output: Seq[Attribute]) extends LeafNode {
+  override def computeStats():
+      org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = conf.defaultSizeInBytes)
+}
+
 case class ResolveLakeRelation(spark: SparkSession)
     extends Rule[LogicalPlan] {
+  private def placeholder(alias: String, table: String): LogicalPlan = {
+    val lake = LakeRegistry.get(alias).get
+    val attrs = lake.schemaOf(table).map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    SubqueryAlias(table.split('.').last,
+      LakeRelationPlaceholder(alias, table, attrs))
+  }
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 =>
-        val Seq(alias, table) = u.multipartIdentifier
-        LakeRegistry.get(alias) match {
-          case Some(lake) =>
-            SubqueryAlias(table,
-              lake.table(table).queryExecution.analyzed)
-          case None => u
-        }
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
+        placeholder(u.multipartIdentifier.head, u.multipartIdentifier(1))
       // graft.<schema>.<table> → non-main lake schemas
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 3 =>
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 3 &&
+        LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
         val Seq(alias, schema, table) = u.multipartIdentifier
-        LakeRegistry.get(alias) match {
-          case Some(lake) =>
-            SubqueryAlias(table,
-              lake.table(s"$schema.$table").queryExecution.analyzed)
-          case None => u
-        }
+        placeholder(alias, s"$schema.$table")
     }
+}
+
+/** Expands [[LakeRelationPlaceholder]] into the lake's pruned scan.
+  * Runs at the END of the operator-optimization batch (after the standard
+  * pushdown rules in each iteration): a `Filter` directly above the
+  * placeholder carries every predicate Catalyst could push, and its
+  * deterministic subquery-free conjuncts become the catalog pruning
+  * filter. The full Filter stays on top for exactness — pruning only
+  * shrinks the file list. */
+case class ExpandLakeScan(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case f @ Filter(cond, p: LakeRelationPlaceholder) =>
+        val pushable = splitConjunctivePredicates(cond)
+          .filter(c => c.deterministic && !c.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        f.copy(child = expand(p, pushable.reduceOption(And)))
+      case p: LakeRelationPlaceholder => expand(p, None)
+    }
+
+  private def expand(p: LakeRelationPlaceholder,
+      pruneCond: Option[Expression]): LogicalPlan = {
+    val lake = LakeRegistry.get(p.alias).getOrElse(
+      throw new IllegalStateException(s"lake alias ${p.alias} unregistered"))
+    // re-anchor the condition on column NAMES so it resolves against the
+    // freshly-built scan DataFrame (exprIds differ)
+    val filterCol = pruneCond.map { c =>
+      ColumnBridge.column(c.transform {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      })
+    }
+    val child = lake.table(p.table, filterCol).queryExecution.optimizedPlan
+    // map the scan's output onto the placeholder's stable attribute ids
+    val aliases: Seq[NamedExpression] =
+      p.output.zip(child.output).map { case (want, have) =>
+        Alias(have, want.name)(exprId = want.exprId)
+      }
+    Project(aliases, child)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -59,5 +117,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolver rejects the three-part name (REQUIRES_SINGLE_PART_NAMESPACE)
     e.injectHintResolutionRule(ResolveLakeRelation)
     e.injectResolutionRule(ResolveLakeRelation)
+    e.injectOptimizerRule(ExpandLakeScan)
   }
 }

@@ -19,6 +19,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // keep executed plans non-adaptive so the FileSourceScanExec
+      // collect below sees the real scans
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -53,6 +56,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
       // unregistered alias still errors cleanly
       intercept[Exception](spark.sql("SELECT * FROM nope.ev").collect())
+
+      // SQL-path WHERE reaches catalog file pruning: two files with
+      // disjoint id ranges, a range predicate must scan only ONE
+      lake.createTableAs("pr", (1L to 100L).toDF("id").coalesce(1))
+      lake.append("pr", (101L to 200L).toDF("id").coalesce(1))
+      val q = spark.sql("SELECT id FROM graft.pr WHERE id > 150")
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val nFiles = scans.map(_.relation.location.inputFiles.length).sum
+      assert(nFiles == 1,
+        s"catalog pruning missing on the SQL path: scanned $nFiles files")
+      // and the residual predicate still pushes into parquet
+      assert(q.queryExecution.executedPlan.toString
+        .contains("GreaterThan(id,150)"))
+      assert(q.count() == 50)
+
+      // predicates on a JOINed lake table prune too (pushdown through join)
+      lake.createTableAs("pd", Seq((160L, "x")).toDF("id", "t"))
+      val jq = spark.sql(
+        """SELECT p.id, d.t FROM graft.pr p JOIN graft.pd d ON p.id = d.id
+          |WHERE p.id > 150""".stripMargin)
+      val jFiles = jq.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+      assert(jFiles == 2, // pr pruned to 1 file + pd's single file
+        s"join-side pruning missing: scanned $jFiles files")
+      assert(jq.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq((160L, "x")))
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()
