@@ -22,11 +22,32 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
-  /** exact dedup: one keeper (min id) per identical content */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keeper"),
-        count(lit(1)).as("dup_count"))
+  /** exact dedup: one keeper (min id) per identical content.
+    *
+    * Hash-first: the main shuffle carries (xxhash64(text), id) — 16
+    * bytes/row instead of full document bodies. Only hash-COLLIDING
+    * groups (a vanishing fraction) re-shuffle their text for exact
+    * verification, so different texts sharing a hash still dedup
+    * correctly without the whole corpus ever shuffling its content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(xxhash64(col(textCol)).as("__h"),
+      col(idCol).as("__id"))
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("dup_count"))
+    val collided = groups.filter(col("dup_count") > 1).select(col("__h"))
+    val singles = groups.filter(col("dup_count") === 1)
+      .select(col("keeper"), col("dup_count"))
+    // hash groups with >1 member: verify on the actual content (exact
+    // groupBy on text, but only over the collided slice of the corpus)
+    val verified = df
+      .select(xxhash64(col(textCol)).as("__h"), col(idCol).as("__id"),
+        col(textCol).as("__t"))
+      .join(collided, Seq("__h"), "left_semi")
+      .groupBy(col("__t"))
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("dup_count"))
+      .select(col("keeper"), col("dup_count"))
+    singles.unionByName(verified)
+  }
 
   /** distinct word w-shingles as an array column */
   def shingles(textCol: Column, w: Int): Column = {

@@ -96,7 +96,6 @@ object PipelineQueries extends QueryPack {
 
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(dupCorpus(spark, dir), "doc_id", "text")
-      .select(col("keeper"), col("dup_count"))
       .orderBy(col("keeper"))
 
   private val dedupExactSql =
@@ -139,16 +138,38 @@ object PipelineQueries extends QueryPack {
       |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
       |ORDER BY id_a""".stripMargin
 
-  /** MinHash LSH near-dups (candidate generation not SQL-expressible —
-    * rows-only; recall asserted in DedupSpec). */
+  /** MinHash LSH near-dups. The LSH candidate generation itself is not
+    * SQL-expressible, but the VERIFIED output (pairs with exact Jaccard ≥
+    * threshold) is deterministic and equals DuckDB's all-pairs answer
+    * whenever LSH recall is 1 on the corpus — which banded b=16/r=4 at
+    * J≈0.9 gives (miss probability ≈ 4e-8/pair); so the all-pairs SQL is
+    * the oracle. */
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select("doc_id", "text")
     val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz_mutation")).as("text"))
     Dedup.minhashDuplicates(d.unionByName(mutated), "doc_id", "text",
       threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val dedupMinhashSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz_mutation' FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+      |  FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jacc
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dups (rows-only; asserted in DedupSpec). */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -259,8 +280,10 @@ object PipelineQueries extends QueryPack {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Stubbed decode via typed mapPartitions over binary batches (the
-    * mapInPandas analog in Scala) — rows-only, deterministic fake
-    * features; exercises Dataset[(Long, Array[Byte])] plumbing. */
+    * mapInPandas analog in Scala) — deterministic fake features over the
+    * raw bytes; exercises Dataset[(Long, Array[Byte])] plumbing. The
+    * checksum is a MODULAR rolling hash so the oracle SQL can reproduce
+    * it without bigint overflow. */
   private def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir).documents
@@ -270,14 +293,28 @@ object PipelineQueries extends QueryPack {
     // the deterministic fake keeps shapes + batching honest
     // features flattened to a string: the driver canonicalizes results with
     // a pandas sort, which cannot hash array-typed cells
+    val M = 1000000007L
     media.mapPartitions(_.map { case (id, bytes) =>
-      val checksum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-      (id, bytes.length, checksum,
+      val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % M)
+      (id, bytes.length.toLong, checksum,
         Array.tabulate(8)(i => ((checksum >> (8 * i)) & 0xff).toFloat)
           .mkString(","))
     }).toDF("doc_id", "n_bytes", "checksum", "features")
       .orderBy(col("doc_id"))
   }
+
+  private val multimodalDecodeSql =
+    """WITH c AS (SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, STRLEN(text) + 1),
+      |      i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |  FROM documents)
+      |SELECT doc_id, n_bytes, checksum,
+      |  array_to_string(list_transform(range(0, 8),
+      |    i -> CAST((checksum // CAST(POW(256, i) AS BIGINT)) % 256
+      |         AS VARCHAR) || '.0'), ',') AS features
+      |FROM c ORDER BY doc_id""".stripMargin
 
   /** Stubbed media resize over binary batches: clamp payload to a target
     * byte budget (a real pipeline would decode + downscale; libs absent).
@@ -413,7 +450,7 @@ object PipelineQueries extends QueryPack {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       Some(dedupNgramJaccardSql)),
-    QueryDef("dedup_minhash", dedupMinhash, None),
+    QueryDef("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("dedup_simhash", dedupSimhash, None),
     QueryDef("embed_topk", embedTopK, Some(embedTopKSql)),
     QueryDef("embed_near_dup", embedNearDup, Some(embedNearDupSql)),
@@ -421,7 +458,8 @@ object PipelineQueries extends QueryPack {
     QueryDef("embed_ivf_topk", embedIvfTopK, None),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
-    QueryDef("multimodal_decode", multimodalDecode, None),
+    QueryDef("multimodal_decode", multimodalDecode,
+      Some(multimodalDecodeSql)),
     QueryDef("multimodal_resize", multimodalResize,
       Some(multimodalResizeSql)),
     QueryDef("multimodal_frames", multimodalFrames,

@@ -94,7 +94,16 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val spark = df.sparkSession
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist)
+    ivfProbe(cents, assigned, queryVec, k, nprobe)
+  }
+
+  /** Build the IVF index: deterministic centroids (first `nlist` ids as
+    * seeds, one Lloyd refinement in a single groupBy-avg pass) + the
+    * per-vector cluster assignment as a COLUMN `c`. This is the one-time
+    * (reindex) cost; probes never recompute it. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16): (Array[Array[Float]], DataFrame) = {
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
 
     // deterministic seeds: first nlist vectors by id
@@ -122,9 +131,13 @@ object Similarity {
         .as("centroid"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
     val cents = seeds.indices.map(i => refined.getOrElse(i, seeds(i))).toArray
+    (cents, base.withColumn("c", nearestIdx(cents)(col("v"))))
+  }
 
-    // probe the nprobe clusters nearest the query (driver-side: centroids
-    // are tiny), then brute-force within them
+  /** Probe an IVF index: pick the `nprobe` clusters nearest the query
+    * driver-side (centroids are tiny) and brute-force only within them. */
+  def ivfProbe(cents: Array[Array[Float]], assigned: DataFrame,
+      queryVec: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     val qScores = cents.zipWithIndex.map { case (c, i) =>
       val dot = c.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
       val na = math.sqrt(c.map(x => x.toDouble * x).sum)
@@ -132,14 +145,41 @@ object Similarity {
       (i, dot / (na * nb))
     }
     val probeIds = qScores.sortBy(-_._2).take(nprobe).map(_._1)
-
     val qLit = typedLit(queryVec.toSeq)
-    base.withColumn("c", nearestIdx(cents)(col("v")))
+    assigned
       .filter(col("c").isin(probeIds.toIndexedSeq: _*))
       .select(col("vec_id"),
         scaledCosine(col("v"), qLit).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** PERSIST the IVF index (`reindex` maintenance op): vectors+assignment
+    * land partitioned BY cluster, centroids beside them — so a probe is a
+    * partition-pruned scan of `nprobe` directories, not a full pass.
+    * This is the 100 TB path: reindex amortizes over every probe. */
+  def ivfReindex(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, nlist: Int = 16): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist)
+    assigned.write.mode("overwrite").partitionBy("c")
+      .parquet(s"$indexPath/vectors")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe a persisted IVF index: reads centroids (tiny), then scans ONLY
+    * the probed cluster partitions (partition pruning on `c`). */
+  def ivfProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queryVec: Array[Float], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("i")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    ivfProbe(cents, spark.read.parquet(s"$indexPath/vectors"),
+      queryVec, k, nprobe)
   }
 
   /** All pairs with cosine ≥ threshold (brute force n²; used on candidate

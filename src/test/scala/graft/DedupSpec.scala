@@ -94,6 +94,35 @@ class DedupSpec extends AnyFunSuite {
     assert(all == bf)
   }
 
+  test("persisted IVF index: probe scans only probed cluster partitions") {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graftivf").toString
+    // reindex once: assignment materialized, vectors partitioned by c
+    Similarity.ivfReindex(corpus, "vec_id", "embedding", idx, nlist = 8)
+    val probe = Similarity.ivfProbeIndexed(spark, idx, qv, 10, nprobe = 2)
+    // identical results to the unindexed path (same centroids/assignment)
+    val direct = Similarity.ivfTopK(corpus, "vec_id", "embedding", qv, 10,
+      nlist = 8, nprobe = 2).collect().map(r => r.getLong(0)).toSeq
+    assert(probe.collect().map(r => r.getLong(0)).toSeq == direct)
+    // plan shape: partition pruning on c — a probe reads only the probed
+    // cluster directories, not the whole index
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"),
+      s"probe must prune on the cluster partition column:\n$planStr")
+    val totalFiles = scans.flatMap(_.relation.location.inputFiles)
+      .count(_.contains("c="))
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"probe read $readFiles of $totalFiles files — pruning missing")
+  }
+
   test("planted identical embeddings found by near-dup pairs") {
     val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
     val dup = e.filter(col("vec_id") < 10)
