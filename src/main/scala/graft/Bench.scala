@@ -89,8 +89,50 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // DuckDB reference measured in the SAME run with the SAME min-of-N
+    // methodology (tools/duckdb_baseline.py) so the Spark-vs-reference
+    // ratio is auditable; omitted when python3+duckdb are unavailable.
+    val baseline = measureBaseline(sfDir, names, reps)
+    val baseJson = baseline.map { b =>
+      val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
+        .map(m => total / m.group(1).toDouble)
+      s""","baseline":$b""" +
+        ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
+    }.getOrElse("")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"$baseJson}""")
     spark.stop()
   }
+
+  private def jsonEsc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => ""
+      case '\t' => "\\t"
+      case c => c.toString
+    } + "\""
+
+  /** Run the DuckDB baseline script over the headline queries' oracle SQL;
+    * returns its one-line JSON, or None when the environment lacks it. */
+  private def measureBaseline(sfDir: String, names: Seq[String],
+      reps: Int): Option[String] =
+    try {
+      val script = java.nio.file.Paths.get("tools/duckdb_baseline.py")
+      if (!java.nio.file.Files.exists(script)) return None
+      val oracle = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      if (oracle.isEmpty) return None
+      val tmp = java.nio.file.Files.createTempFile("graft-oracle", ".json")
+      val json = oracle.toSeq.map { case (k, v) =>
+        jsonEsc(k) + ":" + jsonEsc(v)
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = scala.sys.process.Process(
+        Seq("python3", script.toString, sfDir, tmp.toString, reps.toString))
+        .!!(scala.sys.process.ProcessLogger(_ => ()))
+      java.nio.file.Files.deleteIfExists(tmp)
+      out.trim.linesIterator.toSeq.lastOption.filter(_.startsWith("{"))
+    } catch { case _: Throwable => None }
 }
