@@ -6,7 +6,10 @@ Usage: python3 tools/duckdb_baseline.py <sfDir> <oracleSqlJson> [reps]
 Runs each query from <oracleSqlJson> (a {name: sql} map, the same oracle
 SQL that graft.Verify dumps) against DuckDB views over the raw testdata
 parquet, with the identical methodology graft.Bench uses for Spark:
-threads=32, one untimed warm-up pass, then min-of-<reps> wall times.
+threads=32, PREPARE each query once, one untimed warm-up pass, then
+min-of-<reps> wall times of EXECUTE + fetchall (the prepared-statement
+model on both engines: planner latency excluded, full execution and
+result materialization included).
 
 Prints ONE JSON line: {"total": sec, "queries": {name: sec, ...},
 "duckdb": version}. graft.Bench invokes this (when python3+duckdb are
@@ -33,11 +36,16 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    for sql in oracle.values():          # warm-up (OS page cache, catalog)
-        con.execute(sql).fetchall()
+    prepared = {}
+    for i, (name, sql) in enumerate(oracle.items()):
+        stmt = f"q{i}"
+        con.execute(f"PREPARE {stmt} AS {sql}")
+        prepared[name] = f"EXECUTE {stmt}"
+    for ex in prepared.values():         # warm-up (OS page cache, catalog)
+        con.execute(ex).fetchall()
     times = {}
-    for name, sql in oracle.items():
-        best = min(_timed(con, sql) for _ in range(reps))
+    for name, ex in prepared.items():
+        best = min(_timed(con, ex) for _ in range(reps))
         times[name] = round(best, 4)
     out = {"total": round(sum(times.values()), 4), "queries": times,
            "duckdb": duckdb.__version__}
