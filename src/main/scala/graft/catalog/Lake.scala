@@ -1332,29 +1332,31 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       if (useDv) {
         // one roaring DV blob per affected data file (reference
         // write_deletion_vectors option → puffin/roaring path), each
-        // serialized and written by the task that owns its positions
+        // serialized and written by the task that owns its positions;
+        // deletion_vector_format=puffin emits Iceberg-v3 Puffin files
         import spark.implicits._
         val lakeIo = io
         val tableDir = name
+        val usePuffin =
+          meta.getOption("deletion_vector_format").contains("puffin")
         val written = shuffled.as[(String, Long)].mapPartitions { it =>
           val out = scala.collection.mutable
             .ArrayBuffer.empty[(String, String, Long, Long)]
           var cur: String = null
-          var bm: org.roaringbitmap.RoaringBitmap = null
-          var n = 0L
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
           def flush(): Unit = if (cur != null) {
-            bm.runOptimize()
-            val bos = new java.io.ByteArrayOutputStream()
-            bm.serialize(new java.io.DataOutputStream(bos))
-            val bytes = bos.toByteArray
-            val dvRel = s"$tableDir/ducklake-dv-${UUID.randomUUID()}.bin"
+            val bytes =
+              if (usePuffin)
+                DeletionVectors.serializePuffin(cur, buf.iterator)
+              else DeletionVectors.serialize(buf.iterator)
+            val ext = if (usePuffin) "puffin" else "bin"
+            val dvRel = s"$tableDir/ducklake-dv-${UUID.randomUUID()}.$ext"
             lakeIo.write(dvRel, bytes)
-            out += ((cur, dvRel, n, bytes.length.toLong))
+            out += ((cur, dvRel, buf.size.toLong, bytes.length.toLong))
           }
           it.foreach { case (rel, pos) =>
-            if (rel != cur) { flush(); cur = rel
-              bm = new org.roaringbitmap.RoaringBitmap(); n = 0L }
-            bm.add(pos.toInt); n += 1
+            if (rel != cur) { flush(); cur = rel; buf.clear() }
+            buf += pos
           }
           flush()
           out.iterator
@@ -2125,12 +2127,44 @@ object Lake {
   private[graft] def clearFileSchemaCache(): Unit = fileSchemaCache.clear()
 
   /** Attach (or create) a lake: Derby catalog dir + data dir (any
-    * Hadoop-FileSystem scheme). */
+    * Hadoop-FileSystem scheme). Catalogs written by an older metadata
+    * format are migrated in place; when the migration flags a rowid
+    * backfill (pre-0.4 compacted files embed materialized rowid columns
+    * the old catalog never recorded), the attach performs the one-time
+    * footer-informed flag backfill here, where parquet is readable. */
+  /** `Lake.attach(spark, "ducklake:<secret>")` — attach through a named
+    * DUCKLAKE secret holding metadata_path/data_path (reference
+    * ducklake_secret.cpp attach-by-secret). */
+  def attach(spark: SparkSession, secretRef: String): Lake = {
+    require(secretRef.startsWith("ducklake:"),
+      "attach-by-secret expects a 'ducklake:<name>' reference")
+    val name = secretRef.stripPrefix("ducklake:")
+    val s = Secrets.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no secret $name"))
+    val meta = s.params.getOrElse("metadata_path",
+      throw new IllegalArgumentException(s"secret $name lacks metadata_path"))
+    val data = s.params.getOrElse("data_path",
+      throw new IllegalArgumentException(s"secret $name lacks data_path"))
+    attach(spark, meta, data)
+  }
+
   def attach(spark: SparkSession, catalogDir: String,
       dataPath: String): Lake = {
+    // storage credentials scoped to this data path land in the Hadoop
+    // conf BEFORE the FileSystem is resolved (object-store roots)
+    Secrets.applyTo(spark, dataPath)
     new LakeIO(dataPath).mkdirsRoot()
     val mgr = new MetadataManager(MetadataManager.derbyUrl(catalogDir))
     mgr.initialize(dataPath)
-    new Lake(spark, mgr, mgr.dataPath)
+    val lake = new Lake(spark, mgr, mgr.dataPath)
+    if (mgr.pendingRowIdBackfill) {
+      val flagged = mgr.allDataFiles().filter { case (_, path) =>
+        scala.util.Try(lake.readSchemaOf(path).fieldNames
+          .contains(RowIdCol)).getOrElse(false)
+      }
+      mgr.setFilesHaveRowIds(flagged.map(_._1))
+      mgr.clearRowIdBackfill()
+    }
+    lake
   }
 }

@@ -28,9 +28,13 @@ final class LakeIO(val root: String) extends Serializable {
   }
   @transient private lazy val fs: FileSystem = rootPath.getFileSystem(conf)
 
+  /** lake-relative path → Path ("" = the root itself) */
+  private def p(rel: String): Path =
+    if (rel.isEmpty) rootPath else new Path(rootPath, rel)
+
   /** absolute path string for a lake-relative path (Hadoop Path form —
     * what Spark readers/writers accept) */
-  def abs(rel: String): String = new Path(rootPath, rel).toString
+  def abs(rel: String): String = p(rel).toString
 
   /** fully-qualified URI form matching Spark's `_metadata.file_path`
     * rendering (scheme + single slash on local FS) */
@@ -98,15 +102,15 @@ final class LakeIO(val root: String) extends Serializable {
 
   /** names of the direct children of a lake-relative directory */
   def list(rel: String): Seq[String] = {
-    val p = new Path(rootPath, rel)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val d = p(rel)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
   }
 
   /** absolute paths of the direct children that are files */
   def listFiles(rel: String): Seq[String] = {
-    val p = new Path(rootPath, rel)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+    val d = p(rel)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.toString)
   }
 }

@@ -58,6 +58,10 @@ private[catalog] object LakeSql {
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+NOT\s+NULL\s*$""".r
   private val Call =
     """(?is)^CALL\s+(?:ducklake[._])?(\w+)\s*\(([^)]*)\)\s*$""".r
+  private val CreateSecret =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?SECRET\s+([\w$]+)\s*\((.+)\)\s*$""".r
+  private val DropSecret =
+    """(?is)^DROP\s+SECRET\s+([\w$]+)\s*$""".r
   private val Begin =
     """(?is)^(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
   private val Commit = """(?is)^COMMIT\s*$""".r
@@ -72,6 +76,27 @@ private[catalog] object LakeSql {
     def count(n: Long): DataFrame = Seq(n).toDF("Count")
 
     stmt match {
+      case CreateSecret(orReplace, name, body) => Some {
+        // CREATE SECRET name (TYPE S3, KEY_ID 'k', SECRET 's',
+        //   SCOPE 's3a://bucket/') — reference ducklake_secret.cpp /
+        // test/sql/secrets syntax
+        val kv = splitTop(body).map(_.trim).filter(_.nonEmpty).map { e =>
+          val i = e.indexWhere(ch => ch == ' ' || ch == '\t')
+          require(i > 0, s"bad secret parameter: $e")
+          (e.substring(0, i).trim.toLowerCase(Locale.ROOT),
+            stripQuotes(e.substring(i + 1).trim))
+        }.toMap
+        val tpe = kv.getOrElse("type", "generic")
+        val scope = kv.get("scope").toSeq.flatMap(_.split(';'))
+          .filter(_.nonEmpty)
+        Secrets.create(Secrets.Secret(name, tpe,
+          kv - "type" - "scope", scope),
+          orReplace = orReplace != null)
+        count(1)
+      }
+
+      case DropSecret(name) => Some { Secrets.drop(name); count(1) }
+
       case Insert(tbl, colList, query) => Some {
         val df0 = runQuery(query)
         val names = Option(colList).map(_.split(",").map(_.trim).toSeq)

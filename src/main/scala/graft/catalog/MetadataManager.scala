@@ -21,6 +21,8 @@ import scala.util.Using
   */
 class MetadataManager(val jdbcUrl: String) extends Serializable {
 
+  import MetadataManager.FormatVersion
+
   /** backend dialect resolved from the URL (Derby embedded default;
     * Postgres/SQLite for server/file catalogs — [[CatalogDialect]]) */
   val dialect: CatalogDialect = CatalogDialect.forUrl(jdbcUrl)
@@ -191,15 +193,19 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       |  end_snapshot BIGINT, tag_key VARCHAR(256), tag_value VARCHAR(4096))"""
   ).map(_.stripMargin)
 
-  /** Create the schema + snapshot 0 if this is a fresh catalog DB. */
+  /** Create the schema + snapshot 0 if this is a fresh catalog DB;
+    * upgrade an existing catalog written by an older metadata version in
+    * place (reference v1.0→v1.1 migration,
+    * ducklake_metadata_manager_v1_1.cpp:10-17 + test/sql/migration/). */
   def initialize(dataPath: String): Unit = withConn { c =>
     val fresh = !tableExists(c, "DUCKLAKE_SNAPSHOT")
-    if (fresh) {
+    if (!fresh) migrate(c)
+    else {
       createTableStatements.foreach { ddl =>
         Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(ddl)))
       }
       exec(c,
-        "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('version','0.3')")
+        s"INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('version','$FormatVersion')")
       exec(c,
         "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('data_path', ?)",
         dataPath)
@@ -220,6 +226,68 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   private def tableExists(c: Connection, name: String): Boolean =
     Using.resource(c.getMetaData.getTables(null, null, name, null))(_.next())
+
+  private def columnExists(c: Connection, table: String,
+      column: String): Boolean =
+    Using.resource(
+      c.getMetaData.getColumns(null, null, table, column))(_.next())
+
+  /** In-place upgrade of a catalog written by an older format version
+    * (reference migration discipline: attach old catalog → migrate →
+    * bump `version`). Each step is idempotent; the whole upgrade runs in
+    * one catalog transaction. */
+  private def migrate(c: Connection): Unit = {
+    val current = query(c,
+      "SELECT mvalue FROM ducklake_metadata WHERE mkey = 'version' AND scope IS NULL")(
+      _.getString(1)).headOption.getOrElse("0.3")
+    if (current == FormatVersion) return
+    // 0.3 → 0.4: materialized-rowid flag on data files; shredded
+    // variant-path statistics table
+    if (!columnExists(c, "DUCKLAKE_DATA_FILE", "HAS_ROW_IDS"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
+        "ALTER TABLE ducklake_data_file ADD COLUMN has_row_ids BOOLEAN DEFAULT false")))
+    if (!tableExists(c, "DUCKLAKE_FILE_VARIANT_STATS"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
+        """CREATE TABLE ducklake_file_variant_stats (
+          |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
+          |  variant_path VARCHAR(1024), null_count BIGINT,
+          |  min_value VARCHAR(1024), max_value VARCHAR(1024),
+          |  min_numeric DOUBLE, max_numeric DOUBLE)""".stripMargin)))
+    // pre-0.4 catalogs recorded NO flag for compaction/flush-written files
+    // that embed materialized rowid columns — mark the catalog for a
+    // one-time footer-informed backfill (performed by Lake.attach, which
+    // can read parquet); until then reads could mis-derive rowids
+    exec(c,
+      "DELETE FROM ducklake_metadata WHERE mkey = 'needs_rowid_backfill'")
+    exec(c,
+      "INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('needs_rowid_backfill','true')")
+    exec(c,
+      "UPDATE ducklake_metadata SET mvalue = ? WHERE mkey = 'version' AND scope IS NULL",
+      FormatVersion)
+  }
+
+  /** all data-file rows (live and historical — time travel reads ended
+    * files too), for the migration backfill */
+  def allDataFiles(): Seq[(Long, String)] = withConn { c =>
+    query(c, "SELECT data_file_id, path FROM ducklake_data_file")(rs =>
+      (rs.getLong(1), rs.getString(2)))
+  }
+
+  def setFilesHaveRowIds(fileIds: Seq[Long]): Unit =
+    if (fileIds.nonEmpty) withConn { c =>
+      fileIds.grouped(500).foreach { g =>
+        exec(c,
+          s"UPDATE ducklake_data_file SET has_row_ids = true WHERE data_file_id IN (${g.mkString(",")})")
+      }
+    }
+
+  def pendingRowIdBackfill: Boolean =
+    getOption("needs_rowid_backfill").contains("true")
+
+  def clearRowIdBackfill(): Unit = withConn { c =>
+    exec(c,
+      "DELETE FROM ducklake_metadata WHERE mkey = 'needs_rowid_backfill'")
+  }
 
   def dataPath: String = withConn { c =>
     query(c,
@@ -1763,6 +1831,10 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 }
 
 object MetadataManager {
+  /** current metadata format version (bumped by in-place migrations:
+    * 0.3 = round-2/3 catalogs; 0.4 adds has_row_ids + variant stats) */
+  val FormatVersion = "0.4"
+
   /** Embedded-Derby URL for a catalog directory. */
   def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"
 }

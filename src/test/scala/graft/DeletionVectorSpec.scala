@@ -26,6 +26,45 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(DeletionVectors.cardinality(bytes) == 4)
   }
 
+  test("puffin framing round-trips and carries the spec's markers") {
+    val ps = Seq(3L, 4L, 99999L)
+    val bytes = DeletionVectors.serializePuffin("t/data-1.parquet",
+      ps.iterator)
+    // Iceberg Puffin structure: leading + trailing "PFA1" magic, JSON
+    // footer referencing the data file and the deletion-vector-v1 type
+    assert(bytes.take(4).sameElements("PFA1".getBytes))
+    assert(bytes.takeRight(4).sameElements("PFA1".getBytes))
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(text.contains("deletion-vector-v1"))
+    assert(text.contains("t/data-1.parquet"))
+    assert(text.contains("\"cardinality\":\"3\""))
+    assert(DeletionVectors.isPuffin(bytes))
+    assert(DeletionVectors.positions(bytes) == ps)
+    assert(DeletionVectors.cardinality(bytes) == 3)
+    // legacy blobs are still recognized by the same reader
+    val legacy = DeletionVectors.serialize(ps.iterator)
+    assert(!DeletionVectors.isPuffin(legacy))
+    assert(DeletionVectors.positions(legacy) == ps)
+    // corruption is detected (CRC over magic+vector)
+    val corrupted = bytes.clone(); corrupted(12) = (corrupted(12) ^ 1).toByte
+    intercept[IllegalArgumentException](DeletionVectors.positions(corrupted))
+  }
+
+  test("puffin DVs flow through delete, union and time travel") {
+    val lake = freshLake()
+    lake.setOption("deletion_vector_format", "puffin")
+    lake.createTableAs("p", (1L to 100L).toDF("id").coalesce(1))
+    assert(lake.delete("p", col("id") <= 10L) == 10)
+    assert(lake.table("p").count() == 90)
+    val t = lake.meta.tableByName("p", lake.currentSnapshotId()).get
+    val dels = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId())
+      .flatMap(_.deleteFiles)
+    assert(dels.nonEmpty && dels.forall(_.path.endsWith(".puffin")))
+    // consecutive delete unions into a fresh puffin DV
+    assert(lake.delete("p", col("id") > 90L) == 10)
+    assert(lake.table("p").count() == 80)
+  }
+
   test("delete with DVs: scan, union, time travel, CDC") {
     val lake = freshLake()
     lake.createTableAs("t", (1L to 100L).toDF("id").coalesce(1))
