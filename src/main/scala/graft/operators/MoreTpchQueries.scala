@@ -324,8 +324,78 @@ object MoreTpchQueries extends QueryPack {
        |                  AND o_orderpriority = '1-URGENT')
        |GROUP BY 1 ORDER BY cntrycode""".stripMargin
 
+  /** q12: line-status priority counts over the orders⋈lineitem join in a
+    * ship-year (reference benchmark/tpch/q12.benchmark; the driver schema
+    * has no l_shipmode/l_commitdate, so l_linestatus stands in for the
+    * mode bucket — same join + conditional-count shape). */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val high = col("o_orderpriority").like("1-%") ||
+      col("o_orderpriority").like("2-%")
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** q20: suppliers holding "excess supply" of a part family — the
+    * dominant (max-quantity) supplier of some part (reference
+    * benchmark/tpch/q20.benchmark; no partsupp table in the driver
+    * schema, so per-(supplier,part) lineitem quantity stands in for
+    * ps_availqty — same nested-aggregate + window + semi-join shape,
+    * in exact scaled longs). */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.filter(col("p_name").like("small%"))
+      .select(col("p_partkey"))
+    val supply = t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(sl2(col("l_quantity"))).as("qty2"))
+    val excess = supply
+      .withColumn("max2",
+        max(col("qty2")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))))
+      .filter(col("qty2") === col("max2"))
+    t.supplier
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q20Sql =
+    s"""WITH supply AS (
+       |  SELECT l_suppkey, l_partkey, SUM(${oSl2("l_quantity")}) AS qty2
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+       |  GROUP BY l_suppkey, l_partkey),
+       |excess AS (
+       |  SELECT l_suppkey FROM (
+       |    SELECT l_suppkey, qty2, MAX(qty2) OVER (PARTITION BY l_partkey) AS max2
+       |    FROM supply) s
+       |  WHERE qty2 = max2)
+       |SELECT s_name, s_acctbal FROM supplier
+       |WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+       |ORDER BY s_name""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q4_priority", q4, Some(q4Sql)),
+    QueryDef("q12_linestatus", q12, Some(q12Sql)),
+    QueryDef("q20_excess_supply", q20, Some(q20Sql)),
     QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),
     QueryDef("q16_supplier_cnt", q16, Some(q16Sql)),
