@@ -67,7 +67,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def createTable(name: String, schema: StructType,
       ifNotExists: Boolean = false): TableInfo = {
     val cols = schema.fields.map(f =>
-      (f.name, DuckLakeTypes.toTypeString(f.dataType), f.nullable)).toSeq
+      (f.name, Lake.declaredType(f), f.nullable)).toSeq
     io.mkdirs(name)
     val (s, t) = splitName(name)
     meta.createTable(t, cols, schema = s, ifNotExists = ifNotExists)
@@ -719,13 +719,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     maxRowsPerFile.fold(writer0)(n =>
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir)
 
-    val written = pqRead
+    val geoCols = cols.filter(_.typeString == "geometry")
+    val written = geoCols.foldLeft(pqRead
       .parquet(stagingDir)
       .select(cols.map(c => col(c.name)
-        .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*)
+        .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*))((d, c) =>
+      // geometry: parse each WKB once into an extent struct; its fields
+      // feed plain min/max aggregates in the same single stats pass
+      d.withColumn(s"__geo_${c.name}",
+        graft.functions.GeoFunctions.geoExtent(col(c.name))))
     val statAggs = cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
-      if (StatsCodec.statsSupported(dt))
+      if (c.typeString == "geometry")
+        graft.functions.GeoStatsAgg.aggs(col(s"__geo_${c.name}"), c.name) :+
+          count(col(c.name)).as(s"cnt_${c.name}")
+      else if (StatsCodec.statsSupported(dt))
         Seq(min(col(c.name)).as(s"min_${c.name}"),
           max(col(c.name)).as(s"max_${c.name}"),
           count(col(c.name)).as(s"cnt_${c.name}")) ++
@@ -757,7 +765,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val stats = cols.map { c =>
         val dt = DuckLakeTypes.fromTypeString(c.typeString)
         val nulls = rows - row.getAs[Long](s"cnt_${c.name}")
-        if (StatsCodec.statsSupported(dt)) {
+        if (c.typeString == "geometry") {
+          FileColumnStats(c.columnId, None, None, nulls,
+            extraStats = graft.functions.GeoStatsAgg.fromRow(row, c.name))
+        } else if (StatsCodec.statsSupported(dt)) {
           val mn = StatsCodec.encode(row.getAs[Any](s"min_${c.name}"), dt)
           val mx = StatsCodec.encode(row.getAs[Any](s"max_${c.name}"), dt)
           val nan =
@@ -852,8 +863,27 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     } yield eq
     val variantFilters = filterExpr.toSeq.flatMap(e =>
       extractVariantFilters(e, cols))
-    val scanFiles0 = meta.filesForScan(t.tableId, snap.snapshotId,
+    val geoFilters = filterExpr.toSeq.flatMap(e =>
+      extractGeoFilters(e, cols))
+    val scanFilesAll = meta.filesForScan(t.tableId, snap.snapshotId,
       statsFilters, partEq, variantFilters)
+    // geometry bbox pruning: drop files whose stored extent is disjoint
+    // from the query window (reference DuckLakeColumnGeoStats; extent
+    // JSON in extra_stats). Files without geo stats are kept — pruning
+    // is only ever an optimization.
+    val scanFiles0 = if (geoFilters.isEmpty) scanFilesAll else {
+      val statsByCol = geoFilters.map(_.columnId).distinct
+        .map(cid => cid -> meta.fileExtraStats(t.tableId, cid)).toMap
+      scanFilesAll.filter { sf =>
+        geoFilters.forall { gf =>
+          statsByCol(gf.columnId).get(sf.file.dataFileId).forall { json =>
+            graft.functions.GeoWkb.intersects(
+              graft.functions.GeoWkb.deserialize(json),
+              gf.xmin, gf.ymin, gf.xmax, gf.ymax)
+          }
+        }
+      }
+    }
     // transaction-local deletes overlay the committed file list
     val scanFiles = txn match {
       case Some(st) if snap.snapshotId >= st.base.snapshotId =>
@@ -1690,12 +1720,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * stats. */
   private def statsFor(relPath: String, cols: Seq[ColumnInfo],
       srcNames: Map[Long, String] = Map.empty): PendingDataFile = {
-    val df = pqRead.parquet(abs(relPath))
+    val df0 = pqRead.parquet(abs(relPath))
     def srcOf(c: ColumnInfo): Option[String] =
       if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
+    def isGeo(c: ColumnInfo): Boolean = c.typeString == "geometry"
+    // geometry columns: parse each WKB once into an extent struct, then
+    // plain min/max aggregates over its fields (reference
+    // DuckLakeColumnGeoStats collection at write)
+    val geoCols = cols.filter(c => isGeo(c) && srcOf(c).isDefined)
+    val df = geoCols.foldLeft(df0)((d, c) =>
+      d.withColumn(s"__geo_${c.columnId}",
+        graft.functions.GeoFunctions.geoExtent(col(srcOf(c).get))))
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       srcOf(c) match {
+        case Some(src) if isGeo(c) =>
+          graft.functions.GeoStatsAgg.aggs(
+            col(s"__geo_${c.columnId}"), c.columnId.toString) :+
+            count(col(src)).as(s"cnt_${c.columnId}")
         case Some(src) if StatsCodec.statsSupported(dt) =>
           Seq(min(col(src).cast(dt)).as(s"min_${c.columnId}"),
             max(col(src).cast(dt)).as(s"max_${c.columnId}"),
@@ -1711,6 +1753,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       srcOf(c) match {
         case None => FileColumnStats(c.columnId, None, None, rows)
+        case Some(_) if isGeo(c) =>
+          FileColumnStats(c.columnId, None, None,
+            rows - r.getAs[Long](s"cnt_${c.columnId}"),
+            extraStats = graft.functions.GeoStatsAgg.fromRow(
+              r, c.columnId.toString))
         case Some(_) if StatsCodec.statsSupported(dt) =>
           FileColumnStats(c.columnId,
             StatsCodec.encode(r.getAs[Any](s"min_${c.columnId}"), dt),
@@ -1809,11 +1856,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val cols = meta.columnsOf(t.tableId, meta.currentSnapshot().snapshotId)
       .filter(_.parentColumn.isEmpty)
     val byId = cols.map(c => c.columnId -> c.name).toMap
-    meta.tableColumnStats(t.tableId).map { case (cid, nul, nan, mn, mx) =>
-      (byId.getOrElse(cid, cid.toString), nul, nan,
-        mn.orNull, mx.orNull)
+    meta.tableColumnStats(t.tableId).map {
+      case (cid, nul, nan, mn, mx, extra) =>
+        (byId.getOrElse(cid, cid.toString), nul, nan,
+          mn.orNull, mx.orNull, extra.orNull)
     }.toDF("column_name", "contains_null", "contains_nan",
-      "min_value", "max_value")
+      "min_value", "max_value", "extra_stats")
   }
 
   /** ducklake_settings(): every known option with its current value and
@@ -2057,6 +2105,40 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
   }
 
+  /** `st_bbox_intersects(geomcol, x1, y1, x2, y2)` conjuncts with literal
+    * bounds → geometry bbox pruning filters. */
+  private def extractGeoFilters(e: Expression,
+      cols: Seq[ColumnInfo]): Seq[GeoStatsFilter] = {
+    val byName = cols.filter(_.typeString == "geometry")
+      .map(c => c.name -> c).toMap
+    def attrName(ex: Expression): Option[String] = ex match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        attrName(c.child)
+      case _ => None
+    }
+    def numLit(ex: Expression): Option[Double] = ex match {
+      case Literal(v: Number, _) => Some(v.doubleValue())
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        numLit(c.child)
+      case _ => None
+    }
+    e match {
+      case And(l, r) => extractGeoFilters(l, cols) ++ extractGeoFilters(r, cols)
+      case b: graft.functions.StBboxIntersects =>
+        (for {
+          n <- attrName(b.children.head)
+          ci <- byName.get(n)
+          bounds = b.children.tail.flatMap(numLit)
+          if bounds.size == 4
+        } yield GeoStatsFilter(ci.columnId,
+          bounds(0), bounds(1), bounds(2), bounds(3))).toSeq
+      case _ => Nil
+    }
+  }
+
   // ----------------------------------------------------- filter extraction
 
   /** Convert a Spark filter expression into catalog stats filters (only
@@ -2110,6 +2192,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 }
 
 object Lake {
+
+  /** Field-metadata key carrying a lake-level type Spark has no native
+    * DataType for (currently: geometry). */
+  val DeclaredTypeKey = "graft.type"
+
+  /** A geometry column for createTable: WKB blob storage + extent stats. */
+  def geometryField(name: String): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name,
+      org.apache.spark.sql.types.BinaryType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(DeclaredTypeKey, "geometry").build())
+
+  private[catalog] def declaredType(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(DeclaredTypeKey))
+      f.metadata.getString(DeclaredTypeKey)
+    else DuckLakeTypes.toTypeString(f.dataType)
+
   /** materialized row-identity columns in compacted files (reference
     * ducklake_multi_file_reader.cpp:574-596) */
   val RowIdCol = "_ducklake_internal_row_id"

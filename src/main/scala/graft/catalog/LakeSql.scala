@@ -319,8 +319,23 @@ private[catalog] object LakeSql {
     }
     val notNull = "(?is)\\s+NOT\\s+NULL\\s*$".r.findFirstIn(core).isDefined
     val base = "(?is)\\s+NOT\\s+NULL\\s*$".r.replaceAllIn(core, "")
-    val parsed = StructType.fromDDL(base).head
+    // GEOMETRY is a lake-level type (WKB blob + extent stats) that Spark's
+    // DDL parser does not know; carry it in field metadata so createTable
+    // records the declared lake type (reference geometry DDL,
+    // test/sql/geo/ducklake_geometry.test)
+    val GeomRe = "(?is)^(.+?)\\s+GEOMETRY\\s*$".r
+    val parsed = base.trim match {
+      case GeomRe(name) => Lake.geometryField(stripIdent(name))
+      case _ => StructType.fromDDL(base).head
+    }
     (parsed.copy(nullable = !notNull), default)
+  }
+
+  private def stripIdent(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1)
+    else t
   }
 
   private def stripQuotes(s: String): String = {

@@ -123,7 +123,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       |  column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
       |  min_value VARCHAR(1024), max_value VARCHAR(1024),
       |  min_numeric DOUBLE, max_numeric DOUBLE,
-      |  contains_nan BOOLEAN)""",
+      |  contains_nan BOOLEAN, extra_stats VARCHAR(2048))""",
     """CREATE TABLE ducklake_file_variant_stats (
       |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
       |  variant_path VARCHAR(1024), null_count BIGINT,
@@ -148,7 +148,8 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     """CREATE TABLE ducklake_table_column_stats (
       |  table_id BIGINT NOT NULL, column_id BIGINT NOT NULL,
       |  contains_null BOOLEAN, contains_nan BOOLEAN,
-      |  min_value VARCHAR(1024), max_value VARCHAR(1024))""",
+      |  min_value VARCHAR(1024), max_value VARCHAR(1024),
+      |  extra_stats VARCHAR(2048))""",
     """CREATE TABLE ducklake_partition_info (
       |  partition_id BIGINT NOT NULL, table_id BIGINT,
       |  begin_snapshot BIGINT, end_snapshot BIGINT)""",
@@ -253,6 +254,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           |  variant_path VARCHAR(1024), null_count BIGINT,
           |  min_value VARCHAR(1024), max_value VARCHAR(1024),
           |  min_numeric DOUBLE, max_numeric DOUBLE)""".stripMargin)))
+    // 0.4 → 0.5: serialized extra stats (geometry extent JSON) on file
+    // and cumulative column stats (reference v1.1 extra_stats)
+    for (t <- Seq("DUCKLAKE_FILE_COLUMN_STATS", "DUCKLAKE_TABLE_COLUMN_STATS"))
+      if (!columnExists(c, t, "EXTRA_STATS"))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
+          s"ALTER TABLE ${t.toLowerCase} ADD COLUMN extra_stats VARCHAR(2048)")))
     // pre-0.4 catalogs recorded NO flag for compaction/flush-written files
     // that embed materialized rowid columns — mark the catalog for a
     // one-time footer-informed backfill (performed by Lake.attach, which
@@ -729,12 +736,14 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       stats: Seq[FileColumnStats]): Unit =
     stats.groupBy(_.columnId).foreach { case (cid, ss) =>
       val existing = query(c,
-        """SELECT contains_null, contains_nan, min_value, max_value
+        """SELECT contains_null, contains_nan, min_value, max_value,
+          |extra_stats
           |FROM ducklake_table_column_stats
           |WHERE table_id = ? AND column_id = ?""".stripMargin,
         Long.box(tableId), Long.box(cid)) { rs =>
         (rs.getBoolean(1), rs.getBoolean(2),
-          Option(rs.getString(3)), Option(rs.getString(4)))
+          Option(rs.getString(3)), Option(rs.getString(4)),
+          Option(rs.getString(5)))
       }.headOption
       val numeric = ss.exists(_.numeric)
       def lt(a: String, b: String): Boolean =
@@ -753,36 +762,67 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       val newMax = ss.map(_.maxValue).reduce(mergeMax)
       val nulls = ss.exists(_.nullCount > 0)
       val nans = ss.exists(_.nanCount > 0)
+      // geo extents union across files (reference
+      // DuckLakeColumnGeoStats::Merge)
+      def mergeExtra(stats: Seq[Option[String]]): Option[String] = {
+        val defined = stats.flatten
+        if (defined.isEmpty) None
+        else {
+          val acc = graft.functions.GeoWkb.deserialize(defined.head)
+          defined.tail.foreach(x =>
+            acc.merge(graft.functions.GeoWkb.deserialize(x)))
+          Some(graft.functions.GeoWkb.serialize(acc))
+        }
+      }
+      val newExtra = mergeExtra(ss.map(_.extraStats))
       existing match {
-        case Some((en, ea, emin, emax)) =>
+        case Some((en, ea, emin, emax, eextra)) =>
           exec(c,
             """UPDATE ducklake_table_column_stats SET contains_null = ?,
-              |contains_nan = ?, min_value = ?, max_value = ?
+              |contains_nan = ?, min_value = ?, max_value = ?,
+              |extra_stats = ?
               |WHERE table_id = ? AND column_id = ?""".stripMargin,
             Boolean.box(en || nulls), Boolean.box(ea || nans),
             mergeMin(emin, newMin).orNull, mergeMax(emax, newMax).orNull,
+            mergeExtra(Seq(eextra, newExtra)).orNull,
             Long.box(tableId), Long.box(cid))
         case None =>
           exec(c,
             """INSERT INTO ducklake_table_column_stats (table_id, column_id,
-              |contains_null, contains_nan, min_value, max_value)
-              |VALUES (?, ?, ?, ?, ?, ?)""".stripMargin,
+              |contains_null, contains_nan, min_value, max_value, extra_stats)
+              |VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin,
             Long.box(tableId), Long.box(cid), Boolean.box(nulls),
-            Boolean.box(nans), newMin.orNull, newMax.orNull)
+            Boolean.box(nans), newMin.orNull, newMax.orNull, newExtra.orNull)
       }
     }
 
   /** (columnId, containsNull, containsNan, min, max) global stats */
   def tableColumnStats(tableId: Long): Seq[(Long, Boolean, Boolean,
-      Option[String], Option[String])] = withConn { c =>
+      Option[String], Option[String], Option[String])] = withConn { c =>
     query(c,
-      """SELECT column_id, contains_null, contains_nan, min_value, max_value
+      """SELECT column_id, contains_null, contains_nan, min_value, max_value,
+        |extra_stats
         |FROM ducklake_table_column_stats WHERE table_id = ?
         |ORDER BY column_id""".stripMargin, Long.box(tableId)) { rs =>
       (rs.getLong(1), rs.getBoolean(2), rs.getBoolean(3),
-        Option(rs.getString(4)), Option(rs.getString(5)))
+        Option(rs.getString(4)), Option(rs.getString(5)),
+        Option(rs.getString(6)))
     }
   }
+
+  /** Per-file serialized extra stats (geo extent JSON) for one column of
+    * the given files — the driver-side input to geometry bbox pruning.
+    * One round-trip per scanned column with a geo predicate. */
+  def fileExtraStats(tableId: Long, columnId: Long): Map[Long, String] =
+    withConn { c =>
+      query(c,
+        """SELECT data_file_id, extra_stats FROM ducklake_file_column_stats
+          |WHERE table_id = ? AND column_id = ? AND extra_stats IS NOT NULL"""
+          .stripMargin,
+        Long.box(tableId), Long.box(columnId)) { rs =>
+        rs.getLong(1) -> rs.getString(2)
+      }.toMap
+    }
 
   /** Stats row insert. Numeric stats land BOTH as the canonical VARCHAR
     * form (reference parity) and as typed DOUBLE columns so catalog-side
@@ -797,12 +837,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     exec(c,
       """INSERT INTO ducklake_file_column_stats (data_file_id, table_id,
         |column_id, column_size_bytes, value_count, null_count, min_value,
-        |max_value, min_numeric, max_numeric, contains_nan)
-        |VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+        |max_value, min_numeric, max_numeric, contains_nan, extra_stats)
+        |VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
       Long.box(fid), Long.box(tableId), Long.box(s.columnId),
       Long.box(valueCount), Long.box(s.nullCount),
       s.minValue.orNull, s.maxValue.orNull, num(s.minValue), num(s.maxValue),
-      Boolean.box(s.nanCount > 0))
+      Boolean.box(s.nanCount > 0), s.extraStats.orNull)
   }
 
   // ---------------------------------------------------------------- deletes
@@ -1833,7 +1873,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 object MetadataManager {
   /** current metadata format version (bumped by in-place migrations:
     * 0.3 = round-2/3 catalogs; 0.4 adds has_row_ids + variant stats) */
-  val FormatVersion = "0.4"
+  val FormatVersion = "0.5"
 
   /** Embedded-Derby URL for a catalog directory. */
   def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"

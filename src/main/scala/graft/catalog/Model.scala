@@ -79,7 +79,14 @@ final case class FileColumnStats(
     maxValue: Option[String],
     nullCount: Long,
     nanCount: Long = 0L,
-    numeric: Boolean = false)
+    numeric: Boolean = false,
+    extraStats: Option[String] = None)
+
+/** Geometry bbox pruning filter: keep files whose stored geo extent
+  * intersects the query window (reference DuckLakeColumnGeoStats
+  * pruning; extent JSON lives in extra_stats). */
+final case class GeoStatsFilter(columnId: Long, xmin: Double, ymin: Double,
+    xmax: Double, ymax: Double)
 
 final case class TableStats(
     recordCount: Long,
