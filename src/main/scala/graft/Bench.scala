@@ -197,7 +197,11 @@ object Bench {
         }
       }
     }
-    names.foreach(exec) // warm-up pass (codegen cache, JIT, file footers)
+    // two warm-up passes: first builds codegen + broadcasts + file
+    // footers, second lets C2 finish compiling the hot loops so the timed
+    // min isn't a JIT lottery
+    names.foreach(exec)
+    names.foreach(exec)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "9").toInt
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
