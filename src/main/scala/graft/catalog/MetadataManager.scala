@@ -62,6 +62,22 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       ps.executeUpdate()
     }
 
+  /** One prepared statement, many rows, one executeBatch — the staged-
+    * commit shape (reference ducklake_staged_commit.cpp builds the whole
+    * commit as one SQL batch so a remote Postgres catalog pays one round
+    * trip, not files×columns). Against embedded Derby this only saves
+    * statement setup; against a server catalog it is the difference
+    * between O(1) and O(rows) network round trips per commit. */
+  protected def execBatch(c: Connection, sql: String,
+      rows: Seq[Seq[Any]]): Unit =
+    if (rows.nonEmpty) Using.resource(c.prepareStatement(sql)) { ps =>
+      rows.foreach { args =>
+        args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+        ps.addBatch()
+      }
+      ps.executeBatch(): Unit
+    }
+
   private def optLong(rs: ResultSet, col: String): Option[Long] = {
     val v = rs.getLong(col)
     if (rs.wasNull()) None else Some(v)
@@ -680,44 +696,58 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       Long.box(tableId)).getOrElse(0L)
     var totalRows = 0L
     var totalBytes = 0L
+    // staged-commit batching: accumulate every row of the commit, then one
+    // executeBatch per catalog table (reference ducklake_staged_commit.cpp
+    // emits the whole commit as one SQL batch)
+    val fileRows = ArrayBuffer.empty[Seq[Any]]
+    val statRows = ArrayBuffer.empty[Seq[Any]]
+    val varRows = ArrayBuffer.empty[Seq[Any]]
+    val partRows = ArrayBuffer.empty[Seq[Any]]
     files.zipWithIndex.foreach { case (f, order) =>
       val fid = ids.newFileId()
-      exec(c,
-        """INSERT INTO ducklake_data_file (data_file_id, table_id,
-          |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
-          |file_format, record_count, file_size_bytes, footer_size,
-          |row_id_start, partition_id, mapping_id, has_row_ids)
-          |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+      fileRows += Seq(
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         Long.box(order.toLong), f.path, Long.box(f.recordCount),
         Long.box(f.fileSizeBytes), Long.box(rowIdStart),
         partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull,
         Boolean.box(f.hasRowIds))
-      f.columnStats.foreach(s => insertColStats(c, fid, tableId,
-        f.recordCount, s))
-      f.variantStats.foreach { s =>
+      f.columnStats.foreach(st =>
+        statRows += colStatsArgs(fid, tableId, f.recordCount, st))
+      f.variantStats.foreach { st =>
         def num(v: Option[String]): Object =
-          if (!s.numeric) null
+          if (!st.numeric) null
           else v.flatMap(x => scala.util.Try(x.toDouble).toOption)
             .map(Double.box).orNull
-        exec(c,
-          """INSERT INTO ducklake_file_variant_stats (data_file_id, table_id,
-            |column_id, variant_path, null_count, min_value, max_value,
-            |min_numeric, max_numeric) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
-          Long.box(fid), Long.box(tableId), Long.box(s.columnId), s.path,
-          Long.box(s.nullCount), s.minValue.orNull, s.maxValue.orNull,
-          num(s.minValue), num(s.maxValue))
+        varRows += Seq(
+          Long.box(fid), Long.box(tableId), Long.box(st.columnId), st.path,
+          Long.box(st.nullCount), st.minValue.orNull, st.maxValue.orNull,
+          num(st.minValue), num(st.maxValue))
       }
       f.partitionValues.foreach { case (keyIndex, v) =>
-        exec(c,
-          """INSERT INTO ducklake_file_partition_value (data_file_id, table_id,
-            |partition_key_index, partition_value) VALUES (?, ?, ?, ?)""".stripMargin,
+        partRows += Seq(
           Long.box(fid), Long.box(tableId), Long.box(keyIndex), v)
       }
       rowIdStart += f.recordCount
       totalRows += f.recordCount
       totalBytes += f.fileSizeBytes
     }
+    execBatch(c,
+      """INSERT INTO ducklake_data_file (data_file_id, table_id,
+        |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
+        |file_format, record_count, file_size_bytes, footer_size,
+        |row_id_start, partition_id, mapping_id, has_row_ids)
+        |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+      fileRows.toSeq)
+    execBatch(c, ColStatsSql, statRows.toSeq)
+    execBatch(c,
+      """INSERT INTO ducklake_file_variant_stats (data_file_id, table_id,
+        |column_id, variant_path, null_count, min_value, max_value,
+        |min_numeric, max_numeric) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+      varRows.toSeq)
+    execBatch(c,
+      """INSERT INTO ducklake_file_partition_value (data_file_id, table_id,
+        |partition_key_index, partition_value) VALUES (?, ?, ?, ?)""".stripMargin,
+      partRows.toSeq)
     exec(c,
       """UPDATE ducklake_table_stats SET record_count = record_count + ?,
         |next_row_id = ?, file_size_bytes = file_size_bytes + ?
@@ -828,22 +858,27 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * form (reference parity) and as typed DOUBLE columns so catalog-side
     * pruning needs no VARCHAR casts (Derby forbids them; an index on the
     * numeric columns also scales to millions of files). */
-  private def insertColStats(c: Connection, fid: Long, tableId: Long,
-      valueCount: Long, s: FileColumnStats): Unit = {
+  private val ColStatsSql =
+    """INSERT INTO ducklake_file_column_stats (data_file_id, table_id,
+      |column_id, column_size_bytes, value_count, null_count, min_value,
+      |max_value, min_numeric, max_numeric, contains_nan, extra_stats)
+      |VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin
+
+  private def colStatsArgs(fid: Long, tableId: Long, valueCount: Long,
+      s: FileColumnStats): Seq[Any] = {
     def num(v: Option[String]): Object =
       if (!s.numeric) null
       else v.flatMap(x => scala.util.Try(x.toDouble).toOption)
         .map(Double.box).orNull
-    exec(c,
-      """INSERT INTO ducklake_file_column_stats (data_file_id, table_id,
-        |column_id, column_size_bytes, value_count, null_count, min_value,
-        |max_value, min_numeric, max_numeric, contains_nan, extra_stats)
-        |VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
-      Long.box(fid), Long.box(tableId), Long.box(s.columnId),
+    Seq(Long.box(fid), Long.box(tableId), Long.box(s.columnId),
       Long.box(valueCount), Long.box(s.nullCount),
       s.minValue.orNull, s.maxValue.orNull, num(s.minValue), num(s.maxValue),
       Boolean.box(s.nanCount > 0), s.extraStats.orNull)
   }
+
+  private def insertColStats(c: Connection, fid: Long, tableId: Long,
+      valueCount: Long, s: FileColumnStats): Unit =
+    exec(c, ColStatsSql, colStatsArgs(fid, tableId, valueCount, s): _*)
 
   // ---------------------------------------------------------------- deletes
 
@@ -881,21 +916,24 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         if (gone.nonEmpty) throw new CommitConflictException(
           s"data files $gone were rewritten concurrently")
       }) { (c, snap, ids) =>
-      deletes.foreach { case (dataFileId, path, deleteCount, fileSize) =>
-        // end any previous delete file for this data file
-        exec(c,
-          """UPDATE ducklake_delete_file SET end_snapshot = ?
-            |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
-          Long.box(snap.snapshotId), Long.box(dataFileId))
-        exec(c,
-          """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
-            |begin_snapshot, end_snapshot, data_file_id, path,
-            |path_is_relative, file_format, delete_count, file_size_bytes)
-            |VALUES (?, ?, ?, NULL, ?, ?, true, ?, ?, ?)""".stripMargin,
-          Long.box(ids.newFileId()), Long.box(tableId),
-          Long.box(snap.snapshotId), Long.box(dataFileId), path, format,
-          Long.box(deleteCount), Long.box(fileSize))
-      }
+      // staged-commit batching: one round trip per statement kind, not
+      // per affected data file (a wide DELETE touches thousands of files)
+      execBatch(c,
+        """UPDATE ducklake_delete_file SET end_snapshot = ?
+          |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
+        deletes.map { case (dataFileId, _, _, _) =>
+          Seq(Long.box(snap.snapshotId), Long.box(dataFileId))
+        })
+      execBatch(c,
+        """INSERT INTO ducklake_delete_file (delete_file_id, table_id,
+          |begin_snapshot, end_snapshot, data_file_id, path,
+          |path_is_relative, file_format, delete_count, file_size_bytes)
+          |VALUES (?, ?, ?, NULL, ?, ?, true, ?, ?, ?)""".stripMargin,
+        deletes.map { case (dataFileId, path, deleteCount, fileSize) =>
+          Seq(Long.box(ids.newFileId()), Long.box(tableId),
+            Long.box(snap.snapshotId), Long.box(dataFileId), path, format,
+            Long.box(deleteCount), Long.box(fileSize))
+        })
       if (newFiles.nonEmpty) insertFiles(c, snap, ids, tableId, newFiles, None)
       if (removedRows != 0L) {
         exec(c,
