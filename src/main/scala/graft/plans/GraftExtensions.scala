@@ -118,5 +118,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectHintResolutionRule(ResolveLakeRelation)
     e.injectResolutionRule(ResolveLakeRelation)
     e.injectOptimizerRule(ExpandLakeScan)
+
+    // lake scalar functions in SQL (the reference registers murmur3_32 and
+    // the spatial surface at extension load, ducklake_extension.cpp)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+    import org.apache.spark.sql.types.DoubleType
+    def info(name: String, clazz: Class[_]) =
+      new ExpressionInfo(clazz.getName, name)
+    e.injectFunction((FunctionIdentifier("murmur3_32"),
+      info("murmur3_32", classOf[graft.functions.Murmur3Hash32]),
+      (args: Seq[Expression]) => graft.functions.Murmur3Hash32(args.head)))
+    e.injectFunction((FunctionIdentifier("st_point"),
+      info("st_point", classOf[graft.functions.StPoint]),
+      (args: Seq[Expression]) => graft.functions.StPoint(
+        Cast(args(0), DoubleType), Cast(args(1), DoubleType))))
+    e.injectFunction((FunctionIdentifier("st_bbox_intersects"),
+      info("st_bbox_intersects", classOf[graft.functions.StBboxIntersects]),
+      (args: Seq[Expression]) => graft.functions.StBboxIntersects(
+        args.head +: args.tail.map(Cast(_, DoubleType)))))
   }
 }

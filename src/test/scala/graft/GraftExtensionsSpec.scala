@@ -85,6 +85,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"join-side pruning missing: scanned $jFiles files")
       assert(jq.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         == Seq((160L, "x")))
+
+      // lake scalar functions registered in SQL: murmur3_32 and the
+      // spatial surface; st_bbox_intersects prunes files by geo stats
+      assert(spark.sql("SELECT murmur3_32(34) AS h").head().getInt(0) ==
+        2017239379) // Iceberg spec vector for int 34
+      lake.sql("CREATE TABLE geos (id INT, g GEOMETRY)")
+      import graft.functions.GeoWkb
+      lake.append("geos", Seq((1, GeoWkb.pointWkb(0, 0)))
+        .toDF("id", "g").coalesce(1))
+      lake.append("geos", Seq((2, GeoWkb.pointWkb(100, 100)))
+        .toDF("id", "g").coalesce(1))
+      val gq = spark.sql(
+        "SELECT id FROM graft.geos WHERE st_bbox_intersects(g, 90, 90, 110, 110)")
+      assert(gq.collect().map(_.getInt(0)).toSeq == Seq(2))
+      val gFiles = gq.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+      assert(gFiles == 1,
+        s"geo pruning missing on the SQL path: scanned $gFiles files")
+      assert(spark.sql(
+        "SELECT st_bbox_intersects(st_point(5, 5), 0, 0, 10, 10) AS hit")
+        .head().getBoolean(0))
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()
