@@ -170,6 +170,40 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
+  /** PERSIST the LSH index: (vec_id, vector, signature) partitioned BY
+    * signature bucket, bit-width stored beside it — the same reindex-once
+    * contract as [[ivfReindex]]. A probe is a partition-pruned scan of
+    * the query bucket + its hamming-1 neighbors (bits+1 directories), not
+    * a full-table signature recompute. */
+  def lshReindex(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, bits: Int = 12): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), bits).as("sig"))
+      .write.mode("overwrite").partitionBy("sig")
+      .parquet(s"$indexPath/vectors")
+    Seq(bits).toDF("bits").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Probe a persisted LSH index (partition pruning on `sig`). */
+  def lshProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queryVec: Array[Float], k: Int): DataFrame = {
+    val bits = spark.read.parquet(s"$indexPath/meta").head().getInt(0)
+    val qSig = spark.range(1)
+      .select(lshSignature(typedLit(queryVec.toSeq), bits).as("qsig"))
+      .head().getLong(0)
+    val probes = qSig +: (0 until bits).map(b => qSig ^ (1L << b))
+    val qLit = typedLit(queryVec.toSeq)
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("sig").isin(probes: _*))
+      .select(col("vec_id"),
+        scaledCosine(col("v"), qLit).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Probe a persisted IVF index: reads centroids (tiny), then scans ONLY
     * the probed cluster partitions (partition pruning on `c`). */
   def ivfProbeIndexed(spark: org.apache.spark.sql.SparkSession,

@@ -123,6 +123,29 @@ class DedupSpec extends AnyFunSuite {
       s"probe read $readFiles of $totalFiles files — pruning missing")
   }
 
+  test("persisted LSH index: probe prunes to query+neighbor buckets") {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val corpus = e.select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graftlsh").toString
+    Similarity.lshReindex(corpus, "vec_id", "embedding", idx, bits = 8)
+    val probe = Similarity.lshProbeIndexed(spark, idx, qv, 10)
+    // identical to the unindexed path (same deterministic signatures)
+    val direct = Similarity.lshTopK(corpus, "vec_id", "embedding", qv, 10,
+      bits = 8).collect().map(r => r.getLong(0)).toSeq
+    assert(probe.collect().map(r => r.getLong(0)).toSeq == direct)
+    // partition pruning on sig: bits+1 probed buckets of up to 2^8
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val totalFiles = scans.flatMap(_.relation.location.inputFiles)
+      .count(_.contains("sig="))
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"probe read $readFiles of $totalFiles bucket files — pruning missing")
+  }
+
   test("planted identical embeddings found by near-dup pairs") {
     val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
     val dup = e.filter(col("vec_id") < 10)
