@@ -168,7 +168,93 @@ object EventQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** ClickBench Q-series: per-type share of traffic with conditional
+    * value sums (exact scaled-long arithmetic both engines). */
+  private def typeShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("value")), 100.0).as("total_value"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("big"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
+  private val typeShareSql =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${oLsum(oSl2("value"), "100.0")} AS total_value,
+       |  CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS big
+       |FROM events GROUP BY event_type
+       |ORDER BY n DESC, event_type""".stripMargin
+
+  /** Exact distinct users per event type (ClickBench COUNT(DISTINCT
+    * UserID) family — the exact twin of cb_approx_uniq). */
+  private def uniqPerType(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val uniqPerTypeSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Day-of-week × hour activity heatmap (two-dimensional EXTRACT
+    * group-by, ClickBench time-dimension family). */
+  private def dowHour(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  private val dowHourSql =
+    """SELECT EXTRACT(dow FROM ts) + 1 AS dow, EXTRACT(hour FROM ts) AS hr,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
+
+  /** Value histogram: fixed-width buckets (ClickBench numeric-dimension
+    * family; floor-bucket on both engines). */
+  private def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  private val valueHistogramSql =
+    """SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** LIKE-filtered top-k (ClickBench URL LIKE '%google%' family) over the
+    * raw JSON props string. */
+  private def likeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("props").like("%\"k\": 7%"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(25)
+  }
+
+  private val likeFilterSql =
+    """SELECT user_id, COUNT(*) AS n FROM events
+      |WHERE props LIKE '%"k": 7%'
+      |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 25""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("cb_type_share", typeShare, Some(typeShareSql)),
+    QueryDef("cb_uniq_per_type", uniqPerType, Some(uniqPerTypeSql)),
+    QueryDef("cb_dow_hour", dowHour, Some(dowHourSql)),
+    QueryDef("cb_value_histogram", valueHistogram, Some(valueHistogramSql)),
+    QueryDef("cb_like_filter", likeFilter, Some(likeFilterSql)),
     QueryDef("cb_top_users", topUsers, Some(topUsersSql)),
     QueryDef("cb_minute_series", minuteSeries, Some(minuteSeriesSql)),
     QueryDef("cb_json_buckets", jsonBuckets, Some(jsonBucketsSql)),
