@@ -490,6 +490,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val deletes = scala.collection.mutable.LinkedHashMap
       .empty[Long, (scala.collection.mutable.LinkedHashMap[
         Long, (String, Long, Long, String)], Long)]
+    // tableId → committed inlined row ids deleted inside this txn
+    val inlinedDeletes = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.LinkedHashSet[Long]]
     // temp dirs (lake-relative) holding materialized positions etc.;
     // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -521,11 +524,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       (tid, m.toSeq.map { case (fid, (p, n, s, fmt)) => (fid, p, n, s, fmt) },
         removed)
     }
+    val inlinedDels = st.inlinedDeletes.toSeq.map { case (tid, ids) =>
+      (tid, ids.toSeq)
+    }
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
-    if (appends.nonEmpty || dels.nonEmpty)
-      meta.commitTransaction(st.base.snapshotId, appends, dels)
+    if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty)
+      meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels)
     txn = None
     st.cleanupScratch()
   }
@@ -545,8 +551,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * an exception rolls everything back (staged files removed, catalog
     * untouched). Reads inside the transaction see its own writes. DDL and
     * maintenance ops still commit immediately (statement-level, as in the
-    * reference's auto-commit), and deleting rows inserted by the same
-    * transaction is not supported. One open transaction per Lake handle. */
+    * reference's auto-commit). One open transaction per Lake handle. */
   def transaction[T](body: => T): T = {
     begin()
     try {
@@ -903,7 +908,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val df = buildScan(t, allCols, scanFiles, snap, withMeta)
     // inlined-data pseudo-files: rows living in the catalog DB join the
     // scan (reference ducklake_multi_file_list.cpp:360-374)
-    val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    val inlined0 = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    // read-your-writes: inlined rows deleted inside the open transaction
+    // disappear from its own reads before commit
+    val inlined = txn match {
+      case Some(st) if snap.snapshotId >= st.base.snapshotId =>
+        st.inlinedDeletes.get(t.tableId) match {
+          case Some(dead) => inlined0.filterNot(r => dead.contains(r._1))
+          case None => inlined0
+        }
+      case _ => inlined0
+    }
     val full = if (inlined.isEmpty) df else {
       val extra = inlinedDf(inlined, schema)
       val shaped =
@@ -1285,11 +1300,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // inlined rows delete by ending their validity in the catalog DB
     val inlinedIds = newDeletes0.filter(col("file_path") === InlinedFile)
       .select("pos").collect().map(_.getLong(0)).toSeq
-    txn.foreach { st =>
-      if (inlinedIds.nonEmpty) throw new UnsupportedOperationException(
-        "deleting inlined rows inside a transaction is not supported")
+    if (inlinedIds.nonEmpty) txn match {
+      // buffered: validity ends in the SAME catalog txn as the commit
+      // (conflict-checked there); reads overlay the buffered ids
+      case Some(st) => st.inlinedDeletes.getOrElseUpdate(t.tableId,
+        scala.collection.mutable.LinkedHashSet.empty[Long]) ++= inlinedIds
+      case None => meta.endInlinedRows(t.tableId, inlinedIds)
     }
-    if (inlinedIds.nonEmpty) meta.endInlinedRows(t.tableId, inlinedIds)
     val newDeletes1 = newDeletes0.filter(col("file_path") =!= InlinedFile)
     // deletes hitting rows inserted by the SAME transaction rewrite the
     // staged (uncommitted) files in place — no delete file needed, the

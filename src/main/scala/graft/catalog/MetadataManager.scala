@@ -949,14 +949,16 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * checks the individual commits use. */
   def commitTransaction(baseSnapshot: Long,
       appends: Seq[(Long, Option[Long], Seq[PendingDataFile])],
-      deletes: Seq[(Long, Seq[(Long, String, Long, Long, String)], Long)])
-      : Snapshot = {
+      deletes: Seq[(Long, Seq[(Long, String, Long, Long, String)], Long)],
+      inlinedDeletes: Seq[(Long, Seq[Long])] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
-    val tables = (appends.map(_._1) ++ deletes.map(_._1)).distinct
+    val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
+      inlinedDeletes.map(_._1)).distinct
     commitSnapshot(
       SnapshotChanges(
         insertedIntoTables = appends.map(_._1),
-        deletedFromTables = deletes.map(_._1)),
+        deletedFromTables =
+          (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
       conflictCheck = (c, _) => {
         tables.foreach { tid =>
           val live = query(c,
@@ -997,9 +999,32 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
               s"data files $gone were rewritten concurrently")
           }
         }
+        inlinedDeletes.foreach { case (tid, ids0) =>
+          // an inlined row our txn deletes that another txn already ended
+          // since BEGIN is a write-write conflict
+          ids0.grouped(500).foreach { g =>
+            val n = query(c,
+              s"""SELECT COUNT(*) FROM ${inlinedTableName(tid)}
+                 |WHERE row_id IN (${g.mkString(",")})
+                 |  AND end_snapshot IS NOT NULL AND end_snapshot > ?"""
+                .stripMargin,
+              Long.box(baseSnapshot))(_.getLong(1)).head
+            if (n > 0) throw new CommitConflictException(
+              s"concurrent delete on inlined rows of table $tid")
+          }
+        }
       }) { (c, snap, ids) =>
       appends.foreach { case (tid, partitionId, files) =>
         insertFiles(c, snap, ids, tid, files, partitionId)
+      }
+      inlinedDeletes.foreach { case (tid, ids0) =>
+        execBatch(c,
+          s"""UPDATE ${inlinedTableName(tid)} SET end_snapshot = ?
+             |WHERE row_id = ? AND end_snapshot IS NULL""".stripMargin,
+          ids0.map(rid => Seq(Long.box(snap.snapshotId), Long.box(rid))))
+        exec(c,
+          "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+          Long.box(ids0.size.toLong), Long.box(tid))
       }
       deletes.foreach { case (tid, entries, removedRows) =>
         entries.foreach {

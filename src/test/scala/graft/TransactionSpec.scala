@@ -164,4 +164,43 @@ class TransactionSpec extends AnyFunSuite {
     // loser rolled nothing in; winner's delete visible
     assert(a.table("t").count() == 90)
   }
+
+  test("deleting committed inlined rows inside a transaction") {
+    val lake = freshLake()
+    lake.createTable("inl", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.append("inl", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // rows live inlined in the catalog DB
+    assert(lake.listFiles("inl").isEmpty)
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.delete("inl", col("id") === 2L)
+      // read-your-writes: the txn no longer sees the row...
+      assert(lake.table("inl").select("id").as[Long].collect().sorted
+        .toSeq == Seq(1L, 3L))
+    }
+    // ...and after commit neither does anyone else, in ONE snapshot
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("inl").select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // rollback leaves the rows alone
+    lake.begin()
+    lake.delete("inl", col("id") === 1L)
+    assert(lake.table("inl").select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L))
+    lake.rollback()
+    assert(lake.table("inl").select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // mixed txn: inlined delete + file append commit atomically
+    lake.transaction {
+      lake.delete("inl", col("id") === 3L)
+      lake.append("inl",
+        (10L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
+    }
+    assert(lake.table("inl").count() == 22)
+  }
 }
