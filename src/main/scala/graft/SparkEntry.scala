@@ -16,6 +16,7 @@ object SparkEntry {
     operators.EventQueries,
     operators.LakeQueries,
     operators.PipelineQueries,
+    operators.TrainingPipeline,
   )
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)

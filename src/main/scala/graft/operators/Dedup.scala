@@ -163,4 +163,46 @@ object Dedup {
       .distinct()
       .filter(col("distance") <= maxDistance)
   }
+
+  /** Connected components over near-dup edges → duplicate CLUSTERS: every
+    * node gets the minimum id reachable from it (the cluster's canonical
+    * keeper). Iterative min-label propagation — each round is one
+    * shuffle join on node id plus a groupBy-min, converging in O(cluster
+    * diameter) rounds; dedup clusters are shallow (pairwise-verified
+    * edges), so a handful of rounds suffices at any corpus size. Labels
+    * are persisted per round and the previous round unpersisted, keeping
+    * lineage flat for long chains.
+    *
+    * nodes: one column `id`; edges: `id_a`, `id_b`. Returns (id, cluster).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(edges.select(col("id_b").as("id"),
+        col("id_a").as("nbr")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("comp")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("comp").as("nc")),
+          "nbr")
+        .groupBy("id").agg(min(col("nc")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_nbr"), col("comp")))
+            .as("comp"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -208,13 +208,15 @@ object PipelineQueries extends QueryPack {
        |SELECT vec_id, ROUND(score, 9) AS score FROM d
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
-  /** full n² cosine near-dup over corpus with planted exact copies */
+  /** all-pairs cosine near-dup over corpus with planted exact copies —
+    * exact output (same as the n² oracle SQL) but computed through the
+    * centroid-angle-blocked join, so the plan has no cross product */
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
     val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
       col("embedding"))
-    Similarity.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
-      threshold = 0.99)
+    Similarity.nearDupPairsBlocked(e.unionByName(planted), "vec_id",
+      "embedding", threshold = 0.99)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -217,7 +217,7 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (brute force n²; used on candidate
-    * blocks — callers block first at scale). */
+    * blocks — callers block first at scale, see [[nearDupPairsBlocked]]). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val s = df.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"))
@@ -227,5 +227,78 @@ object Similarity {
       .withColumn("score", cosineScaled(col("sv_a"), col("sv_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** All pairs with cosine ≥ threshold, EXACT but blocked — no n² cross
+    * product in the plan. Vectors take the IVF coarse assignment (at
+    * 100 TB this is the persisted index column, not a recompute); the
+    * spherical triangle inequality
+    * `angle(a,b) ≥ angle(c_a,c_b) − r_a − r_b` (r = cluster radius, the
+    * max member-to-centroid angle) prunes every cluster pair that cannot
+    * reach `arccos(threshold)` WITHOUT touching its members. Surviving
+    * cluster pairs become an equi-join on the cluster key — co-located,
+    * shuffle carries only candidate blocks — and the exact scaled cosine
+    * refines, so the output is identical to [[nearDupPairs]]. Clustered
+    * embeddings (real corpora) prune most of the nlist² grid; worst-case
+    * uniform data degrades to the brute-force pair count but never loses
+    * a pair. */
+  def nearDupPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16): DataFrame = {
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist)
+    // raw double cosine to the OWN centroid, per row: element_at over the
+    // per-centroid cosine array, then max angle per cluster = its radius
+    val cosToOwn = element_at(
+      array(cents.map(c => cosineRaw(col("v"), typedLit(c.toSeq))): _*),
+      col("c") + 1)
+    val radii = assigned
+      .groupBy(col("c"))
+      .agg(max(acos(least(lit(1d), greatest(lit(-1d), cosToOwn))))
+        .as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val pairs = clusterCandidates(cents, radii, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = broadcast(pairs.toDF("ci", "cj"))
+    val a = assigned.select(col("vec_id").as("id_a"),
+      scaled(col("v")).as("sv_a"), col("c").as("ca"))
+    val b = assigned.select(col("vec_id").as("id_b"),
+      scaled(col("v")).as("sv_b"), col("c").as("cb"))
+    a.join(cand, col("ca") === col("ci"))
+      .join(b, col("cb") === col("cj"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosineScaled(col("sv_a"), col("sv_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Cluster pairs that MAY contain a qualifying pair (both directions for
+    * i≠j so the id_a<id_b filter never drops a cross-cluster pair). The
+    * 1e-3 rad slack absorbs the gap between the double-precision bound
+    * math and the scaled-integer refine cosine. */
+  private[graft] def clusterCandidates(cents: Array[Array[Float]],
+      radii: Map[Int, Double], threshold: Double): Seq[(Int, Int)] = {
+    val maxAngle = math.acos(math.min(1d, math.max(-1d, threshold))) + 1e-3
+    def angle(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.acos(math.min(1d, math.max(-1d, dot / (na * nb))))
+    }
+    for {
+      i <- cents.indices
+      j <- cents.indices
+      // clusters that never got a member have no radius — nothing to join
+      ri <- radii.get(i).toSeq
+      rj <- radii.get(j).toSeq
+      if angle(cents(i), cents(j)) <= maxAngle + ri + rj
+    } yield (i, j)
+  }
+
+  /** plain double cosine (bounds only — refine uses [[cosineScaled]]) */
+  private def cosineRaw(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 }

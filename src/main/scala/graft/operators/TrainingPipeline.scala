@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: duplicate-cluster resolution
+  * (connected components over verified near-dup edges), deterministic
+  * hash sampling, deterministic shard-shuffle, and token-budget packing.
+  *
+  * Everything is hash-deterministic (md5 over stable keys) rather than
+  * RNG-seeded, so the same rows are selected on every engine and every
+  * rerun — the property a reproducible training-data pipeline needs —
+  * and each query has an exact DuckDB oracle.
+  */
+object TrainingPipeline extends QueryPack {
+
+  private val shinglesSqlFrag =
+    """list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))"""
+      .stripMargin
+
+  // ------------------------------------------------------ dedup clusters
+
+  /** Duplicate clusters: planted mutation CHAINS (A→B→C, where only
+    * consecutive pairs are candidate edges) force a real transitive
+    * closure — pairwise verification alone cannot group A with C. The
+    * Spark side runs distributed min-label propagation
+    * ([[Dedup.connectedComponents]]); the oracle computes the same
+    * closure with a recursive CTE. Output: one row per cluster keeper
+    * with the member count. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    val b = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    val c = d.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation zz_more")).as("text"))
+    val corpus = d.unionByName(b).unionByName(c)
+    // candidate edges: only consecutive links of each planted chain
+    val cand = d.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1000000L).as("id_b"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("id_a"),
+        (col("doc_id") + 2000000L).as("id_b")))
+    val edges = Dedup.verifyJaccard(corpus, "doc_id", "text", cand, 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val nodes = corpus.select(col("doc_id").as("id"))
+    Dedup.connectedComponents(nodes, edges)
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz_mutation' FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, text || ' zz_mutation zz_more' FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSqlFrag AS s FROM corpus),
+       |cand AS (
+       |  SELECT doc_id AS ia, doc_id + 1000000 AS ib FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+       |edges AS (
+       |  SELECT c.ia AS id_a, c.ib AS id_b FROM cand c
+       |  JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS id, id_b AS nbr FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS m FROM corpus
+       |  UNION
+       |  SELECT s.id, r.m FROM sym s JOIN reach r ON r.id = s.nbr),
+       |comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id)
+       |SELECT cluster, COUNT(*) AS n_members FROM comp
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ------------------------------------------------- deterministic sample
+
+  /** Stratified deterministic sample: md5 of (doc_id, salt) buckets each
+    * row; per-language hex-prefix cutoffs give per-stratum rates (en 50%,
+    * others ~16%). Pure map-side filter — no shuffle, no RNG state — and
+    * the exact same rows survive in any engine. */
+  private def docSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":sample:42"))
+        .cast("binary")), 1, 2)
+    d.withColumn("bucket", bucket)
+      .filter(when(col("lang") === "en", col("bucket") < "80")
+        .otherwise(col("bucket") < "29"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docSampleSql =
+    """SELECT doc_id, lang,
+      |  substr(md5(CAST(doc_id AS VARCHAR) || ':sample:42'), 1, 2) AS bucket
+      |FROM documents
+      |WHERE CASE WHEN lang = 'en'
+      |  THEN substr(md5(CAST(doc_id AS VARCHAR) || ':sample:42'), 1, 2) < '80'
+      |  ELSE substr(md5(CAST(doc_id AS VARCHAR) || ':sample:42'), 1, 2) < '29'
+      |  END
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ deterministic shuffle
+
+  /** Deterministic training shuffle: each doc hashes to a shard (first
+    * hex nibble) and a within-shard position (row_number over the hash).
+    * Windows are PARTITIONED by shard, so at 100 TB each shard sorts
+    * independently after one hash shuffle — no global single-partition
+    * sort. Rerunning yields byte-identical epoch order. */
+  private def trainShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuffle:42"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    d.select(col("doc_id"), key.as("skey"))
+      .withColumn("shard", substring(col("skey"), 1, 1))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val trainShuffleSql =
+    """WITH k AS (SELECT doc_id,
+      |  md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS skey FROM documents)
+      |SELECT doc_id, substr(skey, 1, 1) AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY substr(skey, 1, 1)
+      |                     ORDER BY skey, doc_id) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
+  // --------------------------------------------------- token-budget pack
+
+  /** Token-budget packing: documents stream per language in deterministic
+    * order; each doc lands in training bin floor(preceding_tokens/4096).
+    * The running sum is a frame-bounded window partitioned by lang — one
+    * shuffle, parallel across strata, the standard sequence-packing shape
+    * for context-window assembly. */
+  private def tokenPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bin_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096.0)
+          .cast("long"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val tokenPackSql =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(FLOOR(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+      |    PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+      |    AS BIGINT) AS bin_id
+      |FROM documents ORDER BY lang, doc_id""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("doc_sample", docSample, Some(docSampleSql)),
+    QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
+    QueryDef("token_pack", tokenPack, Some(tokenPackSql)),
+  )
+}

@@ -154,4 +154,37 @@ class DedupSpec extends AnyFunSuite {
       "embedding", threshold = 0.99)
     assert(pairs.count() == 10)
   }
+
+  test("blocked near-dup pairs equal brute force, with no cross product") {
+    val e = Tables(spark, dir).embeddings.select("vec_id", "embedding")
+    val dup = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = e.unionByName(dup)
+    val brute = Similarity.nearDupPairs(all, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.nearDupPairsBlocked(
+      all, "vec_id", "embedding", 0.99)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"blocked near-dup plan still contains a cross product:\n$plan")
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"blocked=${got.size} brute=${brute.size}")
+  }
+
+  test("centroid-angle bound prunes far cluster pairs, keeps near ones") {
+    // orthogonal centroids with tight radii: cross pairs cannot reach
+    // cos 0.9 (angle π/2 > 0.451 + 0.05 + 0.05) and must be pruned
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0f); v(i) = 1f; v
+    }
+    val cents = Array(axis(0), axis(4))
+    val radii = Map(0 -> 0.05, 1 -> 0.05)
+    val cand = Similarity.clusterCandidates(cents, radii, threshold = 0.9)
+    assert(cand.toSet == Set((0, 0), (1, 1)), s"candidates: $cand")
+    // widen the radii until the bound can no longer exclude the cross pair
+    val wide = Similarity.clusterCandidates(cents,
+      Map(0 -> 0.6, 1 -> 0.6), threshold = 0.9)
+    assert(wide.toSet.size == 4, s"wide-radius candidates: $wide")
+  }
 }
