@@ -169,9 +169,12 @@ object Dedup {
     * keeper). Iterative min-label propagation — each round is one
     * shuffle join on node id plus a groupBy-min, converging in O(cluster
     * diameter) rounds; dedup clusters are shallow (pairwise-verified
-    * edges), so a handful of rounds suffices at any corpus size. Labels
-    * are persisted per round and the previous round unpersisted, keeping
-    * lineage flat for long chains.
+    * edges), so a handful of rounds suffices at any corpus size. Each
+    * round's labels are `localCheckpoint`ed — without lineage truncation
+    * the logical plan references the previous round's plan twice, so plan
+    * size (and planning/explain memory) doubles per round. On a real
+    * cluster swap `localCheckpoint` for a reliable `checkpoint` dir to
+    * survive executor loss.
     *
     * nodes: one column `id`; edges: `id_a`, `id_b`. Returns (id, cluster).
     */
@@ -181,7 +184,8 @@ object Dedup {
       .unionByName(edges.select(col("id_b").as("id"),
         col("id_a").as("nbr")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("comp")).persist()
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -193,7 +197,7 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp")))
             .as("comp"))
-        .persist()
+        .localCheckpoint() // truncate lineage: keeps the per-round plan O(1)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.comp") =!= col("o.comp")).limit(1).count()

@@ -172,6 +172,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute, s"blocked=${got.size} brute=${brute.size}")
   }
 
+  test("connected components: chains, isolated nodes, multiple clusters") {
+    // one 10-node chain (diameter forces several propagation rounds),
+    // one triangle, one isolated node
+    val edges = ((0L to 8L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("id_a", "id_b")
+    val nodes = ((0L to 9L) ++ Seq(100L, 101L, 102L, 999L)).toDF("id")
+    val comp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(comp(_) == 0L), s"chain labels: $comp")
+    assert(Seq(100L, 101L, 102L).forall(comp(_) == 100L))
+    assert(comp(999L) == 999L)
+  }
+
   test("centroid-angle bound prunes far cluster pairs, keeps near ones") {
     // orthogonal centroids with tight radii: cross pairs cannot reach
     // cos 0.9 (angle π/2 > 0.451 + 0.05 + 0.05) and must be pruned
