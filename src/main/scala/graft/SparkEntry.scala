@@ -17,6 +17,7 @@ object SparkEntry {
     operators.LakeQueries,
     operators.PipelineQueries,
     operators.TrainingPipeline,
+    operators.CorpusQueries,
   )
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene and analytics operators a large-scale training-data
+  * pipeline needs beyond dedup: benchmark decontamination, keyword
+  * retrieval, repetition-based quality filtering, event sessionization,
+  * and the window-frame surface (RANGE frames, ntile, percent_rank,
+  * lead, first_value).
+  *
+  * All queries are exact-arithmetic (integer counts, scaled-long money,
+  * single IEEE divisions) so every one has a bit-exact DuckDB oracle.
+  */
+object CorpusQueries extends QueryPack {
+
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * distinct word 3-gram with a held-out benchmark slice (here: doc_id
+    * divisible by 97 stands in for the eval set). The benchmark side of
+    * the join is BROADCAST — real eval sets are tiny next to a 100 TB
+    * corpus, so the corpus never shuffles; each task streams its shingles
+    * past the in-memory benchmark index (the standard n-gram-overlap
+    * decontamination used before training runs). */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val sh = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bid"), col("g"))
+    val corp = sh.filter(col("doc_id") % 97 =!= 0)
+    corp.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bid")).as("n_bench_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, GREATEST(len(t)-2, 0)),
+      |    i -> array_to_string(t[i+1:i+3],' '))) AS s FROM toks),
+      |bench AS (SELECT doc_id AS bid, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      |corp  AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id, COUNT(DISTINCT b.bid) AS n_bench_hits
+      |FROM corp c JOIN bench b ON c.g = b.g
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------- keyword search
+
+  /** Length-normalized term-frequency retrieval: top-20 documents for a
+    * keyword, scored tf·10⁴ / doc_len in pure integer arithmetic (no
+    * floats → bit-exact across engines; a weighted-idf variant would sit
+    * on the same shape with the idf factors broadcast from a tiny
+    * term-stats table). Map-side score + TakeOrderedAndProject — no
+    * shuffle beyond the global top-k. */
+  private def keywordTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = split(col("text"), " ")
+    val tf = size(filter(toks, x => x === lit("table"))).cast("long")
+    val n = size(toks).cast("long")
+    d.select(col("doc_id"), tf.as("tf"), n.as("n_tokens"))
+      .withColumn("score", expr("tf * 10000 div n_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val keywordTopkSql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) AS BIGINT) AS tf,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) AS BIGINT) * 10000
+      |    // CAST(len(string_split(text,' ')) AS BIGINT) AS score
+      |FROM documents
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ----------------------------------------------- repetition filtering
+
+  /** Repetition-based quality filter (Gopher-style): documents whose most
+    * frequent word bigram makes up ≥5% of all bigrams. Bigrams explode →
+    * two hash aggregations, both map-side combinable; the comparison is
+    * integer (max·20 ≥ total), no float thresholds. */
+  private def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = split(col("text"), " ")
+    val bigrams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+        i => when(i + 2 <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(2))))),
+      x => x.isNotNull)
+    d.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bigram"), sum(col("c")).as("total_bigrams"))
+      .filter(col("max_bigram") * 20 >= col("total_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityRepetitionSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(0, GREATEST(len(t)-1,0)),
+      |        i -> array_to_string(t[i+1:i+2],' '))) AS g FROM toks),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      |agg AS (SELECT doc_id, MAX(c) AS max_bigram,
+      |        CAST(SUM(c) AS BIGINT) AS total_bigrams
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, max_bigram, total_bigrams
+      |FROM agg WHERE max_bigram * 20 >= total_bigrams
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ sessionization
+
+  /** Event sessionization: a session breaks after a 30-minute gap.
+    * Classic two-window shape — lag to mark breaks, running sum to number
+    * sessions — BOTH windows share one (user_id) partitioning, so the
+    * whole query is a single shuffle however many events per user; gap
+    * arithmetic is integer microseconds (bit-exact). */
+  private def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("dur_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_events"),
+        max(col("dur_s")).as("max_dur_s"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sessionStatsSql =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, us, event_id,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess FROM o),
+      |g AS (SELECT user_id, sess, COUNT(*) AS n_events,
+      |        (MAX(us)-MIN(us))//1000000 AS dur_s
+      |      FROM s GROUP BY user_id, sess)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_events,
+      |  MAX(dur_s) AS max_dur_s
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------- window-frame surface
+
+  /** Window-frame variety on one (o_custkey) partitioning: RANGE frame
+    * running sum (scaled-long money), ntile, percent_rank, lead,
+    * first_value — all five share the single shuffle+sort. percent_rank's
+    * (rank-1)/(n-1) is one IEEE division of two exact ints, bit-identical
+    * across engines. */
+  private def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wr = w.rangeBetween(-1000, Window.currentRow)
+    t.orders
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(sl2(col("o_totalprice"))).over(wr).as("range_sum"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first_value(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val qWindowFramesSql = {
+    import graft.QueryDsl._
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(SUM(${oSl2("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderkey
+       |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum,
+       |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile,
+       |  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pr,
+       |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key,
+       |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS first_key
+       |FROM orders WHERE o_custkey < 200
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
+    QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
+    QueryDef("session_stats", sessionStats, Some(sessionStatsSql)),
+    QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
+  )
+}
