@@ -851,6 +851,27 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def tableWithRowId(name: String): DataFrame =
     scan(name, meta.currentSnapshot(), None, withMeta = true)
 
+  /** Dynamic join-filter repruning — the lake-side analogue of dynamic
+    * partition pruning. Scans `name` with its catalog file list pre-pruned
+    * to the key RANGE actually present on the (broadcast-small) build side
+    * of an equi-join: one tiny job computes [min,max] of `dimKeys`' first
+    * column, and the range becomes a catalog stats filter on `keyCol`
+    * (plus a parquet-pushed residual). At 100 TB the fact side's file list
+    * shrinks BEFORE any fact bytes are read — the reference re-prunes its
+    * file list from runtime join filters the same way (dynamic filter
+    * pushdown into ducklake_multi_file_list). Join exactness never
+    * depends on this (the range is a superset of the keys); the dim side
+    * must be broadcast-class small — the same contract DPP and broadcast
+    * joins already impose. */
+  def tableJoinPruned(name: String, keyCol: String,
+      dimKeys: DataFrame): DataFrame = {
+    val k = dimKeys.columns.head
+    val r = dimKeys.agg(min(col(k)), max(col(k))).head()
+    if (r.isNullAt(0)) table(name).filter(lit(false))
+    else table(name,
+      Some(col(keyCol).between(lit(r.get(0)), lit(r.get(1)))))
+  }
+
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],
       withMeta: Boolean): DataFrame = {
     val t = resolve(name, Some(snap.snapshotId))

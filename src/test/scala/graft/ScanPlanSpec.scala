@@ -74,6 +74,33 @@ class ScanPlanSpec extends AnyFunSuite {
       s"per-epoch pushdown missing:\n$plan2")
   }
 
+  test("join-filter repruning scans only files covering the dim key range") {
+    val dir = Files.createTempDirectory("graftsp5").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("fact",
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    lake.append("fact",
+      (101L to 200L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    lake.append("fact",
+      (201L to 300L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    val dim = Seq((120L, "a"), (180L, "b")).toDF("k", "tag")
+    val fact = lake.tableJoinPruned("fact", "k", dim.select("k"))
+    val nFiles = fact.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(nFiles == 1,
+      s"dim range [120,180] must prune to the middle file, scanned $nFiles")
+    // the join over the pruned scan is exact
+    val joined = fact.join(broadcast(dim), "k")
+    assert(joined.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("tag"))).toSet ==
+      Set((120L, "a"), (180L, "b")))
+    // empty dim side → empty scan, no files read
+    val empty = lake.tableJoinPruned("fact", "k",
+      dim.select("k").filter(lit(false)))
+    assert(empty.count() == 0)
+  }
+
   test("deletes switch the scan to the anti-join path; results correct") {
     val dir = Files.createTempDirectory("graftsp2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
