@@ -154,6 +154,61 @@ object CorpusQueries extends QueryPack {
       |  MAX(dur_s) AS max_dur_s
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------- streaming sessionization
+
+  /** Streaming twin of [[sessionStats]]: the events file replayed through
+    * a file stream into [[graft.streaming.Sessionize]]
+    * (`flatMapGroupsWithState`, per-user O(1) state, event-time
+    * timeouts). With AvailableNow the final open session per user never
+    * closes (no later watermark advance), so the oracle is exactly "all
+    * sessions except each user's last" — which makes the custom-state
+    * streaming operator itself oracle-checkable. */
+  private def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
+    // huge watermark delay: no-data batches then never fire event-time
+    // timeouts, so output is EXACTLY the gap-closed sessions ("all but
+    // each user's last") — the deterministic set the oracle computes.
+    // The timeout path is exercised by SessionizeSpec instead.
+    val sessions = graft.streaming.Sessionize.fromStream(stream, 30,
+      watermarkDelay = "3650 days")
+    val qn = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select(col("userId").as("user_id"), col("startUs").as("start_us"),
+        col("nEvents").as("n_events"), col("durS").as("dur_s"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  private val streamSessionsSql =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, us, event_id,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess FROM o),
+      |g AS (SELECT user_id, sess, MIN(us) AS start_us, COUNT(*) AS n_events,
+      |        (MAX(us)-MIN(us))//1000000 AS dur_s
+      |      FROM s GROUP BY user_id, sess)
+      |SELECT user_id, start_us, n_events, dur_s FROM g
+      |WHERE sess < (SELECT MAX(sess) FROM g g2 WHERE g2.user_id = g.user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
   // -------------------------------------------------- window-frame surface
 
   /** Window-frame variety on one (o_custkey) partitioning: RANGE frame
@@ -196,6 +251,7 @@ object CorpusQueries extends QueryPack {
     QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsSql)),
+    QueryDef("stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
   )
 }

@@ -93,21 +93,33 @@ object Similarity {
     * Returns the top-k within the probed clusters. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist)
+      nprobe: Int = 4, iters: Int = 1,
+      trainModulus: Int = 1): DataFrame = {
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist, iters,
+      trainModulus)
     ivfProbe(cents, assigned, queryVec, k, nprobe)
   }
 
   /** Build the IVF index: deterministic centroids (first `nlist` ids as
-    * seeds, one Lloyd refinement in a single groupBy-avg pass) + the
-    * per-vector cluster assignment as a COLUMN `c`. This is the one-time
-    * (reindex) cost; probes never recompute it. */
+    * seeds, refined by `iters` Lloyd passes, each a single groupBy-avg) +
+    * the per-vector cluster assignment as a COLUMN `c`. This is the
+    * one-time (reindex) cost; probes never recompute it.
+    *
+    * `trainModulus` > 1 trains the quantizer on the deterministic sample
+    * `vec_id % trainModulus == 0` — the 100 TB pattern: Lloyd passes scan
+    * only the sample, and the full table is touched exactly once for the
+    * final assignment. Centroid quality needs only a representative
+    * sample, not the corpus. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16): (Array[Array[Float]], DataFrame) = {
+      nlist: Int = 16, iters: Int = 1,
+      trainModulus: Int = 1): (Array[Array[Float]], DataFrame) = {
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val train =
+      if (trainModulus > 1) base.filter(col("vec_id") % trainModulus === 0)
+      else base
 
     // deterministic seeds: first nlist vectors by id
-    val seeds = base.orderBy(col("vec_id")).limit(nlist)
+    val seeds = train.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getSeq[Float](1).toArray)
     def nearestIdx(cents: Array[Array[Float]])(vec: Column): Column = {
@@ -122,15 +134,21 @@ object Similarity {
           .otherwise(acc)).getField("i")
     }
 
-    // one Lloyd refinement: mean of assigned vectors per seed cluster
+    // Lloyd refinement: mean of assigned vectors per cluster; empty
+    // clusters keep their previous centroid. Centroids are tiny (nlist ×
+    // dim floats), so per-iteration state lives on the driver and each
+    // pass is one shuffle-light aggregation over the training sample.
     val dim = seeds.head.length
-    val refined = base
-      .groupBy(nearestIdx(seeds)(col("v")).as("c"))
-      .agg(array((0 until dim).map(d =>
-        avg(element_at(col("v"), d + 1).cast("double")).cast("float")): _*)
-        .as("centroid"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-    val cents = seeds.indices.map(i => refined.getOrElse(i, seeds(i))).toArray
+    var cents = seeds
+    for (_ <- 0 until math.max(iters, 0)) {
+      val refined = train
+        .groupBy(nearestIdx(cents)(col("v")).as("c"))
+        .agg(array((0 until dim).map(d =>
+          avg(element_at(col("v"), d + 1).cast("double")).cast("float")): _*)
+          .as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      cents = seeds.indices.map(i => refined.getOrElse(i, cents(i))).toArray
+    }
     (cents, base.withColumn("c", nearestIdx(cents)(col("v"))))
   }
 
@@ -159,10 +177,12 @@ object Similarity {
     * partition-pruned scan of `nprobe` directories, not a full pass.
     * This is the 100 TB path: reindex amortizes over every probe. */
   def ivfReindex(df: DataFrame, idCol: String, vecCol: String,
-      indexPath: String, nlist: Int = 16): Unit = {
+      indexPath: String, nlist: Int = 16, iters: Int = 1,
+      trainModulus: Int = 1): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist)
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, nlist, iters,
+      trainModulus)
     assigned.write.mode("overwrite").partitionBy("c")
       .parquet(s"$indexPath/vectors")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

@@ -94,6 +94,24 @@ class DedupSpec extends AnyFunSuite {
     assert(all == bf)
   }
 
+  test("multi-iteration Lloyd on a training sample keeps recall, deterministically") {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val copies = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(100001L), lit(100010L))).as("vec_id"),
+        col("embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").unionByName(copies)
+    def run() = Similarity.ivfTopK(corpus, "vec_id", "embedding", qv, 10,
+      nlist = 8, nprobe = 3, iters = 3, trainModulus = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val a = run()
+    assert((100001L to 100010L).forall(a.contains),
+      s"planted copies missing after sampled multi-iter training: $a")
+    assert(a == run(), "index build must be deterministic")
+  }
+
   test("persisted IVF index: probe scans only probed cluster partitions") {
     val e = Tables(spark, dir).embeddings
     val qv = e.filter(col("vec_id") === 0)
