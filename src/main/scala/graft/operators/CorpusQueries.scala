@@ -154,6 +154,77 @@ object CorpusQueries extends QueryPack {
       |  MAX(dur_s) AS max_dur_s
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ corpus n-gram stats
+
+  /** Corpus-wide top-50 trigrams by raw occurrence count — the n-gram
+    * frequency table a tokenizer/contamination audit starts from. The
+    * explode fans out ~|tokens| rows per doc but the groupBy is map-side
+    * combinable, so the shuffle carries only the distinct-ngram partials
+    * per task; top-k is TakeOrdered, never a global sort. */
+  private def corpusNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = split(col("text"), " ")
+    val trigrams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => when(i + 3 <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(3))))),
+      x => x.isNotNull)
+    d.select(explode(trigrams).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(50)
+  }
+
+  private val corpusNgramsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |tg AS (SELECT unnest(list_transform(range(0, GREATEST(len(t)-2,0)),
+      |        i -> array_to_string(t[i+1:i+3],' '))) AS g FROM toks)
+      |SELECT g, COUNT(*) AS n FROM tg GROUP BY g
+      |ORDER BY n DESC, g LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------- PII redaction
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrubbing: count and redact emails/IPv4s per document (planted
+    * deterministically on doc_id % 7 — the synthetic corpus has none).
+    * Pure per-row regex in codegen — no shuffle at all; the patterns live
+    * in the restricted regex subset (character classes, bounded repeats,
+    * word boundaries) that Java regex and RE2 evaluate identically, which
+    * is what makes the redaction oracle-exact across engines. */
+  private def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val aug = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".5")))
+      .otherwise(col("text"))
+    d.select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>")),
+          lit(IpRe), lit("<IP>")).cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql =
+    """WITH aug AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN text || ' contact user' || doc_id || '@example.com at 10.0.' || (doc_id % 256) || '.5'
+      |    ELSE text END AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- streaming sessionization
 
   /** Streaming twin of [[sessionStats]]: the events file replayed through
@@ -250,6 +321,8 @@ object CorpusQueries extends QueryPack {
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
+    QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("corpus_ngrams", corpusNgrams, Some(corpusNgramsSql)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
