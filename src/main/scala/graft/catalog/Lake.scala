@@ -2075,6 +2075,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         case ("and", Seq(a, b)) => And(a, b)
         case ("isnull", Seq(a)) => IsNull(a)
         case ("isnotnull", Seq(a)) => IsNotNull(a)
+        case ("in", a +: rest) if rest.nonEmpty =>
+          org.apache.spark.sql.catalyst.expressions.In(a, rest)
         case _ => uf
       }
   }
@@ -2220,8 +2222,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "<=", l) }
       case LessThanOrEqual(l: Literal, a) =>
         colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, ">=", l) }
-      case IsNull(a) => colId(a).toSeq.map { case (ci, _) =>
-        StatsFilter(ci.columnId, "isnull", "", numeric = false) }
+      // IN-list → [min,max] envelope on the file stats (exact membership
+      // still filters row-side; the envelope only shrinks the file list —
+      // reference prunes IN the same way via its min/max zone maps)
+      case org.apache.spark.sql.catalyst.expressions.In(a, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        colId(a).toSeq.flatMap { case (ci, dt) =>
+          val lits = list.collect { case l: Literal if l.value != null => l }
+          if (lits.isEmpty || lits.size != list.size) Nil
+          else {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(lits.head.dataType)
+            val sorted = lits.sortWith((x, y) => ord.lt(x.value, y.value))
+            mk(ci, dt, ">=", sorted.head) ++ mk(ci, dt, "<=", sorted.last)
+          }
+        }
       case IsNotNull(a) => colId(a).toSeq.map { case (ci, _) =>
         StatsFilter(ci.columnId, "isnotnull", "", numeric = false) }
       case _ => Nil

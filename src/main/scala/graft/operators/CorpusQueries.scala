@@ -85,13 +85,7 @@ object CorpusQueries extends QueryPack {
     * integer (max·20 ≥ total), no float thresholds. */
   private def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    val toks = split(col("text"), " ")
-    val bigrams = filter(
-      transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-        i => when(i + 2 <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(2))))),
-      x => x.isNotNull)
-    d.select(col("doc_id"), explode(bigrams).as("g"))
+    d.select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("max_bigram"), sum(col("c")).as("total_bigrams"))
@@ -163,13 +157,7 @@ object CorpusQueries extends QueryPack {
     * per task; top-k is TakeOrdered, never a global sort. */
   private def corpusNgrams(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    val toks = split(col("text"), " ")
-    val trigrams = filter(
-      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-        i => when(i + 3 <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(3))))),
-      x => x.isNotNull)
-    d.select(explode(trigrams).as("g"))
+    d.select(explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("g"))
       .limit(50)

@@ -60,6 +60,18 @@ object TextAnalysis {
   /** document fingerprint: md5 of the raw text (content-addressable id). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** ALL word w-grams in order (non-distinct — occurrence counting; use
+    * [[Dedup.shingles]] for the distinct-set variant). Empty for docs
+    * shorter than w tokens. */
+  def ngrams(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+        i => when(i + w <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(w))))),
+      x => x.isNotNull)
+  }
+
   /** count of distinct word w-shingles (rolling window fingerprint base). */
   def shingleCount(text: Column, w: Int): Column =
     size(Dedup.shingles(text, w)).cast("long")

@@ -161,8 +161,88 @@ object TrainingPipeline extends QueryPack {
       |    AS BIGINT) AS bin_id
       |FROM documents ORDER BY lang, doc_id""".stripMargin
 
+  // ------------------------------------------------ end-to-end pipeline
+
+  /** The WHOLE training-data prep pipeline as ONE declarative plan:
+    * quality filter (length band + repetition) → benchmark
+    * decontamination (3-gram overlap, benchmark side broadcast) → exact
+    * dedup ([[Dedup.exact]], hash-first) → deterministic 50% sample →
+    * token-budget packing. Catalyst sees every stage at once — column
+    * pruning reaches the scan, the small sides broadcast, and the only
+    * wide shuffles are the per-doc aggregations and the final per-lang
+    * packing window. This is the composition story: each stage is an
+    * operator from this library, and the whole thing still has a
+    * bit-exact SQL oracle. */
+  private def trainPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val stats = d.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val rep = d.select(col("doc_id"),
+      explode(TextAnalysis.ngrams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mb"), sum(col("c")).as("tb"))
+    val sh = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("g"))
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("g")).select("doc_id").distinct()
+    val clean = d.join(stats, "doc_id").join(rep, "doc_id")
+      .filter(col("doc_id") % 97 =!= 0 &&
+        col("n_tokens").between(5, 1000) &&
+        col("mb") * 20 < col("tb"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+    val keepers = Dedup.exact(clean, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":sample:42"))
+        .cast("binary")), 1, 2)
+    val sampled = clean.join(keepers, "doc_id")
+      .filter(bucket < "80")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("bin_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096.0)
+          .cast("long"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val trainPipelineE2eSql =
+    """WITH toks AS (SELECT doc_id, lang, text, string_split(text,' ') AS t FROM documents),
+      |stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(0, GREATEST(len(t)-1,0)),
+      |        i -> array_to_string(t[i+1:i+2],' '))) AS g FROM toks),
+      |rep AS (SELECT doc_id, MAX(c) AS mb, CAST(SUM(c) AS BIGINT) AS tb
+      |        FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+      |        GROUP BY doc_id),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, GREATEST(len(t)-2,0)),
+      |        i -> array_to_string(t[i+1:i+3],' '))) AS s FROM toks),
+      |bench AS (SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      |contaminated AS (SELECT DISTINCT c.doc_id FROM
+      |  (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) c
+      |  JOIN bench b ON c.g = b.g),
+      |clean AS (
+      |  SELECT d.doc_id, d.lang, d.text, st.n_tokens
+      |  FROM documents d JOIN stats st USING (doc_id) JOIN rep USING (doc_id)
+      |  WHERE d.doc_id % 97 <> 0
+      |    AND st.n_tokens BETWEEN 5 AND 1000
+      |    AND rep.mb * 20 < rep.tb
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |dedup AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text),
+      |sampled AS (SELECT c.doc_id, c.lang, c.n_tokens FROM clean c
+      |            JOIN dedup u ON c.doc_id = u.doc_id
+      |            WHERE substr(md5(CAST(c.doc_id AS VARCHAR) || ':sample:42'),1,2) < '80')
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)/4096.0) AS BIGINT) AS bin_id
+      |FROM sampled ORDER BY lang, doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("train_pipeline_e2e", trainPipelineE2e, Some(trainPipelineE2eSql)),
     QueryDef("doc_sample", docSample, Some(docSampleSql)),
     QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
     QueryDef("token_pack", tokenPack, Some(tokenPackSql)),

@@ -101,6 +101,20 @@ class ScanPlanSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("IN-list predicates prune files via the [min,max] envelope") {
+    val dir = Files.createTempDirectory("graftsp6").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", (1L to 100L).toDF("id").coalesce(1))
+    lake.append("t", (101L to 200L).toDF("id").coalesce(1))
+    lake.append("t", (201L to 300L).toDF("id").coalesce(1))
+    val df = lake.table("t", Some(col("id").isin(110L, 150L, 190L)))
+    val nFiles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(nFiles == 1, s"IN envelope [110,190] must prune to 1 file, got $nFiles")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(110L, 150L, 190L))
+  }
+
   test("deletes switch the scan to the anti-join path; results correct") {
     val dir = Files.createTempDirectory("graftsp2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
