@@ -926,7 +926,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         }
       case _ => scanFiles0
     }
-    val df = buildScan(t, allCols, scanFiles, snap, withMeta)
+    val df = buildScan(t, allCols, scanFiles, snap, withMeta,
+      inlinedDeletes = meta.liveInlinedDeletes(t.tableId, snap.snapshotId))
     // inlined-data pseudo-files: rows living in the catalog DB join the
     // scan (reference ducklake_multi_file_list.cpp:360-374)
     val inlined0 = meta.liveInlinedRows(t.tableId, snap.snapshotId)
@@ -996,7 +997,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * metadata-only and old files still read correctly. */
   private def buildScan(t: TableInfo, allCols: Seq[ColumnInfo],
       scanFiles: Seq[ScanFile], snap: Snapshot,
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      inlinedDeletes: Seq[(Long, Long)] = Nil): DataFrame = {
     import spark.implicits._
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val schema = toStruct(cols)
@@ -1065,8 +1067,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // no applicable deletes needs none of the rowid machinery — it is a
     // bare multi-file parquet scan (per epoch), fully open to Catalyst
     // pushdown with no joins in the plan.
+    val scannedIds = scanFiles.map(_.file.dataFileId).toSet
     val liveDeletes = scanFiles.flatMap(_.deleteFiles)
-      .exists(_.beginSnapshot <= snap.snapshotId)
+      .exists(_.beginSnapshot <= snap.snapshotId) ||
+      inlinedDeletes.exists(d => scannedIds.contains(d._1))
     if (!withMeta && !liveDeletes) {
       return epochGroups.map { case (plan, fs) =>
         val paths = fs.map(f => abs(f.file.path))
@@ -1133,7 +1137,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val delEntries = scanFiles.flatMap(_.deleteFiles)
       .filter(_.beginSnapshot <= snap.snapshotId)
     val relById = scanFiles.map(f => f.file.dataFileId -> f.file.path).toMap
-    val afterDeletes = deleteRowsDf(delEntries, relById) match {
+    // inlined-delete rows (small deletes living in the catalog DB) join
+    // the anti-join input alongside delete files; ended rows are already
+    // snapshot-filtered by the caller's liveInlinedDeletes
+    val inlDelDf =
+      if (inlinedDeletes.isEmpty) None
+      else {
+        val rows = inlinedDeletes.flatMap { case (fid, pos) =>
+          relById.get(fid).map(rel => (rel, pos))
+        }
+        if (rows.isEmpty) None else Some(rows.toDF("file_path", "pos"))
+      }
+    val delRows = (deleteRowsDf(delEntries, relById).toSeq ++ inlDelDf)
+      .reduceOption(_ unionByName _)
+    val afterDeletes = delRows match {
       case None => withIds
       case Some(dels) =>
         withIds.join(
@@ -1365,9 +1382,25 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
     val byRel = files.map(f => f.file.path -> f.file).toMap
     val affectedIds = perFile.keys.map(byRel(_).dataFileId).toSet
+    val newlyDeleted = perFile.values.sum
+
+    // deletion inlining (reference test/sql/deletion_inlining): a delete
+    // at or under the data-inlining row limit lands as catalog rows — no
+    // delete file written. The collect is bounded by the limit itself.
+    val inlineLimit = optionFor(name, "data_inlining_row_limit")
+      .map(_.toLong).getOrElse(0L)
+    if (txn.isEmpty && newFiles.isEmpty && inlineLimit > 0 &&
+        newlyDeleted <= inlineLimit) {
+      val rows = newDeletes.select(col("file_path"), col("pos")).collect()
+        .map(r => (byRel(r.getString(0)).dataFileId, r.getLong(1))).toSeq
+      meta.appendInlinedDeletes(t.tableId, snap.snapshotId, rows,
+        newlyDeleted)
+      return newlyDeleted + inlinedIds.size + pendingDeleted
+    }
 
     // union with previous live deletes for the affected files — including
-    // delete files buffered earlier in the same transaction
+    // delete files buffered earlier in the same transaction and inlined
+    // delete rows (the new delete FILE absorbs them at commit)
     val prevCommitted =
       meta.liveDeleteFiles(t.tableId, snap.snapshotId, affectedIds)
     val bufPrev = txn.flatMap(_.deletes.get(t.tableId)).map(_._1)
@@ -1379,21 +1412,57 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         DeleteFileEntry(-1L, t.tableId, snap.snapshotId, None, fid, p, n, fmt)
       }
     val relById = files.map(f => f.file.dataFileId -> f.file.path).toMap
-    val prevRows = deleteRowsDf(prevEntries, relById)
+    val prevInlined = meta.liveInlinedDeletes(t.tableId, snap.snapshotId)
+      .collect { case (fid, pos) if affectedIds.contains(fid) =>
+        (relById(fid), pos)
+      }
+    val prevInlinedDf =
+      if (prevInlined.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(prevInlined.toDF("file_path", "pos"))
+      }
+    val prevRows = (deleteRowsDf(prevEntries, relById).toSeq ++ prevInlinedDf)
+      .reduceOption(_ unionByName _)
       .map(_.filter(col("file_path").isin(perFile.keys.toSeq: _*))
         .distinct())
     val all = prevRows.map(newDeletes.unionByName(_).distinct())
       .getOrElse(newDeletes)
-    val newlyDeleted = perFile.values.sum
 
-    // Both delete formats are written EXECUTOR-side after ONE shuffle on
-    // file_path (positions never funnel through a single task and never
-    // collect() to the driver — a 10⁹-row bulk delete stays distributed;
-    // the driver only sees (file, path, count, size) tuples, one per
-    // affected data file). Reference: ducklake_delete.cpp:36-206.
+    val (deletes, useDv) = writeDeleteArtifacts(name, all, perFile.size, byRel)
+    txn match {
+      case Some(st) => // buffer: supersedes earlier txn deletes per file
+        val (m, removed) = st.deletes.getOrElse(t.tableId,
+          (scala.collection.mutable.LinkedHashMap
+            .empty[Long, (String, Long, Long, String)], 0L))
+        deletes.foreach { case (fid, p, n, sz) =>
+          m(fid) = (p, n, sz, if (useDv) "roaring" else "parquet")
+        }
+        st.deletes(t.tableId) = (m, removed + newlyDeleted)
+        if (newFiles.nonEmpty)
+          st.appends += ((t.tableId, name, None, newFiles))
+      case None =>
+        meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
+          format = if (useDv) "roaring" else "parquet",
+          newFiles = newFiles, removedRows = newlyDeleted)
+    }
+    newlyDeleted + inlinedIds.size + pendingDeleted
+  }
+
+  /** Write delete artifacts for `all` (file_path, pos) rows. Both formats
+    * are written EXECUTOR-side after ONE shuffle on file_path (positions
+    * never funnel through a single task and never collect() to the driver
+    * — a 10⁹-row bulk delete stays distributed; the driver only sees
+    * (file, path, count, size) tuples, one per affected data file).
+    * Reference: ducklake_delete.cpp:36-206. Returns the per-data-file
+    * artifact tuples and whether the DV format was used. */
+  private def writeDeleteArtifacts(name: String, all: DataFrame,
+      nFilesHint: Int, byRel: Map[String, DataFileEntry])
+      : (Seq[(Long, String, Long, Long)], Boolean) = {
     val useDv = meta.getOption("write_deletion_vectors").contains("true")
     val nParts = math.max(1, math.min(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, perFile.size))
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.max(nFilesHint, 1)))
     val shuffled = all.repartition(nParts, col("file_path"))
       .sortWithinPartitions("file_path", "pos")
     val deletes =
@@ -1453,23 +1522,36 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           (byRel(r.getString(1)).dataFileId, rel, r.getLong(2), size)
         }
       }
-    txn match {
-      case Some(st) => // buffer: supersedes earlier txn deletes per file
-        val (m, removed) = st.deletes.getOrElse(t.tableId,
-          (scala.collection.mutable.LinkedHashMap
-            .empty[Long, (String, Long, Long, String)], 0L))
-        deletes.foreach { case (fid, p, n, sz) =>
-          m(fid) = (p, n, sz, if (useDv) "roaring" else "parquet")
-        }
-        st.deletes(t.tableId) = (m, removed + newlyDeleted)
-        if (newFiles.nonEmpty)
-          st.appends += ((t.tableId, name, None, newFiles))
-      case None =>
-        meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
-          format = if (useDv) "roaring" else "parquet",
-          newFiles = newFiles, removedRows = newlyDeleted)
-    }
-    newlyDeleted + inlinedIds.size + pendingDeleted
+    (deletes, useDv)
+  }
+
+  /** Flush inlined-delete rows into real delete files (one per affected
+    * data file, unioned with that file's live delete file if any) — the
+    * deletion-side twin of flush_inlined_data; CHECKPOINT runs it. */
+  def flushInlinedDeletes(name: String): Long = {
+    require(txn.isEmpty, "flush_inlined_deletes inside a transaction")
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val inl = meta.liveInlinedDeletes(t.tableId, snap.snapshotId)
+    if (inl.isEmpty) return 0L
+    val files = meta.filesForScan(t.tableId, snap.snapshotId)
+    val byRel = files.map(f => f.file.path -> f.file).toMap
+    val relById = files.map(f => f.file.dataFileId -> f.file.path).toMap
+    val affected = inl.map(_._1).toSet
+    import spark.implicits._
+    val inlDf = inl.map { case (fid, pos) => (relById(fid), pos) }
+      .toDF("file_path", "pos")
+    val prev = meta.liveDeleteFiles(t.tableId, snap.snapshotId, affected)
+    val all = deleteRowsDf(prev.values.toSeq, relById)
+      .map(inlDf.unionByName(_).distinct()).getOrElse(inlDf)
+    val (artifacts, useDv) =
+      writeDeleteArtifacts(name, all, affected.size, byRel)
+    // commitDeletes absorbs (ends) the flushed inlined rows for the
+    // touched data files in the same snapshot; rows were already counted
+    // out of record_count when inlined, so removedRows = 0
+    meta.commitDeletes(t.tableId, snap.snapshotId, artifacts,
+      format = if (useDv) "roaring" else "parquet", removedRows = 0L)
+    inl.size.toLong
   }
 
   /** DELETE hitting rows staged by the open transaction: rewrite those
@@ -1613,23 +1695,51 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val t = resolve(name, Some(endVersion))
     val allCols = meta.columnsOf(t.tableId, endVersion)
     val created = meta.deleteFilesCreatedIn(t.tableId, startVersion, endVersion)
-    if (created.isEmpty)
+    // inlined deletes created in range surface exactly like delete files
+    // (flush-absorbed rows keep their ORIGINAL begin_snapshot, so a flush
+    // in range does not re-report them: the flushed file's positions are
+    // subtracted below as already-deleted-at-start or dup of range rows)
+    val inlCreated =
+      meta.inlinedDeletesCreatedIn(t.tableId, startVersion, endVersion)
+    if (created.isEmpty && inlCreated.isEmpty)
       return buildScan(t, allCols, Nil,
         Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
 
-    // rows deleted in range = positions in new delete files MINUS positions
-    // already deleted at startVersion (delta of the unioned files)
-    val dataFiles = created.map(_._2).distinct
+    // rows deleted in range = positions in new delete files/inlined rows
+    // MINUS positions already deleted at startVersion (delta of the union)
+    val inlFiles = meta.dataFilesByIds(t.tableId, inlCreated.map(_._1).toSet)
+    val dataFiles = (created.map(_._2) ++ inlFiles.values).distinct
     val full = dataFiles.map(f => ScanFile(f, Nil))
     val rows = buildScan(t, allCols, full,
       Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
     val relById = dataFiles.map(f => f.dataFileId -> f.path).toMap
-    val delRows = deleteRowsDf(created.map(_._1), relById).get
-      .select(col("file_path"), col("pos"))
+    val inlRowsDf =
+      if (inlCreated.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(inlCreated.map { case (fid, pos) => (relById(fid), pos) }
+          .toDF("file_path", "pos"))
+      }
+    val delRows =
+      (deleteRowsDf(created.map(_._1), relById).toSeq ++ inlRowsDf)
+        .reduce(_ unionByName _)
+        .select(col("file_path"), col("pos")).distinct()
     val prevIds = dataFiles.map(_.dataFileId).toSet
     val prevDeletes = meta.liveDeleteFiles(t.tableId, startVersion, prevIds)
-    val prevRows = deleteRowsDf(prevDeletes.values.toSeq, relById)
-      .map(_.select(col("file_path"), col("pos")))
+    val prevInl = meta.liveInlinedDeletes(t.tableId, startVersion)
+      .collect { case (fid, pos) if prevIds.contains(fid) =>
+        (relById(fid), pos)
+      }
+    val prevInlDf =
+      if (prevInl.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(prevInl.toDF("file_path", "pos"))
+      }
+    val prevRows =
+      (deleteRowsDf(prevDeletes.values.toSeq, relById).toSeq ++ prevInlDf)
+        .reduceOption(_ unionByName _)
+        .map(_.select(col("file_path"), col("pos")))
     val delta = prevRows.map(delRows.except).getOrElse(delRows)
     rows.join(delta,
       rows("filename") === delta("file_path") &&
@@ -1853,6 +1963,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def checkpoint(name: String,
       expireOlderThanMs: Option[Long] = None): Unit = {
     flushInlinedData(name)
+    flushInlinedDeletes(name): Unit
     val expireMs = expireOlderThanMs.orElse(
       meta.getOption("expire_older_than").map(_.toLong)
         .map(System.currentTimeMillis() - _))

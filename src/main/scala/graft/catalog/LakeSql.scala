@@ -171,6 +171,8 @@ private[catalog] object LakeSql {
             count(lake.deleteOrphanedFiles(args(0)).size.toLong)
           case "flush_inlined_data" =>
             count(lake.flushInlinedData(args(0)))
+          case "flush_inlined_deletes" =>
+            count(lake.flushInlinedDeletes(args(0)))
           case "checkpoint" => lake.checkpoint(args(0)); count(0L)
           case "set_option" =>
             lake.setOption(args(0), args(1), args.lift(2)); count(0L)

@@ -897,25 +897,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       SnapshotChanges(
         deletedFromTables = Seq(tableId),
         insertedIntoTables = if (newFiles.nonEmpty) Seq(tableId) else Nil),
-      conflictCheck = (c, _) => {
-        // delete-vs-delete on the same data file
-        val conflicting = query(c,
-          """SELECT DISTINCT data_file_id FROM ducklake_delete_file
-            |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
-          Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
-          .toSet.intersect(touched)
-        if (conflicting.nonEmpty) throw new CommitConflictException(
-          s"concurrent delete on data files $conflicting")
-        // delete-vs-compaction: data file no longer live
-        val gone = query(c,
-          """SELECT data_file_id FROM ducklake_data_file
-            |WHERE table_id = ? AND end_snapshot IS NOT NULL
-            |  AND end_snapshot > ?""".stripMargin,
-          Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
-          .toSet.intersect(touched)
-        if (gone.nonEmpty) throw new CommitConflictException(
-          s"data files $gone were rewritten concurrently")
-      }) { (c, snap, ids) =>
+      conflictCheck = (c, _) =>
+        checkDeleteConflicts(c, tableId, baseSnapshot, touched)) {
+      (c, snap, ids) =>
       // staged-commit batching: one round trip per statement kind, not
       // per affected data file (a wide DELETE touches thousands of files)
       execBatch(c,
@@ -940,6 +924,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
           Long.box(removedRows), Long.box(tableId))
       }
+      // a delete file replaces ALL prior delete info for its data file —
+      // including inlined-delete rows the writer folded into it
+      absorbInlinedDeletes(c, tableId, snap.snapshotId, deletes.map(_._1))
     }
   }
 
@@ -982,21 +969,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         }
         if (touched.nonEmpty) {
           deletes.foreach { case (tid, _, _) =>
-            val conflicting = query(c,
-              """SELECT DISTINCT data_file_id FROM ducklake_delete_file
-                |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
-              Long.box(tid), Long.box(baseSnapshot))(_.getLong(1))
-              .toSet.intersect(touched)
-            if (conflicting.nonEmpty) throw new CommitConflictException(
-              s"concurrent delete on data files $conflicting")
-            val gone = query(c,
-              """SELECT data_file_id FROM ducklake_data_file
-                |WHERE table_id = ? AND end_snapshot IS NOT NULL
-                |  AND end_snapshot > ?""".stripMargin,
-              Long.box(tid), Long.box(baseSnapshot))(_.getLong(1))
-              .toSet.intersect(touched)
-            if (gone.nonEmpty) throw new CommitConflictException(
-              s"data files $gone were rewritten concurrently")
+            checkDeleteConflicts(c, tid, baseSnapshot, touched)
           }
         }
         inlinedDeletes.foreach { case (tid, ids0) =>
@@ -1046,6 +1019,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           exec(c,
             "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
             Long.box(removedRows), Long.box(tid))
+        absorbInlinedDeletes(c, tid, snap.snapshotId, entries.map(_._1))
       }
     }
   }
@@ -1761,6 +1735,136 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
             Long.box(rowIds.size.toLong), Long.box(tableId))
         }
     }
+
+  // -------------------------------------------------------- inlined deletes
+
+  /** Per-table inlined-DELETE tables: small deletes against regular data
+    * files live as (data_file_id, row_pos) rows in the catalog DB instead
+    * of a tiny delete parquet/DV file (reference deletion inlining,
+    * test/sql/deletion_inlining suite, keyed off DATA_INLINING_ROW_LIMIT).
+    * Rows carry begin/end snapshots: a later delete FILE for the same
+    * data file absorbs them (ends their validity in the same snapshot). */
+  private def inlinedDeleteTableName(tableId: Long) =
+    s"ducklake_inlined_delete_$tableId"
+
+  private def ensureInlinedDeleteTable(c: Connection, tableId: Long): Unit = {
+    val name = inlinedDeleteTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) {
+      Using.resource(c.createStatement())(_.executeUpdate(
+        s"""CREATE TABLE $name (
+           |  data_file_id BIGINT NOT NULL, row_pos BIGINT NOT NULL,
+           |  begin_snapshot BIGINT, end_snapshot BIGINT)""".stripMargin))
+    }
+  }
+
+  /** delete-vs-delete (either format) + delete-vs-compaction conflict
+    * checks, shared by file-delete, inlined-delete and transaction
+    * commits (reference transaction_state CheckForConflicts). */
+  private def checkDeleteConflicts(c: Connection, tableId: Long,
+      baseSnapshot: Long, touched: Set[Long]): Unit = {
+    val conflicting = query(c,
+      """SELECT DISTINCT data_file_id FROM ducklake_delete_file
+        |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
+      Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
+      .toSet.intersect(touched)
+    if (conflicting.nonEmpty) throw new CommitConflictException(
+      s"concurrent delete on data files $conflicting")
+    val inlName = inlinedDeleteTableName(tableId)
+    if (tableExists(c, inlName.toUpperCase)) {
+      val inl = query(c,
+        s"SELECT DISTINCT data_file_id FROM $inlName WHERE begin_snapshot > ?",
+        Long.box(baseSnapshot))(_.getLong(1)).toSet.intersect(touched)
+      if (inl.nonEmpty) throw new CommitConflictException(
+        s"concurrent inlined delete on data files $inl")
+    }
+    val gone = query(c,
+      """SELECT data_file_id FROM ducklake_data_file
+        |WHERE table_id = ? AND end_snapshot IS NOT NULL
+        |  AND end_snapshot > ?""".stripMargin,
+      Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
+      .toSet.intersect(touched)
+    if (gone.nonEmpty) throw new CommitConflictException(
+      s"data files $gone were rewritten concurrently")
+  }
+
+  /** end inlined-delete rows absorbed by a delete FILE for the same data
+    * files (call inside the committing connection) */
+  private def absorbInlinedDeletes(c: Connection, tableId: Long,
+      snapshotId: Long, dataFileIds: Seq[Long]): Unit = {
+    val name = inlinedDeleteTableName(tableId)
+    if (dataFileIds.nonEmpty && tableExists(c, name.toUpperCase))
+      execBatch(c,
+        s"""UPDATE $name SET end_snapshot = ?
+           |WHERE data_file_id = ? AND end_snapshot IS NULL""".stripMargin,
+        dataFileIds.map(fid => Seq(Long.box(snapshotId), Long.box(fid))))
+  }
+
+  /** Commit a small delete as inlined catalog rows — no file written. */
+  def appendInlinedDeletes(tableId: Long, baseSnapshot: Long,
+      deletes: Seq[(Long, Long)], // (dataFileId, position)
+      removedRows: Long): Snapshot =
+    commitSnapshot(
+      SnapshotChanges(deletedFromTables = Seq(tableId)),
+      conflictCheck = (c, _) => checkDeleteConflicts(c, tableId,
+        baseSnapshot, deletes.map(_._1).toSet)) { (c, snap, _) =>
+      ensureInlinedDeleteTable(c, tableId)
+      execBatch(c,
+        s"""INSERT INTO ${inlinedDeleteTableName(tableId)}
+           |(data_file_id, row_pos, begin_snapshot, end_snapshot)
+           |VALUES (?, ?, ?, NULL)""".stripMargin,
+        deletes.map { case (fid, pos) =>
+          Seq(Long.box(fid), Long.box(pos), Long.box(snap.snapshotId))
+        })
+      exec(c,
+        "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+        Long.box(removedRows), Long.box(tableId))
+    }
+
+  /** live inlined deletes at a snapshot: (data_file_id, position) */
+  def liveInlinedDeletes(tableId: Long,
+      snapshotId: Long): Seq[(Long, Long)] = withConn { c =>
+    val name = inlinedDeleteTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) Nil
+    else query(c,
+      s"""SELECT data_file_id, row_pos FROM $name
+         |WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)
+         |ORDER BY data_file_id, row_pos""".stripMargin,
+      Long.box(snapshotId), Long.box(snapshotId))(rs =>
+      (rs.getLong(1), rs.getLong(2)))
+  }
+
+  /** inlined deletes created in (start, end] — CDC deletions source */
+  def inlinedDeletesCreatedIn(tableId: Long, startSnap: Long,
+      endSnap: Long): Seq[(Long, Long)] = withConn { c =>
+    val name = inlinedDeleteTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) Nil
+    else query(c,
+      s"""SELECT data_file_id, row_pos FROM $name
+         |WHERE begin_snapshot > ? AND begin_snapshot <= ?
+         |ORDER BY data_file_id, row_pos""".stripMargin,
+      Long.box(startSnap), Long.box(endSnap))(rs =>
+      (rs.getLong(1), rs.getLong(2)))
+  }
+
+  /** data files by id regardless of liveness (CDC needs entries for files
+    * that were later compacted away) */
+  def dataFilesByIds(tableId: Long,
+      ids: Set[Long]): Map[Long, DataFileEntry] = withConn { c =>
+    if (ids.isEmpty) Map.empty
+    else query(c,
+      """SELECT data_file_id, begin_snapshot, end_snapshot, file_order,
+        |path, record_count, file_size_bytes, row_id_start, partition_id,
+        |has_row_ids FROM ducklake_data_file WHERE table_id = ?""".stripMargin,
+      Long.box(tableId)) { rs =>
+      DataFileEntry(rs.getLong("data_file_id"), tableId,
+        rs.getLong("begin_snapshot"), optLong(rs, "end_snapshot"),
+        rs.getLong("file_order"), rs.getString("path"),
+        rs.getLong("record_count"), rs.getLong("file_size_bytes"),
+        rs.getLong("row_id_start"), optLong(rs, "partition_id"),
+        hasRowIds = rs.getBoolean("has_row_ids"))
+    }.filter(f => ids.contains(f.dataFileId))
+      .map(f => f.dataFileId -> f).toMap
+  }
 
   // ------------------------------------------------------------------ views
 
