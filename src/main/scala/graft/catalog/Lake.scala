@@ -440,8 +440,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val sortOn = optionFor(name, "sort_on_insert").forall(_ == "true")
     val aligned =
       if (sortSpec.nonEmpty && sortOn)
+        // expr(): sort keys may be expressions, not just columns
+        // (reference insert_sorted_expression tests)
         aligned0.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
-          if (ord == "desc") col(e).desc else col(e).asc
+          if (ord == "desc") expr(e).desc else expr(e).asc
         }: _*)
       else aligned0
 
@@ -1795,17 +1797,29 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (cur.size > 1) groups += ((pid, pv, cur.toSeq))
     }
 
+    // sorted tables re-sort on compaction: the merged file restores the
+    // table's sort order even when inputs interleave (reference
+    // merge_adjacent_sorted family). Inlined deletes apply like the scan.
+    val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
     groups.foreach { case (pid, pv, group) =>
-      val rows = buildScan(t, allCols, group, snap, withMeta = true)
+      val rows = buildScan(t, allCols, group, snap, withMeta = true,
+        inlinedDeletes = meta.liveInlinedDeletes(t.tableId, snap.snapshotId))
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+
           col("snapshot_id").as(SnapCol)): _*)
-      val merged = writeAndCollectPlain(name, rows.coalesce(1))
+      val one = rows.coalesce(1)
+      val shaped =
+        if (sortSpec.isEmpty) one
+        else one.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
+          if (ord == "desc") expr(e).desc else expr(e).asc
+        }: _*)
+      val merged = writeAndCollectPlain(name, shaped)
       val statsFiles = statsFor(merged, cols)
         .copy(partitionValues = pv, hasRowIds = true)
-      val removed = group.map(_.file.recordCount).sum - statsFiles.recordCount
       meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
-        statsFiles, group.head.file.rowIdStart, removedRows = removed,
+        statsFiles, group.head.file.rowIdStart,
+        removedRows = 0L, // physically-dropped rows were already counted
+                          // out of record_count when their delete committed
         partitionId = pid)
     }
     groups.size
@@ -1832,7 +1846,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       meta.commitDropFiles(t.tableId, fullyDead.map(_.file.dataFileId))
     val partVals = meta.filePartitionValues(t.tableId)
     partial.foreach { f =>
-      val rows = buildScan(t, allCols, Seq(f), snap, withMeta = true)
+      // inlined deletes apply too — commitCompaction ends their rows, so
+      // the rewrite must drop them or they would resurrect
+      val rows = buildScan(t, allCols, Seq(f), snap, withMeta = true,
+        inlinedDeletes = meta.liveInlinedDeletes(t.tableId, snap.snapshotId))
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))

@@ -1298,6 +1298,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           "UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
           Long.box(snap.snapshotId), Long.box(fid))
       }
+      // inlined-delete rows of the inputs end too: the merged file
+      // materialized the surviving rows, so the positions are obsolete
+      absorbInlinedDeletes(c, tableId, snap.snapshotId, inputFileIds)
       val fid = ids.newFileId()
       // merged files always embed the materialized rowid/snapshot columns
       exec(c,
@@ -1339,6 +1342,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
             "UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
             Long.box(snap.snapshotId), Long.box(fid))
         }
+        absorbInlinedDeletes(c, tableId, snap.snapshotId, fileIds)
     }
 
   // ------------------------------------------------------- schema evolution

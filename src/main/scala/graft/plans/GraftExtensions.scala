@@ -38,9 +38,11 @@ object LakeRegistry {
 
 /** Resolved stand-in for a lake table: carries stable attribute ids
   * through analysis; expanded by [[ExpandLakeScan]] once predicates have
-  * been pushed onto it. */
+  * been pushed onto it. `version`/`tsMs` carry SQL time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`). */
 case class LakeRelationPlaceholder(alias: String, table: String,
-    output: Seq[Attribute]) extends LeafNode {
+    output: Seq[Attribute], version: Option[Long] = None,
+    tsMs: Option[Long] = None) extends LeafNode {
   override def computeStats():
       org.apache.spark.sql.catalyst.plans.logical.Statistics =
     org.apache.spark.sql.catalyst.plans.logical.Statistics(
@@ -49,23 +51,55 @@ case class LakeRelationPlaceholder(alias: String, table: String,
 
 case class ResolveLakeRelation(spark: SparkSession)
     extends Rule[LogicalPlan] {
-  private def placeholder(alias: String, table: String): LogicalPlan = {
+  private def placeholder(alias: String, table: String,
+      version: Option[Long] = None,
+      tsMs: Option[Long] = None): LogicalPlan = {
     val lake = LakeRegistry.get(alias).get
-    val attrs = lake.schemaOf(table).map(f =>
+    // time-travel reads resolve their attributes against the schema AT
+    // that snapshot (columns may have been added/renamed since)
+    val snapId = version.orElse(
+      tsMs.map(ms => lake.meta.snapshotAtTime(ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot at time $ms for $table")).snapshotId))
+    val attrs = lake.schemaOf(table, snapId).map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
     SubqueryAlias(table.split('.').last,
-      LakeRelationPlaceholder(alias, table, attrs))
+      LakeRelationPlaceholder(alias, table, attrs, version, tsMs))
   }
+  private def lakeName(u: UnresolvedRelation): Option[(String, String)] =
+    u.multipartIdentifier match {
+      case Seq(alias, table) if LakeRegistry.get(alias).isDefined =>
+        Some((alias, table))
+      case Seq(alias, schema, table)
+        if LakeRegistry.get(alias).isDefined =>
+        Some((alias, s"$schema.$table"))
+      case _ => None
+    }
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
-        placeholder(u.multipartIdentifier.head, u.multipartIdentifier(1))
-      // graft.<schema>.<table> → non-main lake schemas
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 3 &&
-        LakeRegistry.get(u.multipartIdentifier.head).isDefined =>
-        val Seq(alias, schema, table) = u.multipartIdentifier
-        placeholder(alias, s"$schema.$table")
+      // SQL time travel: SELECT … FROM graft.t VERSION AS OF n
+      //                  / TIMESTAMP AS OF '…' (reference AT (VERSION =>))
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        (tt.relation match {
+          case u: UnresolvedRelation => lakeName(u)
+          case _ => None
+        }) match {
+          case Some((alias, table)) =>
+            val ver = tt.version.map(_.toLong)
+            val ts = tt.timestamp.collect {
+              case e if e.foldable =>
+                val micros = org.apache.spark.sql.catalyst.expressions
+                  .Cast(e, org.apache.spark.sql.types.TimestampType,
+                    Some(spark.sessionState.conf.sessionLocalTimeZone))
+                  .eval(null).asInstanceOf[Long]
+                micros / 1000L
+            }
+            placeholder(alias, table, ver, ts)
+          case None => tt
+        }
+      case u: UnresolvedRelation if lakeName(u).isDefined =>
+        val (alias, table) = lakeName(u).get
+        placeholder(alias, table)
     }
 }
 
@@ -100,7 +134,14 @@ case class ExpandLakeScan(spark: SparkSession)
         case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
       })
     }
-    val child = lake.table(p.table, filterCol).queryExecution.optimizedPlan
+    val scanned = p.version match {
+      case Some(v) => lake.tableAtVersion(p.table, v, filterCol)
+      case None => p.tsMs match {
+        case Some(ms) => lake.tableAtTime(p.table, ms, filterCol)
+        case None => lake.table(p.table, filterCol)
+      }
+    }
+    val child = scanned.queryExecution.optimizedPlan
     // map the scan's output onto the placeholder's stable attribute ids
     val aliases: Seq[NamedExpression] =
       p.output.zip(child.output).map { case (want, have) =>

@@ -113,6 +113,40 @@ class DeletionInliningSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("concurrent"))
   }
 
+  test("compaction absorbs inlined deletes; live row count stays exact") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    lake.append("t", (0L until 50L).toDF("id").coalesce(1))
+    lake.append("t", (50L until 100L).toDF("id").coalesce(1))
+    assert(lake.delete("t", col("id") === 10L || col("id") === 60L) == 2)
+    lake.mergeAdjacentFiles("t")
+    // merged file dropped the two inlined-deleted rows for good
+    assert(lake.table("t").count() == 98)
+    assert(lake.flushInlinedDeletes("t") == 0, "compaction must absorb")
+    assert(lake.tableInfo().filter(col("table_name") === "t")
+      .head().getAs[Long]("record_count") == 98L)
+    // rowids survive the merge minus the deleted ones
+    assert(lake.tableWithRowId("t").select("rowid").distinct().count() == 98)
+  }
+
+  test("merge after file-based delete keeps record_count single-counted") {
+    val lake = freshLake() // no inlining: regular delete files
+    lake.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    lake.append("t", (0L until 50L).toDF("id").coalesce(1))
+    lake.append("t", (50L until 100L).toDF("id").coalesce(1))
+    assert(lake.delete("t", col("id") < 20L) == 20)
+    lake.mergeAdjacentFiles("t")
+    assert(lake.table("t").count() == 80)
+    assert(lake.tableInfo().filter(col("table_name") === "t")
+      .head().getAs[Long]("record_count") == 80L,
+      "physically-dropped rows must not be subtracted twice")
+  }
+
   test("SQL CALL flush_inlined_deletes works") {
     val lake = freshLake()
     lake.setOption("data_inlining_row_limit", "10")

@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         Seq(("a", 2L), ("b", 1L)))
 
       // DML through the lake is immediately visible to SQL
+      val vPreDelete = lake.currentSnapshotId()
       lake.delete("ev", col("id") === 1L)
       assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev")
         .head().getLong(0) == 2L)
@@ -56,6 +57,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
       // unregistered alias still errors cleanly
       intercept[Exception](spark.sql("SELECT * FROM nope.ev").collect())
+
+      // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
+      assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM graft.ev VERSION AS OF $vPreDelete")
+        .head().getLong(0) == 3L)
+      // …including rows the current version no longer has
+      assert(spark.sql(
+        s"SELECT id FROM graft.ev VERSION AS OF $vPreDelete WHERE id = 1")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
 
       // SQL-path WHERE reaches catalog file pruning: two files with
       // disjoint id ranges, a range predicate must scan only ONE
