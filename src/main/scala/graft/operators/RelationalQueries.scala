@@ -499,7 +499,82 @@ object RelationalQueries extends QueryPack {
        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
        |ORDER BY s_suppkey""".stripMargin
 
+  /** CUBE with GROUPING() markers over a 3-table join. */
+  private def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation.filter(col("n_nationkey") < 5),
+        col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("o_orderpriority"))
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_nation"), col("g_prio"),
+        col("n_name").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val qCubeSql =
+    """SELECT n_name, o_orderpriority,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio, COUNT(*) AS n
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      |WHERE nt.n_nationkey < 5
+      |GROUP BY CUBE(n_name, o_orderpriority)
+      |ORDER BY g_nation, g_prio, n_name NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  /** distinct-set aggregation to a sorted list (rendered as a string so
+    * both engines hash identically). */
+  private def qArrayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation.filter(col("n_nationkey") < 5),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("prios"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val qArrayAggSql =
+    """SELECT n_nationkey,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+      |  COUNT(*) AS n
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      |WHERE n_nationkey < 5
+      |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+
+  /** calendar-part extraction (ISO day-of-week aligned across engines). */
+  private def qDateParts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        (weekday(col("ts")) + 1).cast("long").as("dow"), // ISO 1=Mon
+        dayofyear(col("ts")).cast("long").as("doy"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"), col("dow"), col("doy"))
+  }
+
+  private val qDatePartsSql =
+    """SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+      |  CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+      |  CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+      |  CAST(EXTRACT(doy FROM ts) AS BIGINT) AS doy,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
+    QueryDef("q_date_parts", qDateParts, Some(qDatePartsSql)),
     QueryDef("q13_outer_histogram", qOuterHistogram, Some(qOuterHistogramSql)),
     QueryDef("q19_disjunctive", qDisjunctive, Some(qDisjunctiveSql)),
     QueryDef("q2_min_per_group", qMinPerGroup, Some(qMinPerGroupSql)),
