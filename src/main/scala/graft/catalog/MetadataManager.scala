@@ -374,9 +374,18 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     def newFileId(): Long = { val v = nextFileId; nextFileId += 1; v }
   }
 
-  val maxRetries = 10
-  val retryWaitMs = 100L
-  val retryBackoff = 1.5
+  /** Commit-retry knobs, settings-driven like the reference
+    * (ducklake_max_retry_count / retry_wait_ms / retry_backoff); option
+    * reads fall back to defaults if the catalog is mid-bootstrap. */
+  def maxRetries: Int =
+    try getOption("max_retry_count").flatMap(_.toIntOption).getOrElse(10)
+    catch { case _: Throwable => 10 }
+  def retryWaitMs: Long =
+    try getOption("retry_wait_ms").flatMap(_.toLongOption).getOrElse(100L)
+    catch { case _: Throwable => 100L }
+  def retryBackoff: Double =
+    try getOption("retry_backoff").flatMap(_.toDoubleOption).getOrElse(1.5)
+    catch { case _: Throwable => 1.5 }
 
   /** one-shot author/message for the NEXT commit (reference
     * ducklake_set_commit_message.cpp). */
@@ -409,7 +418,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         "require_commit_message is set: call setCommitMessage before " +
           "committing data changes")
     var attempt = 0
-    var wait = retryWaitMs
+    var wait = -1L // settings read lazily, only when a conflict occurs
     while (true) {
       val c = connect()
       try {
@@ -449,6 +458,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           try c.rollback() catch { case _: Throwable => () }
           c.close()
           attempt += 1
+          if (wait < 0) wait = retryWaitMs
           Thread.sleep(wait)
           wait = (wait * retryBackoff).toLong
         case e: Throwable =>

@@ -18,6 +18,19 @@ class OptionsSpec extends AnyFunSuite {
       .mapToLong(Files.size).sum()
   }
 
+  test("commit-retry knobs are settings-driven with safe defaults") {
+    val dir = Files.createTempDirectory("graftopt0").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    assert(lake.meta.maxRetries == 10)
+    assert(lake.meta.retryWaitMs == 100L)
+    lake.setOption("max_retry_count", "3")
+    lake.setOption("retry_wait_ms", "5")
+    lake.setOption("retry_backoff", "2.0")
+    assert(lake.meta.maxRetries == 3)
+    assert(lake.meta.retryWaitMs == 5L)
+    assert(lake.meta.retryBackoff == 2.0)
+  }
+
   test("parquet_compression applies; table scope beats global") {
     val dir = Files.createTempDirectory("graftopt").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
