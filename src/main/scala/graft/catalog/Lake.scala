@@ -671,6 +671,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private def alignColumns(df: DataFrame, cols: Seq[ColumnInfo]): DataFrame = {
+    // unknown columns are an error, not a silent drop: a misnamed input
+    // would otherwise append default/NULL rows (reference rejects them)
+    val unknown = df.columns.filterNot(n => cols.exists(_.name == n))
+    require(unknown.isEmpty,
+      s"unknown column(s) ${unknown.mkString(", ")} in append; table has " +
+        cols.map(_.name).mkString(", "))
     val exprs = cols.map { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       if (df.columns.contains(c.name)) col(c.name).cast(dt).as(c.name)

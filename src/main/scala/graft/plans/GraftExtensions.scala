@@ -49,6 +49,35 @@ case class LakeRelationPlaceholder(alias: String, table: String,
       sizeInBytes = conf.defaultSizeInBytes)
 }
 
+/** `spark.sql("INSERT INTO graft.t …")` → a lake append at execution
+  * time. Append-only (INSERT OVERWRITE and static partition specs go
+  * through `lake.sql` / the DataFrame API); the query child resolves
+  * normally first, so column types are checked by the lake's own
+  * appendAligned path. */
+case class LakeInsertCommand(alias: String, table: String,
+    query: LogicalPlan, userCols: Seq[String] = Nil)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    val df = org.apache.spark.sql.graftshim.DatasetBridge
+      .ofRows(session, query)
+    // SQL INSERT matches by POSITION (to the explicit column list when
+    // given, else the full table schema) — the query's own output names
+    // (VALUES' col1/col2…) never reach the files
+    val names =
+      if (userCols.nonEmpty) userCols
+      else lake.schemaOf(table).fieldNames.toSeq
+    require(df.columns.length == names.length,
+      s"INSERT provides ${df.columns.length} columns, expected " +
+        s"${names.length} (${names.mkString(", ")})")
+    lake.append(table, df.toDF(names: _*))
+    Nil
+  }
+}
+
 case class ResolveLakeRelation(spark: SparkSession)
     extends Rule[LogicalPlan] {
   private def placeholder(alias: String, table: String,
@@ -77,6 +106,21 @@ case class ResolveLakeRelation(spark: SparkSession)
     }
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // INSERT INTO graft.t … → lake append command (append-only; the
+      // query child must already be resolved so the append sees types).
+      // The table child has usually already been rewritten to the
+      // placeholder by the relation case below (children resolve first).
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if i.query.resolved && i.partitionSpec.isEmpty && !i.overwrite =>
+        i.table match {
+          case SubqueryAlias(_, p: LakeRelationPlaceholder)
+              if p.version.isEmpty && p.tsMs.isEmpty =>
+            LakeInsertCommand(p.alias, p.table, i.query, i.userSpecifiedCols)
+          case u: UnresolvedRelation if lakeName(u).isDefined =>
+            val (alias, table) = lakeName(u).get
+            LakeInsertCommand(alias, table, i.query, i.userSpecifiedCols)
+          case _ => i
+        }
       // SQL time travel: SELECT … FROM graft.t VERSION AS OF n
       //                  / TIMESTAMP AS OF '…' (reference AT (VERSION =>))
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql] Dataset.ofRows` — turns an analyzed logical
+  * plan back into a DataFrame (needed by the SQL INSERT command, which
+  * receives the parsed query as a plan). No logic, access only. */
+object DatasetBridge {
+  def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

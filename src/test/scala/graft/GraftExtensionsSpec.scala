@@ -58,6 +58,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // unregistered alias still errors cleanly
       intercept[Exception](spark.sql("SELECT * FROM nope.ev").collect())
 
+      // INSERT INTO through plain spark.sql appends to the lake
+      spark.sql("INSERT INTO graft.ev VALUES (10, 'c'), (11, 'c')")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev WHERE tag = 'c'")
+        .head().getLong(0) == 2L)
+      spark.sql(
+        "INSERT INTO graft.ev SELECT CAST(20 AS BIGINT), tag FROM graft.dim")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev")
+        .head().getLong(0) == 6L) // 2 original + 2 values + 2 from dim
+
       // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
       assert(spark.sql(
         s"SELECT COUNT(*) AS n FROM graft.ev VERSION AS OF $vPreDelete")
