@@ -78,6 +78,44 @@ case class LakeInsertCommand(alias: String, table: String,
   }
 }
 
+object LakeDml {
+  /** re-anchor a resolved condition/value on column NAMES so it resolves
+    * against the Lake API's own scan DataFrame */
+  def toColumn(e: Expression): org.apache.spark.sql.Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+}
+
+/** `spark.sql("DELETE FROM graft.t WHERE …")` → lake positional delete. */
+case class LakeDeleteCommand(alias: String, table: String, cond: Expression)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    lake.delete(table, LakeDml.toColumn(cond))
+    Nil
+  }
+}
+
+/** `spark.sql("UPDATE graft.t SET … WHERE …")` → lake copy-on-write
+  * update. */
+case class LakeUpdateCommand(alias: String, table: String,
+    assignments: Seq[(String, Expression)], cond: Option[Expression])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    lake.update(table,
+      assignments.map { case (n, v) => n -> LakeDml.toColumn(v) }.toMap,
+      cond.map(LakeDml.toColumn).getOrElse(
+        org.apache.spark.sql.functions.lit(true)))
+    Nil
+  }
+}
+
 case class ResolveLakeRelation(spark: SparkSession)
     extends Rule[LogicalPlan] {
   private def placeholder(alias: String, table: String,
@@ -121,6 +159,32 @@ case class ResolveLakeRelation(spark: SparkSession)
             LakeInsertCommand(alias, table, i.query, i.userSpecifiedCols)
           case _ => i
         }
+      // DELETE FROM graft.t WHERE … / UPDATE graft.t SET … WHERE … →
+      // lake row-level commands (condition re-anchored by column name)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+          if d.condition.resolved => d.table match {
+        case SubqueryAlias(_, p: LakeRelationPlaceholder)
+            if p.version.isEmpty && p.tsMs.isEmpty =>
+          LakeDeleteCommand(p.alias, p.table, d.condition)
+        case _ => d
+      }
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+          if u.assignments.forall(_.resolved) &&
+            u.condition.forall(_.resolved) => u.table match {
+        case SubqueryAlias(_, p: LakeRelationPlaceholder)
+            if p.version.isEmpty && p.tsMs.isEmpty =>
+          val assigns = u.assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case ua: UnresolvedAttribute => ua.name
+              case other => throw new IllegalArgumentException(
+                s"unsupported UPDATE target $other (top-level columns only)")
+            }
+            name -> a.value
+          }
+          LakeUpdateCommand(p.alias, p.table, assigns, u.condition)
+        case _ => u
+      }
       // SQL time travel: SELECT … FROM graft.t VERSION AS OF n
       //                  / TIMESTAMP AS OF '…' (reference AT (VERSION =>))
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>

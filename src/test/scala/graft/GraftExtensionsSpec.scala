@@ -67,6 +67,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev")
         .head().getLong(0) == 6L) // 2 original + 2 values + 2 from dim
 
+      // DELETE and UPDATE through plain spark.sql
+      spark.sql("DELETE FROM graft.ev WHERE tag = 'c' AND id = 11")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ev WHERE tag = 'c'")
+        .head().getLong(0) == 1L)
+      spark.sql("UPDATE graft.ev SET tag = 'z' WHERE id = 10")
+      assert(spark.sql("SELECT tag FROM graft.ev WHERE id = 10")
+        .head().getString(0) == "z")
+
       // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
       assert(spark.sql(
         s"SELECT COUNT(*) AS n FROM graft.ev VERSION AS OF $vPreDelete")
