@@ -1840,13 +1840,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val files = meta.filesForScan(t.tableId, snap.snapshotId)
+    // inlined deletes count toward the threshold like delete files
+    val inlByFile = meta.liveInlinedDeletes(t.tableId, snap.snapshotId)
+      .groupBy(_._1).map { case (fid, ps) => fid -> ps.size.toLong }
+    def deletedOf(f: ScanFile): Long =
+      f.deleteFiles.map(_.deleteCount).max0 +
+        inlByFile.getOrElse(f.file.dataFileId, 0L)
     val candidates = files.filter { f =>
-      val deleted = f.deleteFiles.map(_.deleteCount).max0
       f.file.recordCount > 0 &&
-        deleted.toDouble / f.file.recordCount >= deleteThreshold
+        deletedOf(f).toDouble / f.file.recordCount >= deleteThreshold
     }
     val (fullyDead, partial) = candidates.partition { f =>
-      f.deleteFiles.map(_.deleteCount).max0 >= f.file.recordCount
+      deletedOf(f) >= f.file.recordCount
     }
     if (fullyDead.nonEmpty)
       meta.commitDropFiles(t.tableId, fullyDead.map(_.file.dataFileId))

@@ -147,6 +147,24 @@ class DeletionInliningSpec extends AnyFunSuite {
       "physically-dropped rows must not be subtracted twice")
   }
 
+  test("rewrite_data_files counts inlined deletes toward the threshold") {
+    val lake = freshLake()
+    lake.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    // appends BEFORE the option → real parquet files (a 5-row append
+    // under the limit would itself inline as catalog data rows)
+    lake.append("t", (0L until 5L).toDF("id").coalesce(1))
+    lake.append("t", (5L until 50L).toDF("id").coalesce(1))
+    lake.setOption("data_inlining_row_limit", "10")
+    // fully delete the first file via an inlined delete
+    assert(lake.delete("t", col("id") < 5L) == 5)
+    assert(lake.rewriteDataFiles("t") == 1) // fully-dead file dropped
+    assert(lake.listFiles("t").count() == 1)
+    assert(lake.table("t").count() == 45)
+    assert(lake.flushInlinedDeletes("t") == 0, "drop must absorb the rows")
+  }
+
   test("SQL CALL flush_inlined_deletes works") {
     val lake = freshLake()
     lake.setOption("data_inlining_row_limit", "10")
