@@ -116,6 +116,41 @@ case class LakeUpdateCommand(alias: String, table: String,
   }
 }
 
+/** `spark.sql("MERGE INTO graft.t t USING src s ON t.k = s.k …")` →
+  * [[graft.catalog.Lake.merge]]. Values re-anchor on `t.`/`s.`-qualified
+  * names (the aliases Lake.merge itself uses for the join). */
+case class LakeMergeCommand(alias: String, table: String,
+    source: LogicalPlan, sourceOutput: Seq[Attribute], onKey: String,
+    update: Option[Seq[(String, Expression)]], delete: Boolean,
+    insert: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  private def sideQualified(e: Expression): org.apache.spark.sql.Column = {
+    val srcIds = sourceOutput.map(_.exprId).toSet
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference =>
+        val side = if (srcIds.contains(a.exprId)) "s" else "t"
+        UnresolvedAttribute(Seq(side, a.name))
+    })
+  }
+
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    val src = org.apache.spark.sql.graftshim.DatasetBridge
+      .ofRows(session, source)
+    lake.merge(table, src, onKey,
+      whenMatchedUpdate = update.map(_.map { case (n, v) =>
+        n -> sideQualified(v)
+      }.toMap),
+      whenMatchedDelete = delete,
+      whenNotMatchedInsert = insert)
+    Nil
+  }
+}
+
 case class ResolveLakeRelation(spark: SparkSession)
     extends Rule[LogicalPlan] {
   private def placeholder(alias: String, table: String,
@@ -185,6 +220,76 @@ case class ResolveLakeRelation(spark: SparkSession)
           LakeUpdateCommand(p.alias, p.table, assigns, u.condition)
         case _ => u
       }
+      // MERGE INTO graft.t USING … — the shapes Lake.merge supports
+      // (same-name key equality; star/simple actions, no per-action
+      // conditions); anything else stays for Spark's own error
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if m.sourceTable.resolved && m.mergeCondition.resolved &&
+            !m.withSchemaEvolution && m.notMatchedBySourceActions.isEmpty =>
+        import org.apache.spark.sql.catalyst.plans.logical._
+        val placeholderOpt = m.targetTable match {
+          case SubqueryAlias(_, SubqueryAlias(_, p: LakeRelationPlaceholder))
+              if p.version.isEmpty && p.tsMs.isEmpty => Some(p)
+          case SubqueryAlias(_, p: LakeRelationPlaceholder)
+              if p.version.isEmpty && p.tsMs.isEmpty => Some(p)
+          case _ => None
+        }
+        val keyOpt = m.mergeCondition match {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if a.name == b.name => Some(a.name)
+          case _ => None
+        }
+        (placeholderOpt, keyOpt) match {
+          case (Some(p), Some(key)) =>
+            val lake = LakeRegistry.get(p.alias).get
+            val tableCols = lake.schemaOf(p.table).fieldNames.toSeq
+            val srcAttrByName =
+              m.sourceTable.output.map(a => a.name -> a).toMap
+            // matched: one star/simple update, or one delete, or none
+            val matchedOk = m.matchedActions match {
+              case Nil => Some((None, false))
+              case Seq(_: UpdateStarAction) if tableCols.forall(
+                srcAttrByName.contains) =>
+                Some((Some(tableCols.map(c =>
+                  c -> (srcAttrByName(c): Expression))), false))
+              case Seq(UpdateAction(None, assigns, _)) =>
+                val pairs = assigns.map { a =>
+                  a.key match {
+                    case ar: AttributeReference => Some(ar.name -> a.value)
+                    case _ => None
+                  }
+                }
+                if (pairs.forall(_.isDefined)) Some((Some(pairs.flatten), false))
+                else None
+              case Seq(DeleteAction(None)) => Some((None, true))
+              case _ => None
+            }
+            // not-matched: star insert — or its post-analysis expansion
+            // into identity assignments (each table column ← the
+            // same-named source attribute) — or none
+            val insertOk = m.notMatchedActions match {
+              case Nil => Some(false)
+              case Seq(_: InsertStarAction) if tableCols.forall(
+                srcAttrByName.contains) => Some(true)
+              case Seq(InsertAction(None, assigns))
+                  if assigns.size == tableCols.size &&
+                    assigns.forall { a => (a.key, a.value) match {
+                      case (k: AttributeReference, v: AttributeReference) =>
+                        srcAttrByName.get(k.name)
+                          .exists(_.exprId == v.exprId)
+                      case _ => false
+                    }} => Some(true)
+              case _ => None
+            }
+            (matchedOk, insertOk) match {
+              case (Some((upd, del)), Some(ins)) =>
+                LakeMergeCommand(p.alias, p.table, m.sourceTable,
+                  m.sourceTable.output, key, upd, del, ins)
+              case _ => m
+            }
+          case _ => m
+        }
       // SQL time travel: SELECT … FROM graft.t VERSION AS OF n
       //                  / TIMESTAMP AS OF '…' (reference AT (VERSION =>))
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>

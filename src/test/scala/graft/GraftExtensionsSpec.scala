@@ -75,6 +75,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT tag FROM graft.ev WHERE id = 10")
         .head().getString(0) == "z")
 
+      // MERGE INTO through plain spark.sql: upsert semantics
+      lake.createTableAs("m", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      Seq((2L, "B"), (3L, "C")).toDF("k", "v").createOrReplaceTempView("ms")
+      spark.sql(
+        """MERGE INTO graft.m t USING ms s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT k, v FROM graft.m ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "B"), (3L, "C")))
+      // matched-delete variant
+      Seq(1L).toDF("k").createOrReplaceTempView("md")
+      spark.sql(
+        """MERGE INTO graft.m t USING md s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.m")
+        .head().getLong(0) == 2L)
+
       // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
       assert(spark.sql(
         s"SELECT COUNT(*) AS n FROM graft.ev VERSION AS OF $vPreDelete")
