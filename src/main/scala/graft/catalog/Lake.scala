@@ -1630,10 +1630,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * target on a key; MATCHED UPDATE / DELETE, NOT MATCHED INSERT. At most
     * one update/delete action, like the reference. Errors if the same
     * target row matches twice (multi-update guard). */
+  /** MERGE INTO: matched update/delete (optionally gated by
+    * `matchedCondition` — `WHEN MATCHED AND cond`), not-matched insert
+    * (optionally gated by `notMatchedCondition`), and
+    * `notMatchedBySourceDelete` (`WHEN NOT MATCHED BY SOURCE [AND cond]
+    * THEN DELETE`). Conditions reference columns via the `t`/`s` aliases.
+    * Matched rows failing the condition are untouched. */
   def merge(name: String, source: DataFrame, onKey: String,
       whenMatchedUpdate: Option[Map[String, Column]] = None,
       whenMatchedDelete: Boolean = false,
-      whenNotMatchedInsert: Boolean = true): Unit = {
+      whenNotMatchedInsert: Boolean = true,
+      matchedCondition: Option[Column] = None,
+      notMatchedCondition: Option[Column] = None,
+      notMatchedBySourceDelete: Option[Column] = None): Unit = {
     require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
       "at most one MATCHED action") // reference test-config constraint
     val snap = meta.currentSnapshot()
@@ -1643,19 +1652,38 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val target = scan(name, snap, None, withMeta = true)
     val src = source.alias("s")
     val tgt = target.alias("t")
-    val joined = tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "inner")
+    val joined0 = tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "inner")
 
-    val dupes = joined.groupBy(col("t.rowid")).agg(count(lit(1)).as("n"))
+    val dupes = joined0.groupBy(col("t.rowid")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     if (dupes.nonEmpty) throw new IllegalStateException(
       "The same row was updated multiple times") // reference error text
 
-    val matchedPositions = joined.select(
-      col("t.filename").as("file_path"), col("t.file_row_number").as("pos"))
+    // WHEN MATCHED AND cond: rows failing the gate take no action
+    val joined = matchedCondition.map(joined0.filter).getOrElse(joined0)
+
+    // positions leaving the table: matched rows (when a matched action
+    // rewrites/deletes them) + not-matched-by-source deletes
+    val matchedPositions0 =
+      if (whenMatchedUpdate.isDefined || whenMatchedDelete)
+        Some(joined.select(col("t.filename").as("file_path"),
+          col("t.file_row_number").as("pos")))
+      else None
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+    val bySourceDeletes = notMatchedBySourceDelete.map { cond =>
+      tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "left_anti")
+        .filter(cond)
+        .select(col("t.filename").as("file_path"),
+          col("t.file_row_number").as("pos"))
+    }
+    val positionsOut = (matchedPositions0.toSeq ++ bySourceDeletes)
+      .reduceOption(_ unionByName _)
 
     val inserts: Option[DataFrame] =
       if (whenNotMatchedInsert) Some {
-        src.join(tgt, col(s"s.$onKey") === col(s"t.$onKey"), "left_anti")
+        val anti =
+          src.join(tgt, col(s"s.$onKey") === col(s"t.$onKey"), "left_anti")
+        notMatchedCondition.map(anti.filter).getOrElse(anti)
       } else None
 
     val rewrittenMatched: Option[DataFrame] = whenMatchedUpdate.map { as =>
@@ -1675,10 +1703,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val newFiles = newRows.map(df =>
       writeAndCollect(name, alignColumns(df, cols), cols)).getOrElse(Nil)
 
-    if (whenMatchedUpdate.isDefined || whenMatchedDelete)
-      deleteByPosition(name, t, snap, matchedPositions, newFiles)
-    else if (newFiles.nonEmpty)
-      meta.appendFiles(t.tableId, newFiles)
+    positionsOut match {
+      case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles): Unit
+      case None if newFiles.nonEmpty => meta.appendFiles(t.tableId, newFiles)
+      case None => ()
+    }
   }
 
   // ------------------------------------------------------------------- CDC

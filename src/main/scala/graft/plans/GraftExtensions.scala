@@ -122,7 +122,10 @@ case class LakeUpdateCommand(alias: String, table: String,
 case class LakeMergeCommand(alias: String, table: String,
     source: LogicalPlan, sourceOutput: Seq[Attribute], onKey: String,
     update: Option[Seq[(String, Expression)]], delete: Boolean,
-    insert: Boolean)
+    insert: Boolean,
+    matchedCond: Option[Expression] = None,
+    notMatchedCond: Option[Expression] = None,
+    bySourceDeleteCond: Option[Expression] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -146,7 +149,10 @@ case class LakeMergeCommand(alias: String, table: String,
         n -> sideQualified(v)
       }.toMap),
       whenMatchedDelete = delete,
-      whenNotMatchedInsert = insert)
+      whenNotMatchedInsert = insert,
+      matchedCondition = matchedCond.map(sideQualified),
+      notMatchedCondition = notMatchedCond.map(sideQualified),
+      notMatchedBySourceDelete = bySourceDeleteCond.map(sideQualified))
     Nil
   }
 }
@@ -221,11 +227,12 @@ case class ResolveLakeRelation(spark: SparkSession)
         case _ => u
       }
       // MERGE INTO graft.t USING … — the shapes Lake.merge supports
-      // (same-name key equality; star/simple actions, no per-action
-      // conditions); anything else stays for Spark's own error
+      // (same-name key equality; star/simple actions with optional
+      // per-action conditions; not-matched-by-source DELETE); anything
+      // else stays for Spark's own error
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
           if m.sourceTable.resolved && m.mergeCondition.resolved &&
-            !m.withSchemaEvolution && m.notMatchedBySourceActions.isEmpty =>
+            !m.withSchemaEvolution =>
         import org.apache.spark.sql.catalyst.plans.logical._
         val placeholderOpt = m.targetTable match {
           case SubqueryAlias(_, SubqueryAlias(_, p: LakeRelationPlaceholder))
@@ -246,46 +253,70 @@ case class ResolveLakeRelation(spark: SparkSession)
             val tableCols = lake.schemaOf(p.table).fieldNames.toSeq
             val srcAttrByName =
               m.sourceTable.output.map(a => a.name -> a).toMap
-            // matched: one star/simple update, or one delete, or none
-            val matchedOk = m.matchedActions match {
-              case Nil => Some((None, false))
-              case Seq(_: UpdateStarAction) if tableCols.forall(
-                srcAttrByName.contains) =>
+            // matched: one star/simple update, or one delete, or none —
+            // each optionally gated by a resolved AND-condition
+            val matchedOk: Option[(Option[Seq[(String, Expression)]],
+                Boolean, Option[Expression])] = m.matchedActions match {
+              case Nil => Some((None, false, None))
+              case Seq(us: UpdateStarAction) if tableCols.forall(
+                srcAttrByName.contains) && us.condition.forall(_.resolved) =>
                 Some((Some(tableCols.map(c =>
-                  c -> (srcAttrByName(c): Expression))), false))
-              case Seq(UpdateAction(None, assigns, _)) =>
+                  c -> (srcAttrByName(c): Expression))), false, us.condition))
+              case Seq(UpdateAction(cond, assigns, _))
+                  if cond.forall(_.resolved) =>
                 val pairs = assigns.map { a =>
                   a.key match {
                     case ar: AttributeReference => Some(ar.name -> a.value)
                     case _ => None
                   }
                 }
-                if (pairs.forall(_.isDefined)) Some((Some(pairs.flatten), false))
+                if (pairs.forall(_.isDefined))
+                  Some((Some(pairs.flatten), false, cond))
                 else None
-              case Seq(DeleteAction(None)) => Some((None, true))
+              case Seq(DeleteAction(cond)) if cond.forall(_.resolved) =>
+                Some((None, true, cond))
               case _ => None
             }
             // not-matched: star insert — or its post-analysis expansion
             // into identity assignments (each table column ← the
             // same-named source attribute) — or none
-            val insertOk = m.notMatchedActions match {
-              case Nil => Some(false)
-              case Seq(_: InsertStarAction) if tableCols.forall(
-                srcAttrByName.contains) => Some(true)
-              case Seq(InsertAction(None, assigns))
-                  if assigns.size == tableCols.size &&
-                    assigns.forall { a => (a.key, a.value) match {
-                      case (k: AttributeReference, v: AttributeReference) =>
-                        srcAttrByName.get(k.name)
-                          .exists(_.exprId == v.exprId)
-                      case _ => false
-                    }} => Some(true)
-              case _ => None
-            }
-            (matchedOk, insertOk) match {
-              case (Some((upd, del)), Some(ins)) =>
+            val insertOk: Option[(Boolean, Option[Expression])] =
+              m.notMatchedActions match {
+                case Nil => Some((false, None))
+                case Seq(is: InsertStarAction) if tableCols.forall(
+                  srcAttrByName.contains) &&
+                  is.condition.forall(_.resolved) =>
+                  Some((true, is.condition))
+                case Seq(InsertAction(cond, assigns))
+                    if cond.forall(_.resolved) &&
+                      assigns.size == tableCols.size &&
+                      assigns.forall { a => (a.key, a.value) match {
+                        case (k: AttributeReference, v: AttributeReference) =>
+                          srcAttrByName.get(k.name)
+                            .exists(_.exprId == v.exprId)
+                        case _ => false
+                      }} => Some((true, cond))
+                case _ => None
+              }
+            // not-matched-by-source: outer None = unsupported shape;
+            // Some(None) = no action; Some(Some(cond)) = DELETE gated by
+            // cond (TrueLiteral for a bare DELETE)
+            val bySource: Option[Option[Expression]] =
+              m.notMatchedBySourceActions match {
+                case Nil => Some(None)
+                case Seq(DeleteAction(cond)) if cond.forall(_.resolved) =>
+                  Some(Some(cond.getOrElse(
+                    org.apache.spark.sql.catalyst.expressions
+                      .Literal.TrueLiteral)))
+                case _ => None
+              }
+            (matchedOk, insertOk, bySource) match {
+              case (Some((upd, del, mCond)), Some((ins, iCond)),
+                  Some(bs)) =>
                 LakeMergeCommand(p.alias, p.table, m.sourceTable,
-                  m.sourceTable.output, key, upd, del, ins)
+                  m.sourceTable.output, key, upd, del, ins,
+                  matchedCond = mCond, notMatchedCond = iCond,
+                  bySourceDeleteCond = bs)
               case _ => m
             }
           case _ => m

@@ -92,6 +92,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |WHEN MATCHED THEN DELETE""".stripMargin)
       assert(spark.sql("SELECT COUNT(*) AS n FROM graft.m")
         .head().getLong(0) == 2L)
+      // conditional actions: the gate keeps non-matching rows untouched,
+      // and NOT MATCHED BY SOURCE deletes the unreferenced leftovers
+      // (table here: (2,'B'), (3,'C'))
+      Seq((2L, "keep"), (3L, "drop")).toDF("k", "mode")
+        .createOrReplaceTempView("mc")
+      spark.sql(
+        """MERGE INTO graft.m t USING mc s ON t.k = s.k
+          |WHEN MATCHED AND s.mode = 'drop' THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT k FROM graft.m ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L)) // 3 dropped, 2 kept
+      spark.sql(
+        """MERGE INTO graft.m t USING md s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.m")
+        .head().getLong(0) == 0L) // k=2 not in md → deleted
 
       // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
       assert(spark.sql(
