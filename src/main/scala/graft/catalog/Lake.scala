@@ -2241,6 +2241,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         case ("<=", Seq(a, b)) => LessThanOrEqual(a, b)
         case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
         case ("and", Seq(a, b)) => And(a, b)
+        case ("or", Seq(a, b)) =>
+          org.apache.spark.sql.catalyst.expressions.Or(a, b)
         case ("isnull", Seq(a)) => IsNull(a)
         case ("isnotnull", Seq(a)) => IsNotNull(a)
         case ("in", a +: rest) if rest.nonEmpty =>
@@ -2367,9 +2369,70 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       StatsCodec.encode(lit.value, lit.dataType).map { enc =>
         StatsFilter(ci.columnId, op, enc, StatsCodec.isNumeric(dt))
       }.toSeq
+    // derive a [low, high] literal envelope for an expression constraining
+    // ONE column (None side = unbounded); used for disjunction pruning
+    def boundsOf(ex: Expression)
+        : Option[(ColumnInfo, DataType, Option[Literal], Option[Literal])] = {
+      def merge(a: Option[Literal], b: Option[Literal], takeMin: Boolean,
+          union: Boolean): Option[Literal] = (a, b) match {
+        case (Some(x), Some(y)) if x.dataType == y.dataType =>
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(x.dataType)
+          val xSmaller = ord.lt(x.value, y.value)
+          Some(if (xSmaller == takeMin) x else y)
+        case (Some(_), Some(_)) => None
+        // unbounded ∪ bounded = unbounded; unbounded ∩ bounded = bounded
+        case (x, y) => if (union) None else x.orElse(y)
+      }
+      def combine(l: Expression, r: Expression, union: Boolean) =
+        (boundsOf(l), boundsOf(r)) match {
+          case (Some((ci, dt, lo1, hi1)), Some((ci2, _, lo2, hi2)))
+              if ci.columnId == ci2.columnId =>
+            Some((ci, dt, merge(lo1, lo2, takeMin = union, union),
+              merge(hi1, hi2, takeMin = !union, union)))
+          case _ => None
+        }
+      ex match {
+        case EqualTo(a, l: Literal) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, Some(l), Some(l)) }
+        case EqualTo(l: Literal, a) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, Some(l), Some(l)) }
+        case GreaterThan(a, l: Literal) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, Some(l), None) }
+        case GreaterThanOrEqual(a, l: Literal) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, Some(l), None) }
+        case LessThan(a, l: Literal) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, None, Some(l)) }
+        case LessThanOrEqual(a, l: Literal) if l.value != null =>
+          colId(a).map { case (ci, dt) => (ci, dt, None, Some(l)) }
+        case org.apache.spark.sql.catalyst.expressions.In(a, list)
+            if list.nonEmpty &&
+              list.forall(x => x.isInstanceOf[Literal] &&
+                x.asInstanceOf[Literal].value != null) =>
+          colId(a).map { case (ci, dt) =>
+            val lits = list.map(_.asInstanceOf[Literal])
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(lits.head.dataType)
+            val sorted = lits.sortWith((x, y) => ord.lt(x.value, y.value))
+            (ci, dt, Some(sorted.head), Some(sorted.last))
+          }
+        case And(l, r) => combine(l, r, union = false)
+        case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+          combine(l, r, union = true)
+        case _ => None
+      }
+    }
     e match {
       case And(l, r) =>
         extractStatsFilters(l, cols) ++ extractStatsFilters(r, cols)
+      // disjunction envelope (reference prunes ORs through its zone maps
+      // the same way): when both branches constrain the SAME column, the
+      // union of their ranges still prunes files outside [min, max]
+      case or: org.apache.spark.sql.catalyst.expressions.Or =>
+        boundsOf(or).toSeq.flatMap { case (ci, dt, lo, hi) =>
+          lo.toSeq.flatMap(mk(ci, dt, ">=", _)) ++
+            hi.toSeq.flatMap(mk(ci, dt, "<=", _))
+        }
       case EqualTo(a, l: Literal) =>
         colId(a).toSeq.flatMap { case (ci, dt) => mk(ci, dt, "=", l) }
       case EqualTo(l: Literal, a) =>

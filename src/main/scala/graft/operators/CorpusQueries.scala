@@ -170,6 +170,31 @@ object CorpusQueries extends QueryPack {
       |SELECT g, COUNT(*) AS n FROM tg GROUP BY g
       |ORDER BY n DESC, g LIMIT 50""".stripMargin
 
+  // ------------------------------------------------- document chunking
+
+  /** Context-window chunking: 32-token windows, 8-token overlap (stride
+    * 24), last partial window kept — the sequence-assembly step before
+    * packing. Map-only (no shuffle before the presentation sort). */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"),
+      explode(TextAnalysis.chunk(col("text"), 32, 8)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"))
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val docChunksSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, unnest(list_transform(range(0, GREATEST(len(t),1), 24),
+      |        i -> struct_pack(cid := i // 24,
+      |               chunk := array_to_string(t[i+1:i+32], ' ')))) AS c FROM toks)
+      |SELECT doc_id, CAST(c.cid AS BIGINT) AS chunk_id, c.chunk AS chunk_text,
+      |  CAST(len(string_split(c.chunk,' ')) AS BIGINT) AS n_tokens
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------- PII redaction
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -311,6 +336,7 @@ object CorpusQueries extends QueryPack {
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("corpus_ngrams", corpusNgrams, Some(corpusNgramsSql)),
+    QueryDef("doc_chunks", docChunks, Some(docChunksSql)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),

@@ -60,6 +60,22 @@ object TextAnalysis {
   /** document fingerprint: md5 of the raw text (content-addressable id). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** Overlapping token windows for context-length packing: array of
+    * (chunk_id, chunk_text) structs, stride = width − overlap, last
+    * partial window kept. Pure column expressions — chunking a 100 TB
+    * corpus is a map-only pass. */
+  def chunk(text: Column, width: Int, overlap: Int): Column = {
+    require(overlap < width, "overlap must be smaller than the width")
+    val stride = width - overlap
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      start => struct(
+        (start / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(toks, start + 1, lit(width)))
+          .as("chunk_text")))
+  }
+
   /** ALL word w-grams in order (non-distinct — occurrence counting; use
     * [[Dedup.shingles]] for the distinct-set variant). Empty for docs
     * shorter than w tokens. */

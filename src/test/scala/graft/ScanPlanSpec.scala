@@ -113,6 +113,20 @@ class ScanPlanSpec extends AnyFunSuite {
     }.map(_.relation.location.inputFiles.length).sum
     assert(nFiles == 1, s"IN envelope [110,190] must prune to 1 file, got $nFiles")
     assert(df.collect().map(_.getLong(0)).toSet == Set(110L, 150L, 190L))
+
+    // OR disjunctions on one column prune via the union envelope
+    def scanned(f: org.apache.spark.sql.Column): Int =
+      lake.table("t", Some(f)).queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+    assert(scanned(col("id") === 110L || col("id") === 190L) == 1)
+    assert(scanned((col("id") >= 105L && col("id") <= 120L) ||
+      col("id") === 180L) == 1)
+    // different columns (or unbounded unions) keep the full list — the
+    // envelope only ever SHRINKS correct scans
+    val or2 = lake.table("t",
+      Some(col("id") === 110L || col("id") === 290L))
+    assert(or2.collect().map(_.getLong(0)).toSet == Set(110L, 290L))
   }
 
   test("deletes switch the scan to the anti-join path; results correct") {
