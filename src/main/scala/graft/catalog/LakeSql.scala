@@ -255,28 +255,42 @@ private[catalog] object LakeSql {
           out.replaceAll(s"(?i)\\b$tbl\\.", "t.")
         }
         val updateRe =
-          """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|$)""".r
-        val matchedUpdate = updateRe.findFirstMatchIn(whenPart).map { m =>
-          splitTop(m.group(1)).map { a =>
+          """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|$)""".r
+        val updateM = updateRe.findFirstMatchIn(whenPart)
+        val matchedUpdate = updateM.map { m =>
+          splitTop(m.group(2)).map { a =>
             val i = a.indexOf('=')
             a.substring(0, i).trim.split("\\.").last ->
               expr(remap(a.substring(i + 1).trim))
           }.toMap
         }
-        val matchedDelete =
-          "(?is)WHEN\\s+MATCHED\\s+THEN\\s+DELETE".r
-            .findFirstIn(whenPart).isDefined
-        val notMatchedInsert =
-          "(?is)WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*\\*?".r
-            .findFirstIn(whenPart).isDefined
-        require(matchedUpdate.isDefined || matchedDelete || notMatchedInsert,
+        val deleteM =
+          """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
+            .findFirstMatchIn(whenPart)
+        val matchedCond = (updateM.flatMap(m => Option(m.group(1))) orElse
+          deleteM.flatMap(m => Option(m.group(1))))
+          .map(c => expr(remap(c)))
+        val insertM =
+          """(?is)WHEN\s+NOT\s+MATCHED\s+(?!BY\s+SOURCE)(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*\*?""".r
+            .findFirstMatchIn(whenPart)
+        val bySourceM =
+          """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
+            .findFirstMatchIn(whenPart)
+        require(matchedUpdate.isDefined || deleteM.isDefined ||
+          insertM.isDefined || bySourceM.isDefined,
           s"unsupported MERGE actions: $whenPart")
         require(!up.contains("INSERT ("),
           "MERGE ... INSERT with a column list is not supported; use INSERT *")
         lake.merge(tbl, source, onKey,
           whenMatchedUpdate = matchedUpdate,
-          whenMatchedDelete = matchedDelete,
-          whenNotMatchedInsert = notMatchedInsert)
+          whenMatchedDelete = deleteM.isDefined,
+          whenNotMatchedInsert = insertM.isDefined,
+          matchedCondition = matchedCond,
+          notMatchedCondition = insertM.flatMap(m => Option(m.group(1)))
+            .map(c => expr(remap(c))),
+          notMatchedBySourceDelete = bySourceM.map(m =>
+            Option(m.group(1)).map(c => expr(remap(c)))
+              .getOrElse(org.apache.spark.sql.functions.lit(true))))
         count(source.count())
       }
 

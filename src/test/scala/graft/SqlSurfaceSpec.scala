@@ -147,6 +147,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("MERGE INTO with action conditions and NOT MATCHED BY SOURCE") {
+    val dir = Files.createTempDirectory("graftsqlmrg2").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("tgt",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"))
+    lake.createTableAs("src", Seq((1L, 5.0), (2L, 99.0)).toDF("k", "x"))
+    // gated update: only the row where the source value is bigger moves
+    lake.sql(
+      """MERGE INTO tgt USING src s ON tgt.k = s.k
+        |WHEN MATCHED AND s.x > tgt.x THEN UPDATE SET x = s.x""".stripMargin)
+    assert(lake.table("tgt").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    // not-matched-by-source delete drops rows the source no longer has
+    lake.sql(
+      """MERGE INTO tgt USING src s ON tgt.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(lake.table("tgt").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 10.0), (2L, 99.0)))
+  }
+
   test("nested field DDL through SQL") {
     val dir = Files.createTempDirectory("graftsqlnst").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
