@@ -293,6 +293,73 @@ object CorpusQueries extends QueryPack {
       |WHERE sess < (SELECT MAX(sess) FROM g g2 WHERE g2.user_id = g.user_id)
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ----------------------------------------------------- corpus summary
+
+  /** Per-source corpus report: doc/token/char counts, language spread,
+    * distinct-content count (dedup rate numerator) — the first dashboard
+    * a data-curation run produces. One hash aggregation, all counts
+    * map-side combinable except the distincts (expand once). */
+  private def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(md5(col("text").cast("binary")))
+          .as("n_unique_texts"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusSummarySql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique_texts
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- streaming dedup
+
+  /** Streaming exact dedup: the events file replayed TWICE through a file
+    * stream (two links → two micro-batches of identical rows) into
+    * `dropDuplicates` keyed on event_id — Spark's stateful streaming
+    * dedup keeps one copy per key ACROSS batches, so the output matches a
+    * single batch scan exactly. At 100 TB/day the state shards by key
+    * hash; with a watermark (`dropDuplicatesWithinWatermark`) state stays
+    * bounded by the dedup horizon. */
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sdd")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("replay1.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("replay2.parquet"), src)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // two batches → state carries
+      .parquet(streamDir.toString)
+    val deduped = stream.dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val qn = s"sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy(col("event_id"))
+  }
+
+  private val streamDedupSql =
+    """SELECT event_id, user_id, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------- window-frame surface
 
   /** Window-frame variety on one (o_custkey) partitioning: RANGE frame
@@ -337,8 +404,10 @@ object CorpusQueries extends QueryPack {
     QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("corpus_ngrams", corpusNgrams, Some(corpusNgramsSql)),
     QueryDef("doc_chunks", docChunks, Some(docChunksSql)),
+    QueryDef("corpus_summary", corpusSummary, Some(corpusSummarySql)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsSql)),
+    QueryDef("stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
   )
 }
