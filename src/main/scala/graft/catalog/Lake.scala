@@ -1642,7 +1642,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       whenNotMatchedInsert: Boolean = true,
       matchedCondition: Option[Column] = None,
       notMatchedCondition: Option[Column] = None,
-      notMatchedBySourceDelete: Option[Column] = None): Unit = {
+      notMatchedBySourceDelete: Option[Column] = None,
+      notMatchedInsertValues: Option[Seq[(String, Column)]] = None): Unit = {
     require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
       "at most one MATCHED action") // reference test-config constraint
     val snap = meta.currentSnapshot()
@@ -1683,7 +1684,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       if (whenNotMatchedInsert) Some {
         val anti =
           src.join(tgt, col(s"s.$onKey") === col(s"t.$onKey"), "left_anti")
-        notMatchedCondition.map(anti.filter).getOrElse(anti)
+        val gated = notMatchedCondition.map(anti.filter).getOrElse(anti)
+        // INSERT (a, b) VALUES (…): explicit per-column values; columns
+        // absent from the list read their table default (reference
+        // ducklake_merge_into.cpp per-action column-list binding)
+        notMatchedInsertValues match {
+          case Some(vals) => alignColumns(
+            gated.select(vals.map { case (n, v) => v.as(n) }: _*), cols)
+          case None => gated
+        }
       } else None
 
     val rewrittenMatched: Option[DataFrame] = whenMatchedUpdate.map { as =>
@@ -2470,6 +2479,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         }
       case IsNotNull(a) => colId(a).toSeq.map { case (ci, _) =>
         StatsFilter(ci.columnId, "isnotnull", "", numeric = false) }
+      case IsNull(a) => colId(a).toSeq.map { case (ci, _) =>
+        StatsFilter(ci.columnId, "isnull", "", numeric = false) }
       case _ => Nil
     }
   }

@@ -245,7 +245,6 @@ private[catalog] object LakeSql {
       case Merge(tbl, tgtAliasOpt, usingPart, onPart, whenPart) => Some {
         val (source, srcAlias) = parseUsing(usingPart, runQuery)
         val onKey = parseOnKey(onPart)
-        val up = whenPart.toUpperCase(Locale.ROOT)
         // remap the statement's aliases onto the merge API's fixed t/s
         def remap(e: String): String = {
           var out = e
@@ -254,43 +253,81 @@ private[catalog] object LakeSql {
           srcAlias.foreach(a => out = out.replaceAll(s"(?i)\\b$a\\.", "s."))
           out.replaceAll(s"(?i)\\b$tbl\\.", "t.")
         }
-        val updateRe =
-          """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|$)""".r
-        val updateM = updateRe.findFirstMatchIn(whenPart)
-        val matchedUpdate = updateM.map { m =>
-          splitTop(m.group(2)).map { a =>
-            val i = a.indexOf('=')
-            a.substring(0, i).trim.split("\\.").last ->
-              expr(remap(a.substring(i + 1).trim))
-          }.toMap
+        // split the action list on top-level WHEN keywords FIRST, then
+        // match each clause with an anchored regex — a lazy `(.+?)` in a
+        // whole-statement regex can otherwise swallow the next clause
+        // (e.g. `WHEN MATCHED AND c THEN UPDATE … WHEN NOT MATCHED BY
+        // SOURCE THEN DELETE` mis-read as one conditional DELETE)
+        val UpdateRe =
+          """(?is)\AMATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*\z""".r
+        val DeleteRe =
+          """(?is)\AMATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*\z""".r
+        val BySourceRe =
+          """(?is)\ANOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*\z""".r
+        val InsertRe =
+          """(?is)\ANOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*(.*?)\s*\z""".r
+        var matchedUpdate: Option[Map[String, Column]] = None
+        var matchedDelete = false
+        var matchedCond: Option[Column] = None
+        var doInsert = false
+        var insertCond: Option[Column] = None
+        var insertValues: Option[Seq[(String, Column)]] = None
+        var bySourceDelete: Option[Column] = None
+        splitWhenClauses(whenPart).foreach {
+          case UpdateRe(cond, setPart) =>
+            matchedUpdate = Some(splitTop(setPart).map { a =>
+              val i = a.indexOf('=')
+              a.substring(0, i).trim.split("\\.").last ->
+                expr(remap(a.substring(i + 1).trim))
+            }.toMap)
+            Option(cond).foreach(c => matchedCond = Some(expr(remap(c))))
+          case DeleteRe(cond) =>
+            matchedDelete = true
+            Option(cond).foreach(c => matchedCond = Some(expr(remap(c))))
+          case BySourceRe(cond) =>
+            bySourceDelete = Some(Option(cond).map(c => expr(remap(c)))
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          case InsertRe(cond, rest) =>
+            doInsert = true
+            insertCond = Option(cond).map(c => expr(remap(c)))
+            val r = rest.trim
+            // INSERT | INSERT * → full-row star; INSERT (a, b) VALUES
+            // (x, y) → per-column values, missing columns read defaults
+            // (reference ducklake_merge_into.cpp:489-634 column binding)
+            if (r.nonEmpty && r != "*") {
+              require(r.startsWith("("),
+                s"unsupported MERGE INSERT form: INSERT $r")
+              val close = matchingParen(r)
+              val names = splitTop(r.substring(1, close))
+                .map(_.split("\\.").last.trim)
+              val after = r.substring(close + 1).trim
+              require(after.toUpperCase(Locale.ROOT).startsWith("VALUES"),
+                s"expected VALUES after MERGE INSERT column list: $r")
+              val vpart = after.substring("VALUES".length).trim
+              require(vpart.startsWith("(") &&
+                matchingParen(vpart) == vpart.length - 1,
+                s"malformed MERGE INSERT VALUES: $r")
+              val vals = splitTop(vpart.substring(1, vpart.length - 1))
+                .map(v => expr(remap(v)))
+              require(names.length == vals.length,
+                s"MERGE INSERT has ${names.length} columns but " +
+                  s"${vals.length} values")
+              insertValues = Some(names.zip(vals))
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE clause: WHEN $other")
         }
-        val deleteM =
-          """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
-            .findFirstMatchIn(whenPart)
-        val matchedCond = (updateM.flatMap(m => Option(m.group(1))) orElse
-          deleteM.flatMap(m => Option(m.group(1))))
-          .map(c => expr(remap(c)))
-        val insertM =
-          """(?is)WHEN\s+NOT\s+MATCHED\s+(?!BY\s+SOURCE)(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*\*?""".r
-            .findFirstMatchIn(whenPart)
-        val bySourceM =
-          """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
-            .findFirstMatchIn(whenPart)
-        require(matchedUpdate.isDefined || deleteM.isDefined ||
-          insertM.isDefined || bySourceM.isDefined,
+        require(matchedUpdate.isDefined || matchedDelete ||
+          doInsert || bySourceDelete.isDefined,
           s"unsupported MERGE actions: $whenPart")
-        require(!up.contains("INSERT ("),
-          "MERGE ... INSERT with a column list is not supported; use INSERT *")
         lake.merge(tbl, source, onKey,
           whenMatchedUpdate = matchedUpdate,
-          whenMatchedDelete = deleteM.isDefined,
-          whenNotMatchedInsert = insertM.isDefined,
+          whenMatchedDelete = matchedDelete,
+          whenNotMatchedInsert = doInsert,
           matchedCondition = matchedCond,
-          notMatchedCondition = insertM.flatMap(m => Option(m.group(1)))
-            .map(c => expr(remap(c))),
-          notMatchedBySourceDelete = bySourceM.map(m =>
-            Option(m.group(1)).map(c => expr(remap(c)))
-              .getOrElse(org.apache.spark.sql.functions.lit(true))))
+          notMatchedCondition = insertCond,
+          notMatchedBySourceDelete = bySourceDelete,
+          notMatchedInsertValues = insertValues)
         count(source.count())
       }
 
@@ -374,6 +411,41 @@ private[catalog] object LakeSql {
     * ignoring commas/parens inside single-quoted strings ('' escapes a
     * quote); angle brackets tracked too when splitting type definitions —
     * never in expressions, where < and > are comparison operators */
+  /** Split a MERGE action list (starting with `WHEN …`) into clause
+    * bodies, one per top-level WHEN keyword (outside parens/quotes); the
+    * leading WHEN of each clause is dropped. */
+  private[catalog] def splitWhenClauses(s: String): Seq[String] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'W' | 'w' if depth == 0 &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+              s.charAt(i - 1) != '_') &&
+            i + 4 <= s.length &&
+            s.substring(i, i + 4).equalsIgnoreCase("WHEN") &&
+            (i + 4 == s.length || !Character.isLetterOrDigit(s.charAt(i + 4)) &&
+              s.charAt(i + 4) != '_') =>
+          starts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(starts.nonEmpty && starts.head == 0,
+      s"MERGE actions must start with WHEN: $s")
+    starts.zipAll(starts.drop(1).map(Some(_)), -1, None).map {
+      case (from, to) =>
+        s.substring(from + 4, to.getOrElse(s.length)).trim
+    }.toSeq
+  }
+
   private[catalog] def splitTop(s: String,
       angle: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

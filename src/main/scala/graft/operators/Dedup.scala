@@ -179,7 +179,7 @@ object Dedup {
     * nodes: one column `id`; edges: `id_a`, `id_b`. Returns (id, cluster).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(edges.select(col("id_b").as("id"),
         col("id_a").as("nbr")))
@@ -207,6 +207,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // silent non-convergence would return wrong labels (a component wider
+    // than maxIter rounds keeps >1 label) — fail loudly instead; callers
+    // can raise maxIter, which only costs rounds actually used
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds; " +
+        "raise maxIter (components deeper than the round budget exist)")
     labels
   }
 }

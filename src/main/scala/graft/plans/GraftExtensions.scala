@@ -125,7 +125,8 @@ case class LakeMergeCommand(alias: String, table: String,
     insert: Boolean,
     matchedCond: Option[Expression] = None,
     notMatchedCond: Option[Expression] = None,
-    bySourceDeleteCond: Option[Expression] = None)
+    bySourceDeleteCond: Option[Expression] = None,
+    insertValues: Option[Seq[(String, Expression)]] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -152,7 +153,10 @@ case class LakeMergeCommand(alias: String, table: String,
       whenNotMatchedInsert = insert,
       matchedCondition = matchedCond.map(sideQualified),
       notMatchedCondition = notMatchedCond.map(sideQualified),
-      notMatchedBySourceDelete = bySourceDeleteCond.map(sideQualified))
+      notMatchedBySourceDelete = bySourceDeleteCond.map(sideQualified),
+      notMatchedInsertValues = insertValues.map(_.map { case (n, v) =>
+        n -> sideQualified(v)
+      }))
     Nil
   }
 }
@@ -279,14 +283,18 @@ case class ResolveLakeRelation(spark: SparkSession)
             }
             // not-matched: star insert — or its post-analysis expansion
             // into identity assignments (each table column ← the
-            // same-named source attribute) — or none
-            val insertOk: Option[(Boolean, Option[Expression])] =
+            // same-named source attribute) — or an explicit column list
+            // `INSERT (a, b) VALUES (…)` (columns left out read their
+            // table defaults) — or none. Triple: (insert?, condition,
+            // explicit per-column values)
+            val insertOk: Option[(Boolean, Option[Expression],
+                Option[Seq[(String, Expression)]])] =
               m.notMatchedActions match {
-                case Nil => Some((false, None))
+                case Nil => Some((false, None, None))
                 case Seq(is: InsertStarAction) if tableCols.forall(
                   srcAttrByName.contains) &&
                   is.condition.forall(_.resolved) =>
-                  Some((true, is.condition))
+                  Some((true, is.condition, None))
                 case Seq(InsertAction(cond, assigns))
                     if cond.forall(_.resolved) &&
                       assigns.size == tableCols.size &&
@@ -295,7 +303,22 @@ case class ResolveLakeRelation(spark: SparkSession)
                           srcAttrByName.get(k.name)
                             .exists(_.exprId == v.exprId)
                         case _ => false
-                      }} => Some((true, cond))
+                      }} => Some((true, cond, None))
+                case Seq(InsertAction(cond, assigns))
+                    if cond.forall(_.resolved) &&
+                      assigns.forall(a => a.value.resolved &&
+                        (a.key match {
+                          case _: AttributeReference => true
+                          case u: UnresolvedAttribute => u.nameParts.size == 1
+                          case _ => false
+                        })) =>
+                  Some((true, cond, Some(assigns.map { a =>
+                    val name = a.key match {
+                      case ar: AttributeReference => ar.name
+                      case u: UnresolvedAttribute => u.nameParts.head
+                    }
+                    name -> a.value
+                  })))
                 case _ => None
               }
             // not-matched-by-source: outer None = unsupported shape;
@@ -311,12 +334,12 @@ case class ResolveLakeRelation(spark: SparkSession)
                 case _ => None
               }
             (matchedOk, insertOk, bySource) match {
-              case (Some((upd, del, mCond)), Some((ins, iCond)),
+              case (Some((upd, del, mCond)), Some((ins, iCond, iVals)),
                   Some(bs)) =>
                 LakeMergeCommand(p.alias, p.table, m.sourceTable,
                   m.sourceTable.output, key, upd, del, ins,
                   matchedCond = mCond, notMatchedCond = iCond,
-                  bySourceDeleteCond = bs)
+                  bySourceDeleteCond = bs, insertValues = iVals)
               case _ => m
             }
           case _ => m

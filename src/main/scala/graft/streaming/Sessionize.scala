@@ -53,7 +53,8 @@ object Sessionize {
         else if (e.us - cur.lastUs > gapUs) {
           out += Session(userId, cur.startUs, cur.n, (cur.lastUs - cur.startUs) / 1000000L)
           cur = SessState(e.us, e.us, 1)
-        } else cur = SessState(cur.startUs, e.us, cur.n + 1)
+        } else cur = SessState(math.min(cur.startUs, e.us),
+          math.max(cur.lastUs, e.us), cur.n + 1)
       }
       state.update(cur)
       // timeout once the watermark passes the would-be session end (must

@@ -203,6 +203,16 @@ class DedupSpec extends AnyFunSuite {
     assert(comp(999L) == 999L)
   }
 
+  test("connected components fail loudly when the round budget is hit") {
+    // a 10-node chain needs more than 2 min-label rounds; silent exit
+    // would hand back wrong labels
+    val edges = (0L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 9L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 2).collect()
+    }
+  }
+
   test("centroid-angle bound prunes far cluster pairs, keeps near ones") {
     // orthogonal centroids with tight radii: cross pairs cannot reach
     // cos 0.9 (angle π/2 > 0.451 + 0.05 + 0.05) and must be pruned

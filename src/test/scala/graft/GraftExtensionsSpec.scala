@@ -107,6 +107,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       assert(spark.sql("SELECT COUNT(*) AS n FROM graft.m")
         .head().getLong(0) == 0L) // k=2 not in md → deleted
+      // INSERT with an explicit column list: listed columns take the
+      // given expressions, absent columns read their defaults (NULL here)
+      Seq((7L, "g"), (8L, "h")).toDF("k", "v").createOrReplaceTempView("mi")
+      spark.sql(
+        """MERGE INTO graft.m t USING mi s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k * 10)""".stripMargin)
+      assert(spark.sql("SELECT k, v FROM graft.m ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+        Seq((70L, true), (80L, true)))
 
       // SQL time travel: VERSION AS OF sees the pre-delete snapshot…
       assert(spark.sql(

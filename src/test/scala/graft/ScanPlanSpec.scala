@@ -129,6 +129,24 @@ class ScanPlanSpec extends AnyFunSuite {
     assert(or2.collect().map(_.getLong(0)).toSet == Set(110L, 290L))
   }
 
+  test("IS NULL scans only files whose stats admit nulls") {
+    val dir = Files.createTempDirectory("graftsp7").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    def part(ids: Range, withNulls: Boolean) =
+      ids.map(_.toLong).toDF("id").select(col("id"),
+        (if (withNulls) when(col("id") % 10 === 0, col("id"))
+         else col("id")).as("v")).coalesce(1)
+    lake.createTableAs("t", part(1 to 100, withNulls = false))
+    lake.append("t", part(101 to 200, withNulls = true))
+    lake.append("t", part(201 to 300, withNulls = false))
+    val df = lake.table("t", Some(col("v").isNull))
+    val nFiles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(nFiles == 1, s"IS NULL must prune null-free files, got $nFiles")
+    assert(df.count() == 90) // the one nullable file: ids 101-200, 10 kept
+  }
+
   test("deletes switch the scan to the anti-join path; results correct") {
     val dir = Files.createTempDirectory("graftsp2").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")

@@ -53,4 +53,39 @@ class SessionizeSpec extends AnyFunSuite {
         s"user 2 session must time out: $closed")
     } finally q.stop()
   }
+
+  test("late-but-within-watermark events cannot shrink the session window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val sessions = Sessionize.fromStream(events, gapMinutes = 30,
+      watermarkDelay = "2 hours")
+    val qn = s"sessspec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try {
+      // open session: events at t=0 and t=20 → last = 20
+      in.addData((1L, us(0)), (1L, us(20)))
+      q.processAllAvailable()
+      // batch 2 delivers an OLDER event (t=10, within the 2h watermark):
+      // must not rewind the session's end back to t=10
+      in.addData((1L, us(10)))
+      q.processAllAvailable()
+      // t=45 is 25 min after the true last event (t=20) → same session;
+      // a rewound lastUs (t=10) would see a 35-min gap and wrongly split
+      in.addData((1L, us(45)))
+      q.processAllAvailable()
+      // advance the watermark far past end+gap, then flush the timeout
+      in.addData((9L, us(600)))
+      q.processAllAvailable()
+      in.addData((9L, us(601)))
+      q.processAllAvailable()
+      val closed = spark.table(qn).as[(Long, Long, Long, Long)].collect()
+        .filter(_._1 == 1L).toSet
+      assert(closed == Set((1L, us(0), 4L, 45L * 60)),
+        s"expected ONE un-split session for user 1, got $closed")
+    } finally q.stop()
+  }
 }

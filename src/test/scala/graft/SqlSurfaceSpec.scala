@@ -167,6 +167,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().toSeq == Seq((1L, 10.0), (2L, 99.0)))
   }
 
+  test("MERGE combines a conditional clause with a later clause") {
+    // regression: a lazy whole-statement regex read the UPDATE's AND
+    // condition straight through the NOT MATCHED BY SOURCE clause and
+    // rejected this valid statement as "two MATCHED actions"
+    val dir = Files.createTempDirectory("graftsqlmrg3").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("tgt",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"))
+    lake.createTableAs("src", Seq((2L, 99.0), (4L, 40.0)).toDF("k", "x"))
+    lake.sql(
+      """MERGE INTO tgt USING src s ON tgt.k = s.k
+        |WHEN MATCHED AND s.x > tgt.x THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(lake.table("tgt").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 99.0)))
+  }
+
+  test("MERGE INSERT with a column list; absent columns read defaults") {
+    val dir = Files.createTempDirectory("graftsqlmrg4").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.sql("CREATE TABLE t (k BIGINT, v STRING, amt DOUBLE DEFAULT 7)")
+    lake.sql("INSERT INTO t VALUES (1, 'a', 1.0)")
+    lake.createTableAs("src", Seq((1L, "x"), (5L, "y")).toDF("k", "v"))
+    lake.sql(
+      """MERGE INTO t USING src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, upper(s.v))""".stripMargin)
+    val got = lake.table("t").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 1.0), (5L, "Y", 7.0)))
+  }
+
   test("nested field DDL through SQL") {
     val dir = Files.createTempDirectory("graftsqlnst").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
