@@ -142,16 +142,24 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (any chunk equal →
-    * candidate; distance ≤ maxDistance guaranteed found for ≤3 differing
-    * chunks), verify Hamming ≤ maxDistance. */
+  /** SimHash near-dup pairs: block on `numChunks` equal bit-slices of the
+    * 64-bit signature (any chunk equal → candidate; by pigeonhole every
+    * pair with Hamming < numChunks shares a chunk, so recall is GUARANTEED
+    * for maxDistance ≤ numChunks-1), verify Hamming ≤ maxDistance.
+    * More/smaller chunks widen the guarantee but grow buckets (a chunk key
+    * space of 2^(64/numChunks)); 4×16-bit is the 100 TB default, 8×8-bit
+    * trades bucket size for a Hamming-7 guarantee on smaller corpora. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 6): DataFrame = {
+      maxDistance: Int = 6, numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    val chunkBits = 64 / numChunks
+    val mask = (1L << chunkBits) - 1
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
+      explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
       .withColumn("key",
-        call_function("shiftright", col("sig"), col("chunk") * 16).bitwiseAND(lit(0xffffL)))
+        call_function("shiftright", col("sig"), col("chunk") * chunkBits)
+          .bitwiseAND(lit(mask)))
     val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
       col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
@@ -162,6 +170,21 @@ object Dedup {
         hamming(col("sig_a"), col("sig_b")).as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
+  }
+
+  /** SimHash candidates refined with exact n-gram Jaccard — the standard
+    * block-then-verify pipeline. Output is engine-portable: any pair the
+    * blocking recalls is kept only if its EXACT Jaccard clears
+    * `threshold`, so (whenever blocking recall is total, which the
+    * pigeonhole guarantee gives for Hamming < numChunks) the result
+    * equals the all-pairs Jaccard answer without an n² plan. */
+  def simhashDuplicatesVerified(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7, maxDistance: Int = 6,
+      numChunks: Int = 4, shingleWidth: Int = 3): DataFrame = {
+    val cands = simhashDuplicates(df, idCol, textCol, maxDistance, numChunks)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(df, idCol, textCol, cands, shingleWidth)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Connected components over near-dup edges → duplicate CLUSTERS: every

