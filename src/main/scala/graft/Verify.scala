@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SQL-transparent lake access (no-op for non-lake queries): lets
+      // lake_sql_ctas run CREATE TABLE AS / DROP TABLE via plain spark.sql
+      .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -31,6 +31,11 @@ sealed trait CatalogDialect {
   def checkIdentifier(id: String): Unit =
     require(id.length <= maxIdentifierLength,
       s"identifier '$id' exceeds $name's $maxIdentifierLength-char limit")
+
+  /** `FROM` clause for a one-row SELECT of scalar subqueries (the
+    * server-side consolidated conflict check). Postgres/SQLite allow a
+    * FROM-less SELECT; Derby needs its dummy table. */
+  def dualFrom: String = ""
 }
 
 case object DerbyDialect extends CatalogDialect {
@@ -41,6 +46,7 @@ case object DerbyDialect extends CatalogDialect {
     st.startsWith("23") || st == "40001" || st.startsWith("XJ") ||
       st.startsWith("40XL")
   val maxIdentifierLength = 128
+  override def dualFrom: String = " FROM SYSIBM.SYSDUMMY1"
 }
 
 case object PostgresDialect extends CatalogDialect {

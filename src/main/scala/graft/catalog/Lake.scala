@@ -415,8 +415,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       "commit options cannot be attached to a buffered transaction append")
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val aligned0 = alignColumns(df, cols)
 
     // data inlining: inserts at or under the row limit live as rows in the
@@ -449,7 +449,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
-      spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId))
+      spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
+      allCols = allCols)
     txn match {
       case Some(st) => // buffer; one snapshot at transaction commit
         st.appends += ((t.tableId, name, spec.map(_.partitionId), files))
@@ -625,15 +626,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def flushInlinedData(name: String): Long = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val flAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = flAllCols.filter(_.parentColumn.isEmpty)
     val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
     if (inlined.isEmpty) return 0L
     val rows = inlinedDf(inlined, toStruct(cols))
       .select((cols.map(c => col(c.name)) :+
         col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
     val rel = writeAndCollectPlain(name, rows.coalesce(1))
-    val pending = statsFor(rel, cols).copy(hasRowIds = true)
+    val pending = statsFor(rel, cols, allCols = flAllCols)
+      .copy(hasRowIds = true)
     meta.endInlinedRows(t.tableId, inlined.map(_._1), Seq(pending),
       isFlush = true, explicitRowIdStart = Some(inlined.map(_._1).min))
     inlined.size.toLong
@@ -711,7 +713,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private def writeAndCollect(table: String, df: DataFrame,
       cols: Seq[ColumnInfo],
       partition: Option[Seq[(String, Column)]] = None,
-      maxRowsPerFile: Option[Long] = None): Seq[PendingDataFile] = {
+      maxRowsPerFile: Option[Long] = None,
+      allCols: Seq[ColumnInfo] = Nil): Seq[PendingDataFile] = {
     val stagingRel = s"$table/stage-${UUID.randomUUID()}"
     val stagingDir = io.abs(stagingRel)
     // per_thread_output=false → one output file per insert instead of one
@@ -733,7 +736,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir)
 
     val geoCols = cols.filter(_.typeString == "geometry")
-    val written = geoCols.foldLeft(pqRead
+    // geometry leaves nested under struct/list/map columns join the same
+    // single stats pass via per-row (merged) extent expressions
+    val nestedGeo = nestedGeoSpecs(allCols)
+    val written0 = geoCols.foldLeft(pqRead
       .parquet(stagingDir)
       .select(cols.map(c => col(c.name)
         .cast(DuckLakeTypes.fromTypeString(c.typeString))): _*))((d, c) =>
@@ -741,6 +747,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       // feed plain min/max aggregates in the same single stats pass
       d.withColumn(s"__geo_${c.name}",
         graft.functions.GeoFunctions.geoExtent(col(c.name))))
+    val written = nestedGeo.foldLeft(written0) { case (d, (ci, ex)) =>
+      d.withColumn(s"__ngeo_${ci.columnId}", ex)
+    }
     val statAggs = cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       if (c.typeString == "geometry")
@@ -756,6 +765,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           else Nil)
       else Seq(count(col(c.name)).as(s"cnt_${c.name}"))
     }
+    val nestedGeoAggs = nestedGeo.flatMap { case (ci, _) =>
+      graft.functions.GeoStatsAgg.aggs(
+        col(s"__ngeo_${ci.columnId}"), s"n${ci.columnId}") :+
+        count(col(s"__ngeo_${ci.columnId}")).as(s"ncnt_${ci.columnId}")
+    }
     // shredded-variant-path stats ride in the SAME aggregation pass
     val shredded = variantShreddedSpecs(table, cols)
     val varAggs = shredded.zipWithIndex.flatMap { case ((ci, path, dt), i) =>
@@ -765,7 +779,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     val statRows = written
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), statAggs ++ varAggs: _*)
+      .agg(count(lit(1)).as("__rows"),
+        statAggs ++ nestedGeoAggs ++ varAggs: _*)
       .collect()
 
     // staging-dir path prefix (scheme-free) for relativizing written files
@@ -791,6 +806,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           FileColumnStats(c.columnId, mn, mx, nulls, nan,
             numeric = StatsCodec.isNumeric(dt))
         } else FileColumnStats(c.columnId, None, None, nulls)
+      }
+      // nested geometry leaves: extent JSON under the leaf's own column
+      // id ("nulls" = rows with no parsable geometry on the path)
+      val nestedGeoStats = nestedGeo.map { case (ci, _) =>
+        FileColumnStats(ci.columnId, None, None,
+          rows - row.getAs[Long](s"ncnt_${ci.columnId}"),
+          extraStats = graft.functions.GeoStatsAgg.fromRow(
+            row, s"n${ci.columnId}"))
       }
       // partition dir segments __p{i}=<escaped-value> between staging root
       // and the part file; rebuild them with readable hive labels
@@ -822,7 +845,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val relPath = hiveDirs.map(d => s"$table/$d/$finalName")
         .getOrElse(s"$table/$finalName")
       io.move(srcPath.toString, relPath)
-      PendingDataFile(relPath, rows, io.size(relPath), stats,
+      PendingDataFile(relPath, rows, io.size(relPath),
+        stats ++ nestedGeoStats,
         partitionValues = partVals.toSeq, variantStats = varStats)
     }.tapEach(_ => ()).toSeq match {
       case done =>
@@ -898,7 +922,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val variantFilters = filterExpr.toSeq.flatMap(e =>
       extractVariantFilters(e, cols))
     val geoFilters = filterExpr.toSeq.flatMap(e =>
-      extractGeoFilters(e, cols))
+      extractGeoFilters(e, allCols))
     val scanFilesAll = meta.filesForScan(t.tableId, snap.snapshotId,
       statsFilters, partEq, variantFilters)
     // geometry bbox pruning: drop files whose stored extent is disjoint
@@ -1607,14 +1631,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       cond: Column): Long = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val updAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = updAllCols.filter(_.parentColumn.isEmpty)
     val matched = scan(name, snap, None, withMeta = true).filter(cond)
     val rewritten = matched.select(cols.map(c =>
       assignments.get(c.name)
         .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
         .getOrElse(col(c.name))): _*)
-    val newFiles = writeAndCollect(name, rewritten, cols)
+    val newFiles = writeAndCollect(name, rewritten, cols,
+      allCols = updAllCols)
     val positions = matched.select(col("filename").as("file_path"),
       col("file_row_number").as("pos"))
     val n = deleteByPosition(name, t, snap, positions, newFiles)
@@ -1648,8 +1673,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       "at most one MATCHED action") // reference test-config constraint
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
-      .filter(_.parentColumn.isEmpty)
+    val mrgAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = mrgAllCols.filter(_.parentColumn.isEmpty)
     val target = scan(name, snap, None, withMeta = true)
     val src = source.alias("s")
     val tgt = target.alias("t")
@@ -1710,7 +1735,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case _ => None
     }
     val newFiles = newRows.map(df =>
-      writeAndCollect(name, alignColumns(df, cols), cols)).getOrElse(Nil)
+      writeAndCollect(name, alignColumns(df, cols), cols,
+        allCols = mrgAllCols)).getOrElse(Nil)
 
     positionsOut match {
       case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles): Unit
@@ -1858,7 +1884,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           if (ord == "desc") expr(e).desc else expr(e).asc
         }: _*)
       val merged = writeAndCollectPlain(name, shaped)
-      val statsFiles = statsFor(merged, cols)
+      val statsFiles = statsFor(merged, cols, allCols = allCols)
         .copy(partitionValues = pv, hasRowIds = true)
       meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
         statsFiles, group.head.file.rowIdStart,
@@ -1902,8 +1928,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         .select((cols.map(c => col(c.name)) :+
           col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
       val merged = writeAndCollectPlain(name, rows.coalesce(1))
-      val stats = statsFor(merged, cols).copy(partitionValues =
-        partVals.getOrElse(f.file.dataFileId, Nil), hasRowIds = true)
+      val stats = statsFor(merged, cols, allCols = allCols)
+        .copy(partitionValues =
+          partVals.getOrElse(f.file.dataFileId, Nil), hasRowIds = true)
       meta.commitCompaction(t.tableId, Seq(f.file.dataFileId), stats,
         f.file.rowIdStart,
         removedRows = 0L, // table row count already reflects the deletes
@@ -1933,7 +1960,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * name-mapped files — columns absent from the file record all-NULL
     * stats. */
   private def statsFor(relPath: String, cols: Seq[ColumnInfo],
-      srcNames: Map[Long, String] = Map.empty): PendingDataFile = {
+      srcNames: Map[Long, String] = Map.empty,
+      allCols: Seq[ColumnInfo] = Nil): PendingDataFile = {
     val df0 = pqRead.parquet(abs(relPath))
     def srcOf(c: ColumnInfo): Option[String] =
       if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
@@ -1942,10 +1970,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // plain min/max aggregates over its fields (reference
     // DuckLakeColumnGeoStats collection at write)
     val geoCols = cols.filter(c => isGeo(c) && srcOf(c).isDefined)
-    val df = geoCols.foldLeft(df0)((d, c) =>
+    // nested geometry stats only for same-named layouts (name-mapped
+    // foreign files would need per-field path mapping)
+    val nestedGeo =
+      if (srcNames.isEmpty) nestedGeoSpecs(allCols) else Nil
+    val df1 = geoCols.foldLeft(df0)((d, c) =>
       d.withColumn(s"__geo_${c.columnId}",
         graft.functions.GeoFunctions.geoExtent(col(srcOf(c).get))))
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+    val df = nestedGeo.foldLeft(df1) { case (d, (ci, ex)) =>
+      d.withColumn(s"__ngeo_${ci.columnId}", ex)
+    }
+    val nestedAggs = nestedGeo.flatMap { case (ci, _) =>
+      graft.functions.GeoStatsAgg.aggs(
+        col(s"__ngeo_${ci.columnId}"), s"n${ci.columnId}") :+
+        count(col(s"__ngeo_${ci.columnId}")).as(s"ncnt_${ci.columnId}")
+    }
+    val aggs = (count(lit(1)).as("__rows") +: nestedAggs) ++
+      cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
       srcOf(c) match {
         case Some(src) if isGeo(c) =>
@@ -1982,7 +2023,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           rows - r.getAs[Long](s"cnt_${c.columnId}"))
       }
     }
-    PendingDataFile(relPath, rows, io.size(relPath), stats)
+    val nestedStats = nestedGeo.map { case (ci, _) =>
+      FileColumnStats(ci.columnId, None, None,
+        rows - r.getAs[Long](s"ncnt_${ci.columnId}"),
+        extraStats = graft.functions.GeoStatsAgg.fromRow(
+          r, s"n${ci.columnId}"))
+    }
+    PendingDataFile(relPath, rows, io.size(relPath), stats ++ nestedStats)
   }
 
   def expireSnapshots(olderThanMs: Option[Long] = None,
@@ -2069,8 +2116,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     import spark.implicits._
     val t = resolve(name)
     val cols = meta.columnsOf(t.tableId, meta.currentSnapshot().snapshotId)
-      .filter(_.parentColumn.isEmpty)
-    val byId = cols.map(c => c.columnId -> c.name).toMap
+    // nested leaves surface under their dotted path (info.g, pts.element)
+    val byId = cols.map(c => c.columnId -> columnPath(cols, c)).toMap
     meta.tableColumnStats(t.tableId).map {
       case (cid, nul, nan, mn, mx, extra) =>
         (byId.getOrElse(cid, cid.toString), nul, nan,
@@ -2326,16 +2373,78 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   /** `st_bbox_intersects(geomcol, x1, y1, x2, y2)` conjuncts with literal
     * bounds → geometry bbox pruning filters. */
+  /** Every geometry leaf nested under (not at) the top level, paired with
+    * a per-row extent expression over the written rows: struct hops are
+    * `getField`, a list hop lifts to array context (`transform` for
+    * deeper hops, `flatten` for list-of-list), map hops take keys/values.
+    * Feeds the same single stats pass as top-level columns (reference
+    * nested geo stats, ducklake_geo_stats.cpp + the shredding model). */
+  private def nestedGeoSpecs(
+      allCols: Seq[ColumnInfo]): Seq[(ColumnInfo, Column)] = {
+    val kids = allCols.filter(_.parentColumn.isDefined)
+      .groupBy(_.parentColumn.get)
+    def walk(ci: ColumnInfo, cur: Column,
+        inArray: Boolean): Seq[(ColumnInfo, Column)] = {
+      val ts = ci.typeString
+      if (ts == "geometry")
+        if (ci.parentColumn.isEmpty) Nil // top-level handled separately
+        else Seq(ci -> (if (inArray)
+          graft.functions.GeoFunctions.geoExtentMerge(cur)
+        else graft.functions.GeoFunctions.geoExtent(cur)))
+      else if (DuckLakeTypes.isStruct(ts))
+        kids.getOrElse(ci.columnId, Nil).flatMap { ch =>
+          val next = if (inArray) transform(cur, x => x.getField(ch.name))
+            else cur.getField(ch.name)
+          walk(ch, next, inArray)
+        }
+      else if (DuckLakeTypes.isList(ts))
+        kids.getOrElse(ci.columnId, Nil).flatMap(el =>
+          walk(el, if (inArray) flatten(cur) else cur, inArray = true))
+      else if (DuckLakeTypes.isMap(ts) && !inArray)
+        kids.getOrElse(ci.columnId, Nil).flatMap { ch =>
+          val base =
+            if (ch.name == "key") map_keys(cur) else map_values(cur)
+          walk(ch, base, inArray = true)
+        }
+      else Nil
+    }
+    allCols.filter(_.parentColumn.isEmpty)
+      .flatMap(c => walk(c, col(c.name), inArray = false))
+  }
+
+  /** Dotted catalog path of a (possibly nested) column, list/map slots
+    * included (`pts.element`, `m.value`). */
+  private def columnPath(allCols: Seq[ColumnInfo], ci: ColumnInfo): String = {
+    val byId = allCols.map(c => c.columnId -> c).toMap
+    def go(c: ColumnInfo): String = c.parentColumn.flatMap(byId.get) match {
+      case Some(p) => s"${go(p)}.${c.name}"
+      case None => c.name
+    }
+    go(ci)
+  }
+
   private def extractGeoFilters(e: Expression,
-      cols: Seq[ColumnInfo]): Seq[GeoStatsFilter] = {
-    val byName = cols.filter(_.typeString == "geometry")
-      .map(c => c.name -> c).toMap
-    def attrName(ex: Expression): Option[String] = ex match {
-      case a: UnresolvedAttribute => Some(a.name)
+      allCols: Seq[ColumnInfo]): Seq[GeoStatsFilter] = {
+    val kids = allCols.filter(_.parentColumn.isDefined)
+      .groupBy(_.parentColumn.get)
+    // resolve a dotted attribute path against the column tree; struct
+    // hops only — geometry under list/map has no scalar filter shape
+    def resolve(path: Seq[String]): Option[ColumnInfo] = {
+      val top = allCols.find(c =>
+        c.parentColumn.isEmpty && c.name.equalsIgnoreCase(path.head))
+      path.tail.foldLeft(top) { (cur, seg) =>
+        cur.flatMap(c => kids.getOrElse(c.columnId, Nil)
+          .find(_.name.equalsIgnoreCase(seg)))
+      }.filter(_.typeString == "geometry")
+    }
+    def attrPath(ex: Expression): Option[Seq[String]] = ex match {
+      case a: UnresolvedAttribute => Some(a.nameParts)
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        Some(a.name)
+        Some(Seq(a.name))
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        attrPath(g.child).map(_ :+ g.extractFieldName)
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        attrName(c.child)
+        attrPath(c.child)
       case _ => None
     }
     def numLit(ex: Expression): Option[Double] = ex match {
@@ -2345,11 +2454,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case _ => None
     }
     e match {
-      case And(l, r) => extractGeoFilters(l, cols) ++ extractGeoFilters(r, cols)
+      case And(l, r) =>
+        extractGeoFilters(l, allCols) ++ extractGeoFilters(r, allCols)
       case b: graft.functions.StBboxIntersects =>
         (for {
-          n <- attrName(b.children.head)
-          ci <- byName.get(n)
+          p <- attrPath(b.children.head)
+          ci <- resolve(p)
           bounds = b.children.tail.flatMap(numLit)
           if bounds.size == 4
         } yield GeoStatsFilter(ci.columnId,
@@ -2499,11 +2609,29 @@ object Lake {
       new org.apache.spark.sql.types.MetadataBuilder()
         .putString(DeclaredTypeKey, "geometry").build())
 
+  /** A column declared by lake type string — the way to put geometry (or
+    * any lake-level type) at a nested position, e.g.
+    * `Lake.typedField("pts", "list<geometry>")` or
+    * `Lake.typedField("info", "struct<g geometry,tag varchar>")`. The
+    * Spark-visible type is derived (geometry → binary). */
+  def typedField(name: String,
+      lakeType: String): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name,
+      DuckLakeTypes.fromTypeString(lakeType), nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(DeclaredTypeKey, lakeType).build())
+
   private[catalog] def declaredType(
       f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(DeclaredTypeKey))
       f.metadata.getString(DeclaredTypeKey)
-    else DuckLakeTypes.toTypeString(f.dataType)
+    else f.dataType match {
+      // recurse so geometryField/typedField work INSIDE a struct column
+      case st: org.apache.spark.sql.types.StructType =>
+        DuckLakeTypes.mkStructString(
+          st.fields.toSeq.map(ch => ch.name -> declaredType(ch)))
+      case other => DuckLakeTypes.toTypeString(other)
+    }
 
   /** materialized row-identity columns in compacted files (reference
     * ducklake_multi_file_reader.cpp:574-596) */

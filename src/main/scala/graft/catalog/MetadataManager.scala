@@ -957,25 +957,51 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
       conflictCheck = (c, _) => {
-        tables.foreach { tid =>
-          val live = query(c,
-            "SELECT COUNT(*) FROM ducklake_table WHERE table_id = ? AND end_snapshot IS NULL",
-            Long.box(tid))(_.getLong(1)).head
-          if (live == 0) throw new CommitConflictException(
-            s"table $tid was dropped concurrently")
-          // concurrent ALTER since BEGIN: files staged under the old schema
-          // would get begin_snapshot = commit snapshot and be misread under
-          // the post-ALTER epoch mapping (reference transaction conflict
-          // rules, ducklake_transaction.cpp CheckForConflicts)
-          val altered = query(c,
-            """SELECT COUNT(*) FROM ducklake_column WHERE table_id = ?
-              |AND (begin_snapshot > ?
-              |     OR (end_snapshot IS NOT NULL AND end_snapshot > ?))""".stripMargin,
-            Long.box(tid), Long.box(baseSnapshot),
-            Long.box(baseSnapshot))(_.getLong(1)).head
-          if (altered > 0) throw new CommitConflictException(
-            s"table $tid was altered concurrently (schema change since " +
-              s"transaction start at snapshot $baseSnapshot)")
+        // server-side consolidated check: live-table count + concurrent-
+        // ALTER count for EVERY touched table in one statement (the
+        // reference's single check+commit SQL call,
+        // ducklake_server_side_commit.cpp); per-table detail queries only
+        // run when the consolidated counts flag a conflict.
+        // A concurrent ALTER is a conflict because files staged under the
+        // old schema would get begin_snapshot = commit snapshot and be
+        // misread under the post-ALTER epoch mapping (reference
+        // transaction conflict rules, ducklake_transaction.cpp
+        // CheckForConflicts).
+        if (tables.nonEmpty) {
+          val in = tables.mkString(",")
+          val (live, altered) = query(c,
+            s"""SELECT
+               |(SELECT COUNT(*) FROM ducklake_table
+               | WHERE table_id IN ($in) AND end_snapshot IS NULL),
+               |(SELECT COUNT(*) FROM ducklake_column
+               | WHERE table_id IN ($in)
+               |   AND (begin_snapshot > ?
+               |        OR (end_snapshot IS NOT NULL AND end_snapshot > ?)))
+               |${dialect.dualFrom}""".stripMargin,
+            Long.box(baseSnapshot), Long.box(baseSnapshot))(rs =>
+            (rs.getLong(1), rs.getLong(2))).head
+          if (live < tables.size) {
+            val alive = query(c,
+              s"""SELECT table_id FROM ducklake_table
+                 |WHERE table_id IN ($in) AND end_snapshot IS NULL"""
+                .stripMargin)(_.getLong(1)).toSet
+            throw new CommitConflictException(
+              s"table ${tables.filterNot(alive).head} was dropped " +
+                "concurrently")
+          }
+          if (altered > 0) {
+            val tid = query(c,
+              s"""SELECT DISTINCT table_id FROM ducklake_column
+                 |WHERE table_id IN ($in)
+                 |  AND (begin_snapshot > ?
+                 |       OR (end_snapshot IS NOT NULL AND end_snapshot > ?))"""
+                .stripMargin,
+              Long.box(baseSnapshot), Long.box(baseSnapshot))(_.getLong(1))
+              .head
+            throw new CommitConflictException(
+              s"table $tid was altered concurrently (schema change since " +
+                s"transaction start at snapshot $baseSnapshot)")
+          }
         }
         if (touched.nonEmpty) {
           deletes.foreach { case (tid, _, _) =>
@@ -1774,31 +1800,57 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   /** delete-vs-delete (either format) + delete-vs-compaction conflict
     * checks, shared by file-delete, inlined-delete and transaction
     * commits (reference transaction_state CheckForConflicts). */
+  /** Server-side consolidated delete-conflict check: ONE statement of
+    * scalar COUNT subqueries per (chunk of) touched file ids, instead of
+    * one round trip per conflict rule (reference pushes the whole
+    * check+commit into a single SQL call for network catalogs,
+    * ducklake_server_side_commit.cpp; the IN-chunks are the JDBC analog
+    * of its staged id tables). The detailed id-listing queries only run
+    * on the rare failure path — the happy path pays one round trip. */
   private def checkDeleteConflicts(c: Connection, tableId: Long,
       baseSnapshot: Long, touched: Set[Long]): Unit = {
-    val conflicting = query(c,
-      """SELECT DISTINCT data_file_id FROM ducklake_delete_file
-        |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
-      Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
-      .toSet.intersect(touched)
-    if (conflicting.nonEmpty) throw new CommitConflictException(
-      s"concurrent delete on data files $conflicting")
+    if (touched.isEmpty) return
     val inlName = inlinedDeleteTableName(tableId)
-    if (tableExists(c, inlName.toUpperCase)) {
-      val inl = query(c,
-        s"SELECT DISTINCT data_file_id FROM $inlName WHERE begin_snapshot > ?",
-        Long.box(baseSnapshot))(_.getLong(1)).toSet.intersect(touched)
-      if (inl.nonEmpty) throw new CommitConflictException(
-        s"concurrent inlined delete on data files $inl")
+    val hasInl = tableExists(c, inlName.toUpperCase)
+    def detail(sql: String, args: Any*): Set[Long] =
+      query(c, sql, args: _*)(_.getLong(1)).toSet.intersect(touched)
+    touched.toSeq.sorted.grouped(1000).foreach { g =>
+      val in = g.mkString(",")
+      val inlSub = if (hasInl)
+        s"""(SELECT COUNT(*) FROM $inlName
+           | WHERE begin_snapshot > ? AND data_file_id IN ($in))""".stripMargin
+      else "0"
+      val (dels, inls, gones) = query(c,
+        s"""SELECT
+           |(SELECT COUNT(*) FROM ducklake_delete_file
+           | WHERE table_id = ? AND begin_snapshot > ?
+           |   AND data_file_id IN ($in)),
+           |$inlSub,
+           |(SELECT COUNT(*) FROM ducklake_data_file
+           | WHERE table_id = ? AND end_snapshot IS NOT NULL
+           |   AND end_snapshot > ? AND data_file_id IN ($in))
+           |${dialect.dualFrom}""".stripMargin,
+        (Seq(Long.box(tableId), Long.box(baseSnapshot)) ++
+          (if (hasInl) Seq(Long.box(baseSnapshot)) else Nil) ++
+          Seq(Long.box(tableId), Long.box(baseSnapshot))): _*)(rs =>
+        (rs.getLong(1), rs.getLong(2), rs.getLong(3))).head
+      if (dels > 0) throw new CommitConflictException(
+        "concurrent delete on data files " + detail(
+          """SELECT DISTINCT data_file_id FROM ducklake_delete_file
+            |WHERE table_id = ? AND begin_snapshot > ?""".stripMargin,
+          Long.box(tableId), Long.box(baseSnapshot)))
+      if (inls > 0) throw new CommitConflictException(
+        "concurrent inlined delete on data files " + detail(
+          s"SELECT DISTINCT data_file_id FROM $inlName WHERE begin_snapshot > ?",
+          Long.box(baseSnapshot)))
+      if (gones > 0) throw new CommitConflictException(
+        "data files " + detail(
+          """SELECT data_file_id FROM ducklake_data_file
+            |WHERE table_id = ? AND end_snapshot IS NOT NULL
+            |  AND end_snapshot > ?""".stripMargin,
+          Long.box(tableId), Long.box(baseSnapshot)) +
+          " were rewritten concurrently")
     }
-    val gone = query(c,
-      """SELECT data_file_id FROM ducklake_data_file
-        |WHERE table_id = ? AND end_snapshot IS NOT NULL
-        |  AND end_snapshot > ?""".stripMargin,
-      Long.box(tableId), Long.box(baseSnapshot))(_.getLong(1))
-      .toSet.intersect(touched)
-    if (gone.nonEmpty) throw new CommitConflictException(
-      s"data files $gone were rewritten concurrently")
   }
 
   /** end inlined-delete rows absorbed by a delete FILE for the same data

@@ -225,25 +225,58 @@ case class GeoExtentStruct(child: Expression)
     val bytes = input.asInstanceOf[Array[Byte]]
     GeoWkb.extent(bytes) match {
       case None => null
-      case Some(e) =>
-        def f(v: Double, low: Boolean): Any =
-          if (low && v == Double.PositiveInfinity) null
-          else if (!low && v == Double.NegativeInfinity) null
-          else v
-        InternalRow(
-          f(e.xmin, true), f(e.xmax, false), f(e.ymin, true),
-          f(e.ymax, false), f(e.zmin, true), f(e.zmax, false),
-          f(e.mmin, true), f(e.mmax, false),
-          new GenericArrayData(
-            e.types.toArray.map(t => UTF8String.fromString(t)): Array[Any]),
-          e.hasEmpty)
+      case Some(e) => GeoExtentStruct.toRow(e)
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
+/** Merged extent over an ARRAY of WKB blobs — the per-row stats shape for
+  * geometry nested under a list/map (reference geo stats over shredded
+  * nested columns, ducklake_geo_stats.cpp). NULL / unparsable elements are
+  * skipped; a row with no parsable geometry yields NULL, matching the
+  * scalar [[GeoExtentStruct]]. Write-path only, like the scalar form. */
+case class GeoExtentMergeArray(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeoExtentStruct.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new GeoWkb.Extent
+    var any = false
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        // fresh extent per element: a malformed blob must not leak
+        // partially-parsed coordinates into the merged bbox
+        GeoWkb.extent(arr.getBinary(i)).foreach { e =>
+          acc.merge(e); any = true
+        }
+      }
+      i += 1
+    }
+    if (any) GeoExtentStruct.toRow(acc) else null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GeoExtentStruct {
+  /** extent → stats-struct row (shared by the scalar and array forms) */
+  private[functions] def toRow(e: GeoWkb.Extent): InternalRow = {
+    def f(v: Double, low: Boolean): Any =
+      if (low && v == Double.PositiveInfinity) null
+      else if (!low && v == Double.NegativeInfinity) null
+      else v
+    InternalRow(
+      f(e.xmin, true), f(e.xmax, false), f(e.ymin, true),
+      f(e.ymax, false), f(e.zmin, true), f(e.zmax, false),
+      f(e.mmin, true), f(e.mmax, false),
+      new GenericArrayData(
+        e.types.toArray.map(t => UTF8String.fromString(t)): Array[Any]),
+      e.hasEmpty)
+  }
   val schema: StructType = StructType(Seq(
     StructField("xmin", DoubleType), StructField("xmax", DoubleType),
     StructField("ymin", DoubleType), StructField("ymax", DoubleType),
@@ -352,6 +385,11 @@ object GeoFunctions {
   /** Per-row extent struct (stats collection). */
   private[graft] def geoExtent(g: Column): Column =
     ColumnBridge.column(GeoExtentStruct(ColumnBridge.expr(g)))
+
+  /** Per-row merged extent over an array of WKB blobs (stats for
+    * geometry nested under list/map). */
+  private[graft] def geoExtentMerge(g: Column): Column =
+    ColumnBridge.column(GeoExtentMergeArray(ColumnBridge.expr(g)))
 
   private def cast(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)

@@ -258,6 +258,44 @@ object LakeQueries extends QueryPack {
       |WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pure-spark.sql DDL lifecycle against the DSv2 catalog
+    * ([[graft.sources.GraftTableCatalog]]): CREATE TABLE AS SELECT
+    * populates a real lake table (V1-write fallback → distributed append
+    * + stats + snapshot), INSERT INTO adds through the placeholder path,
+    * DROP TABLE removes a second table, and the read back goes through
+    * the pruned SQL scan. Mirrors the reference inheriting CTAS/DDL from
+    * its host engine (ducklake_insert.cpp:49-78). */
+  private def qSqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    // keep registered after return: the result DataFrame executes lazily
+    // (Verify materializes it right after this fn, before the next query)
+    graft.plans.LakeRegistry.register("graft", lake)
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_src")
+    spark.sql(
+      """CREATE TABLE graft.o AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_src WHERE o_orderstatus <> 'F'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.o
+        |SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |FROM graft.o WHERE o_orderstatus = 'P'""".stripMargin)
+    spark.sql("CREATE TABLE graft.scratch AS SELECT 1 AS x")
+    spark.sql("DROP TABLE graft.scratch")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft.o
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val qSqlCtasSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderstatus <> 'F')
+      |SELECT o_orderkey, o_totalprice FROM base
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_totalprice FROM base
+      |WHERE o_orderstatus = 'P'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Encrypted lake round-trip: data + delete files written with parquet
     * modular encryption (reference "encrypted" option), master key in the
     * catalog DB; the oracle reproduces results from the plaintext source. */
@@ -308,6 +346,7 @@ object LakeQueries extends QueryPack {
       Some(qSchemaEvolutionSql)),
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
+    QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal binary-column operators with a REAL codec: images travel as
+  * opaque `Array[Byte]` cells (the 100 TB layout — media bytes inline or
+  * as object-store pointers beside typed metadata), and decode/resize run
+  * the JDK's ImageIO PNG codec inside `mapPartitions`, the Scala twin of
+  * a `mapInPandas` batch UDF. Undecodable payloads degrade to an
+  * `ok = false` row instead of failing the partition — at scale a corrupt
+  * object must never kill the job.
+  *
+  * Grayscale PNG is lossless, so decoded samples equal the encoder input
+  * exactly; checksums over the raster are therefore engine-reproducible
+  * wherever the pixel source is (as in the driver queries, which generate
+  * pixels from `doc_id` with a closed-form rule an oracle can replay). */
+object Multimodal {
+
+  private val M = 1000000007L
+
+  /** position-weighted raster checksum: Σ (p+1)·sample_p mod M over
+    * row-major pixel positions — order-sensitive, so any decode that
+    * permutes, drops, or rescales pixels changes it */
+  private def rasterChecksum(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    var sum = 0L
+    var p = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sum = (sum + (p + 1).toLong * r.getSample(x, y, 0)) % M
+        p += 1
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** encode a grayscale image from a pixel function (test/query fixture
+    * side: a real PNG byte stream for the codec path to decode) */
+  def encodeGrayPng(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        r.setSample(x, y, 0, pixel(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** ImageIO decode of (id, imageBytes) batches →
+    * (id, width, height, pix_checksum, ok) */
+  def decodeImages(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) (id, -1L, -1L, -1L, false)
+        else (id, img.getWidth.toLong, img.getHeight.toLong,
+          rasterChecksum(img), true)
+      } catch { case _: Exception => (id, -1L, -1L, -1L, false) }
+    }).toDF("id", "width", "height", "pix_checksum", "ok")
+  }
+
+  /** decode → nearest-neighbor half-scale (target (w/2, h/2), source
+    * sample (2x, 2y)) → re-encode PNG → decode again; output carries both
+    * geometries, the resized checksum, and the re-encoded byte count.
+    * Exercises the full codec round trip on every row. */
+  def resizeHalfImages(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) (id, -1L, -1L, -1L, -1L, -1L, -1L, false)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (w2, h2) = (math.max(w / 2, 1), math.max(h / 2, 1))
+          val small = new java.awt.image.BufferedImage(w2, h2,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val src = img.getRaster
+          val dst = small.getRaster
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              dst.setSample(x, y, 0,
+                src.getSample(math.min(2 * x, w - 1),
+                  math.min(2 * y, h - 1), 0))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(small, "png", out)
+          val reBytes = out.toByteArray
+          val reRead = ImageIO.read(new ByteArrayInputStream(reBytes))
+          (id, w.toLong, h.toLong, w2.toLong, h2.toLong,
+            rasterChecksum(reRead), reBytes.length.toLong, true)
+        }
+      } catch {
+        case _: Exception => (id, -1L, -1L, -1L, -1L, -1L, -1L, false)
+      }
+    }).toDF("id", "width", "height", "new_width", "new_height",
+      "resized_checksum", "png_bytes", "ok")
+  }
+}

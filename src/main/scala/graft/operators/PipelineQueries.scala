@@ -323,63 +323,67 @@ object PipelineQueries extends QueryPack {
       |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Stubbed decode via typed mapPartitions over binary batches (the
-    * mapInPandas analog in Scala) — deterministic fake features over the
-    * raw bytes; exercises Dataset[(Long, Array[Byte])] plumbing. The
-    * checksum is a MODULAR rolling hash so the oracle SQL can reproduce
-    * it without bigint overflow. */
-  private def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** One grayscale PNG per document, pixels a closed-form function of
+    * doc_id (so the oracle can replay the raster in SQL) and dimensions
+    * varying per row — the media fixture for the REAL codec path. */
+  private def docImages(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val d = Tables(spark, dir).documents
-    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[(Long, Array[Byte])]
-    // STUB: a real pipeline would decode image/audio here (libs absent);
-    // the deterministic fake keeps shapes + batching honest
-    // features flattened to a string: the driver canonicalizes results with
-    // a pandas sort, which cannot hash array-typed cells
-    val M = 1000000007L
-    media.mapPartitions(_.map { case (id, bytes) =>
-      val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % M)
-      (id, bytes.length.toLong, checksum,
-        Array.tabulate(8)(i => ((checksum >> (8 * i)) & 0xff).toFloat)
-          .mkString(","))
-    }).toDF("doc_id", "n_bytes", "checksum", "features")
-      .orderBy(col("doc_id"))
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + id % 3).toInt
+        (id, Multimodal.encodeGrayPng(w, h,
+          (x, y) => ((id * 31 + (y * w + x)) % 256).toInt))
+      })
   }
+
+  /** REAL image decode via the JDK ImageIO PNG codec inside
+    * `mapPartitions` (the mapInPandas analog): bytes → raster → a
+    * position-weighted pixel checksum the oracle recomputes from the
+    * closed-form pixel rule. Grayscale PNG is lossless, so decoded
+    * samples equal encoder input exactly. */
+  private def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(docImages(spark, dir))
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("pix_checksum"), col("ok"))
+      .orderBy(col("doc_id"))
 
   private val multimodalDecodeSql =
-    """WITH c AS (SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS n_bytes,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(range(1, STRLEN(text) + 1),
-      |      i -> CAST(ascii(text[i]) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-      |  FROM documents)
-      |SELECT doc_id, n_bytes, checksum,
-      |  array_to_string(list_transform(range(0, 8),
-      |    i -> CAST((checksum // CAST(POW(256, i) AS BIGINT)) % 256
-      |         AS VARCHAR) || '.0'), ',') AS features
-      |FROM c ORDER BY doc_id""".stripMargin
+    """WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS width,
+      |                  4 + doc_id % 3 AS height FROM documents)
+      |SELECT doc_id, width, height,
+      |  CAST(list_aggregate(list_transform(range(0, width * height),
+      |    p -> (p + 1) * ((doc_id * 31 + p) % 256)), 'sum')
+      |    % 1000000007 AS BIGINT) AS pix_checksum,
+      |  TRUE AS ok
+      |FROM g ORDER BY doc_id""".stripMargin
 
-  /** Stubbed media resize over binary batches: clamp payload to a target
-    * byte budget (a real pipeline would decode + downscale; libs absent).
-    * Byte-length accounting is oracle-checked; the content transform is
-    * exercised in specs. */
-  private def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = Tables(spark, dir).documents
-    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[(Long, Array[Byte])]
-    media.mapPartitions(_.map { case (id, bytes) =>
-      val resized = bytes.take(64) // STUB: real decode+resize goes here
-      (id, bytes.length.toLong, resized.length.toLong)
-    }).toDF("doc_id", "orig_bytes", "resized_bytes")
+  /** Decode → nearest-neighbor half-scale → re-encode → decode again
+    * (full codec round trip per row); the oracle replays the sampled
+    * raster ((2x, 2y) source pixels) from the pixel rule. The re-encoded
+    * byte count is real but encoder-dependent, so it stays out of the
+    * compared columns. */
+  private def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeHalfImages(docImages(spark, dir))
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("new_width"), col("new_height"), col("resized_checksum"),
+        col("ok"))
       .orderBy(col("doc_id"))
-  }
 
   private val multimodalResizeSql =
-    """SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS orig_bytes,
-      |  CAST(LEAST(STRLEN(text), 64) AS BIGINT) AS resized_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+      |                  4 + doc_id % 3 AS h FROM documents),
+      |r AS (SELECT doc_id, w, h, GREATEST(w // 2, 1) AS w2,
+      |             GREATEST(h // 2, 1) AS h2 FROM g)
+      |SELECT doc_id, w AS width, h AS height,
+      |  w2 AS new_width, h2 AS new_height,
+      |  CAST(list_aggregate(list_transform(range(0, w2 * h2),
+      |    i -> (i + 1) * ((doc_id * 31
+      |         + ((i // w2) * 2 * w + (i % w2) * 2)) % 256)), 'sum')
+      |    % 1000000007 AS BIGINT) AS resized_checksum,
+      |  TRUE AS ok
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Stubbed frame sampling: each media payload splits into 4 frames
     * (byte slices standing in for video frames); per-frame sizes are

@@ -220,6 +220,31 @@ object RelationalQueries extends QueryPack {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Skew-safe top-k per group ([[Skew.topKPerGroup]]): o_orderpriority
+    * has only 5 values, so the plain single-window plan sorts ~1/5 of the
+    * table on ONE task — the pathological window shape at 100 TB. The
+    * salted two-pass variant bounds every task's sort and provably returns
+    * the identical rows (oracle is the plain window SQL). */
+  private def qWindowTopkSkew(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Skew.topKPerGroup(
+      t.orders.select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")),
+      groupCols = Seq("o_orderpriority"),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+      k = 3, rankCol = "rk")
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  private val qWindowTopkSkewSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
   private val qWindowRankSql =
     """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -586,6 +611,7 @@ object RelationalQueries extends QueryPack {
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiSql)),
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiSql)),
     QueryDef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
+    QueryDef("q_window_topk_skew", qWindowTopkSkew, Some(qWindowTopkSkewSql)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
     QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.Lake
+import graft.plans.LakeRegistry
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableCatalog` for the lake: registering
+  * `spark.sql.catalog.graft = graft.sources.GraftTableCatalog` makes the
+  * built-in DDL commands — `CREATE TABLE graft.t (…)`,
+  * `CREATE TABLE graft.t AS SELECT …`, `DROP TABLE`, `ALTER TABLE …
+  * RENAME TO`, `CREATE/DROP NAMESPACE` — resolve against the lake without
+  * any SQL-string parsing, the same way the reference inherits DDL from
+  * its host engine (ducklake_insert.cpp:49-78 CTAS ctor).
+  *
+  * Writes go through the V1 fallback (`V1Write → InsertableRelation`):
+  * Spark hands the finished DataFrame to [[graft.catalog.Lake.append]],
+  * which runs the usual distributed write + stats + snapshot commit. Reads
+  * and row-level DML stay on the [[graft.plans.GraftExtensions]] placeholder
+  * path (installed together with this catalog), which feeds pushed-down
+  * predicates to catalog file pruning — a capability the V2 read path
+  * could not express over the epoch-mapped multi-format scan.
+  *
+  * The catalog instance finds its [[Lake]] through [[LakeRegistry]] under
+  * the catalog's own name, so `LakeRegistry.register("graft", lake)` wires
+  * both surfaces at once. */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+
+  private def lake: Lake = LakeRegistry.get(catalogName).getOrElse(
+    throw new IllegalStateException(
+      s"no lake registered for catalog $catalogName " +
+        "(call LakeRegistry.register first)"))
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+
+  override def name(): String = catalogName
+
+  /** empty namespace → the lake's default `main` schema (so `graft.t`
+    * and `graft.main.t` are the same table) */
+  private def tableName(ident: Identifier): String =
+    ident.namespace() match {
+      case Array() => ident.name()
+      case Array(ns) => s"$ns.${ident.name()}"
+      case other => throw new IllegalArgumentException(
+        s"nested namespaces unsupported: ${other.mkString(".")}")
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val schema = namespace.headOption.getOrElse("main")
+    val snap = lake.meta.currentSnapshot()
+    lake.meta.listTables(snap.snapshotId, schema)
+      .map(t => Identifier.of(namespace, t.name)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val tbl = tableName(ident)
+    val schema =
+      try lake.schemaOf(tbl)
+      catch { case _: IllegalArgumentException =>
+        throw new NoSuchTableException(ident) }
+    new GraftTable(lake, tbl, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val tbl = tableName(ident)
+    lake.createTable(tbl, schema)
+    val specs = partitions.toSeq.map(partitionSpec)
+    if (specs.nonEmpty) lake.setPartitionedBy(tbl, specs)
+    new GraftTable(lake, tbl, schema)
+  }
+
+  /** V2 partition transform → the lake's (column, transform) string spec
+    * (reference transform set, ducklake_partition_data.cpp:54-140) */
+  private def partitionSpec(t: Transform): (String, String) = {
+    val col = t.references() match {
+      case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition reference ${other.mkString(",")}")
+    }
+    t.name() match {
+      case "identity" => (col, "identity")
+      case "years" => (col, "year")
+      case "months" => (col, "month")
+      case "days" => (col, "day")
+      case "hours" => (col, "hour")
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: Literal[_] => String.valueOf(l.value())
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a width: $t"))
+        (col, s"bucket($n)")
+      case n => throw new IllegalArgumentException(
+        s"unsupported partition transform $n")
+    }
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val tbl = tableName(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        lake.addColumn(tbl, org.apache.spark.sql.types
+          .StructField(a.fieldNames()(0), a.dataType(), a.isNullable))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        lake.dropColumn(tbl, d.fieldNames()(0))
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        lake.renameColumn(tbl, r.fieldNames()(0), r.newName())
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other (nested-field DDL goes " +
+          "through lake.sql)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try { lake.dropTable(tableName(ident)); true }
+    catch { case _: IllegalArgumentException => false }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    lake.renameTable(tableName(oldIdent), tableName(newIdent))
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    lake.listSchemas().map(Array(_)).toArray
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespace.length == 1 &&
+      lake.listSchemas().contains(namespace(0)))
+      new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "nested namespaces unsupported")
+    lake.createSchema(namespace(0))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE unsupported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    require(namespace.length == 1, "nested namespaces unsupported")
+    try { lake.dropSchema(namespace(0)); true }
+    catch { case _: Exception => false }
+  }
+}
+
+/** V2 table handle: schema + V1-fallback batch write (append/truncate).
+  * No V2 read capability on purpose — reads resolve through the
+  * placeholder rule so catalog file pruning sees the pushed predicates. */
+class GraftTable(lake: Lake, tbl: String, tableSchema: StructType)
+    extends Table with SupportsWrite {
+
+  override def name(): String = tbl
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (truncateFirst || overwrite)
+                lake.delete(tbl, org.apache.spark.sql.functions.lit(true))
+              lake.append(tbl, data)
+            }
+          }
+      }
+    }
+}

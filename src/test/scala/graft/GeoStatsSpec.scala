@@ -103,6 +103,54 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(scanned == 1, s"expected 1 file after geo pruning, saw $scanned")
   }
 
+  test("nested geometry stats: struct + list leaves, pruning, compaction") {
+    val lake = freshLake()
+    lake.createTable("nest", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("info", StructType(Seq(
+        Lake.geometryField("g"), StructField("tag", StringType)))),
+      Lake.typedField("pts", "list<geometry>"))))
+    val schema = lake.schemaOf("nest")
+    def append(rows: (Int, (Double, Double))*): Unit =
+      lake.append("nest", spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, (x, y)) =>
+          org.apache.spark.sql.Row(i,
+            org.apache.spark.sql.Row(GeoWkb.pointWkb(x, y), s"t$i"),
+            Seq(GeoWkb.pointWkb(x + 1.0, y), GeoWkb.pointWkb(x - 1.0, y)))
+        }, 1), schema))
+    // three files with disjoint nested extents
+    append(1 -> (0.0, 0.0), 2 -> (5.0, 5.0))
+    append(3 -> (100.0, 100.0), 4 -> (105.0, 105.0))
+    append(5 -> (200.0, 200.0))
+
+    // cumulative stats exist under the leaves' dotted paths
+    val eg = extent(lake, "nest", "info.g")
+    assert(eg.xmin == 0.0 && eg.xmax == 200.0 &&
+      eg.types == Set("POINT"))
+    val ep = extent(lake, "nest", "pts.element")
+    assert(ep.xmin == -1.0 && ep.xmax == 201.0)
+
+    // bbox filter on the struct-nested leaf prunes to one file
+    val pred = GeoFunctions.stBboxIntersects(col("info.g"),
+      lit(90.0), lit(90.0), lit(110.0), lit(110.0))
+    val df = lake.table("nest", Some(pred)).filter(pred)
+    assert(df.select("id").as[Int].collect().sorted.toSeq == Seq(3, 4))
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scanned == 1,
+      s"expected 1 file after nested geo pruning, saw $scanned")
+
+    // nested extents survive compaction (statsFor path)
+    lake.mergeAdjacentFiles("nest")
+    val egc = extent(lake, "nest", "info.g")
+    assert(egc.xmin == 0.0 && egc.xmax == 200.0)
+    assert(extent(lake, "nest", "pts.element").xmax == 201.0)
+    // and pruning still works on the merged layout
+    assert(lake.table("nest", Some(pred)).filter(pred).count() == 2)
+  }
+
   test("geometry stats survive compaction and null/empty handling") {
     val lake = freshLake()
     geoTable(lake, "t3")

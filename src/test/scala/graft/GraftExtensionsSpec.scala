@@ -23,6 +23,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // collect below sees the real scans
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // DSv2 catalog: CREATE TABLE / CTAS / DROP TABLE via plain SQL
+      .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
@@ -176,6 +178,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT st_bbox_intersects(st_point(5, 5), 0, 0, 10, 10) AS hit")
         .head().getBoolean(0))
+
+      // ---- DSv2 TableCatalog: DDL through plain spark.sql ----
+      // CREATE TABLE with columns, INSERT through the placeholder path,
+      // read back
+      spark.sql("CREATE TABLE graft.ddl1 (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO graft.ddl1 VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ddl1")
+        .head().getLong(0) == 2L)
+      // CTAS: create + populate in one statement (V1 write fallback →
+      // lake.append with stats + snapshot commit)
+      spark.sql(
+        "CREATE TABLE graft.ddl2 AS SELECT id * 10 AS id, v FROM graft.ddl1")
+      assert(spark.sql("SELECT id FROM graft.ddl2 ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 20L))
+      // the CTAS table is a REAL lake table: files + stats pruning work
+      assert(lake.listFiles("ddl2").count() > 0)
+      // ALTER TABLE through the catalog
+      spark.sql("ALTER TABLE graft.ddl2 ADD COLUMN tag STRING")
+      assert(spark.sql("SELECT tag FROM graft.ddl2 WHERE id = 10")
+        .head().isNullAt(0))
+      spark.sql("ALTER TABLE graft.ddl2 RENAME COLUMN tag TO label")
+      assert(spark.sql("SELECT label FROM graft.ddl2").count() == 2)
+      // RENAME + DROP
+      // (the RENAME TO target is an identifier WITHIN the same catalog)
+      spark.sql("ALTER TABLE graft.ddl2 RENAME TO ddl3")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ddl3")
+        .head().getLong(0) == 2L)
+      spark.sql("DROP TABLE graft.ddl3")
+      intercept[Exception](lake.table("ddl3").count())
+      // namespaces
+      spark.sql("CREATE NAMESPACE graft.aux")
+      spark.sql("CREATE TABLE graft.aux.t AS SELECT 5 AS x")
+      assert(spark.sql("SELECT x FROM graft.aux.t").head().getInt(0) == 5)
+      assert(spark.sql("SHOW TABLES IN graft.aux").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      spark.sql("DROP TABLE graft.aux.t")
+      spark.sql("DROP NAMESPACE graft.aux")
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec multimodal path: ImageIO PNG encode/decode round trips
+  * inside the distributed batch operators, with graceful degradation on
+  * corrupt payloads. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decode round-trips generated PNGs exactly") {
+    val imgs = Seq(
+      (1L, Multimodal.encodeGrayPng(5, 3, (x, y) => x * 10 + y)),
+      (2L, Multimodal.encodeGrayPng(2, 2, (_, _) => 255)))
+      .toDS()
+    val got = Multimodal.decodeImages(imgs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // 5×3 raster p-th pixel value x*10+y, checksum Σ(p+1)·v mod M
+    val exp1 = (0 until 15).map { p =>
+      val (y, x) = (p / 5, p % 5)
+      (p + 1).toLong * (x * 10 + y)
+    }.sum % 1000000007L
+    val exp2 = (1 to 4).map(_.toLong * 255).sum % 1000000007L
+    assert(got.toSeq == Seq((1L, 5L, 3L, exp1, true),
+      (2L, 2L, 2L, exp2, true)))
+  }
+
+  test("resize samples (2x, 2y) pixels and survives re-encode") {
+    // 4×4 image with pixel = y*4+x; half-scale keeps (0,0),(2,0),(0,2),(2,2)
+    val imgs = Seq((7L, Multimodal.encodeGrayPng(4, 4,
+      (x, y) => y * 4 + x))).toDS()
+    val r = Multimodal.resizeHalfImages(imgs).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (4L, 4L, 2L, 2L))
+    // resized raster row-major: 0, 2, 8, 10 → Σ(i+1)·v
+    val exp = Seq(0L, 2L, 8L, 10L).zipWithIndex
+      .map { case (v, i) => (i + 1) * v }.sum % 1000000007L
+    assert(r.getLong(5) == exp)
+    assert(r.getLong(6) > 0, "re-encoded PNG must have bytes")
+    assert(r.getBoolean(7))
+  }
+
+  test("undecodable payloads degrade to ok=false, not a task failure") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Multimodal.encodeGrayPng(2, 2, (_, _) => 9))).toDS()
+    val got = Multimodal.decodeImages(junk).orderBy("id").collect()
+    assert(!got(0).getBoolean(4) && got(0).getLong(1) == -1L)
+    assert(got(1).getBoolean(4))
+  }
+}

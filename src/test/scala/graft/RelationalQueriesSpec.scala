@@ -9,6 +9,10 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // mirror Verify's session: DSv2 DDL catalog + lake SQL extensions so
+    // queries like lake_sql_ctas run the same way the driver runs them
+    .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 }
 

@@ -37,4 +37,31 @@ class SketchSpec extends AnyFunSuite {
     assert(salted.orderBy("k").collect().toSeq ==
       plain.orderBy("k").collect().toSeq)
   }
+
+  test("salted two-pass top-k equals single-window top-k under skew") {
+    // one hot group with 50k rows + many small ones — the worst case for
+    // a single window partition
+    val df = ((1 to 50000).map(i => ("hot", i.toLong, i % 997)) ++
+      (1 to 500).map(i => (s"g${i % 37}", i.toLong, i % 31)))
+      .toDF("g", "id", "v")
+    val salted = Skew.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id")), k = 5, saltBuckets = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val plain = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+    assert(salted.orderBy("g", "rk").collect().toSeq ==
+      plain.orderBy("g", "rk").collect().toSeq)
+    // groups smaller than k return every row, ranked
+    assert(salted.filter(col("g") === "g1").count() ==
+      plain.filter(col("g") === "g1").count())
+    // both window passes are present and the first is salt-partitioned
+    // (inspect the optimized logical plan — AQE wraps the physical one)
+    val windows = salted.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2, s"expected 2 window passes, saw ${windows.size}")
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "first pass must partition by (group, salt)")
+  }
 }
