@@ -77,5 +77,14 @@ object CatalogDialect {
   def forUrl(jdbcUrl: String): CatalogDialect =
     if (jdbcUrl.startsWith("jdbc:postgresql:")) PostgresDialect
     else if (jdbcUrl.startsWith("jdbc:sqlite:")) SqliteDialect
+    else if (jdbcUrl.startsWith("http://") ||
+      jdbcUrl.startsWith("https://"))
+      // HTTP catalog transport: the service's URL advertises its backing
+      // store so DDL spelling / conflict SQLSTATEs match the remote end
+      "dialect=(\\w+)".r.findFirstMatchIn(jdbcUrl).map(_.group(1)) match {
+        case Some("postgres") => PostgresDialect
+        case Some("sqlite") => SqliteDialect
+        case _ => DerbyDialect
+      }
     else DerbyDialect
 }

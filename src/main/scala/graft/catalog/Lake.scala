@@ -2677,7 +2677,14 @@ object Lake {
     // conf BEFORE the FileSystem is resolved (object-store roots)
     Secrets.applyTo(spark, dataPath)
     new LakeIO(dataPath).mkdirsRoot()
-    val mgr = new MetadataManager(MetadataManager.derbyUrl(catalogDir))
+    // catalogDir may be a raw catalog URL: jdbc:… attaches directly,
+    // http(s):… goes through the quack-style HTTP transport
+    // ([[HttpCatalogServer]]); a plain path is an embedded Derby dir
+    val catalogUrl =
+      if (catalogDir.startsWith("jdbc:") || catalogDir.startsWith("http://")
+        || catalogDir.startsWith("https://")) catalogDir
+      else MetadataManager.derbyUrl(catalogDir)
+    val mgr = new MetadataManager(catalogUrl)
     mgr.initialize(dataPath)
     val lake = new Lake(spark, mgr, mgr.dataPath)
     if (mgr.pendingRowIdBackfill) {

@@ -375,13 +375,63 @@ private[catalog] object LakeSql {
     // GEOMETRY is a lake-level type (WKB blob + extent stats) that Spark's
     // DDL parser does not know; carry it in field metadata so createTable
     // records the declared lake type (reference geometry DDL,
-    // test/sql/geo/ducklake_geometry.test)
+    // test/sql/geo/ducklake_geometry.test). GEOMETRY nested inside
+    // STRUCT(...) / T[] / MAP(...) (DuckDB type syntax) takes the same
+    // metadata route via the full lake type string.
     val GeomRe = "(?is)^(.+?)\\s+GEOMETRY\\s*$".r
-    val parsed = base.trim match {
+    val t = base.trim
+    val parsed = t match {
       case GeomRe(name) => Lake.geometryField(stripIdent(name))
+      case _ if "(?i)\\bGEOMETRY\\b".r.findFirstIn(t).isDefined =>
+        // name = first identifier; the rest is the (nested) type text
+        val cut = t.indexWhere(Character.isWhitespace)
+        require(cut > 0, s"cannot parse column definition: $d")
+        Lake.typedField(stripIdent(t.substring(0, cut)),
+          lakeTypeOf(t.substring(cut + 1).trim))
       case _ => StructType.fromDDL(base).head
     }
     (parsed.copy(nullable = !notNull), default)
+  }
+
+  /** DuckDB-style type text → lake type string (only used when GEOMETRY
+    * appears somewhere inside — plain types go through Spark's parser). */
+  private def lakeTypeOf(t: String): String = {
+    val s = t.trim
+    val up = s.toUpperCase
+    if (up.endsWith("[]")) s"list<${lakeTypeOf(s.dropRight(2))}>"
+    else if (up.startsWith("STRUCT(") && s.endsWith(")"))
+      DuckLakeTypes.mkStructString(
+        splitTop(s.substring(7, s.length - 1)).map { f =>
+          val cut = f.indexWhere(Character.isWhitespace)
+          require(cut > 0, s"cannot parse struct field: $f")
+          (stripIdent(f.substring(0, cut)), lakeTypeOf(f.substring(cut + 1)))
+        })
+    else if (up.startsWith("MAP(") && s.endsWith(")")) {
+      val parts = splitTop(s.substring(4, s.length - 1))
+      require(parts.size == 2, s"MAP needs two type args: $s")
+      s"map<${lakeTypeOf(parts(0))},${lakeTypeOf(parts(1))}>"
+    } else up match { // DuckDB base type names → lake type strings
+      case "GEOMETRY" => "geometry"
+      case "BOOLEAN" | "BOOL" => "boolean"
+      case "TINYINT" | "INT8" => "int8"
+      case "SMALLINT" | "INT16" => "int16"
+      case "INT" | "INTEGER" | "INT32" => "int32"
+      case "BIGINT" | "INT64" | "LONG" => "int64"
+      case "FLOAT" | "REAL" | "FLOAT4" => "float32"
+      case "DOUBLE" | "FLOAT8" => "float64"
+      case "VARCHAR" | "TEXT" | "STRING" => "varchar"
+      case "BLOB" | "BINARY" | "BYTEA" => "blob"
+      case "DATE" => "date"
+      case "TIMESTAMP" => "timestamp"
+      case "TIMESTAMPTZ" => "timestamptz"
+      case "UUID" => "uuid"
+      case "JSON" => "json"
+      case d if d.startsWith("DECIMAL(") || d.startsWith("NUMERIC(") =>
+        s"decimal(${d.substring(d.indexOf('(') + 1, d.length - 1)})"
+      case _ => // anything else: Spark's own DDL type grammar
+        DuckLakeTypes.toTypeString(
+          StructType.fromDDL(s"x $s").head.dataType)
+    }
   }
 
   private def stripIdent(s: String): String = {

@@ -29,11 +29,16 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   // ---------------------------------------------------------------- plumbing
 
-  protected def connect(): Connection = {
-    val c = DriverManager.getConnection(jdbcUrl)
-    c.setAutoCommit(false)
-    c
-  }
+  protected def connect(): Connection =
+    if (jdbcUrl.startsWith("http://") || jdbcUrl.startsWith("https://"))
+      // quack-style transport: catalog SQL ships to the service
+      // ([[HttpCatalogServer]]); same transactions + SQLSTATE semantics
+      HttpCatalogClient.connect(jdbcUrl)
+    else {
+      val c = DriverManager.getConnection(jdbcUrl)
+      c.setAutoCommit(false)
+      c
+    }
 
   protected def withConn[A](f: Connection => A): A =
     Using.resource(connect()) { c =>

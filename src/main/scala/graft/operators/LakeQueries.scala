@@ -296,6 +296,35 @@ object LakeQueries extends QueryPack {
       |WHERE o_orderstatus = 'P'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Lake attached through the HTTP catalog service
+    * ([[graft.catalog.HttpCatalogServer]] — the reference's quack
+    * metadata backend re-expressed): every metadata statement of the
+    * create/insert/delete sequence crosses the wire; data files go
+    * straight to storage. The service is stopped before returning — the
+    * scan's file list is resolved at plan time, so materialization needs
+    * no catalog. */
+  private def qHttpCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val server = new graft.catalog.HttpCatalogServer(
+      graft.catalog.MetadataManager.derbyUrl(s"$tmp/cat")).start()
+    try {
+      val lake = Lake.attach(spark, server.url, s"$tmp/data")
+      lake.createTableAs("o",
+        Tables(spark, dir).orders.select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderstatus") =!= "F"))
+      lake.delete("o", col("o_totalprice") < 50000.0)
+      lake.table("o")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    } finally server.stop()
+  }
+
+  private val qHttpCatalogSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderstatus <> 'F' AND o_totalprice >= 50000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Encrypted lake round-trip: data + delete files written with parquet
     * modular encryption (reference "encrypted" option), master key in the
     * catalog DB; the oracle reproduces results from the plaintext source. */
@@ -347,6 +376,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
     QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
+    QueryDef("lake_http_catalog", qHttpCatalog, Some(qHttpCatalogSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),
   )
 }

@@ -151,6 +151,23 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(lake.table("nest", Some(pred)).filter(pred).count() == 2)
   }
 
+  test("sql DDL declares nested geometry (STRUCT / [] / MAP syntax)") {
+    val lake = freshLake()
+    lake.sql("""CREATE TABLE gn (id INT,
+      info STRUCT(g GEOMETRY, tag VARCHAR), pts GEOMETRY[])""")
+    val schema = lake.schemaOf("gn")
+    assert(schema("info").dataType.asInstanceOf[StructType]("g")
+      .dataType == BinaryType)
+    assert(schema("pts").dataType ==
+      ArrayType(BinaryType, containsNull = true))
+    lake.append("gn", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1, org.apache.spark.sql.Row(GeoWkb.pointWkb(3.0, 4.0), "a"),
+        Seq(GeoWkb.pointWkb(-5.0, 0.0)))), 1), schema))
+    assert(extent(lake, "gn", "info.g").xmin == 3.0)
+    assert(extent(lake, "gn", "pts.element").xmin == -5.0)
+  }
+
   test("geometry stats survive compaction and null/empty handling") {
     val lake = freshLake()
     geoTable(lake, "t3")
