@@ -105,6 +105,110 @@ object CorpusQueries extends QueryPack {
       |FROM agg WHERE max_bigram * 20 >= total_bigrams
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- Gopher-style quality rules
+
+  /** Gopher-rule quality gate (Rae et al. 2021 §A1.1, public): word-count
+    * bounds, mean word length, symbol-word ratio, alphabetic-word
+    * fraction, stop-word floor — each document scored map-only in one
+    * pass over its token array. Every threshold is INTEGER arithmetic
+    * (3·wc ≤ chars ≤ 10·wc, 5·alpha ≥ 4·wc, …), so both engines agree
+    * bit-exactly; at 100 TB this is a map-only filter with no shuffle. */
+  private def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val words = filter(split(col("text"), " "), w => w =!= lit(""))
+    val wc = size(col("w")).cast("long")
+    val chars = aggregate(col("w"), lit(0L),
+      (a, w) => a + length(w).cast("long"))
+    val alpha = size(filter(col("w"),
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val sym = size(filter(col("w"),
+      w => w.startsWith("#") || w.contains("..."))).cast("long")
+    val stops = size(filter(col("w"), w => lower(w).isin(
+      "the", "be", "to", "of", "and", "that", "have", "with"))).cast("long")
+    d.select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), wc.as("word_count"), chars.as("char_sum"),
+        alpha.as("alpha_words"), sym.as("symbol_words"),
+        stops.as("stop_words"))
+      .withColumn("pass",
+        col("word_count").between(50L, 100000L) &&
+          col("char_sum") >= col("word_count") * 3 &&
+          col("char_sum") <= col("word_count") * 10 &&
+          col("alpha_words") * 5 >= col("word_count") * 4 &&
+          col("symbol_words") * 10 <= col("word_count") &&
+          col("stop_words") >= 2L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityGopherSql =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS word_count,
+      |  CAST(list_aggregate(list_prepend(0, list_transform(w,
+      |    x -> CAST(length(x) AS BIGINT))), 'sum') AS BIGINT) AS char_sum,
+      |  CAST(len(list_filter(w,
+      |    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+      |  CAST(len(list_filter(w, x -> starts_with(x, '#')
+      |    OR contains(x, '...'))) AS BIGINT) AS symbol_words,
+      |  CAST(len(list_filter(w, x -> list_contains(
+      |    ['the','be','to','of','and','that','have','with'],
+      |    lower(x)))) AS BIGINT) AS stop_words
+      |  FROM w)
+      |SELECT doc_id, word_count, char_sum, alpha_words, symbol_words,
+      |  stop_words,
+      |  (word_count BETWEEN 50 AND 100000
+      |   AND char_sum >= word_count * 3 AND char_sum <= word_count * 10
+      |   AND alpha_words * 5 >= word_count * 4
+      |   AND symbol_words * 10 <= word_count
+      |   AND stop_words >= 2) AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- domain-mixture sampling
+
+  /** Domain-mix resampling: downsample each `source` stratum to a target
+    * mixture (25% per source here) of the ORIGINAL corpus size. Per-group
+    * keep-rates derive from group counts (rate = share·total/count, capped
+    * at 1), the threshold becomes a 6-hex-digit string both engines
+    * format identically from integer floor(rate·16^6), and membership is
+    * a deterministic md5 test — the engine-portable scale shape: one tiny
+    * count aggregate broadcast back onto a map-only filter, no shuffle of
+    * the corpus itself. */
+  private def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val counts = d.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("total", sum(col("cnt")).over())
+    // keep-everything groups compare against 'g' (> every hex digit), so
+    // a full-rate stratum is never excluded by the 6-hex-digit threshold
+    val rates = counts.withColumn("rate",
+      lit(0.02) * col("total") / col("cnt"))
+      .withColumn("thresh", when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lpad(lower(hex(floor(col("rate") * lit(16777216.0))
+          .cast("long"))), 6, "0")))
+      .select(col("source"), col("thresh"))
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":mix:42")).cast("binary")), 1, 6) < col("thresh"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainMixSql =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS cnt,
+      |  CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT source,
+      |  CASE WHEN 0.02 * total / cnt >= 1.0 THEN 'g'
+      |       ELSE lpad(lower(hex(CAST(floor(0.02 * total / cnt
+      |         * 16777216.0) AS BIGINT))), 6, '0') END AS thresh
+      |  FROM c)
+      |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix:42'), 1, 6)
+      |      < r.thresh
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------ sessionization
 
   /** Event sessionization: a session breaks after a 30-minute gap.
@@ -401,6 +505,8 @@ object CorpusQueries extends QueryPack {
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
+    QueryDef("quality_gopher", qualityGopher, Some(qualityGopherSql)),
+    QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("corpus_ngrams", corpusNgrams, Some(corpusNgramsSql)),
     QueryDef("doc_chunks", docChunks, Some(docChunksSql)),
