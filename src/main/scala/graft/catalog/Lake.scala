@@ -64,8 +64,43 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   // ------------------------------------------------------------ DDL surface
 
+  /** Column names the inlined-row catalog tables use internally
+    * (reference DuckLakeUtil::IsInlinedSystemColumn,
+    * ducklake_util.cpp:337-342) — reserved while data inlining is on. */
+  private val InlinedSystemColumns = Set("row_id", "begin_snapshot",
+    "end_snapshot", "_ducklake_internal_snapshot_id",
+    "_ducklake_internal_row_id")
+
+  /** Reference ValidateNoInlinedSystemColumns (ducklake_util.cpp:343-360):
+    * with inlining enabled, user columns must not collide with the
+    * inlined-table system columns. `tableName` empty → the CREATE-side
+    * message; non-empty → the enable-inlining-side message. */
+  private def validateNoInlinedSystemColumns(names: Seq[String],
+      tableName: String = ""): Unit =
+    names.find(n => InlinedSystemColumns.contains(
+      n.toLowerCase(java.util.Locale.ROOT))).foreach { n =>
+      if (tableName.isEmpty) throw new IllegalArgumentException(
+        s"""Column name "$n" is reserved by DuckLake for internal use """ +
+          "when data inlining is enabled. If you must use this column " +
+          "name, disable inlining by calling " +
+          "ducklake_set_option('data_inlining_row_limit', 0).")
+      else throw new IllegalArgumentException(
+        s"""Cannot enable data inlining for table "$tableName". """ +
+          s"""Column "$n" conflicts with a reserved DuckLake internal """ +
+          "column name used for inlining. To enable inlining for this " +
+          s"""table, rename or drop column "$n".""")
+    }
+
+  private def inliningEnabled(table: Option[String]): Boolean =
+    table.flatMap(t => scala.util.Try(
+      optionFor(t, "data_inlining_row_limit")).toOption.flatten)
+      .orElse(meta.getOption("data_inlining_row_limit"))
+      .exists(v => scala.util.Try(v.toInt).toOption.exists(_ > 0))
+
   def createTable(name: String, schema: StructType,
       ifNotExists: Boolean = false): TableInfo = {
+    if (inliningEnabled(None))
+      validateNoInlinedSystemColumns(schema.fields.toSeq.map(_.name))
     val cols = schema.fields.map(f =>
       (f.name, Lake.declaredType(f), f.nullable)).toSeq
     io.mkdirs(name)
@@ -85,13 +120,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   def addColumn(table: String, field: StructField,
-      defaultValue: Option[String] = None): Unit =
+      defaultValue: Option[String] = None): Unit = {
+    if (inliningEnabled(Some(table)))
+      validateNoInlinedSystemColumns(Seq(field.name))
     meta.addColumn(resolve(table).tableId, field.name,
       DuckLakeTypes.toTypeString(field.dataType), field.nullable,
       defaultValue)
+  }
   def dropColumn(table: String, column: String): Unit =
     meta.dropColumn(resolve(table).tableId, column)
   def renameColumn(table: String, oldName: String, newName: String): Unit = {
+    if (inliningEnabled(Some(table)))
+      validateNoInlinedSystemColumns(Seq(newName))
     // inlined rows live as JSON keyed by column name — flush them to
     // parquet first so the epoch mapping (by column_id) covers them
     flushInlinedData(table)
@@ -266,8 +306,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val stmt = sqlText.trim.stripSuffix(";").trim
     def runQuery(q: String): DataFrame = {
       val snap = meta.currentSnapshot()
+      // virtual columns (reference ducklake_table_entry.cpp:398-411 +
+      // virtualcolumns tests): when the query references one, views carry
+      // rowid / snapshot_id / filename / file_row_number
+      val wantMeta =
+        "(?i)\\b(filename|file_row_number|rowid|snapshot_id)\\b".r
+          .findFirstIn(q).isDefined
       meta.listTables(snap.snapshotId).foreach { t =>
-        scan(t.name, snap, None, withMeta = false)
+        scan(t.name, snap, None, withMeta = wantMeta)
           .createOrReplaceTempView(t.name)
       }
       spark.sql(expandMacros(rewriteTableFns(rewriteAtClauses(q)),
@@ -277,7 +323,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private val TableFn =
-    """(?is)\b((?:FROM|JOIN)\s+)(snapshots|table_info|settings|options|list_files|table_changes|table_insertions|table_deletions)\s*\(([^)]*)\)""".r
+    """(?is)\b((?:FROM|JOIN)\s+)(snapshots|table_info|settings|options|list_files|table_changes|table_insertions|table_deletions|database_size)\s*\(([^)]*)\)""".r
 
   /** The reference's metadata table functions in FROM position
     * (ducklake_snapshots/table_info/list_files/table_changes …,
@@ -296,6 +342,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val df = m.group(2).toLowerCase(java.util.Locale.ROOT) match {
         case "snapshots" => snapshots()
         case "table_info" => tableInfo()
+        case "database_size" => databaseSize()
         case "settings" => settings()
         case "options" =>
           import spark.implicits._
@@ -592,10 +639,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** ducklake_set_option: global, or table-scoped when `table` is given
     * (reference ducklake_set_option.cpp table_name=> parameter). */
   def setOption(key: String, value: String,
-      table: Option[String] = None): Unit = table match {
-    case Some(t) =>
-      meta.setOption(key, value, Some("table"), Some(resolve(t).tableId))
-    case None => meta.setOption(key, value)
+      table: Option[String] = None): Unit = {
+    // enabling inlining on a table whose columns collide with the
+    // inlined-table system columns fails up front (reference
+    // ducklake_util.cpp:352-358)
+    if (key == "data_inlining_row_limit" &&
+      scala.util.Try(value.toInt).toOption.exists(_ > 0))
+      table.foreach { t =>
+        val snap = meta.currentSnapshot()
+        val names = meta.columnsOf(resolve(t).tableId, snap.snapshotId)
+          .filter(_.parentColumn.isEmpty).map(_.name)
+        validateNoInlinedSystemColumns(names, tableName = t)
+      }
+    table match {
+      case Some(t) =>
+        meta.setOption(key, value, Some("table"), Some(resolve(t).tableId))
+      case None => meta.setOption(key, value)
+    }
   }
   def options(): Seq[(String, String)] = meta.options()
 
@@ -2168,6 +2228,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       "delete_file_count", "record_count")
   }
 
+  /** PRAGMA database_size (reference general/database_size.test): total
+    * bytes of live data + delete files from catalog metadata alone — no
+    * storage listing. */
+  def databaseSize(): DataFrame = {
+    import spark.implicits._
+    val snap = meta.currentSnapshot()
+    val sizes = meta.listTables(snap.snapshotId).map { t =>
+      meta.filesForScan(t.tableId, snap.snapshotId)
+        .map(_.file.fileSizeBytes).sum
+    }
+    Seq(("ducklake", sizes.sum, sizes.size.toLong))
+      .toDF("database_name", "database_size", "table_count")
+  }
+
   /** list_files() (reference ducklake_list_files.cpp:65-113). */
   def listFiles(name: String, version: Option[Long] = None): DataFrame = {
     import spark.implicits._
@@ -2669,6 +2743,24 @@ object Lake {
     val data = s.params.getOrElse("data_path",
       throw new IllegalArgumentException(s"secret $name lacks data_path"))
     attach(spark, meta, data)
+  }
+
+  /** Attach options mirroring the reference's ATTACH parameters:
+    * `READ_ONLY` rejects every commit; `SNAPSHOT_VERSION v` pins all
+    * reads to snapshot v and implies read-only
+    * (attach_at_snapshot.test, ducklake_read_only.test). */
+  def attach(spark: SparkSession, catalogDir: String, dataPath: String,
+      readOnly: Boolean, snapshotVersion: Option[Long]): Lake = {
+    if (readOnly && !catalogDir.startsWith("jdbc:") &&
+      !catalogDir.startsWith("http")) {
+      // read-only attach must not create a missing catalog
+      require(new java.io.File(catalogDir).exists(),
+        s"cannot attach read-only: catalog $catalogDir does not exist")
+    }
+    val lake = attach(spark, catalogDir, dataPath)
+    snapshotVersion.foreach(lake.meta.pinSnapshot)
+    if (readOnly) lake.meta.readOnly = true
+    lake
   }
 
   def attach(spark: SparkSession, catalogDir: String,

@@ -325,14 +325,31 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   // ------------------------------------------------------------- snapshots
 
-  def currentSnapshot(): Snapshot = withConn(currentSnapshot(_))
+  /** READ_ONLY attach: every commit is rejected at the single commit
+    * choke point (reference ducklake_read_only.test). */
+  @volatile var readOnly: Boolean = false
+
+  /** SNAPSHOT_VERSION attach: reads resolve at this pinned snapshot and
+    * the catalog is read-only (reference attach_at_snapshot.test). */
+  @volatile private var pinnedSnapshot: Option[Snapshot] = None
+
+  def pinSnapshot(version: Long): Unit = {
+    val s = snapshotByVersion(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"No snapshot found at version $version"))
+    pinnedSnapshot = Some(s)
+    readOnly = true
+  }
+
+  def currentSnapshot(): Snapshot =
+    pinnedSnapshot.getOrElse(withConn(currentSnapshot(_)))
 
   protected def currentSnapshot(c: Connection): Snapshot =
-    query(c,
+    pinnedSnapshot.getOrElse(query(c,
       """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
         |next_file_id FROM ducklake_snapshot
         |ORDER BY snapshot_id DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)(
-      readSnapshot).head
+      readSnapshot).head)
 
   private def readSnapshot(rs: ResultSet): Snapshot =
     Snapshot(rs.getLong("snapshot_id"), rs.getLong("snapshot_time"),
@@ -407,6 +424,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       schemaChange: Boolean = false,
       conflictCheck: (Connection, Long) => Unit = (_, _) => ())(
       body: (Connection, Snapshot, TxnIds) => Unit): Snapshot = {
+    if (readOnly) throw new UnsupportedOperationException(
+      "Cannot write to attached database: the lake is attached in " +
+        "read-only mode")
     val changes0 = pendingCommitMessage match {
       case Some((author, msg)) if changes.commitMessage.isEmpty =>
         pendingCommitMessage = None
@@ -2057,6 +2077,9 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
 
   def setOption(key: String, value: String, scope: Option[String] = None,
       scopeId: Option[Long] = None): Unit = withConn { c =>
+    if (readOnly) throw new UnsupportedOperationException(
+      "Cannot write to attached database: the lake is attached in " +
+        "read-only mode")
     exec(c,
       """DELETE FROM ducklake_metadata WHERE mkey = ?
         |AND ((scope IS NULL AND ? IS NULL) OR scope = ?)

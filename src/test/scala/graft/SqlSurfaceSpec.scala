@@ -12,6 +12,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("virtual columns in SQL (reference virtualcolumns tests)") {
+    val dir = Files.createTempDirectory("graftvc").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t",
+      Seq(1, 2, 3).toDF("i").coalesce(1))
+    // file_row_number: per-file ordinal, filterable
+    assert(lake.sql("SELECT file_row_number FROM t ORDER BY 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(lake.sql(
+      "SELECT file_row_number FROM t WHERE file_row_number = 1")
+      .head().getLong(0) == 1L)
+    // one data file → one distinct filename, under the data path
+    assert(lake.sql("SELECT COUNT(DISTINCT filename) AS n FROM t")
+      .head().getLong(0) == 1L)
+    // rowid + snapshot_id virtual columns
+    assert(lake.sql("SELECT COUNT(DISTINCT rowid) AS n FROM t")
+      .head().getLong(0) == 3L)
+    assert(lake.sql("SELECT MAX(snapshot_id) AS s FROM t")
+      .head().getLong(0) >= 1L)
+    // plain star stays clean: no virtual columns leak
+    assert(lake.sql("SELECT * FROM t").columns.toSeq == Seq("i"))
+    // PRAGMA database_size analog (reference general/database_size.test)
+    val sz = lake.sql(
+      "SELECT database_size FROM database_size()").head().getLong(0)
+    assert(sz > 0L, s"database_size must be > 0 bytes, got $sz")
+  }
+
+  test("reserved inlined-system column names (reference reserved_names)") {
+    val dir = Files.createTempDirectory("graftrn").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.setOption("data_inlining_row_limit", "20")
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("CREATE TABLE conflict (id INT, " +
+        "_ducklake_internal_snapshot_id INT)")
+    }
+    assert(e.getMessage.contains(
+      "\"_ducklake_internal_snapshot_id\" is reserved by DuckLake"))
+    // enabling inlining on a table with a conflicting column also fails
+    lake.setOption("data_inlining_row_limit", "0")
+    lake.createTable("c2", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("row_id",
+        org.apache.spark.sql.types.LongType))))
+    val e2 = intercept[IllegalArgumentException] {
+      lake.setOption("data_inlining_row_limit", "20", table = Some("c2"))
+    }
+    assert(e2.getMessage.contains("Cannot enable data inlining"))
+    // with inlining off, the names are allowed (reference parity)
+    lake.createTable("ok", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("begin_snapshot",
+        org.apache.spark.sql.types.LongType))))
+  }
+
   test("sql() queries lake tables; macros expand at call sites") {
     val dir = Files.createTempDirectory("graftsql").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
