@@ -236,10 +236,24 @@ object Similarity {
       queryVec, k, nprobe)
   }
 
+  /** Guard for the brute-force pair refinement: it is quadratic BY
+    * DESIGN (the refine primitive over a candidate block), so reject
+    * inputs that are clearly not a block — at 100 TB an unblocked call
+    * would be a planetary cross join. Raise only if you know better. */
+  val NearDupPairsMaxRows: Long = 200000L
+
   /** All pairs with cosine ≥ threshold (brute force n²; used on candidate
-    * blocks — callers block first at scale, see [[nearDupPairsBlocked]]). */
+    * blocks — callers block first at scale, see [[nearDupPairsBlocked]],
+    * which returns identical output without the n² plan). Inputs larger
+    * than [[NearDupPairsMaxRows]] are rejected — call the blocked
+    * variant instead. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    val n = df.limit((NearDupPairsMaxRows + 1).toInt).count()
+    require(n <= NearDupPairsMaxRows,
+      s"nearDupPairs is the quadratic refine primitive (> " +
+        s"$NearDupPairsMaxRows rows supplied); use nearDupPairsBlocked " +
+        "for full-corpus near-dup detection")
     val s = df.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"))
     val a = s.select(col("id").as("id_a"), col("sv").as("sv_a"))
     val b = s.select(col("id").as("id_b"), col("sv").as("sv_b"))

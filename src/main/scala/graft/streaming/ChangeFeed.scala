@@ -14,7 +14,11 @@ import org.apache.spark.sql.DataFrame
   * snapshot_id columns; offsets are durable snapshot ids, so consumers can
   * checkpoint and resume exactly-once by persisting the last processed id.
   */
-final class ChangeFeed(lake: Lake, table: String, startVersion: Long) {
+final class ChangeFeed(lake: Lake, table: String, startVersion: Long,
+    maxSnapshotsPerBatch: Option[Long] = None) {
+
+  require(maxSnapshotsPerBatch.forall(_ > 0),
+    "maxSnapshotsPerBatch must be positive")
 
   @volatile private var lastVersion: Long = startVersion
 
@@ -24,15 +28,21 @@ final class ChangeFeed(lake: Lake, table: String, startVersion: Long) {
   /** the last snapshot id this feed has emitted through */
   def currentVersion: Long = lastVersion
 
-  /** Pull the next micro-batch, if any: changes in (lastVersion, latest].
-    * Returns the batch with its end offset; advances the feed. */
+  /** Pull the next micro-batch, if any: changes in (lastVersion, end]
+    * where end is the latest snapshot capped by `maxSnapshotsPerBatch` —
+    * the maxFilesPerTrigger analog: a feed recovering from a long pause
+    * catches up in bounded batches instead of one giant replay (each
+    * batch's size stays executor-memory-plannable at 100 TB). Returns the
+    * batch with its end offset; advances the feed. */
   def nextBatch(): Option[(Long, DataFrame)] = synchronized {
     val latest = latestOffset()
     if (latest <= lastVersion) None
     else {
-      val batch = lake.tableChanges(table, lastVersion, latest)
-      lastVersion = latest
-      Some((latest, batch))
+      val end = maxSnapshotsPerBatch
+        .map(m => math.min(latest, lastVersion + m)).getOrElse(latest)
+      val batch = lake.tableChanges(table, lastVersion, end)
+      lastVersion = end
+      Some((end, batch))
     }
   }
 
@@ -52,7 +62,9 @@ final class ChangeFeed(lake: Lake, table: String, startVersion: Long) {
 }
 
 object ChangeFeed {
-  /** Open a feed from a known offset (e.g. a consumer checkpoint). */
-  def apply(lake: Lake, table: String, fromVersion: Long): ChangeFeed =
-    new ChangeFeed(lake, table, fromVersion)
+  /** Open a feed from a known offset (e.g. a consumer checkpoint);
+    * `maxSnapshotsPerBatch` bounds catch-up batch size. */
+  def apply(lake: Lake, table: String, fromVersion: Long,
+      maxSnapshotsPerBatch: Option[Long] = None): ChangeFeed =
+    new ChangeFeed(lake, table, fromVersion, maxSnapshotsPerBatch)
 }

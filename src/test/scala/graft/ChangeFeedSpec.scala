@@ -42,5 +42,14 @@ class ChangeFeedSpec extends AnyFunSuite {
     val Some((_, replay)) = feed2.nextBatch()
     assert(replay.filter(col("change_type") === "insert").count() == 5)
     assert(replay.filter(col("change_type") === "delete").count() == 2)
+
+    // rate limiting: catch-up replays in bounded per-snapshot batches
+    // (maxFilesPerTrigger analog), covering the same changes in total
+    val capped = ChangeFeed(lake, "t", v1, maxSnapshotsPerBatch = Some(1L))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nCapped = capped.drain((_, df) => perBatch += df.count())
+    assert(nCapped == 2, s"expected 2 capped batches, saw $nCapped")
+    assert(perBatch.sum == replay.count())
+    assert(capped.currentVersion == lake.currentSnapshotId())
   }
 }

@@ -194,17 +194,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .map(_.getLong(0)).toSeq == Seq(10L, 20L))
       // the CTAS table is a REAL lake table: files + stats pruning work
       assert(lake.listFiles("ddl2").count() > 0)
+      // catalog stats pruning holds on DSv2-created tables: a second
+      // INSERT adds a disjoint-range file, and a selective WHERE through
+      // plain spark.sql scans only ONE of the two files
+      spark.sql("INSERT INTO graft.ddl2 SELECT id + 1000, v FROM graft.ddl1")
+      val totalFiles = lake.listFiles("ddl2").count()
+      assert(totalFiles >= 2)
+      val prunedDf = spark.sql("SELECT id FROM graft.ddl2 WHERE id >= 1000")
+      assert(prunedDf.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1001L, 1002L))
+      val prunedFiles = prunedDf.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+      assert(prunedFiles < totalFiles,
+        s"stats pruning on a CTAS table must drop the id<1000 files " +
+          s"(scanned $prunedFiles of $totalFiles)")
       // ALTER TABLE through the catalog
       spark.sql("ALTER TABLE graft.ddl2 ADD COLUMN tag STRING")
       assert(spark.sql("SELECT tag FROM graft.ddl2 WHERE id = 10")
         .head().isNullAt(0))
       spark.sql("ALTER TABLE graft.ddl2 RENAME COLUMN tag TO label")
-      assert(spark.sql("SELECT label FROM graft.ddl2").count() == 2)
+      assert(spark.sql("SELECT label FROM graft.ddl2").count() == 4)
       // RENAME + DROP
       // (the RENAME TO target is an identifier WITHIN the same catalog)
       spark.sql("ALTER TABLE graft.ddl2 RENAME TO ddl3")
       assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ddl3")
-        .head().getLong(0) == 2L)
+        .head().getLong(0) == 4L)
       spark.sql("DROP TABLE graft.ddl3")
       intercept[Exception](lake.table("ddl3").count())
       // namespaces
