@@ -304,20 +304,49 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * expand stored macros, and delegate to Spark SQL. */
   def sql(sqlText: String): DataFrame = {
     val stmt = sqlText.trim.stripSuffix(";").trim
-    def runQuery(q: String): DataFrame = {
+    def runQuery(q0: String): DataFrame = {
       val snap = meta.currentSnapshot()
+      val q = expandMacros(rewriteTableFns(rewriteAtClauses(q0)),
+        snap.snapshotId)
       // virtual columns (reference ducklake_table_entry.cpp:398-411 +
       // virtualcolumns tests): when the query references one, views carry
       // rowid / snapshot_id / filename / file_row_number
       val wantMeta =
         "(?i)\\b(filename|file_row_number|rowid|snapshot_id)\\b".r
           .findFirstIn(q).isDefined
-      meta.listTables(snap.snapshotId).foreach { t =>
-        scan(t.name, snap, None, withMeta = wantMeta)
-          .createOrReplaceTempView(t.name)
+      // Register ONLY referenced relations: building the file list of
+      // every table on every statement is O(catalog size) round trips —
+      // on a thousand-table shared catalog that is the difference
+      // between one metadata query and a full catalog sweep.
+      val ident = "(?i)[a-z_][a-z0-9_$]*".r
+      var mentioned = ident.findAllIn(q.toLowerCase).toSet
+      // lake VIEWS referenced by the query resolve transparently (the
+      // reference queries views like tables): pull each used view's SQL
+      // into the mention set until fixpoint so base tables (and nested
+      // views) register too, then create them dependency-first
+      val viewsByLower = meta.listViews(snap.snapshotId)
+        .map { case (n, s) => n.toLowerCase -> (n, s) }.toMap
+      var usedViews = List.empty[(String, String)]
+      var frontier = mentioned.intersect(viewsByLower.keySet)
+      while (frontier.nonEmpty) {
+        val defs = frontier.toList.sorted.map(viewsByLower)
+        usedViews = usedViews ++ defs
+        val refs = defs.flatMap { case (_, s) =>
+          ident.findAllIn(s.toLowerCase) }.toSet
+        frontier = refs.intersect(viewsByLower.keySet) -- mentioned
+        mentioned ++= refs
       }
-      spark.sql(expandMacros(rewriteTableFns(rewriteAtClauses(q)),
-        snap.snapshotId))
+      meta.listTables(snap.snapshotId)
+        .filter(t => mentioned.contains(t.name.toLowerCase) ||
+          !t.name.matches("(?i)[a-z_][a-z0-9_$]*")) // odd names: keep safe
+        .foreach { t =>
+          scan(t.name, snap, None, withMeta = wantMeta)
+            .createOrReplaceTempView(t.name)
+        }
+      usedViews.reverse.foreach { case (n, s) =>
+        spark.sql(s).createOrReplaceTempView(n)
+      }
+      spark.sql(q)
     }
     LakeSql.dispatch(this, spark, stmt, runQuery).getOrElse(runQuery(stmt))
   }

@@ -1975,6 +1975,18 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
         Long.box(schemaId), name, dialect, sql)
     }
 
+  /** All live views at a snapshot: (name, sql_text). */
+  def listViews(snapshotId: Long,
+      schema: String = "main"): Seq[(String, String)] = withConn { c =>
+    query(c,
+      """SELECT v.view_name, v.sql_text FROM ducklake_view v
+        |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+        |WHERE s.schema_name = ? AND v.begin_snapshot <= ?
+        |  AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)""".stripMargin,
+      schema, Long.box(snapshotId), Long.box(snapshotId))(rs =>
+      (rs.getString(1), rs.getString(2)))
+  }
+
   def viewByName(name: String, snapshotId: Long,
       schema: String = "main"): Option[String] = withConn { c =>
     query(c,

@@ -33,6 +33,22 @@ class AttachModesSpec extends AnyFunSuite {
       ro.setOption("data_inlining_row_limit", "5"))
   }
 
+  test("data path containing key=value segments does not hive-infer " +
+    "(reference issue_1027)") {
+    val dir = Files.createTempDirectory("graft1027").toString
+    // incidental key=value segment in the data path itself
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/site_id=42")
+    lake.createTableAs("t", (0L until 1000L).toDF("id"))
+    lake.delete("t", org.apache.spark.sql.functions.col("id") % 7 === 0)
+    lake.delete("t", org.apache.spark.sql.functions.col("id") % 5 === 0)
+    val df = lake.table("t")
+    assert(df.columns.toSeq == Seq("id"),
+      s"no hive-inferred columns may leak: ${df.columns.mkString(",")}")
+    assert(df.count() == 686)
+    assert(df.filter(org.apache.spark.sql.functions.col("id") % 7 === 0 ||
+      org.apache.spark.sql.functions.col("id") % 5 === 0).count() == 0)
+  }
+
   test("attach at snapshot pins reads and implies read-only") {
     val dir = Files.createTempDirectory("graftpin").toString
     val rw = Lake.attach(spark, s"$dir/cat", s"$dir/data")

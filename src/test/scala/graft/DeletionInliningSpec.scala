@@ -175,4 +175,28 @@ class DeletionInliningSpec extends AnyFunSuite {
     assert(n == 3L)
     assert(lake.table("t").count() == 47)
   }
+
+  test("UPDATE over a file with BOTH a delete file and inlined deletes " +
+    "(reference issue_865)") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTableAs("t",
+      (0L until 100L).map(i => (i, "original")).toDF("id", "val")
+        .coalesce(1))
+    // 20-row delete → over the limit → a delete FILE
+    assert(lake.delete("t", col("id") >= 80L) == 20)
+    assert(deleteFileCount(lake, "t") == 1)
+    assert(lake.table("t").count() == 80)
+    // 5-row delete → under the limit → INLINED deletions, same data file
+    assert(lake.delete("t", col("id") >= 75L) == 5)
+    assert(lake.table("t").count() == 75)
+    // UPDATE everything left: each surviving row exactly once, updated
+    assert(lake.update("t", Map("val" -> lit("updated")),
+      col("id") >= 0L) == 75)
+    assert(lake.table("t").count() == 75,
+      "update over delete-file + inlined-delete must not duplicate rows")
+    assert(lake.table("t").filter(col("val") === "updated").count() == 75)
+    assert(lake.table("t").select("id").distinct().count() == 75)
+    assert(lake.table("t").agg(max(col("id"))).head().getLong(0) == 74L)
+  }
 }

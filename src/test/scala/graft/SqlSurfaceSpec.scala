@@ -64,6 +64,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType))))
   }
 
+  test("sql() queries views transparently, nested views included") {
+    val dir = Files.createTempDirectory("graftvw").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("base", Seq((1, 10), (2, 20), (3, 30)).toDF("k", "x"))
+    lake.createView("v_big", "SELECT k, x FROM base WHERE x >= 20")
+    lake.createView("v_sum2", "SELECT SUM(x) AS s FROM v_big")
+    // view + nested view resolve like tables (reference view entry)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM v_big").head().getLong(0)
+      == 2L)
+    assert(lake.sql("SELECT s FROM v_sum2").head().getLong(0) == 50L)
+    // view joined with a table
+    assert(lake.sql(
+      "SELECT COUNT(*) AS n FROM base b JOIN v_big v ON b.k = v.k")
+      .head().getLong(0) == 2L)
+  }
+
   test("sql() queries lake tables; macros expand at call sites") {
     val dir = Files.createTempDirectory("graftsql").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
