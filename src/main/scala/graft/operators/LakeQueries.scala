@@ -258,6 +258,49 @@ object LakeQueries extends QueryPack {
       |WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** COUNT(*) answered from catalog metadata ([[Lake.fastCount]] +
+    * LakeCountFromStats): counts at three snapshots — after ingest,
+    * after a delete-file DELETE, after an inlined DELETE — through the
+    * spark.sql fast path. Each plan is REQUIRED to be a LocalRelation,
+    * so this gate row fails if the rewrite ever stops firing and the
+    * values fail if the catalog arithmetic drifts from scan truth.
+    * Reference analogue: COUNT(*) from footer metadata
+    * (general/metadata_cache.test). */
+  private def qFastCount(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    graft.plans.LakeRegistry.register("graft", lake)
+    lake.createTableAs("o", Tables(spark, dir).orders)
+    val v1 = lake.currentSnapshotId()
+    lake.delete("o", col("o_orderstatus") === "F")
+    val v2 = lake.currentSnapshotId()
+    lake.setOption("data_inlining_row_limit", "500")
+    lake.delete("o", col("o_orderkey") % 1000 === 0)
+    def metaCount(sql: String): Long = {
+      val df = spark.sql(sql)
+      require(df.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"COUNT(*) fast path did not fire for: $sql")
+      df.head().getLong(0)
+    }
+    import spark.implicits._
+    Seq(
+      ("after_file_delete",
+        metaCount(s"SELECT COUNT(*) FROM graft.o VERSION AS OF $v2")),
+      ("after_inline_delete", metaCount("SELECT COUNT(*) FROM graft.o")),
+      ("all", metaCount(s"SELECT COUNT(*) FROM graft.o VERSION AS OF $v1")))
+      .toDF("stage", "n").orderBy("stage")
+  }
+
+  private val qFastCountSql =
+    """SELECT 'after_file_delete' AS stage, COUNT(*) AS n FROM orders
+      |WHERE o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT 'after_inline_delete', COUNT(*) FROM orders
+      |WHERE o_orderstatus <> 'F' AND o_orderkey % 1000 <> 0
+      |UNION ALL
+      |SELECT 'all', COUNT(*) FROM orders
+      |ORDER BY stage""".stripMargin
+
   /** Pure-spark.sql DDL lifecycle against the DSv2 catalog
     * ([[graft.sources.GraftTableCatalog]]): CREATE TABLE AS SELECT
     * populates a real lake table (V1-write fallback → distributed append
@@ -375,6 +418,7 @@ object LakeQueries extends QueryPack {
       Some(qSchemaEvolutionSql)),
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
+    QueryDef("lake_fast_count", qFastCount, Some(qFastCountSql)),
     QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
     QueryDef("lake_http_catalog", qHttpCatalog, Some(qHttpCatalogSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),

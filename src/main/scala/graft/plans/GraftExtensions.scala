@@ -370,6 +370,55 @@ case class ResolveLakeRelation(spark: SparkSession)
     }
 }
 
+/** Unfiltered `COUNT(*)` over a lake table → a [[LocalRelation]] holding
+  * the catalog's exact row count ([[graft.catalog.Lake.fastCount]]) — the
+  * 100 TB scan never launches. Injected BEFORE [[ExpandLakeScan]] in the
+  * operator-optimization batch so it sees the placeholder; any Filter on
+  * the relation (or an open transaction) leaves the plan untouched.
+  * Projects below the Aggregate are count-preserving and skipped over.
+  * Reference analogue: COUNT(*) answered from parquet footer metadata
+  * (metadata_cache.test) and estimated_size from catalog stats
+  * (table_cardinality.test). */
+case class LakeCountFromStats(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, Complete, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Aggregate, LocalRelation}
+
+  private def isCountStar(e: NamedExpression): Boolean = e match {
+    case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false,
+      None, _), _) => true
+    case _ => false
+  }
+
+  /** the placeholder under count-preserving operators only */
+  private def placeholderOf(plan: LogicalPlan)
+      : Option[LakeRelationPlaceholder] = plan match {
+    case p: LakeRelationPlaceholder => Some(p)
+    case Project(_, child) => placeholderOf(child)
+    case SubqueryAlias(_, child) => placeholderOf(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case a @ Aggregate(Nil, aggExprs, child, _)
+          if aggExprs.nonEmpty && aggExprs.forall(isCountStar) &&
+            placeholderOf(child).isDefined =>
+        val p = placeholderOf(child).get
+        LakeRegistry.get(p.alias)
+          .flatMap(_.fastCount(p.table, p.version, p.tsMs)) match {
+          case Some(n) =>
+            LocalRelation(a.output.map(_.toAttribute),
+              Seq(org.apache.spark.sql.catalyst.InternalRow(
+                aggExprs.map(_ => n): _*)))
+          case None => a
+        }
+    }
+}
+
 /** Expands [[LakeRelationPlaceholder]] into the lake's pruned scan.
   * Runs at the END of the operator-optimization batch (after the standard
   * pushdown rules in each iteration): a `Filter` directly above the
@@ -425,6 +474,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolver rejects the three-part name (REQUIRES_SINGLE_PART_NAMESPACE)
     e.injectHintResolutionRule(ResolveLakeRelation)
     e.injectResolutionRule(ResolveLakeRelation)
+    // order matters: the count rewrite must see the placeholder before
+    // ExpandLakeScan replaces it with the physical file scan
+    e.injectOptimizerRule(LakeCountFromStats)
     e.injectOptimizerRule(ExpandLakeScan)
 
     // lake scalar functions in SQL (the reference registers murmur3_32 and

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Lake
+import graft.plans.{GraftExtensions, LakeRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unfiltered COUNT(*) over a lake table is answered from catalog
+  * metadata (Lake.fastCount + LakeCountFromStats): the optimized plan is
+  * a LocalRelation — no file scan — and the value stays exact across
+  * delete files, deletion vectors, inlined deletes, inlined data rows,
+  * and time travel. Reference analogue: metadata_cache.test /
+  * table_cardinality.test answer COUNT(*) and estimated_size from
+  * metadata alone. */
+class CountFastPathSpec extends AnyFunSuite {
+
+  private def withLake(f: (SparkSession, Lake) => Unit): Unit = {
+    SparkTestSession.spark // shared context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val dir = Files.createTempDirectory("graftcnt").toString
+      val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+      LakeRegistry.register("graft", lake)
+      f(spark, lake)
+    } finally {
+      // no spark.stop(): the builder reuses the suite-shared SparkContext
+      LakeRegistry.unregister("graft")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  private def countPlan(spark: SparkSession, sql: String) =
+    spark.sql(sql).queryExecution.optimizedPlan
+
+  private def isMetadataOnly(spark: SparkSession, sql: String): Boolean =
+    countPlan(spark, sql).isInstanceOf[LocalRelation]
+
+  test("COUNT(*) folds to the catalog count through every delete form") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      lake.createTableAs("t",
+        (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      val v1 = lake.currentSnapshotId()
+
+      def sqlCount(): Long =
+        spark.sql("SELECT COUNT(*) AS n FROM graft.t").head().getLong(0)
+
+      assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"),
+        "plan must be a LocalRelation, not a scan")
+      assert(sqlCount() == 100L)
+
+      // positional delete FILE
+      assert(lake.delete("t", col("id") >= 90L) == 10L)
+      assert(sqlCount() == 90L)
+      // inlined deletes on the same file (disjoint from the delete file)
+      lake.setOption("data_inlining_row_limit", "5")
+      assert(lake.delete("t", col("id") >= 87L) == 3L)
+      assert(sqlCount() == 87L)
+      // a second delete FILE absorbs the inlined deletes (union)
+      lake.setOption("data_inlining_row_limit", "0")
+      assert(lake.delete("t", col("id") >= 80L) == 7L)
+      assert(sqlCount() == 80L)
+      // deletion-vector format
+      lake.setOption("write_deletion_vectors", "true")
+      assert(lake.delete("t", col("id") < 5L) == 5L)
+      assert(sqlCount() == 75L)
+      assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"))
+      // the fast count always agrees with the real scan
+      assert(lake.table("t").count() == 75L)
+
+      // time travel stays metadata-only and version-exact
+      assert(isMetadataOnly(spark,
+        s"SELECT COUNT(*) FROM graft.t VERSION AS OF $v1"))
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.t VERSION AS OF $v1")
+        .head().getLong(0) == 100L)
+      assert(lake.fastCount("t", version = Some(v1)).contains(100L))
+    }
+  }
+
+  test("inlined data rows and txn-local state are handled") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      lake.createTableAs("t", (0L until 50L).toDF("id").coalesce(1))
+      // inlined DATA rows (small append lands in the catalog DB)
+      lake.setOption("data_inlining_row_limit", "10")
+      lake.append("t", (50L until 53L).toDF("id"))
+      assert(lake.fastCount("t").contains(53L))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.t")
+        .head().getLong(0) == 53L)
+      assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"))
+
+      // a WHERE clause must NOT take the fast path
+      assert(!isMetadataOnly(spark,
+        "SELECT COUNT(*) FROM graft.t WHERE id < 10"))
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.t WHERE id < 10")
+        .head().getLong(0) == 10L)
+      // count over grouped/other aggregates is untouched
+      assert(spark.sql("SELECT COUNT(*) AS n, SUM(id) AS s FROM graft.t")
+        .head().getLong(0) == 53L)
+
+      // inside a transaction the catalog is stale: fall back to the scan
+      // (read-your-writes must hold)
+      lake.transaction {
+        lake.append("t", (100L until 110L).toDF("id"))
+        assert(lake.fastCount("t").isEmpty)
+        assert(!isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"))
+        assert(spark.sql("SELECT COUNT(*) AS n FROM graft.t")
+          .head().getLong(0) == 63L)
+      }
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.t")
+        .head().getLong(0) == 63L)
+      assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"))
+    }
+  }
+}
