@@ -365,6 +365,12 @@ private[catalog] object LakeSql {
 
   /** `name TYPE [NOT NULL] [DEFAULT v]` → (field, default) */
   private def parseColumnDef(d: String): (StructField, Option[String]) = {
+    // generated columns are rejected with the reference's error text
+    // (test/sql/general/generated_columns.test: "does not support")
+    if ("(?is)\\)\\s*(VIRTUAL|STORED)?\\s*$".r.findFirstIn(d).isDefined &&
+        "(?is)\\s+AS\\s*\\(".r.findFirstIn(d).isDefined)
+      throw new IllegalArgumentException(
+        "DuckLake does not support generated columns")
     val DefaultRe = """(?is)^(.*?)\s+DEFAULT\s+(.+)$""".r
     val (core, default) = d.trim match {
       case DefaultRe(c, v) => (c.trim, Some(stripQuotes(v.trim)))

@@ -176,6 +176,33 @@ class DeletionInliningSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 47)
   }
 
+  test("time travel across alternating inlined and file deletes " +
+    "(reference issue_1074)") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "0")
+    lake.createTableAs("t", (0L until 100L).toDF("id").coalesce(1))
+    val v1 = lake.currentSnapshotId()
+    // inlined delete of one row
+    lake.setOption("data_inlining_row_limit", "100")
+    assert(lake.delete("t", col("id") === 0L) == 1)
+    val v2 = lake.currentSnapshotId()
+    // back to delete FILES: each absorbs what came before
+    lake.setOption("data_inlining_row_limit", "0")
+    assert(lake.delete("t", col("id") === 1L) == 1)
+    val v3 = lake.currentSnapshotId()
+    assert(lake.delete("t", col("id") === 2L) == 1)
+    val v4 = lake.currentSnapshotId()
+    // every version's scan AND catalog fast count agree with history
+    val expect = Seq(v1 -> 100L, v2 -> 99L, v3 -> 98L, v4 -> 97L)
+    for ((v, n) <- expect) {
+      assert(lake.tableAtVersion("t", v).count() == n, s"scan at $v")
+      assert(lake.fastCount("t", version = Some(v)).contains(n),
+        s"fast count at $v")
+    }
+    assert(lake.tableAtVersion("t", v4).agg(min(col("id")))
+      .head().getLong(0) == 3L)
+  }
+
   test("UPDATE over a file with BOTH a delete file and inlined deletes " +
     "(reference issue_865)") {
     val lake = freshLake()

@@ -190,4 +190,21 @@ class SchemaMappingSpec extends AnyFunSuite {
     assert(lake.table("il").select("w").as[String].collect().toSeq ==
       Seq("x"))
   }
+
+  test("filter on a DEFAULT-added column matches old files " +
+    "(reference issue_1135)") {
+    val lake = freshLake()
+    lake.createTableAs("t", (0L until 10L).toDF("a").coalesce(1))
+    lake.addColumn("t", StructField("b", IntegerType), Some("42"))
+    // files written before b existed have no stats for it: pruning must
+    // keep them and the projected default must satisfy the filter
+    assert(lake.table("t", Some(col("b") === 42)).count() == 10)
+    assert(lake.table("t").filter(col("b") === 42).count() == 10)
+    assert(lake.table("t", Some(col("b") === 7)).count() == 0)
+    // mixed epochs: new rows carry a real b column
+    lake.append("t", Seq((100L, 42), (101L, 7)).toDF("a", "b"))
+    assert(lake.table("t", Some(col("b") === 42)).count() == 11)
+    assert(lake.table("t", Some(col("b") === 7)).count() == 1)
+    assert(lake.table("t").filter(col("b").isNotNull).count() == 12)
+  }
 }

@@ -106,6 +106,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lake.sql("SELECT COUNT(*) AS n FROM sales").head().getLong(0) == 2)
   }
 
+  test("generated columns are rejected (reference generated_columns.test)") {
+    val dir = Files.createTempDirectory("graftgen").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val e = intercept[IllegalArgumentException](
+      lake.sql("CREATE TABLE t0 (c0 INT AS (1), c1 INT)"))
+    assert(e.getMessage.contains("does not support"))
+    val e2 = intercept[IllegalArgumentException](
+      lake.sql("CREATE TABLE t0 (c0 INT AS (c1 + 1) VIRTUAL, c1 INT)"))
+    assert(e2.getMessage.contains("does not support"))
+    // plain parenthesized defaults still parse
+    lake.sql("CREATE TABLE t1 (c0 INT, c1 DECIMAL(10,2))")
+    assert(lake.table("t1").columns.toSeq == Seq("c0", "c1"))
+  }
+
   test("SQL DML statements route to the lake API") {
     val dir = Files.createTempDirectory("graftsqldml").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
