@@ -77,6 +77,81 @@ object CorpusQueries extends QueryPack {
       |FROM documents
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Contamination-ratio scoring (the PaLM/GPT-4-style decontamination
+    * decision): per corpus document, the fraction of its distinct
+    * 3-grams that appear anywhere in the benchmark set; documents at or
+    * above 5% overlap are flagged. One broadcast of the distinct bench
+    * grams + ONE shuffle on doc_id (left-join + conditional count in the
+    * same aggregation); the ratio is scaled-integer (×10⁶, integer
+    * division) so both engines hash identically — no float thresholds.
+    * At 100 TB the corpus side never reshuffles per bench row; the
+    * bench set (distinct grams of the eval suites) is broadcast-class
+    * by construction. */
+  private def contaminationScore(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val sh = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct().withColumn("hit", lit(1L))
+    val corp = sh.filter(col("doc_id") % 97 =!= 0)
+    corp.join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") * 20 >= col("n_grams"))
+      .withColumn("score",
+        expr("n_hits * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationScoreSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, GREATEST(len(t)-2, 0)),
+      |    i -> array_to_string(t[i+1:i+3],' ')))) AS g FROM toks),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+      |j AS (SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hits
+      |      FROM corp c LEFT JOIN bench b USING (g) GROUP BY c.doc_id)
+      |SELECT doc_id, n_grams, n_hits, n_hits * 1000000 // n_grams AS score
+      |FROM j WHERE n_hits * 20 >= n_grams ORDER BY doc_id""".stripMargin
+
+  /** Single-term BM25 retrieval (k1=1.2, b=0.75): the classic saturated-
+    * TF × length-normalization ranking. For one term the idf factor is a
+    * shared constant, so it is dropped from the score without changing
+    * the order, and the remaining rational function is cleared of
+    * fractions — score = ⌊10⁶·44·T·tf / (20·T·tf + 6·T + 18·dl·N)⌋ with
+    * T = corpus token count, N = doc count — so the whole computation is
+    * BIGINT and hashes identically on both engines. Corpus totals come
+    * from a 1-row aggregate cross-joined back (broadcast), so the plan
+    * stays fully distributed: map-side score + TakeOrderedAndProject. */
+  private def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = split(col("text"), " ")
+    val base = d.select(col("doc_id"),
+      size(filter(toks, x => x === lit("table"))).cast("long").as("tf"),
+      size(toks).cast("long").as("dl"))
+    val tot = base.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
+    base.filter(col("tf") > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        expr("tf * 44 * t * 1000000 div (20*t*tf + 6*t + 18*dl*n)"))
+      .select("doc_id", "tf", "dl", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25TopkSql =
+    """WITH base AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) AS BIGINT) AS tf,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, COUNT(*) AS n FROM base)
+      |SELECT doc_id, tf, dl,
+      |  tf * 44 * t * 1000000 // (20*t*tf + 6*t + 18*dl*n) AS score
+      |FROM base, tot WHERE tf > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ----------------------------------------------- repetition filtering
 
   /** Repetition-based quality filter (Gopher-style): documents whose most
@@ -503,7 +578,10 @@ object CorpusQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("contamination_score", contaminationScore,
+      Some(contaminationScoreSql)),
     QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
+    QueryDef("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     QueryDef("quality_gopher", qualityGopher, Some(qualityGopherSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
