@@ -105,7 +105,43 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       (f.name, Lake.declaredType(f), f.nullable)).toSeq
     io.mkdirs(name)
     val (s, t) = splitName(name)
-    meta.createTable(t, cols, schema = s, ifNotExists = ifNotExists)
+    txn match {
+      case Some(st) =>
+        // transaction-local create (reference basic_transaction.test):
+        // buffered until commit; same-name concurrent creates conflict
+        // THERE, different names never do
+        if (st.createdByName(s, t).isDefined ||
+            meta.tableByName(t, st.base.snapshotId, s).isDefined) {
+          if (ifNotExists) return resolve(name)
+          throw new IllegalArgumentException(s"table $name already exists")
+        }
+        val pid = st.newProvisionalId()
+        st.created(pid) = (s, t, provisionalColumns(st, cols))
+        TableInfo(pid, "", -1L, t, name)
+      case None =>
+        meta.createTable(t, cols, schema = s, ifNotExists = ifNotExists)
+    }
+  }
+
+  /** ColumnInfos for a txn-created table: provisional negative ids
+    * allocated in the exact DFS pre-order
+    * [[MetadataManager.commitTransaction]] will allocate real ids in, so
+    * per-file stats remap positionally at commit. */
+  private def provisionalColumns(st: TxnState,
+      fields: Seq[(String, String, Boolean)]): Seq[ColumnInfo] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ColumnInfo]
+    def walk(order: Long, n: String, ts: String, nullable: Boolean,
+        parent: Option[Long]): Unit = {
+      val cid = st.newProvisionalId()
+      out += ColumnInfo(cid, order, n, ts, nullable, parent)
+      DuckLakeTypes.childSpecs(ts).zipWithIndex.foreach { case ((fn, ft), i) =>
+        walk(i.toLong, fn, ft, nullable = true, Some(cid))
+      }
+    }
+    fields.zipWithIndex.foreach { case ((n, ts, nl), i) =>
+      walk(i.toLong, n, ts, nl, None)
+    }
+    out.toSeq
   }
 
   def dropTable(name: String): Unit = {
@@ -346,6 +382,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       usedViews.reverse.foreach { case (n, s) =>
         spark.sql(s).createOrReplaceTempView(n)
       }
+      // tables created inside the open transaction are queryable by their
+      // own statements before commit (reference basic_transaction.test)
+      txn.foreach(_.created.values.foreach { case (s, n, _) =>
+        if (mentioned.contains(n.toLowerCase)) {
+          val full = if (s == "main") n else s"$s.$n"
+          scan(full, snap, None, withMeta = wantMeta)
+            .createOrReplaceTempView(n)
+        }
+      })
       spark.sql(q)
     }
     LakeSql.dispatch(this, spark, stmt, runQuery).getOrElse(runQuery(stmt))
@@ -451,11 +496,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   private def resolve(name: String,
       snapshotId: Option[Long] = None): TableInfo = {
-    val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
     val (s, t) = splitName(name)
+    // tables created inside the open transaction resolve for their own
+    // statements (and no one else's — the catalog learns of them at commit)
+    txn.flatMap(_.createdByName(s, t)).foreach { pid =>
+      return TableInfo(pid, "", -1L, t, name)
+    }
+    val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
     meta.tableByName(t, sid, s)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
   }
+
+  /** columnsOf with the open transaction's created-table overlay */
+  private def columnsAt(tableId: Long, snapshotId: Long): Seq[ColumnInfo] =
+    if (tableId < 0) txn.get.created(tableId)._3
+    else meta.columnsOf(tableId, snapshotId)
 
   def createSchema(name: String): Unit = meta.createSchema(name)
   def dropSchema(name: String): Unit = meta.dropSchema(name)
@@ -464,7 +519,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def schemaOf(name: String, snapshotId: Option[Long] = None): StructType = {
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
     val t = resolve(name, Some(sid))
-    toStruct(meta.columnsOf(t.tableId, sid))
+    toStruct(columnsAt(t.tableId, sid))
   }
 
   private def toStruct(cols: Seq[ColumnInfo]): StructType =
@@ -491,7 +546,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       "commit options cannot be attached to a buffered transaction append")
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val allCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val aligned0 = alignColumns(df, cols)
 
@@ -572,6 +627,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // tableId → committed inlined row ids deleted inside this txn
     val inlinedDeletes = scala.collection.mutable.LinkedHashMap
       .empty[Long, scala.collection.mutable.LinkedHashSet[Long]]
+    // tables created INSIDE this txn (reference transaction-local catalog,
+    // basic_transaction.test): provisional negative id → (schema, name,
+    // synthesized ColumnInfos whose provisional ids follow the same DFS
+    // pre-order the commit will allocate real ids in)
+    val created = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (String, String, Seq[ColumnInfo])]
+    private var nextProvisionalId = -100L
+    def newProvisionalId(): Long = { nextProvisionalId -= 1; nextProvisionalId }
+    def createdByName(schema: String, name: String): Option[Long] =
+      created.collectFirst { case (id, (s, n, _))
+        if s == schema && n == name => id }
     // temp dirs (lake-relative) holding materialized positions etc.;
     // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -606,11 +672,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val inlinedDels = st.inlinedDeletes.toSeq.map { case (tid, ids) =>
       (tid, ids.toSeq)
     }
+    val created = st.created.toSeq.map { case (pid, (s, n, cols)) =>
+      val topLevel = cols.filter(_.parentColumn.isEmpty)
+        .map(c => (c.name, c.typeString, c.nullsAllowed))
+      (pid, s, n, topLevel, cols.map(_.columnId))
+    }
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
-    if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty)
-      meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels)
+    if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
+        created.nonEmpty)
+      meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
+        created)
     txn = None
     st.cleanupScratch()
   }
@@ -622,6 +695,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     (st.appends.flatMap(_._4.map(_.path)) ++
       st.deletes.values.flatMap(_._1.values.map(_._1)))
       .foreach(p => io.delete(p))
+    // txn-created tables never reached the catalog; their staged files are
+    // covered by the appends cleanup above. The table DIR is left in place:
+    // dirs are shared by table name, so a concurrent writer committing the
+    // same name may already own files inside it.
     st.cleanupScratch()
   }
 
@@ -1030,7 +1107,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],
       withMeta: Boolean): DataFrame = {
     val t = resolve(name, Some(snap.snapshotId))
-    val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val allCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
     val schema = toStruct(cols)
     val filterExpr = filter.map(f =>
@@ -1715,7 +1792,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private def rewritePendingFiles(st: TxnState, t: TableInfo, name: String,
       hits: Map[String, Set[Long]]): Long = {
     var removed = 0L
-    val cols = meta.columnsOf(t.tableId, st.base.snapshotId)
+    val cols = columnsAt(t.tableId, st.base.snapshotId)
       .filter(_.parentColumn.isEmpty)
     st.appends.zipWithIndex.foreach {
       case ((tid, tname, pid, files), bi) =>
@@ -1754,7 +1831,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       cond: Column): Long = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val updAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val updAllCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = updAllCols.filter(_.parentColumn.isEmpty)
     val matched = scan(name, snap, None, withMeta = true).filter(cond)
     val rewritten = matched.select(cols.map(c =>
@@ -1796,7 +1873,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       "at most one MATCHED action") // reference test-config constraint
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val mrgAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val mrgAllCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = mrgAllCols.filter(_.parentColumn.isEmpty)
     val target = scan(name, snap, None, withMeta = true)
     val src = source.alias("s")

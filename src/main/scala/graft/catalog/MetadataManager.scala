@@ -969,19 +969,39 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * land as ONE snapshot (reference FlushChanges/RunCommitLoop,
     * ducklake_transaction.cpp:1371-1545), with the same semantic conflict
     * checks the individual commits use. */
+  /** `created`: tables created INSIDE the transaction — visible to no one
+    * until this commit (reference transaction-local catalog entries,
+    * basic_transaction.test). Each entry is (provisional negative id,
+    * schema, name, top-level column specs, provisional column ids in DFS
+    * pre-order). Real table/column ids are allocated here in the SAME
+    * DFS order, so staged file stats carrying provisional column ids are
+    * remapped positionally before insertion. */
   def commitTransaction(baseSnapshot: Long,
       appends: Seq[(Long, Option[Long], Seq[PendingDataFile])],
       deletes: Seq[(Long, Seq[(Long, String, Long, Long, String)], Long)],
-      inlinedDeletes: Seq[(Long, Seq[Long])] = Nil): Snapshot = {
+      inlinedDeletes: Seq[(Long, Seq[Long])] = Nil,
+      created: Seq[(Long, String, String, Seq[(String, String, Boolean)],
+        Seq[Long])] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
-      inlinedDeletes.map(_._1)).distinct
+      inlinedDeletes.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
-        insertedIntoTables = appends.map(_._1),
+        createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" },
+        insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
+      schemaChange = created.nonEmpty,
       conflictCheck = (c, _) => {
+        // txn-created tables conflict only with a same-name concurrent
+        // create (reference create_conflict.test); different names never
+        // falsely conflict (concurrent_catalog_id_false_conflict.test)
+        created.foreach { case (_, schema, name, _, _) =>
+          val cur = currentSnapshot(c)
+          if (tableByName(c, name, cur.snapshotId, schema).isDefined)
+            throw new CommitConflictException(
+              s"table $name already exists")
+        }
         // server-side consolidated check: live-table count + concurrent-
         // ALTER count for EVERY touched table in one statement (the
         // reference's single check+commit SQL call,
@@ -1048,7 +1068,45 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           }
         }
       }) { (c, snap, ids) =>
-      appends.foreach { case (tid, partitionId, files) =>
+      // create txn-local tables first: real ids allocated in the same DFS
+      // pre-order as the provisional ones → positional remap
+      val tableIdMap = scala.collection.mutable.Map.empty[Long, Long]
+      val colIdMap = scala.collection.mutable.Map.empty[Long, Long]
+      created.foreach { case (pid, schema, name, columns, provIds) =>
+        val schemaId = query(c,
+          "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
+          schema)(_.getLong(1)).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no schema $schema"))
+        val tid = ids.newCatalogId()
+        exec(c,
+          """INSERT INTO ducklake_table (table_id, table_uuid, begin_snapshot,
+            |end_snapshot, schema_id, table_name, path, path_is_relative)
+            |VALUES (?, ?, ?, NULL, ?, ?, ?, true)""".stripMargin,
+          Long.box(tid), java.util.UUID.randomUUID().toString,
+          Long.box(snap.snapshotId), Long.box(schemaId), name, name)
+        val realIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        columns.zipWithIndex.foreach { case ((cn, ct, nullable), i) =>
+          insertColumnTree(c, ids, snap.snapshotId, tid, i.toLong, cn, ct,
+            nullable, default = None, initial = None, parent = None,
+            sink = realIds += _)
+        }
+        require(realIds.size == provIds.size,
+          s"column id mapping mismatch for txn-created table $name")
+        exec(c,
+          """INSERT INTO ducklake_table_stats (table_id, record_count,
+            |next_row_id, file_size_bytes) VALUES (?, 0, 0, 0)""".stripMargin,
+          Long.box(tid))
+        tableIdMap(pid) = tid
+        colIdMap ++= provIds.zip(realIds)
+      }
+      appends.foreach { case (tid0, partitionId, files0) =>
+        val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
+        val files = if (tid0 < 0) files0.map(f => f.copy(
+          columnStats = f.columnStats.map(s =>
+            s.copy(columnId = colIdMap(s.columnId))),
+          variantStats = f.variantStats.map(s =>
+            s.copy(columnId = colIdMap(s.columnId)))))
+        else files0
         insertFiles(c, snap, ids, tid, files, partitionId)
       }
       inlinedDeletes.foreach { case (tid, ids0) =>
@@ -1415,8 +1473,10 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   private def insertColumnTree(c: Connection, ids: TxnIds, snapId: Long,
       tableId: Long, order: Long, name: String, typeString: String,
       nullable: Boolean, default: Option[String], initial: Option[String],
-      parent: Option[Long]): Long = {
+      parent: Option[Long],
+      sink: Long => Unit = _ => ()): Long = {
     val cid = ids.newCatalogId()
+    sink(cid)
     exec(c,
       """INSERT INTO ducklake_column (column_id, begin_snapshot, end_snapshot,
         |table_id, column_order, column_name, column_type, nulls_allowed,
@@ -1429,7 +1489,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       case ((fn, ft), i) =>
         insertColumnTree(c, ids, snapId, tableId, i.toLong, fn, ft,
           nullable = true, default = None, initial = None,
-          parent = Some(cid))
+          parent = Some(cid), sink = sink)
     }
     cid
   }

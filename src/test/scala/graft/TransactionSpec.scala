@@ -203,4 +203,65 @@ class TransactionSpec extends AnyFunSuite {
     }
     assert(lake.table("inl").count() == 22)
   }
+
+  test("CREATE TABLE inside a transaction is transaction-local " +
+    "(reference basic_transaction.test)") {
+    val lake = freshLake()
+    lake.begin()
+    lake.createTable("test", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType))))
+    // queryable (empty) by our own statements, lake.sql included
+    assert(lake.table("test").count() == 0)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM test").head().getLong(0) == 0)
+    lake.append("test", Seq((42, 84)).toDF("i", "j"))
+    assert(lake.table("test").collect().map(r =>
+      (r.getInt(0), r.getInt(1))).toSeq == Seq((42, 84)))
+    lake.rollback()
+    // after rollback the table does not exist
+    intercept[IllegalArgumentException](lake.table("test"))
+
+    // commit path: CTAS inside a txn lands table + data as ONE snapshot
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.createTableAs("t2", (0L until 100L).toDF("id").coalesce(1))
+      lake.append("t2", Seq(100L).toDF("id"))
+      assert(lake.table("t2").count() == 101)
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("t2").count() == 101)
+    // stats landed: catalog pruning works on the committed files
+    assert(lake.fastCount("t2").contains(101L))
+    assert(lake.listFiles("t2")
+      .agg(sum(col("record_count"))).head().getLong(0) == 101L)
+  }
+
+  test("concurrent creates of DIFFERENT tables never conflict " +
+    "(reference concurrent_catalog_id_false_conflict)") {
+    val dir = Files.createTempDirectory("grafttxcc").toString
+    val con1 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val con2 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    con1.createTableAs("seed", Seq(1L).toDF("x"))
+    con1.begin(); assert(con1.table("seed").count() == 1)
+    con2.begin(); assert(con2.table("seed").count() == 1)
+    con1.createTableAs("tmp_a", Seq(1L).toDF("x"))
+    con2.createTableAs("tmp_b", Seq(2L).toDF("x"))
+    con1.commit()
+    con1.dropTable("tmp_a")
+    con2.commit() // must NOT falsely conflict
+    assert(con2.table("tmp_b").head().getLong(0) == 2L)
+    intercept[IllegalArgumentException](con1.table("tmp_a"))
+
+    // same-name concurrent create DOES conflict (create_conflict.test)
+    con1.begin(); con2.begin()
+    con1.createTableAs("dup", Seq(1L).toDF("x"))
+    con2.createTableAs("dup", Seq(2L).toDF("x"))
+    con1.commit()
+    val e = intercept[CommitConflictException](con2.commit())
+    assert(e.getMessage.contains("already exists"))
+    con2.rollback()
+    assert(con1.table("dup").head().getLong(0) == 1L)
+  }
 }
