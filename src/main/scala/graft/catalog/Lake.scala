@@ -110,8 +110,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         // transaction-local create (reference basic_transaction.test):
         // buffered until commit; same-name concurrent creates conflict
         // THERE, different names never do
+        // a table this txn dropped no longer blocks the name (DROP +
+        // CREATE of the same name inside one transaction)
         if (st.createdByName(s, t).isDefined ||
-            meta.tableByName(t, st.base.snapshotId, s).isDefined) {
+            meta.tableByName(t, st.base.snapshotId, s)
+              .exists(i => !st.dropped.contains(i.tableId))) {
           if (ifNotExists) return resolve(name)
           throw new IllegalArgumentException(s"table $name already exists")
         }
@@ -146,7 +149,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   def dropTable(name: String): Unit = {
     val (s, t) = splitName(name)
-    meta.dropTable(t, s)
+    txn match {
+      case Some(st) =>
+        st.createdByName(s, t) match {
+          case Some(pid) =>
+            // dropping a txn-created table cancels the create: staged
+            // appends and their files are discarded
+            st.created.remove(pid)
+            val (mine, rest) = st.appends.partition(_._1 == pid)
+            st.appends.clear(); st.appends ++= rest
+            mine.flatMap(_._4.map(_.path)).foreach(p => io.delete(p))
+          case None =>
+            val info = meta.tableByName(t, st.base.snapshotId, s)
+              .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+            st.dropped(info.tableId) = (s, t)
+        }
+      case None => meta.dropTable(t, s)
+    }
   }
   def renameTable(oldName: String, newName: String): Unit = {
     val (s, t) = splitName(oldName)
@@ -503,8 +522,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       return TableInfo(pid, "", -1L, t, name)
     }
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
-    meta.tableByName(t, sid, s)
+    val info = meta.tableByName(t, sid, s)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    // tables dropped inside the open transaction are gone for our reads
+    if (txn.exists(_.dropped.contains(info.tableId)))
+      throw new IllegalArgumentException(s"no table $name")
+    info
   }
 
   /** columnsOf with the open transaction's created-table overlay */
@@ -638,6 +661,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     def createdByName(schema: String, name: String): Option[Long] =
       created.collectFirst { case (id, (s, n, _))
         if s == schema && n == name => id }
+    // committed tables dropped inside this txn: invisible to our own
+    // statements, ended in the catalog at commit (drop-vs-drop conflicts
+    // there — reference transaction_conflicts.test)
+    val dropped = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (String, String)]
     // temp dirs (lake-relative) holding materialized positions etc.;
     // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -677,13 +705,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         .map(c => (c.name, c.typeString, c.nullsAllowed))
       (pid, s, n, topLevel, cols.map(_.columnId))
     }
+    val drops = st.dropped.toSeq.map { case (tid, (s, n)) => (tid, s, n) }
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
-        created.nonEmpty)
+        created.nonEmpty || drops.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
-        created)
+        created, drops)
     txn = None
     st.cleanupScratch()
   }

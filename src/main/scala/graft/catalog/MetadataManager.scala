@@ -981,26 +981,42 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
       deletes: Seq[(Long, Seq[(Long, String, Long, Long, String)], Long)],
       inlinedDeletes: Seq[(Long, Seq[Long])] = Nil,
       created: Seq[(Long, String, String, Seq[(String, String, Boolean)],
-        Seq[Long])] = Nil): Snapshot = {
+        Seq[Long])] = Nil,
+      dropped: Seq[(Long, String, String)] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" },
+        droppedTables = dropped.map { case (_, s, n) => s"$s.$n" },
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
-      schemaChange = created.nonEmpty,
+      schemaChange = created.nonEmpty || dropped.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
         // falsely conflict (concurrent_catalog_id_false_conflict.test)
         created.foreach { case (_, schema, name, _, _) =>
           val cur = currentSnapshot(c)
-          if (tableByName(c, name, cur.snapshotId, schema).isDefined)
-            throw new CommitConflictException(
-              s"table $name already exists")
+          // a live same-name table this txn itself drops is fine (DROP +
+          // CREATE of one name in one transaction)
+          tableByName(c, name, cur.snapshotId, schema).foreach { existing =>
+            if (!dropped.exists(_._1 == existing.tableId))
+              throw new CommitConflictException(
+                s"table $name already exists")
+          }
+        }
+        // txn drops conflict when the table is already gone
+        // (drop-vs-drop, reference transaction_conflicts.test)
+        dropped.foreach { case (tid, _, name) =>
+          val live = query(c,
+            """SELECT COUNT(*) FROM ducklake_table
+              |WHERE table_id = ? AND end_snapshot IS NULL""".stripMargin,
+            Long.box(tid))(_.getLong(1)).head
+          if (live == 0) throw new CommitConflictException(
+            s"table $name was dropped concurrently")
         }
         // server-side consolidated check: live-table count + concurrent-
         // ALTER count for EVERY touched table in one statement (the
@@ -1068,6 +1084,12 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
           }
         }
       }) { (c, snap, ids) =>
+      // end dropped tables
+      dropped.foreach { case (tid, _, _) =>
+        exec(c,
+          "UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+          Long.box(snap.snapshotId), Long.box(tid))
+      }
       // create txn-local tables first: real ids allocated in the same DFS
       // pre-order as the provisional ones → positional remap
       val tableIdMap = scala.collection.mutable.Map.empty[Long, Long]

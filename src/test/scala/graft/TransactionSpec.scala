@@ -264,4 +264,48 @@ class TransactionSpec extends AnyFunSuite {
     con2.rollback()
     assert(con1.table("dup").head().getLong(0) == 1L)
   }
+
+  test("DROP TABLE inside a transaction is transaction-local") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq(1L, 2L).toDF("id"))
+    // rollback restores
+    lake.begin()
+    lake.dropTable("t")
+    intercept[IllegalArgumentException](lake.table("t"))
+    lake.rollback()
+    assert(lake.table("t").count() == 2)
+    // DROP + CREATE of the same name commits as one snapshot
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.dropTable("t")
+      lake.createTableAs("t", Seq(10L, 20L, 30L).toDF("id"))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("t").count() == 3)
+    // the old generation is still visible via time travel
+    assert(lake.tableAtVersion("t", before).orderBy("id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // dropping a txn-created table cancels it
+    lake.transaction {
+      lake.createTableAs("tmp", Seq(1L).toDF("id"))
+      lake.dropTable("tmp")
+    }
+    intercept[IllegalArgumentException](lake.table("tmp"))
+  }
+
+  test("concurrent drop-vs-drop conflicts at commit " +
+    "(reference transaction_conflicts.test)") {
+    val dir = Files.createTempDirectory("grafttxdd").toString
+    val con1 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val con2 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    con1.createTableAs("t", Seq(1L).toDF("id"))
+    con1.begin(); con2.begin()
+    con1.dropTable("t")
+    con2.dropTable("t")
+    con1.commit()
+    val e = intercept[CommitConflictException](con2.commit())
+    assert(e.getMessage.contains("dropped concurrently"))
+    con2.rollback()
+    intercept[IllegalArgumentException](con1.table("t"))
+  }
 }
