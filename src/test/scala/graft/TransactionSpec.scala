@@ -95,6 +95,22 @@ class TransactionSpec extends AnyFunSuite {
     lake.sql("INSERT INTO t VALUES (3, 'c')")
     lake.sql("ROLLBACK")
     assert(lake.table("t").count() == 1)
+
+    // DDL inside a SQL transaction (reference basic_transaction.test)
+    val v2 = lake.currentSnapshotId()
+    lake.sql("BEGIN")
+    lake.sql("CREATE TABLE t2 (id BIGINT)")
+    lake.sql("INSERT INTO t2 VALUES (7)")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM t2").head().getLong(0) == 1)
+    lake.sql("DROP TABLE t")
+    lake.sql("COMMIT")
+    assert(lake.currentSnapshotId() == v2 + 1)
+    assert(lake.table("t2").head().getLong(0) == 7L)
+    intercept[IllegalArgumentException](lake.table("t"))
+    lake.sql("BEGIN")
+    lake.sql("CREATE TABLE t3 (id BIGINT)")
+    lake.sql("ROLLBACK")
+    intercept[IllegalArgumentException](lake.table("t3"))
   }
 
   test("consecutive deletes in one txn union; txn-local rows deletable") {
