@@ -2933,7 +2933,14 @@ object Lake {
   }
 
   def attach(spark: SparkSession, catalogDir: String,
-      dataPath: String): Lake = {
+      dataPath: String): Lake =
+    attach(spark, catalogDir, dataPath, metadataSchema = None)
+
+  /** `metadataSchema` mirrors the reference's METADATA_SCHEMA attach
+    * option (transaction_schema.test): several lakes share ONE metadata
+    * store, each keeping its `ducklake_*` tables under its own schema. */
+  def attach(spark: SparkSession, catalogDir: String,
+      dataPath: String, metadataSchema: Option[String]): Lake = {
     // storage credentials scoped to this data path land in the Hadoop
     // conf BEFORE the FileSystem is resolved (object-store roots)
     Secrets.applyTo(spark, dataPath)
@@ -2945,7 +2952,7 @@ object Lake {
       if (catalogDir.startsWith("jdbc:") || catalogDir.startsWith("http://")
         || catalogDir.startsWith("https://")) catalogDir
       else MetadataManager.derbyUrl(catalogDir)
-    val mgr = new MetadataManager(catalogUrl)
+    val mgr = new MetadataManager(catalogUrl, metadataSchema)
     mgr.initialize(dataPath)
     val lake = new Lake(spark, mgr, mgr.dataPath)
     if (mgr.pendingRowIdBackfill) {

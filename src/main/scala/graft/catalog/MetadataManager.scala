@@ -19,7 +19,8 @@ import scala.util.Using
   * src/storage/ducklake_transaction.cpp:1418-1545, defaults
   * src/ducklake_extension.cpp:29-35: 10 retries, 100 ms, 1.5x backoff).
   */
-class MetadataManager(val jdbcUrl: String) extends Serializable {
+class MetadataManager(val jdbcUrl: String,
+    val metaSchema: Option[String] = None) extends Serializable {
 
   import MetadataManager.FormatVersion
 
@@ -49,9 +50,21 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   private def qLong(c: Connection, sql: String, args: Any*): Option[Long] =
     query(c, sql, args: _*)(rs => rs.getLong(1)).headOption
 
+  /** METADATA_SCHEMA support (reference ATTACH option,
+    * transaction_schema.test: many lakes share ONE metadata store under
+    * different schemas): every `ducklake_*` table reference is qualified
+    * with the configured schema at the SQL chokepoints. The negative
+    * lookbehind makes the rewrite idempotent (an already-qualified
+    * `s.ducklake_x` is skipped). */
+  protected def qualify(sql: String): String = metaSchema match {
+    case Some(s) =>
+      sql.replaceAll("(?i)(?<![.\\w\"])(ducklake_[a-z0-9_]+)", s"$s.$$1")
+    case None => sql
+  }
+
   protected def query[A](c: Connection, sql: String, args: Any*)(
       f: ResultSet => A): Seq[A] = {
-    Using.resource(c.prepareStatement(sql)) { ps =>
+    Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
       Using.resource(ps.executeQuery()) { rs =>
         val out = ArrayBuffer.empty[A]
@@ -62,7 +75,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   }
 
   protected def exec(c: Connection, sql: String, args: Any*): Int =
-    Using.resource(c.prepareStatement(sql)) { ps =>
+    Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
       ps.executeUpdate()
     }
@@ -75,7 +88,7 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * between O(1) and O(rows) network round trips per commit. */
   protected def execBatch(c: Connection, sql: String,
       rows: Seq[Seq[Any]]): Unit =
-    if (rows.nonEmpty) Using.resource(c.prepareStatement(sql)) { ps =>
+    if (rows.nonEmpty) Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       rows.foreach { args =>
         args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
         ps.addBatch()
@@ -220,11 +233,21 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     * place (reference v1.0→v1.1 migration,
     * ducklake_metadata_manager_v1_1.cpp:10-17 + test/sql/migration/). */
   def initialize(dataPath: String): Unit = withConn { c =>
+    // METADATA_SCHEMA: many lakes share one metadata store, each under
+    // its own schema (reference transaction_schema.test). Create it if
+    // missing; "already exists" races are benign.
+    metaSchema.foreach { s =>
+      if (!Using.resource(c.getMetaData.getSchemas(null, s.toUpperCase))(
+          _.next()))
+        try Using.resource(c.createStatement())(
+          _.executeUpdate(s"CREATE SCHEMA $s"))
+        catch { case _: SQLException => () }
+    }
     val fresh = !tableExists(c, "DUCKLAKE_SNAPSHOT")
     if (!fresh) migrate(c)
     else {
       createTableStatements.foreach { ddl =>
-        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(ddl)))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(ddl))))
       }
       exec(c,
         s"INSERT INTO ducklake_metadata (mkey, mvalue) VALUES ('version','$FormatVersion')")
@@ -246,13 +269,17 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     }
   }
 
+  private def schemaPattern: String =
+    metaSchema.map(_.toUpperCase).orNull
+
   private def tableExists(c: Connection, name: String): Boolean =
-    Using.resource(c.getMetaData.getTables(null, null, name, null))(_.next())
+    Using.resource(
+      c.getMetaData.getTables(null, schemaPattern, name, null))(_.next())
 
   private def columnExists(c: Connection, table: String,
       column: String): Boolean =
     Using.resource(
-      c.getMetaData.getColumns(null, null, table, column))(_.next())
+      c.getMetaData.getColumns(null, schemaPattern, table, column))(_.next())
 
   /** In-place upgrade of a catalog written by an older format version
     * (reference migration discipline: attach old catalog → migrate →
@@ -266,21 +293,21 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
     // 0.3 → 0.4: materialized-rowid flag on data files; shredded
     // variant-path statistics table
     if (!columnExists(c, "DUCKLAKE_DATA_FILE", "HAS_ROW_IDS"))
-      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
-        "ALTER TABLE ducklake_data_file ADD COLUMN has_row_ids BOOLEAN DEFAULT false")))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        "ALTER TABLE ducklake_data_file ADD COLUMN has_row_ids BOOLEAN DEFAULT false"))))
     if (!tableExists(c, "DUCKLAKE_FILE_VARIANT_STATS"))
-      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
         """CREATE TABLE ducklake_file_variant_stats (
           |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
           |  variant_path VARCHAR(1024), null_count BIGINT,
           |  min_value VARCHAR(1024), max_value VARCHAR(1024),
-          |  min_numeric DOUBLE, max_numeric DOUBLE)""".stripMargin)))
+          |  min_numeric DOUBLE, max_numeric DOUBLE)""".stripMargin))))
     // 0.4 → 0.5: serialized extra stats (geometry extent JSON) on file
     // and cumulative column stats (reference v1.1 extra_stats)
     for (t <- Seq("DUCKLAKE_FILE_COLUMN_STATS", "DUCKLAKE_TABLE_COLUMN_STATS"))
       if (!columnExists(c, t, "EXTRA_STATS"))
-        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(
-          s"ALTER TABLE ${t.toLowerCase} ADD COLUMN extra_stats VARCHAR(2048)")))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+          s"ALTER TABLE ${t.toLowerCase} ADD COLUMN extra_stats VARCHAR(2048)"))))
     // pre-0.4 catalogs recorded NO flag for compaction/flush-written files
     // that embed materialized rowid columns — mark the catalog for a
     // one-time footer-informed backfill (performed by Lake.attach, which
@@ -1800,10 +1827,10 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   private def ensureInlinedTable(c: Connection, tableId: Long): Unit = {
     val name = inlinedTableName(tableId)
     if (!tableExists(c, name.toUpperCase)) {
-      Using.resource(c.createStatement())(_.executeUpdate(
+      Using.resource(c.createStatement())(_.executeUpdate(qualify(
         s"""CREATE TABLE $name (
            |  row_id BIGINT NOT NULL, begin_snapshot BIGINT,
-           |  end_snapshot BIGINT, row_json VARCHAR(32000))""".stripMargin))
+           |  end_snapshot BIGINT, row_json VARCHAR(32000))""".stripMargin)))
       exec(c,
         "INSERT INTO ducklake_inlined_data_tables (table_id, table_name, schema_version) VALUES (?, ?, 0)",
         Long.box(tableId), name)
@@ -1897,10 +1924,10 @@ class MetadataManager(val jdbcUrl: String) extends Serializable {
   private def ensureInlinedDeleteTable(c: Connection, tableId: Long): Unit = {
     val name = inlinedDeleteTableName(tableId)
     if (!tableExists(c, name.toUpperCase)) {
-      Using.resource(c.createStatement())(_.executeUpdate(
+      Using.resource(c.createStatement())(_.executeUpdate(qualify(
         s"""CREATE TABLE $name (
            |  data_file_id BIGINT NOT NULL, row_pos BIGINT NOT NULL,
-           |  begin_snapshot BIGINT, end_snapshot BIGINT)""".stripMargin))
+           |  begin_snapshot BIGINT, end_snapshot BIGINT)""".stripMargin)))
     }
   }
 

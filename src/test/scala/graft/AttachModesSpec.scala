@@ -49,6 +49,43 @@ class AttachModesSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("id") % 5 === 0).count() == 0)
   }
 
+  test("METADATA_SCHEMA: two lakes share one metadata store " +
+    "(reference transaction_schema.test)") {
+    val dir = Files.createTempDirectory("graftms").toString
+    // SAME catalog DB, different metadata schemas, different data paths
+    val l1 = Lake.attach(spark, s"$dir/cat", s"$dir/data_s1",
+      metadataSchema = Some("metadata_s1"))
+    val l2 = Lake.attach(spark, s"$dir/cat", s"$dir/data_s2",
+      metadataSchema = Some("metadata_s2"))
+    import org.apache.spark.sql.functions.lit
+    l1.createTableAs("tbl", {
+      import spark.implicits._; Seq(42).toDF("i")
+    })
+    l2.createTableAs("tbl", {
+      import spark.implicits._; Seq("hello world").toDF("s")
+    })
+    // same table NAME, fully independent state
+    assert(l1.table("tbl").head().getInt(0) == 42)
+    assert(l2.table("tbl").head().getString(0) == "hello world")
+    assert(l1.table("tbl").columns.toSeq == Seq("i"))
+    assert(l2.table("tbl").columns.toSeq == Seq("s"))
+    // snapshots advance independently
+    val (v1, v2) = (l1.currentSnapshotId(), l2.currentSnapshotId())
+    l1.delete("tbl", lit(true))
+    assert(l1.currentSnapshotId() == v1 + 1)
+    assert(l2.currentSnapshotId() == v2)
+    assert(l1.table("tbl").count() == 0)
+    assert(l2.table("tbl").count() == 1)
+    // dropping in one store leaves the other untouched
+    l2.dropTable("tbl")
+    assert(l1.listFiles("tbl").count() >= 0) // still resolvable
+    intercept[IllegalArgumentException](l2.table("tbl"))
+    // re-attach under the same schema sees persisted state
+    val l1b = Lake.attach(spark, s"$dir/cat", s"$dir/data_s1",
+      metadataSchema = Some("metadata_s1"))
+    assert(l1b.table("tbl").count() == 0)
+  }
+
   test("attach at snapshot pins reads and implies read-only") {
     val dir = Files.createTempDirectory("graftpin").toString
     val rw = Lake.attach(spark, s"$dir/cat", s"$dir/data")
