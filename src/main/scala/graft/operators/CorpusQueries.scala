@@ -152,6 +152,50 @@ object CorpusQueries extends QueryPack {
       |FROM base, tot WHERE tf > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Cross-source overlap matrix (corpus-redundancy analytics: how much
+    * n-gram content two ingestion sources share — the report that decides
+    * which sources to dedup against each other). Distinct (source, 3-gram)
+    * pairs self-join on the gram; fanout per gram is bounded by
+    * sources², and source count is small by construction, so the join is
+    * skew-safe at corpus scale. Jaccard is scaled-integer (ppm). */
+  private def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val grams = d.select(col("source"),
+      explode(Dedup.shingles(col("text"), 3)).as("g")).distinct()
+    val inter = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 div (na + nb - n_common)"))
+      .select("src_a", "src_b", "n_common", "jaccard_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents),
+      |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+      |    range(0, GREATEST(len(t)-2, 0)),
+      |    i -> array_to_string(t[i+1:i+3],' ')))) AS g FROM toks),
+      |g AS (SELECT DISTINCT source, g FROM g0),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*) AS n_common
+      |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_common,
+      |  n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_ppm
+      |FROM inter JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ----------------------------------------------- repetition filtering
 
   /** Repetition-based quality filter (Gopher-style): documents whose most
@@ -582,6 +626,7 @@ object CorpusQueries extends QueryPack {
       Some(contaminationScoreSql)),
     QueryDef("keyword_topk", keywordTopk, Some(keywordTopkSql)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QueryDef("source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     QueryDef("quality_gopher", qualityGopher, Some(qualityGopherSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),

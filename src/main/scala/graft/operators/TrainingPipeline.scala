@@ -77,6 +77,75 @@ object TrainingPipeline extends QueryPack {
        |SELECT cluster, COUNT(*) AS n_members FROM comp
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Retention policy over duplicate clusters (the Dolma/RefinedWeb rule:
+    * keep the BEST member of each near-dup cluster, not the first seen):
+    * connected components label the clusters, an integer quality score
+    * (distinct-token count — no floats, engine-exact) ranks members, and
+    * one window pass keeps the argmax with doc_id as the deterministic
+    * tiebreak. At scale: the cluster labels come from the existing
+    * min-label propagation (one shuffle per round, O(1) plan via
+    * localCheckpoint) and the final window partitions by cluster —
+    * bounded groups, no global sort. */
+  private def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "text")
+    val b = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation")).as("text"))
+    val c = d.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" zz_mutation zz_more")).as("text"))
+    val corpus = d.unionByName(b).unionByName(c)
+    val cand = d.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1000000L).as("id_b"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("id_a"),
+        (col("doc_id") + 2000000L).as("id_b")))
+    val edges = Dedup.verifyJaccard(corpus, "doc_id", "text", cand, 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val nodes = corpus.select(col("doc_id").as("id"))
+    val labels = Dedup.connectedComponents(nodes, edges)
+    val quality = corpus.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long")
+        .as("quality"))
+    import org.apache.spark.sql.expressions.Window
+    labels.join(quality, col("id") === col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("comp"))
+          .orderBy(col("quality").desc, col("id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("comp").as("cluster"), col("quality"))
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz_mutation' FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, text || ' zz_mutation zz_more' FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSqlFrag AS s FROM corpus),
+       |cand AS (
+       |  SELECT doc_id AS ia, doc_id + 1000000 AS ib FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+       |edges AS (
+       |  SELECT c.ia AS id_a, c.ib AS id_b FROM cand c
+       |  JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS id, id_b AS nbr FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS m FROM corpus
+       |  UNION
+       |  SELECT s.id, r.m FROM sym s JOIN reach r ON r.id = s.nbr),
+       |comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS quality
+       |  FROM corpus),
+       |ranked AS (SELECT c.id AS doc_id, c.cluster, q.quality,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |    ORDER BY q.quality DESC, c.id) AS rk
+       |  FROM comp c JOIN qual q ON q.doc_id = c.id)
+       |SELECT doc_id, cluster, quality FROM ranked WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   // ------------------------------------------------- deterministic sample
 
   /** Stratified deterministic sample: md5 of (doc_id, salt) buckets each
@@ -242,6 +311,7 @@ object TrainingPipeline extends QueryPack {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("train_pipeline_e2e", trainPipelineE2e, Some(trainPipelineE2eSql)),
     QueryDef("doc_sample", docSample, Some(docSampleSql)),
     QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
