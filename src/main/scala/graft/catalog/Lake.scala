@@ -535,9 +535,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     if (tableId < 0) txn.get.created(tableId)._3
     else meta.columnsOf(tableId, snapshotId)
 
-  def createSchema(name: String): Unit = meta.createSchema(name)
+  def createSchema(name: String): Unit = txn match {
+    case Some(st) =>
+      if (st.createdSchemas.contains(name) ||
+          meta.listSchemas().exists(_.name == name))
+        throw new IllegalArgumentException(s"schema $name already exists")
+      st.createdSchemas += name
+    case None => meta.createSchema(name): Unit
+  }
   def dropSchema(name: String): Unit = meta.dropSchema(name)
-  def listSchemas(): Seq[String] = meta.listSchemas().map(_.name)
+  def listSchemas(): Seq[String] =
+    meta.listSchemas().map(_.name) ++
+      txn.toSeq.flatMap(_.createdSchemas)
 
   def schemaOf(name: String, snapshotId: Option[Long] = None): StructType = {
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
@@ -666,6 +675,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // there — reference transaction_conflicts.test)
     val dropped = scala.collection.mutable.LinkedHashMap
       .empty[Long, (String, String)]
+    // schemas created inside this txn (same-name concurrent creates
+    // conflict at commit; tables created into them in the same txn work)
+    val createdSchemas = scala.collection.mutable.LinkedHashSet
+      .empty[String]
     // temp dirs (lake-relative) holding materialized positions etc.;
     // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -706,13 +719,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       (pid, s, n, topLevel, cols.map(_.columnId))
     }
     val drops = st.dropped.toSeq.map { case (tid, (s, n)) => (tid, s, n) }
+    val newSchemas = st.createdSchemas.toSeq
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
-        created.nonEmpty || drops.nonEmpty)
+        created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
-        created, drops)
+        created, drops, newSchemas)
     txn = None
     st.cleanupScratch()
   }

@@ -538,7 +538,17 @@ class MetadataManager(val jdbcUrl: String,
   def createSchema(name: String): SchemaInfo = {
     var created: SchemaInfo = null
     commitSnapshot(SnapshotChanges(createdTables = Seq(s"schema:$name")),
-      schemaChange = true) { (c, snap, ids) =>
+      schemaChange = true,
+      conflictCheck = (c, _) => {
+        // same-name concurrent schema creation conflicts (reference
+        // transaction_conflicts.test schema section)
+        val live = query(c,
+          """SELECT COUNT(*) FROM ducklake_schema
+            |WHERE schema_name = ? AND end_snapshot IS NULL""".stripMargin,
+          name)(_.getLong(1)).head
+        if (live > 0) throw new CommitConflictException(
+          s"schema $name already exists")
+      }) { (c, snap, ids) =>
       val id = ids.newCatalogId()
       val uuid = java.util.UUID.randomUUID().toString
       exec(c,
@@ -1009,7 +1019,8 @@ class MetadataManager(val jdbcUrl: String,
       inlinedDeletes: Seq[(Long, Seq[Long])] = Nil,
       created: Seq[(Long, String, String, Seq[(String, String, Boolean)],
         Seq[Long])] = Nil,
-      dropped: Seq[(Long, String, String)] = Nil): Snapshot = {
+      dropped: Seq[(Long, String, String)] = Nil,
+      createdSchemas: Seq[String] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1)).distinct.filter(_ >= 0)
@@ -1034,6 +1045,15 @@ class MetadataManager(val jdbcUrl: String,
               throw new CommitConflictException(
                 s"table $name already exists")
           }
+        }
+        // txn-created schemas conflict on a same-name concurrent create
+        createdSchemas.foreach { s =>
+          val live = query(c,
+            """SELECT COUNT(*) FROM ducklake_schema
+              |WHERE schema_name = ? AND end_snapshot IS NULL""".stripMargin,
+            s)(_.getLong(1)).head
+          if (live > 0) throw new CommitConflictException(
+            s"schema $s already exists")
         }
         // txn drops conflict when the table is already gone
         // (drop-vs-drop, reference transaction_conflicts.test)
@@ -1116,6 +1136,17 @@ class MetadataManager(val jdbcUrl: String,
         exec(c,
           "UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
           Long.box(snap.snapshotId), Long.box(tid))
+      }
+      // txn-created schemas land before the tables that live in them
+      createdSchemas.foreach { s =>
+        exec(c,
+          """INSERT INTO ducklake_schema (schema_id, schema_uuid,
+            |begin_snapshot, end_snapshot, schema_name, path,
+            |path_is_relative) VALUES (?, ?, ?, NULL, ?, '', true)"""
+            .stripMargin,
+          Long.box(ids.newCatalogId()),
+          java.util.UUID.randomUUID().toString,
+          Long.box(snap.snapshotId), s)
       }
       // create txn-local tables first: real ids allocated in the same DFS
       // pre-order as the provisional ones → positional remap

@@ -309,6 +309,43 @@ class TransactionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](lake.table("tmp"))
   }
 
+  test("CREATE SCHEMA inside a transaction; same-name schema conflicts " +
+    "(reference transaction_conflicts.test)") {
+    val lake = freshLake()
+    // rollback discards the schema
+    lake.begin()
+    lake.createSchema("s1")
+    assert(lake.listSchemas().contains("s1"))
+    lake.rollback()
+    assert(!lake.listSchemas().contains("s1"))
+    // schema + table in it commit as one snapshot
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.createSchema("s1")
+      lake.createTableAs("s1.t", Seq(7L).toDF("id"))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("s1.t").head().getLong(0) == 7L)
+
+    // concurrent same-name schema creation conflicts
+    val dir = Files.createTempDirectory("grafttxsc").toString
+    val con1 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    val con2 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    con1.begin(); con2.begin()
+    con1.createSchema("dup")
+    con2.createSchema("dup")
+    con1.commit()
+    val e = intercept[CommitConflictException](con2.commit())
+    assert(e.getMessage.contains("already exists"))
+    con2.rollback()
+    // different names: no conflict
+    con1.begin(); con2.begin()
+    con1.createSchema("sa"); con2.createSchema("sb")
+    con1.commit(); con2.commit()
+    assert(con1.listSchemas().toSet.intersect(Set("sa", "sb")) ==
+      Set("sa", "sb"))
+  }
+
   test("concurrent drop-vs-drop conflicts at commit " +
     "(reference transaction_conflicts.test)") {
     val dir = Files.createTempDirectory("grafttxdd").toString
