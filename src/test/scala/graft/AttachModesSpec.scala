@@ -86,6 +86,50 @@ class AttachModesSpec extends AnyFunSuite {
     assert(l1b.table("tbl").count() == 0)
   }
 
+  test("corrupted catalog isolates: other lakes attach and work " +
+    "(reference corrupted_catalog_fault_isolation)") {
+    val dir = Files.createTempDirectory("graftcor").toString
+    val bad = Lake.attach(spark, s"$dir/bad_cat", s"$dir/bad_data")
+    bad.createTableAs("t1", {
+      import org.apache.spark.sql.functions.lit
+      spark.range(1).select(lit(1).as("id"), lit("hello").as("name"))
+    })
+    // corrupt the metadata: invalid column type, via direct JDBC
+    val c = java.sql.DriverManager.getConnection(
+      graft.catalog.MetadataManager.derbyUrl(s"$dir/bad_cat"))
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "UPDATE ducklake_column SET column_type = 'int32varcharvarchar' " +
+          "WHERE column_name = 'id'")
+      st.close()
+    } finally c.close()
+    // a sibling lake attaches and works despite the corrupted one
+    val good = Lake.attach(spark, s"$dir/good_cat", s"$dir/good_data")
+    good.createTableAs("t2", {
+      import org.apache.spark.sql.functions.lit
+      spark.range(1).select(lit(42L).as("v"))
+    })
+    assert(good.table("t2").head().getLong(0) == 42L)
+    // re-attach of the corrupted catalog itself succeeds (lazy binding);
+    // only touching the broken table errors
+    val again = Lake.attach(spark, s"$dir/bad_cat", s"$dir/bad_data")
+    intercept[Exception](again.table("t1").collect())
+    assert(again.listSchemas().contains("main"))
+  }
+
+  test("settings() surfaces unknown metadata keys " +
+    "(reference options_unknown_metadata_key)") {
+    val dir = Files.createTempDirectory("graftuk").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.setOption("mykey", "myvalue")
+    lake.setOption("another_unknown", "v2")
+    val rows = lake.settings().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.get("mykey").contains("myvalue"))
+    assert(rows.get("another_unknown").contains("v2"))
+  }
+
   test("attach at snapshot pins reads and implies read-only") {
     val dir = Files.createTempDirectory("graftpin").toString
     val rw = Lake.attach(spark, s"$dir/cat", s"$dir/data")
