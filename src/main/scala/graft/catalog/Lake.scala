@@ -178,15 +178,29 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       defaultValue: Option[String] = None): Unit = {
     if (inliningEnabled(Some(table)))
       validateNoInlinedSystemColumns(Seq(field.name))
-    meta.addColumn(resolve(table).tableId, field.name,
-      DuckLakeTypes.toTypeString(field.dataType), field.nullable,
-      defaultValue)
+    val ts = DuckLakeTypes.toTypeString(field.dataType)
+    if (!bufferAlter(table, _ => {
+      val st = txn.get
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def walk(t: String): Unit = {
+        ids += st.newProvisionalId()
+        DuckLakeTypes.childSpecs(t).foreach { case (_, ft) => walk(ft) }
+      }
+      walk(ts)
+      AlterSpec.AddCol(field.name, ts, field.nullable, defaultValue,
+        ids.toSeq)
+    }))
+      meta.addColumn(resolve(table).tableId, field.name, ts, field.nullable,
+        defaultValue)
   }
   def dropColumn(table: String, column: String): Unit =
-    meta.dropColumn(resolve(table).tableId, column)
+    if (!bufferAlter(table, _ => AlterSpec.DropCol(column)))
+      meta.dropColumn(resolve(table).tableId, column)
   def renameColumn(table: String, oldName: String, newName: String): Unit = {
     if (inliningEnabled(Some(table)))
       validateNoInlinedSystemColumns(Seq(newName))
+    if (bufferAlter(table, _ => AlterSpec.RenameCol(oldName, newName)))
+      return
     // inlined rows live as JSON keyed by column name — flush them to
     // parquet first so the epoch mapping (by column_id) covers them
     flushInlinedData(table)
@@ -205,9 +219,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** ALTER TABLE ... DROP COLUMN col.field (nested drop). */
   def dropField(table: String, path: String): Unit =
     meta.dropField(resolve(table).tableId, path.split("\\.").toSeq)
-  def changeColumnType(table: String, column: String, to: DataType): Unit =
-    meta.changeColumnType(resolve(table).tableId, column,
-      DuckLakeTypes.toTypeString(to))
+  def changeColumnType(table: String, column: String, to: DataType): Unit = {
+    val nt = DuckLakeTypes.toTypeString(to)
+    if (!bufferAlter(table, tid => {
+      require(DuckLakeTypes.childSpecs(nt).isEmpty,
+        "only scalar type changes are supported inside a transaction")
+      val cur = columnsAt(tid, meta.currentSnapshot().snapshotId)
+        .find(x => x.parentColumn.isEmpty && x.name == column)
+        .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+      if (!DuckLakeTypes.isWidening(cur.typeString, nt))
+        throw new IllegalArgumentException(
+          "only widening type promotions are allowed: " +
+            s"${cur.typeString} -> $nt")
+      AlterSpec.ChangeType(column, nt)
+    }))
+      meta.changeColumnType(resolve(table).tableId, column, nt)
+  }
   /** SET NOT NULL verifies existing data first, like the reference —
     * using the cumulative table column stats when they already prove no
     * NULLs exist (contains_null=false is definitive: deletes cannot add
@@ -236,7 +263,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def dropNotNull(table: String, column: String): Unit =
     meta.setNullsAllowed(resolve(table).tableId, column, allowed = true)
   def setColumnDefault(table: String, column: String, default: String): Unit =
-    meta.setColumnDefault(resolve(table).tableId, column, Option(default))
+    if (!bufferAlter(table, _ => AlterSpec.SetDefault(column,
+      Option(default))))
+      meta.setColumnDefault(resolve(table).tableId, column, Option(default))
 
   /** ALTER TABLE ... ADD FIELD col[.path].field (nested evolution,
     * reference ducklake_table_entry.cpp:1148): appends a nullable field to
@@ -530,10 +559,84 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     info
   }
 
-  /** columnsOf with the open transaction's created-table overlay */
+  /** columnsOf with the open transaction's created-table and
+    * buffered-alter overlays */
   private def columnsAt(tableId: Long, snapshotId: Long): Seq[ColumnInfo] =
     if (tableId < 0) txn.get.created(tableId)._3
-    else meta.columnsOf(tableId, snapshotId)
+    else {
+      val base = meta.columnsOf(tableId, snapshotId)
+      txn match {
+        case Some(st) =>
+          st.alters.filter(_._1 == tableId).map(_._2)
+            .foldLeft(base)(applyAlterLocal)
+        case None => base
+      }
+    }
+
+  /** in-memory mirror of one buffered alter, for reads inside the txn */
+  private def applyAlterLocal(cols: Seq[ColumnInfo],
+      spec: AlterSpec): Seq[ColumnInfo] = spec match {
+    case AlterSpec.AddCol(n, ts, nullable, default, provIds) =>
+      val it = provIds.iterator
+      val out = scala.collection.mutable.ArrayBuffer.empty[ColumnInfo]
+      def walk(order: Long, name: String, t: String, nl: Boolean,
+          parent: Option[Long]): Unit = {
+        val cid = it.next()
+        out += ColumnInfo(cid, order, name, t, nl, parent,
+          if (parent.isEmpty) default else None,
+          if (parent.isEmpty) default else None)
+        DuckLakeTypes.childSpecs(t).zipWithIndex.foreach {
+          case ((fn, ft), i) => walk(i.toLong, fn, ft, nl = true, Some(cid))
+        }
+      }
+      val maxOrder = cols.filter(_.parentColumn.isEmpty)
+        .map(_.columnOrder).maxOption.getOrElse(-1L)
+      walk(maxOrder + 1, n, ts, nullable, None)
+      cols ++ out
+    case AlterSpec.DropCol(n) =>
+      val rootId = cols.find(x => x.parentColumn.isEmpty && x.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+        .columnId
+      val dead = scala.collection.mutable.Set(rootId)
+      var grew = true
+      while (grew) {
+        val more = cols.filter(c0 =>
+          c0.parentColumn.exists(dead.contains) &&
+            !dead.contains(c0.columnId)).map(_.columnId)
+        grew = more.nonEmpty; dead ++= more
+      }
+      cols.filterNot(c0 => dead.contains(c0.columnId))
+    case AlterSpec.RenameCol(o, n2) =>
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == o)
+        c0.copy(name = n2) else c0)
+    case AlterSpec.SetDefault(n, v) =>
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == n)
+        c0.copy(defaultValue = v) else c0)
+    case AlterSpec.ChangeType(n, nt) =>
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == n)
+        c0.copy(typeString = nt) else c0)
+  }
+
+  /** guard shared by the buffered-ALTER paths: the txn must not already
+    * hold staged data/deletes for the table (files staged under the old
+    * schema would be misread after the change), and txn-created tables
+    * take their schema from the create — alter them before creating. */
+  private def bufferAlter(table: String, spec: Long => AlterSpec): Boolean =
+    txn match {
+      case Some(st) =>
+        val t = resolve(table)
+        if (t.tableId < 0) throw new IllegalArgumentException(
+          "cannot ALTER a table created in the same transaction " +
+            "(apply the final schema at CREATE)")
+        require(st.pendingFiles(t.tableId).isEmpty &&
+          !st.deletes.contains(t.tableId) &&
+          !st.inlinedDeletes.contains(t.tableId),
+          s"cannot ALTER $table: the transaction already staged writes " +
+            "for it (commit them first)")
+        st.alters += ((t.tableId, spec(t.tableId)))
+        true
+      case None => false
+    }
 
   def createSchema(name: String): Unit = txn match {
     case Some(st) =>
@@ -679,6 +782,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // conflict at commit; tables created into them in the same txn work)
     val createdSchemas = scala.collection.mutable.LinkedHashSet
       .empty[String]
+    // column changes buffered for COMMITTED tables, in statement order
+    // (reference multiple_column_changes.test); guarded so a table never
+    // mixes staged data files with a pending schema change
+    val alters = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, AlterSpec)]
     // temp dirs (lake-relative) holding materialized positions etc.;
     // removed at txn end
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -720,13 +828,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     val drops = st.dropped.toSeq.map { case (tid, (s, n)) => (tid, s, n) }
     val newSchemas = st.createdSchemas.toSeq
+    val alterList = st.alters.toSeq
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
-        created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty)
+        created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
+        alterList.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
-        created, drops, newSchemas)
+        created, drops, newSchemas, alterList)
     txn = None
     st.cleanupScratch()
   }
@@ -1226,6 +1336,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else extra.select(schema.fieldNames.map(col).toSeq: _*)
       df.unionByName(shaped)
     }
+    // a column ADDed with a DEFAULT inside the open txn: every committed
+    // file/inlined row predates the column (the alter guard forbids
+    // staged writes before it), so the NULL fill-in IS the initial
+    // default — exact, and only applied to the committed part
+    val full2 = txn match {
+      case Some(st) if t.tableId >= 0 =>
+        st.alters.collect {
+          case (tid, a: AlterSpec.AddCol)
+            if tid == t.tableId && a.default.isDefined => a
+        }.foldLeft(full) { (d, a) =>
+          val dt = DuckLakeTypes.fromTypeString(a.typeString)
+          d.withColumn(a.name,
+            coalesce(col(a.name), lit(a.default.get).cast(dt)))
+        }
+      case _ => full
+    }
+
     // transaction-local files: statements inside an open transaction read
     // their own uncommitted writes (reference transaction-local list,
     // ducklake_multi_file_list.cpp:282-291); rowids are provisional
@@ -1254,8 +1381,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
                 col("__rel").as("filename") :+
                 col("__pos").as("file_row_number")): _*)
           }
-        full.unionByName(shaped)
-      case _ => full
+        full2.unionByName(shaped)
+      case _ => full2
     }
     filter.map(withTxn.filter).getOrElse(withTxn)
   }

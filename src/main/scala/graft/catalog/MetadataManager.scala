@@ -1020,10 +1020,11 @@ class MetadataManager(val jdbcUrl: String,
       created: Seq[(Long, String, String, Seq[(String, String, Boolean)],
         Seq[Long])] = Nil,
       dropped: Seq[(Long, String, String)] = Nil,
-      createdSchemas: Seq[String] = Nil): Snapshot = {
+      createdSchemas: Seq[String] = Nil,
+      alters: Seq[(Long, AlterSpec)] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
-      inlinedDeletes.map(_._1)).distinct.filter(_ >= 0)
+      inlinedDeletes.map(_._1) ++ alters.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" },
@@ -1031,7 +1032,8 @@ class MetadataManager(val jdbcUrl: String,
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
-      schemaChange = created.nonEmpty || dropped.nonEmpty,
+      schemaChange = created.nonEmpty || dropped.nonEmpty ||
+        createdSchemas.nonEmpty || alters.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
@@ -1179,14 +1181,48 @@ class MetadataManager(val jdbcUrl: String,
         tableIdMap(pid) = tid
         colIdMap ++= provIds.zip(realIds)
       }
+      // buffered column changes, in statement order; each reads the
+      // schema as applied so far within this same snapshot
+      alters.foreach { case (tid, spec) =>
+        val cols = columnsOf(c, tid, snap.snapshotId)
+        def root(n: String): ColumnInfo =
+          cols.find(x => x.parentColumn.isEmpty && x.name == n)
+            .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+        spec match {
+          case AlterSpec.AddCol(n, ts, nullable, default, provIds) =>
+            val maxOrder = cols.filter(_.parentColumn.isEmpty)
+              .map(_.columnOrder).maxOption.getOrElse(-1L)
+            val realIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            insertColumnTree(c, ids, snap.snapshotId, tid, maxOrder + 1, n,
+              ts, nullable, default, default, parent = None,
+              sink = realIds += _)
+            require(realIds.size == provIds.size,
+              s"column id mapping mismatch for txn ADD COLUMN $n")
+            colIdMap ++= provIds.zip(realIds)
+          case AlterSpec.DropCol(n) =>
+            closeColumnTree(c, snap.snapshotId, tid, cols, root(n).columnId)
+          case AlterSpec.RenameCol(o, n2) =>
+            reopenColumn(c, snap.snapshotId, tid, root(o).copy(name = n2))
+          case AlterSpec.SetDefault(n, v) =>
+            reopenColumn(c, snap.snapshotId, tid,
+              root(n).copy(defaultValue = v))
+          case AlterSpec.ChangeType(n, nt) =>
+            val ci = root(n)
+            if (!DuckLakeTypes.isWidening(ci.typeString, nt))
+              throw new IllegalArgumentException(
+                "only widening type promotions are allowed: " +
+                  s"${ci.typeString} -> $nt")
+            reopenColumn(c, snap.snapshotId, tid, ci.copy(typeString = nt))
+        }
+      }
       appends.foreach { case (tid0, partitionId, files0) =>
         val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
-        val files = if (tid0 < 0) files0.map(f => f.copy(
+        def remap(id: Long): Long = if (id < 0) colIdMap(id) else id
+        val files = files0.map(f => f.copy(
           columnStats = f.columnStats.map(s =>
-            s.copy(columnId = colIdMap(s.columnId))),
+            s.copy(columnId = remap(s.columnId))),
           variantStats = f.variantStats.map(s =>
-            s.copy(columnId = colIdMap(s.columnId)))))
-        else files0
+            s.copy(columnId = remap(s.columnId)))))
         insertFiles(c, snap, ids, tid, files, partitionId)
       }
       inlinedDeletes.foreach { case (tid, ids0) =>

@@ -104,6 +104,26 @@ final case class PendingDataFile(
     hasRowIds: Boolean = false,
     variantStats: Seq[VariantPathStats] = Nil)
 
+/** A column change buffered inside an open transaction, applied in
+  * statement order by the single commit (reference
+  * multiple_column_changes.test: ALTER … TYPE + SET DEFAULT in one txn).
+  * AddCol carries provisional negative column ids in DFS pre-order so
+  * stats of files appended AFTER the alter (inside the same txn) remap
+  * to the real ids the commit allocates. */
+sealed trait AlterSpec
+object AlterSpec {
+  final case class AddCol(name: String, typeString: String,
+      nullable: Boolean, default: Option[String],
+      provisionalIds: Seq[Long]) extends AlterSpec
+  final case class DropCol(name: String) extends AlterSpec
+  final case class RenameCol(oldName: String, newName: String)
+    extends AlterSpec
+  final case class SetDefault(name: String, value: Option[String])
+    extends AlterSpec
+  final case class ChangeType(name: String, newType: String)
+    extends AlterSpec
+}
+
 /** Scan-time resolution: data file + the delete files applying to it. */
 final case class ScanFile(
     file: DataFileEntry,

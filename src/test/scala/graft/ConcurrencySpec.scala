@@ -76,14 +76,17 @@ class ConcurrencySpec extends AnyFunSuite {
 
   test("transaction commit conflicts with a concurrent schema change") {
     import spark.implicits._
-    val lake = freshLake()
+    val dir = Files.createTempDirectory("graftccsc").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    val other = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
     lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
     lake.begin()
     lake.append("t", Seq((2L, "b")).toDF("id", "v"))
-    // DDL commits immediately (statement-level) — an ALTER landing between
-    // BEGIN and COMMIT would make the staged file (written under the old
-    // schema) read under the post-ALTER epoch; must conflict instead
-    lake.addColumn("t", StructField("extra", IntegerType))
+    // a CONCURRENT writer's ALTER landing between BEGIN and COMMIT would
+    // make the staged file (written under the old schema) read under the
+    // post-ALTER epoch; must conflict instead. (The same handle's own
+    // in-txn ALTER is buffered and guarded separately — TransactionSpec.)
+    other.addColumn("t", StructField("extra", IntegerType))
     val e = intercept[CommitConflictException](lake.commit())
     assert(e.getMessage.contains("altered concurrently"))
     // failed commit kept the txn state: rollback cleans the staged files

@@ -346,6 +346,60 @@ class TransactionSpec extends AnyFunSuite {
       Set("sa", "sb"))
   }
 
+  test("ALTER TABLE inside a transaction " +
+    "(reference multiple_column_changes.test)") {
+    import org.apache.spark.sql.types._
+    val lake = freshLake()
+    lake.createTable("message", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("user_id", IntegerType, nullable = false))))
+    lake.append("message", Seq((0, 7)).toDF("id", "user_id"))
+    // TYPE + SET DEFAULT on one column in one transaction, ONE snapshot
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.changeColumnType("message", "user_id", LongType)
+      lake.setColumnDefault("message", "user_id", "123")
+      // read-your-DDL: the txn sees the widened type
+      assert(lake.schemaOf("message")("user_id").dataType == LongType)
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    // a defaulted insert after commit reads the new default + type
+    lake.sql("INSERT INTO message (id) VALUES (1)")
+    val rows = lake.table("message").orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(7L, 123L))
+
+    // ADD COLUMN DEFAULT inside a txn: own reads see the default on old
+    // rows; rollback discards the column
+    lake.begin()
+    lake.addColumn("message", StructField("tag", StringType),
+      Some("none"))
+    assert(lake.table("message").select("tag").collect()
+      .map(_.getString(0)).toSeq == Seq("none", "none"))
+    lake.rollback()
+    assert(!lake.table("message").columns.contains("tag"))
+    // committed path: ADD + rename + append in one txn, then verify
+    lake.transaction {
+      lake.addColumn("message", StructField("tag", StringType),
+        Some("none"))
+      lake.renameColumn("message", "id", "msg_id")
+      lake.append("message",
+        Seq((2, 5L, "real")).toDF("msg_id", "user_id", "tag"))
+    }
+    val out = lake.table("message").orderBy("msg_id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("none", "none", "real"))
+    assert(lake.table("message").columns.toSeq ==
+      Seq("msg_id", "user_id", "tag"))
+    // pruning stats of the txn-appended file remapped to real column ids
+    assert(lake.table("message",
+      Some(col("msg_id") === 2)).count() == 1)
+    // guard: ALTER after staged writes for the table is rejected
+    lake.begin()
+    lake.append("message", Seq((3, 5L, "x")).toDF("msg_id", "user_id", "tag"))
+    intercept[IllegalArgumentException](
+      lake.dropColumn("message", "tag"))
+    lake.rollback()
+  }
+
   test("concurrent drop-vs-drop conflicts at commit " +
     "(reference transaction_conflicts.test)") {
     val dir = Files.createTempDirectory("grafttxdd").toString
