@@ -146,6 +146,30 @@ object TrainingPipeline extends QueryPack {
        |SELECT doc_id, cluster, quality FROM ranked WHERE rk = 1
        |ORDER BY cluster""".stripMargin
 
+  /** Leakage-safe K-fold split: the fold is derived from the CONTENT hash
+    * (md5 of the text), not the doc id, so byte-identical duplicates can
+    * never land in different folds — the standard guard against
+    * train/test leakage when folds feed evaluation. Map-side hash + one
+    * aggregation; deterministic in any engine (no RNG state). Reports
+    * per-fold document and distinct-content counts. */
+  private def docFold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val fold = (conv(substring(md5(col("text")), 1, 7), 16, 10)
+      .cast("long") % 5).as("fold")
+    d.select(fold, md5(col("text")).as("h"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_contents"))
+      .orderBy(col("fold"))
+  }
+
+  private val docFoldSql =
+    """SELECT CAST(list_aggregate(list_transform(range(1, 8), i ->
+      |    (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+      |      * CAST(power(16, 7 - i) AS BIGINT)), 'sum') AS BIGINT) % 5 AS fold,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_contents
+      |FROM documents GROUP BY fold ORDER BY fold""".stripMargin
+
   // ------------------------------------------------- deterministic sample
 
   /** Stratified deterministic sample: md5 of (doc_id, salt) buckets each
@@ -312,6 +336,7 @@ object TrainingPipeline extends QueryPack {
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QueryDef("doc_fold", docFold, Some(docFoldSql)),
     QueryDef("train_pipeline_e2e", trainPipelineE2e, Some(trainPipelineE2eSql)),
     QueryDef("doc_sample", docSample, Some(docSampleSql)),
     QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
