@@ -202,15 +202,22 @@ object Bench {
     // min isn't a JIT lottery
     names.foreach(exec)
     names.foreach(exec)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "9").toInt
-    val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "13").toInt
+    // reps are INTERLEAVED round-robin across queries: a transient
+    // host-level slowdown (VM neighbor, thermal throttle) then inflates
+    // one rep of EVERY query instead of every rep of ONE query, so the
+    // per-query min stays robust to it
+    val timed = scala.collection.mutable.Map(
+      names.map(_ -> List.empty[Double]): _*)
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         exec(name)
-        (System.nanoTime() - t0) / 1e9
+        timed(name) ::= (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min // steady-state throughput, not planning latency
     }
+    val results = // steady-state throughput, not planning latency
+      names.map(name => name -> timed(name).min)
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -222,8 +229,10 @@ object Bench {
     // not first-query-after-boot). Reported beside the prepared headline
     // so both serving models are visible per round.
     val coldReps = sys.env.getOrElse("SPARK_GRAFT_COLD_REPS", "5").toInt
-    val coldResults = names.map { name =>
-      val times = (1 to coldReps).map { _ =>
+    val coldTimed = scala.collection.mutable.Map(
+      names.map(_ -> List.empty[Double]): _*)
+    (1 to coldReps).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         val plan = qs(name)(spark, dataDir).queryExecution.executedPlan
         plan.execute().mapPartitions { it =>
@@ -231,10 +240,10 @@ object Bench {
           while (it.hasNext) { it.next(); c += 1 }
           Iterator.single(c)
         }.collect()
-        (System.nanoTime() - t0) / 1e9
+        coldTimed(name) ::= (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
     }
+    val coldResults = names.map(name => name -> coldTimed(name).min)
     val coldJson = coldResults
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -43,10 +43,14 @@ def main():
         prepared[name] = f"EXECUTE {stmt}"
     for ex in prepared.values():         # warm-up (OS page cache, catalog)
         con.execute(ex).fetchall()
-    times = {}
-    for name, ex in prepared.items():
-        best = min(_timed(con, ex) for _ in range(reps))
-        times[name] = round(best, 4)
+    # reps interleaved round-robin across queries (same as graft.Bench):
+    # a transient host slowdown inflates one rep of every query, not
+    # every rep of one query, keeping per-query mins robust
+    samples = {name: [] for name in prepared}
+    for _ in range(reps):
+        for name, ex in prepared.items():
+            samples[name].append(_timed(con, ex))
+    times = {name: round(min(ts), 4) for name, ts in samples.items()}
     out = {"total": round(sum(times.values()), 4), "queries": times,
            "duckdb": duckdb.__version__}
     print(json.dumps(out))
