@@ -647,6 +647,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     case None => meta.createSchema(name): Unit
   }
   def dropSchema(name: String): Unit = meta.dropSchema(name)
+
+  /** DETACH (reference detach_ducklake.test): release the catalog's
+    * resources. For an embedded Derby catalog this shuts the database
+    * down cleanly (flushes its log, frees file handles — the handle can
+    * be re-attached afterwards); server/HTTP catalogs hold no local
+    * state, so it is a no-op there. An open transaction is rolled back
+    * first, like the reference's detach. */
+  def detach(): Unit = {
+    if (txn.isDefined) rollback()
+    meta.shutdown()
+  }
   def listSchemas(): Seq[String] =
     meta.listSchemas().map(_.name) ++
       txn.toSeq.flatMap(_.createdSchemas)

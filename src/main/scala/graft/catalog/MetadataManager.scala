@@ -41,6 +41,21 @@ class MetadataManager(val jdbcUrl: String,
       c
     }
 
+  /** Embedded-Derby shutdown (DETACH support): flush and close the
+    * database so its file handles release; the expected SQLSTATE 08006
+    * ("database shut down") signals success. Non-Derby catalogs hold no
+    * local engine state — no-op. A later connect() transparently
+    * re-boots the database. */
+  def shutdown(): Unit =
+    if (jdbcUrl.startsWith("jdbc:derby:")) {
+      val base = jdbcUrl.stripSuffix(";create=true")
+      try { DriverManager.getConnection(s"$base;shutdown=true"); () }
+      catch {
+        case e: SQLException if e.getSQLState == "08006" => () // expected
+        case _: SQLException => ()
+      }
+    }
+
   protected def withConn[A](f: Connection => A): A =
     Using.resource(connect()) { c =>
       try { val r = f(c); c.commit(); r }

@@ -130,6 +130,21 @@ class AttachModesSpec extends AnyFunSuite {
     assert(rows.get("another_unknown").contains("v2"))
   }
 
+  test("detach shuts the embedded catalog down; re-attach works " +
+    "(reference detach_ducklake.test)") {
+    val dir = Files.createTempDirectory("graftdet").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", { import spark.implicits._
+      (0L until 10L).toDF("id") })
+    // an open transaction rolls back on detach
+    lake.begin()
+    lake.append("t", { import spark.implicits._; Seq(99L).toDF("id") })
+    lake.detach()
+    val back = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    assert(back.table("t").count() == 10)
+    assert(back.deleteOrphanedFiles("t", dryRun = true).isEmpty)
+  }
+
   test("attach at snapshot pins reads and implies read-only") {
     val dir = Files.createTempDirectory("graftpin").toString
     val rw = Lake.attach(spark, s"$dir/cat", s"$dir/data")
