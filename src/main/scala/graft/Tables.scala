@@ -33,6 +33,14 @@ final case class Tables(spark: SparkSession, sfDir: String) {
       org.apache.spark.sql.functions.expr(
         "TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
   }
+  /** events with `ts` left as the raw TIMESTAMP(NANOS) long — for
+    * queries that bucket time arithmetically (one integer op per row
+    * beats a per-row timestamp conversion; the conversion then runs on
+    * the handful of group keys after the agg). */
+  def eventsRawNanos: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1278,9 +1278,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       normalizeOps(ColumnBridge.toCatalyst(f)))
     val statsFilters = filterExpr.toSeq.flatMap(e =>
       extractStatsFilters(e, cols))
+    val partSpec =
+      if (filterExpr.isEmpty) None
+      else meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val partEq = for {
       e <- filterExpr.toSeq
-      ps <- meta.currentPartitionSpec(t.tableId, snap.snapshotId).toSeq
+      ps <- partSpec.toSeq
       eq <- extractPartitionEq(e, cols, ps)
     } yield eq
     val variantFilters = filterExpr.toSeq.flatMap(e =>
@@ -1288,7 +1291,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val geoFilters = filterExpr.toSeq.flatMap(e =>
       extractGeoFilters(e, allCols))
     val scanFilesAll = meta.filesForScan(t.tableId, snap.snapshotId,
-      statsFilters, partEq, variantFilters)
+      statsFilters, partEq, variantFilters,
+      partitionSpecId = partSpec.map(_.partitionId))
     // geometry bbox pruning: drop files whose stored extent is disjoint
     // from the query window (reference DuckLakeColumnGeoStats; extent
     // JSON in extra_stats). Files without geo stats are kept — pruning

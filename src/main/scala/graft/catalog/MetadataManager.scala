@@ -1283,13 +1283,20 @@ class MetadataManager(val jdbcUrl: String,
   def filesForScan(tableId: Long, snapshotId: Long,
       filters: Seq[StatsFilter] = Nil,
       partitionEq: Seq[(Long, String)] = Nil,
-      variantFilters: Seq[VariantStatsFilter] = Nil): Seq[ScanFile] =
+      variantFilters: Seq[VariantStatsFilter] = Nil,
+      partitionSpecId: Option[Long] = None): Seq[ScanFile] =
     withConn { c =>
     // partition pruning: equality on transformed partition values; files
-    // written before the spec (partition_id NULL) are never pruned
-    // (reference ducklake_metadata_manager.cpp:1719-1740)
+    // written before the spec (partition_id NULL) — or under a DIFFERENT
+    // spec version than the one the values were derived from — are never
+    // pruned: a re-partitioned table's old files keep stale
+    // partition_key_index rows whose values mean something else entirely
+    // (reference ducklake_metadata_manager.cpp:1719-1740 matches on the
+    // file's own partition spec)
+    val specGuard = partitionSpecId
+      .map(pid => s"f.partition_id <> $pid OR ").getOrElse("")
     val partClauses = partitionEq.map { case (keyIndex, v) =>
-      s"""AND (f.partition_id IS NULL OR EXISTS (
+      s"""AND (f.partition_id IS NULL OR $specGuard EXISTS (
          |  SELECT 1 FROM ducklake_file_partition_value p
          |  WHERE p.data_file_id = f.data_file_id
          |    AND p.partition_key_index = $keyIndex

@@ -62,6 +62,35 @@ class PartitioningSpec extends AnyFunSuite {
     assert(lake.table("pt", Some(col("part_key") === 1)).count() == 500)
   }
 
+  test("re-partitioned table: old-spec files are never pruned by " +
+    "new-spec partition values (stale partition_key_index collision)") {
+    val lake = freshLake()
+    lake.createTable("rp", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("v", StringType))))
+    lake.setPartitionedBy("rp", Seq(("a", "identity")))
+    lake.append("rp", Seq((1, 10, "old1"), (2, 20, "old2")).toDF("a", "b", "v"))
+    // switch the partition column: old files keep partition values for `a`
+    // under the SAME key index 0, but those must only ever prune reads
+    // against the spec they were written under
+    lake.setPartitionedBy("rp", Seq(("b", "identity")))
+    lake.append("rp", Seq((3, 10, "new1"), (4, 30, "new2")).toDF("a", "b", "v"))
+    // b=10 lives in an old-spec file AND a new-spec file
+    assert(lake.table("rp", Some(col("b") === 10))
+      .collect().map(_.getString(2)).sorted.toSeq == Seq("new1", "old1"))
+    // and the new spec still prunes files it wrote: only new-spec b=30
+    // files plus the (never-prunable) old-spec files are scanned
+    val t = lake.meta.tableByName("rp", lake.currentSnapshotId()).get
+    val ps = lake.meta.currentPartitionSpec(t.tableId,
+      lake.currentSnapshotId()).get
+    val all = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId())
+    val pruned = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId(),
+      partitionEq = Seq((0L, "30")),
+      partitionSpecId = Some(ps.partitionId))
+    assert(pruned.size < all.size)
+    assert(lake.table("rp", Some(col("b") === 30)).count() == 1)
+  }
+
   test("year transform partitioning + bucket transform") {
     val lake = freshLake()
     val df = Seq(
