@@ -1259,6 +1259,57 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * depends on this (the range is a superset of the keys); the dim side
     * must be broadcast-class small — the same contract DPP and broadcast
     * joins already impose. */
+  /** Storage-co-partitioned (bucket-wise) inner join. When both tables
+    * are partitioned `bucket(n)` on their join keys with the SAME width,
+    * equal keys can only meet inside the same bucket — so the join runs
+    * as n independent per-bucket joins, each scanning only that bucket's
+    * files (catalog partition pruning) with the right side broadcast.
+    * The big side is never shuffled and no broadcast exceeds ~|right|/n:
+    * at 100 TB this replaces the all-to-all exchange of a shuffle join
+    * with n small broadcasts, and stays memory-safe for a right side n×
+    * larger than one broadcast could hold.
+    *
+    * Files written before the current spec (or under an older one) are
+    * never partition-pruned, so they appear in every branch; the
+    * per-branch residual `bucket(key) = b` slices them exactly once.
+    * For current-spec files the residual is a per-row no-op predicate.
+    * Inner-join only: NULL keys never match and the residual drops them,
+    * which is exactly inner-join semantics. */
+  def bucketJoin(left: String, leftKey: String,
+      right: String, rightKey: String): DataFrame = {
+    val snap = meta.currentSnapshot()
+    // (partition key index, bucket width) of the bucket field on `key`
+    def bucketField(table: String, key: String): (Long, Int) = {
+      val t = resolve(table, Some(snap.snapshotId))
+      val ci = meta.columnsOf(t.tableId, snap.snapshotId)
+        .find(_.name == key).getOrElse(throw new IllegalArgumentException(
+          s"no column $key in $table"))
+      val ps = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table is not partitioned"))
+      val f = ps.fields.find(f => f.columnId == ci.columnId &&
+        f.transform.startsWith("bucket(")).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table is not bucket-partitioned on $key"))
+      (f.keyIndex,
+        f.transform.stripPrefix("bucket(").stripSuffix(")").trim.toInt)
+    }
+    def bucketScan(table: String, key: String, keyIndex: Long, n: Int,
+        b: Int): DataFrame =
+      scan(table, snap, Some(
+        graft.functions.Murmur3Functions.bucket(n, col(key)) === b),
+        withMeta = false, extraPartEq = Seq((keyIndex, b.toString)))
+    val (lIdx, ln) = bucketField(left, leftKey)
+    val (rIdx, rn) = bucketField(right, rightKey)
+    require(ln == rn,
+      s"bucket widths differ: $left=bucket($ln), $right=bucket($rn)")
+    (0 until ln).map { b =>
+      val l = bucketScan(left, leftKey, lIdx, ln, b)
+      val r = bucketScan(right, rightKey, rIdx, rn, b)
+      l.join(broadcast(r), l(leftKey) === r(rightKey), "inner")
+    }.reduce(_ union _)
+  }
+
   def tableJoinPruned(name: String, keyCol: String,
       dimKeys: DataFrame): DataFrame = {
     val k = dimKeys.columns.head
@@ -1269,7 +1320,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      extraPartEq: Seq[(Long, String)] = Nil): DataFrame = {
     val t = resolve(name, Some(snap.snapshotId))
     val allCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)
@@ -1279,7 +1331,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val statsFilters = filterExpr.toSeq.flatMap(e =>
       extractStatsFilters(e, cols))
     val partSpec =
-      if (filterExpr.isEmpty) None
+      if (filterExpr.isEmpty && extraPartEq.isEmpty) None
       else meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val partEq = for {
       e <- filterExpr.toSeq
@@ -1291,7 +1343,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val geoFilters = filterExpr.toSeq.flatMap(e =>
       extractGeoFilters(e, allCols))
     val scanFilesAll = meta.filesForScan(t.tableId, snap.snapshotId,
-      statsFilters, partEq, variantFilters,
+      statsFilters, partEq ++ extraPartEq, variantFilters,
       partitionSpecId = partSpec.map(_.partitionId))
     // geometry bbox pruning: drop files whose stored extent is disjoint
     // from the query window (reference DuckLakeColumnGeoStats; extent

@@ -403,8 +403,38 @@ object LakeQueries extends QueryPack {
       |WHERE o_orderstatus <> 'F' AND o_orderkey % 100 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Storage-co-partitioned bucket join (Lake.bucketJoin): orders and
+    * customer both bucket(8) on the customer key join shuffle-free —
+    * every branch is a pruned per-bucket scan + broadcast join. Oracle is
+    * the plain inner join. */
+  private def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    lake.createTable("orders", t.orders.schema)
+    lake.setPartitionedBy("orders", Seq(("o_custkey", "bucket(8)")))
+    lake.append("orders", t.orders)
+    lake.createTable("customer", t.customer.schema)
+    lake.setPartitionedBy("customer", Seq(("c_custkey", "bucket(8)")))
+    lake.append("customer", t.customer)
+    lake.bucketJoin("orders", "o_custkey", "customer", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("o_totalprice")), 100.0).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val qBucketJoinSql = {
+    import graft.QueryDsl._
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  ${oLsum(oSl2("o_totalprice"), "100.0")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
+    QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
     QueryDef("lake_delete", qDelete, Some(qDeleteSql)),
     QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),
     QueryDef("lake_update", qUpdate, Some(qUpdateSql)),
