@@ -304,6 +304,61 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   def createView(name: String, sql: String): Unit = meta.createView(name, sql)
 
+  // ------------------------------------------------- comments (tags)
+
+  /** COMMENT ON TABLE / VIEW (reference comments family): the 'comment'
+    * tag on the catalog object; null clears. Views resolve when no table
+    * of that name exists, like the reference's object lookup. */
+  def commentOn(name: String, comment: String): Unit = {
+    val snap = meta.currentSnapshot()
+    val (s, t) = splitName(name)
+    val id = meta.tableByName(t, snap.snapshotId, s).map(_.tableId)
+      .orElse(meta.viewIdByName(t, snap.snapshotId, s))
+      .getOrElse(throw new IllegalArgumentException(s"no table or view $name"))
+    meta.setTag(id, "comment", comment)
+  }
+
+  def comment(name: String): Option[String] = {
+    val snap = meta.currentSnapshot()
+    val (s, t) = splitName(name)
+    val id = meta.tableByName(t, snap.snapshotId, s).map(_.tableId)
+      .orElse(meta.viewIdByName(t, snap.snapshotId, s))
+      .getOrElse(throw new IllegalArgumentException(s"no table or view $name"))
+    meta.getTag(id, "comment")
+  }
+
+  /** COMMENT ON COLUMN t.c — nested fields by dotted path (the column_id
+    * model gives every nested leaf its own id, so comments survive
+    * renames the same way reads do). */
+  def commentOnColumn(table: String, column: String,
+      comment: String): Unit = {
+    val (t, ci) = resolveColumn(table, column)
+    meta.setColumnTag(t.tableId, ci.columnId, "comment", comment)
+  }
+
+  def columnComment(table: String, column: String): Option[String] = {
+    val (t, ci) = resolveColumn(table, column)
+    meta.getColumnTag(t.tableId, ci.columnId, "comment")
+  }
+
+  private def resolveColumn(table: String,
+      column: String): (TableInfo, ColumnInfo) = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(table, Some(snap.snapshotId))
+    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+    // dotted path → walk parent links; flat name → top-level match
+    val segs = column.split("\\.")
+    var parent: Option[Long] = None
+    var cur: Option[ColumnInfo] = None
+    segs.foreach { seg =>
+      cur = cols.find(c => c.name == seg && c.parentColumn == parent)
+      parent = cur.map(_.columnId)
+      if (cur.isEmpty) throw new IllegalArgumentException(
+        s"no column $column in $table")
+    }
+    (t, cur.get)
+  }
+
   /** ALTER TABLE ... SET PARTITIONED BY (reference
     * ducklake_table_entry.cpp:626): (column, transform) pairs, transform in
     * identity|year|month|day|hour|bucket(n) (Iceberg-compatible bucket via
@@ -315,6 +370,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val fields = specs.map { case (cname, transform) =>
       val ci = cols.find(_.name == cname).getOrElse(
         throw new IllegalArgumentException(s"no column $cname"))
+      // validate the transform up front (reference rejects bucket('abc'),
+      // bucket(0), bucket(-1) at ALTER time)
+      transform match {
+        case "identity" | "year" | "month" | "day" | "hour" => ()
+        case b if b.startsWith("bucket(") && b.endsWith(")") =>
+          val w = b.stripPrefix("bucket(").stripSuffix(")").trim
+          val n = scala.util.Try(w.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"bucket width must be an integer, got '$w'"))
+          require(n > 0, s"bucket width must be positive, got $n")
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform $other")
+      }
       (ci.columnId, transform)
     }
     meta.setPartitionSpec(t.tableId, fields)
@@ -719,12 +787,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       if (sortSpec.nonEmpty && sortOn)
         // expr(): sort keys may be expressions, not just columns
         // (reference insert_sorted_expression tests)
-        aligned0.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
-          if (ord == "desc") expr(e).desc else expr(e).asc
-        }: _*)
+        aligned0.sortWithinPartitions(
+          sortSpec.map((sortKey _).tupled): _*)
       else aligned0
 
     val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+      .filter(_.fields.nonEmpty) // RESET PARTITIONED BY → empty spec
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
       allCols = allCols)
@@ -896,12 +964,51 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       bytesPerRow = stats.fileSizeBytes.toDouble / stats.recordCount
     } yield math.max(1L, (target / bytesPerRow).toLong)
 
-  /** ALTER TABLE ... SET SORTED BY (reference ducklake_sort_data.cpp). */
-  def setSortedBy(table: String, exprs: Seq[(String, String)]): Unit = {
-    val t = resolve(table)
-    meta.setSortSpec(t.tableId,
+  /** stored (expression, order, nulls) sort key → Spark sort Column,
+    * honoring the catalog's null order (DuckDB defaults NULLS LAST; Spark
+    * defaults nulls-first-for-asc, so the explicit form matters). */
+  private def sortKey(e: String, ord: String, nulls: String): Column =
+    (ord, nulls) match {
+      case ("desc", "nulls_first") => expr(e).desc_nulls_first
+      case ("desc", _) => expr(e).desc_nulls_last
+      case (_, "nulls_first") => expr(e).asc_nulls_first
+      case _ => expr(e).asc_nulls_last
+    }
+
+  /** ALTER TABLE ... SET SORTED BY (reference ducklake_sort_data.cpp).
+    * DuckDB's default null order is NULLS LAST. */
+  def setSortedBy(table: String, exprs: Seq[(String, String)]): Unit =
+    setSortedByFull(table,
       exprs.map { case (e, ord) => (e, ord, "nulls_last") })
+
+  /** SET SORTED BY with explicit null order per key. Sort expressions are
+    * validated against the table's schema up front (reference
+    * insert_sorted_expression: invalid expressions fail at SET time, not
+    * at the next insert). */
+  def setSortedByFull(table: String,
+      exprs: Seq[(String, String, String)]): Unit = {
+    val t = resolve(table)
+    exprs.foreach { case (e, _, _) =>
+      try this.table(table).select(expr(e)).queryExecution.analyzed
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"invalid sort expression '$e' for $table: ${ex.getMessage}")
+      }
+    }
+    meta.setSortSpec(t.tableId, exprs)
   }
+
+  /** ALTER TABLE ... RESET SORTED BY: subsequent inserts / compactions no
+    * longer sort (reference reset_sorted family — an empty spec entry,
+    * not a deleted one, so time travel sees the change). */
+  def resetSortedBy(table: String): Unit =
+    meta.setSortSpec(resolve(table).tableId, Nil)
+
+  /** ALTER TABLE ... RESET PARTITIONED BY (reference
+    * partitioning/reset.test): new writes are unpartitioned. */
+  def resetPartitionedBy(table: String): Unit =
+    meta.setPartitionSpec(resolve(table).tableId, Nil): Unit
 
   def setCommitMessage(author: String, message: String): Unit =
     meta.setCommitMessage(author, message)
@@ -2317,9 +2424,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val one = rows.coalesce(1)
       val shaped =
         if (sortSpec.isEmpty) one
-        else one.sortWithinPartitions(sortSpec.map { case (e, ord, _) =>
-          if (ord == "desc") expr(e).desc else expr(e).asc
-        }: _*)
+        else one.sortWithinPartitions(
+          sortSpec.map((sortKey _).tupled): _*)
       val merged = writeAndCollectPlain(name, shaped)
       val statsFiles = statsFor(merged, cols, allCols = allCols)
         .copy(partitionValues = pv, hasRowIds = true)

@@ -56,6 +56,16 @@ private[catalog] object LakeSql {
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+SET\s+NOT\s+NULL\s*$""".r
   private val DropNotNull =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+ALTER\s+(?:COLUMN\s+)?([\w$]+)\s+DROP\s+NOT\s+NULL\s*$""".r
+  private val SetSortedBy =
+    """(?is)^ALTER\s+TABLE\s+([\w$.]+)\s+SET\s+SORTED\s+BY\s*\((.+)\)\s*$""".r
+  private val ResetSortedBy =
+    """(?is)^ALTER\s+TABLE\s+([\w$.]+)\s+RESET\s+SORTED\s+BY\s*;?\s*$""".r
+  private val SetPartitionedBy =
+    """(?is)^ALTER\s+TABLE\s+([\w$.]+)\s+SET\s+PARTITIONED\s+BY\s*\((.+)\)\s*$""".r
+  private val ResetPartitionedBy =
+    """(?is)^ALTER\s+TABLE\s+([\w$.]+)\s+RESET\s+PARTITIONED\s+BY\s*;?\s*$""".r
+  private val CommentOn =
+    """(?is)^COMMENT\s+ON\s+(TABLE|VIEW|COLUMN)\s+([\w$.]+)\s+IS\s+(.+?)\s*$""".r
   private val Call =
     """(?is)^CALL\s+(?:ducklake[._])?(\w+)\s*\(([^)]*)\)\s*$""".r
   private val CreateSecret =
@@ -242,6 +252,73 @@ private[catalog] object LakeSql {
         lake.dropNotNull(tbl, colName); count(0L)
       }
 
+      // SET SORTED BY (expr [ASC|DESC] [NULLS FIRST|LAST], ...) — sort
+      // keys may be arbitrary expressions (reference sorted_table family,
+      // incl. st_hilbert space-filling-curve sorting)
+      case SetSortedBy(tbl, keys) => Some {
+        val parsed = splitTop(keys).map { k0 =>
+          var k = k0.trim
+          var nulls = "nulls_last" // DuckDB default
+          val nm = "(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r
+          nm.findFirstMatchIn(k).foreach { m =>
+            nulls = s"nulls_${m.group(1).toLowerCase(Locale.ROOT)}"
+            k = k.substring(0, m.start).trim
+          }
+          var ord = "asc"
+          val om = "(?is)\\s+(ASC|DESC)\\s*$".r
+          om.findFirstMatchIn(k).foreach { m =>
+            ord = m.group(1).toLowerCase(Locale.ROOT)
+            k = k.substring(0, m.start).trim
+          }
+          (k, ord, nulls)
+        }
+        lake.setSortedByFull(tbl, parsed); count(0L)
+      }
+      case ResetSortedBy(tbl) => Some { lake.resetSortedBy(tbl); count(0L) }
+
+      // SET PARTITIONED BY (bucket(4, k), year(ts), col, ...) — bare
+      // column = identity (reference partitioning family)
+      case SetPartitionedBy(tbl, keys) => Some {
+        val Fn = """(?is)^(\w+)\s*\(\s*(.+?)\s*\)$""".r
+        val specs = splitTop(keys).map(_.trim).map {
+          case Fn(fn, args) => fn.toLowerCase(Locale.ROOT) match {
+            case "bucket" => splitTop(args).map(_.trim) match {
+              case Seq(w, colName) => (colName, s"bucket($w)")
+              case other => throw new IllegalArgumentException(
+                s"bucket(width, column) expects 2 args, got $other")
+            }
+            case t @ ("year" | "month" | "day" | "hour") => (args.trim, t)
+            case other => throw new IllegalArgumentException(
+              s"unknown partition transform $other")
+          }
+          case colName => (colName, "identity")
+        }
+        lake.setPartitionedBy(tbl, specs); count(0L)
+      }
+      case ResetPartitionedBy(tbl) => Some {
+        lake.resetPartitionedBy(tbl); count(0L)
+      }
+
+      // COMMENT ON TABLE/VIEW/COLUMN ... IS 'text' | NULL (reference
+      // comments family; stored as versioned 'comment' tags)
+      case CommentOn(kind, target, v) => Some {
+        val value =
+          if (v.trim.equalsIgnoreCase("NULL")) null else stripQuotes(v.trim)
+        if (kind.equalsIgnoreCase("COLUMN")) {
+          val segs = target.split("\\.")
+          require(segs.length >= 2, s"COMMENT ON COLUMN needs table.column")
+          // first segment is the table; a leading schema qualifier falls
+          // back to schema.table when no table of that name exists
+          try lake.commentOnColumn(segs.head, segs.tail.mkString("."), value)
+          catch {
+            case _: IllegalArgumentException if segs.length >= 3 =>
+              lake.commentOnColumn(segs.take(2).mkString("."),
+                segs.drop(2).mkString("."), value)
+          }
+        } else lake.commentOn(target, value)
+        count(0L)
+      }
+
       case Merge(tbl, tgtAliasOpt, usingPart, onPart, whenPart) => Some {
         val (source, srcAlias) = parseUsing(usingPart, runQuery)
         val onKey = parseOnKey(onPart)
@@ -388,16 +465,25 @@ private[catalog] object LakeSql {
     val t = base.trim
     val parsed = t match {
       case GeomRe(name) => Lake.geometryField(stripIdent(name))
-      case _ if "(?i)\\bGEOMETRY\\b".r.findFirstIn(t).isDefined =>
-        // name = first identifier; the rest is the (nested) type text
+      case _ if "(?i)(\\bGEOMETRY\\b|\\bSTRUCT\\s*\\(|\\bMAP\\s*\\(|\\[\\s*\\])"
+          .r.findFirstIn(t).isDefined =>
+        // DuckDB nested type syntax (STRUCT(...) / T[] / MAP(...)) or a
+        // lake-level type — name = first identifier, rest = type text
         val cut = t.indexWhere(Character.isWhitespace)
         require(cut > 0, s"cannot parse column definition: $d")
         Lake.typedField(stripIdent(t.substring(0, cut)),
           lakeTypeOf(t.substring(cut + 1).trim))
-      case _ => StructType.fromDDL(base).head
+      case _ => StructType.fromDDL(duckTypeAliases(base)).head
     }
     (parsed.copy(nullable = !notNull), default)
   }
+
+  /** DuckDB spellings Spark's DDL parser rejects: bare VARCHAR (no
+    * length), TEXT, BLOB. VARCHAR(n) stays — Spark accepts it. */
+  private def duckTypeAliases(s: String): String = s
+    .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+    .replaceAll("(?i)\\bTEXT\\b", "STRING")
+    .replaceAll("(?i)\\bBLOB\\b", "BINARY")
 
   /** DuckDB-style type text → lake type string (only used when GEOMETRY
     * appears somewhere inside — plain types go through Spark's parser). */

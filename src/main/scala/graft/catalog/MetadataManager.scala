@@ -2322,17 +2322,51 @@ class MetadataManager(val jdbcUrl: String,
   }
 
   /** comments/tags on catalog objects (ducklake_tag). */
+  /** `value = null` clears the tag (COMMENT ON ... IS NULL). */
   def setTag(objectId: Long, key: String, value: String): Unit =
     withConn { c =>
       val snap = currentSnapshot(c).snapshotId
       exec(c,
         "UPDATE ducklake_tag SET end_snapshot = ? WHERE object_id = ? AND tag_key = ? AND end_snapshot IS NULL",
         Long.box(snap), Long.box(objectId), key)
-      exec(c,
+      if (value != null) exec(c,
         """INSERT INTO ducklake_tag (object_id, begin_snapshot, end_snapshot,
           |tag_key, tag_value) VALUES (?, ?, NULL, ?, ?)""".stripMargin,
         Long.box(objectId), Long.box(snap), key, value)
     }
+
+  /** per-column tags (ducklake_column_tag) — COMMENT ON COLUMN lives
+    * here under key 'comment' (reference comments/ tests); null clears. */
+  def setColumnTag(tableId: Long, columnId: Long, key: String,
+      value: String): Unit = withConn { c =>
+    val snap = currentSnapshot(c).snapshotId
+    exec(c,
+      "UPDATE ducklake_column_tag SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND tag_key = ? AND end_snapshot IS NULL",
+      Long.box(snap), Long.box(tableId), Long.box(columnId), key)
+    if (value != null) exec(c,
+      """INSERT INTO ducklake_column_tag (table_id, column_id,
+        |begin_snapshot, end_snapshot, tag_key, tag_value)
+        |VALUES (?, ?, ?, NULL, ?, ?)""".stripMargin,
+      Long.box(tableId), Long.box(columnId), Long.box(snap), key, value)
+  }
+
+  def getColumnTag(tableId: Long, columnId: Long,
+      key: String): Option[String] = withConn { c =>
+    query(c,
+      "SELECT tag_value FROM ducklake_column_tag WHERE table_id = ? AND column_id = ? AND tag_key = ? AND end_snapshot IS NULL",
+      Long.box(tableId), Long.box(columnId), key)(_.getString(1)).headOption
+  }
+
+  def viewIdByName(name: String, snapshotId: Long,
+      schema: String = "main"): Option[Long] = withConn { c =>
+    query(c,
+      """SELECT v.view_id FROM ducklake_view v
+        |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+        |WHERE v.view_name = ? AND s.schema_name = ? AND v.begin_snapshot <= ?
+        |  AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)""".stripMargin,
+      name, schema, Long.box(snapshotId), Long.box(snapshotId))(
+      _.getLong(1)).headOption
+  }
 
   def getTag(objectId: Long, key: String): Option[String] = withConn { c =>
     query(c,

@@ -287,6 +287,88 @@ object GeoExtentStruct {
 }
 
 /** st_point(x, y): WKB point blob. */
+/** Hilbert space-filling-curve index (reference
+  * merge_adjacent_sorted_spatial_hilbert.test sorts compaction output by
+  * `st_hilbert(st_point(i, j))`). Two forms:
+  *
+  *   st_hilbert(geom)                               — WKB, global mapping
+  *   st_hilbert(geom, xmin, ymin, xmax, ymax)       — bounds-scaled
+  *
+  * Each coordinate maps to a 16-bit grid cell — with bounds by linear
+  * scaling, without by the order-preserving IEEE-754 bits trick (flip
+  * sign bit for positives, all bits for negatives; preserves < on all
+  * doubles incl. negatives) — then the standard d2xy walk interleaves
+  * them into one 32-bit curve position. Sorting by it clusters
+  * 2-D-nearby rows into the same files, which is what makes the per-file
+  * bbox stats prunable: after a Hilbert-sorted compaction each file
+  * covers a compact region instead of a slice of everything. */
+object Hilbert2D {
+  val Side = 1 << 16
+
+  /** order-preserving double → [0, 2^16) */
+  def gridGlobal(v: Double): Int = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    val key = if (bits >= 0) bits ^ Long.MinValue else ~bits
+    (key >>> 48).toInt // top 16 bits of the order-preserving key
+  }
+
+  def gridScaled(v: Double, lo: Double, hi: Double): Int =
+    if (hi <= lo) 0
+    else {
+      val f = (v - lo) / (hi - lo)
+      val c = (f * (Side - 1)).toInt
+      math.max(0, math.min(Side - 1, c))
+    }
+
+  /** standard Hilbert xy→d walk on a Side×Side grid */
+  def xy2d(xi: Int, yi: Int): Long = {
+    var x = xi; var y = yi; var d = 0L
+    var s = Side / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+case class StHilbert(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.size == 1 || children.size == 5,
+    "st_hilbert(geom) or st_hilbert(geom, xmin, ymin, xmax, ymax)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val g = children.head.eval(input)
+    if (g == null) return null
+    GeoWkb.extent(g.asInstanceOf[Array[Byte]]) match {
+      case Some(e) =>
+        // non-point geometries index by their bbox center, like the
+        // spatial extension's geometry overload
+        val cx = (e.xmin + e.xmax) / 2
+        val cy = (e.ymin + e.ymax) / 2
+        if (children.size == 5) {
+          val b = children.tail.map(_.eval(input))
+          if (b.contains(null)) return null
+          val Seq(xmin, ymin, xmax, ymax) =
+            b.map(v => v.asInstanceOf[Number].doubleValue())
+          Hilbert2D.xy2d(Hilbert2D.gridScaled(cx, xmin, xmax),
+            Hilbert2D.gridScaled(cy, ymin, ymax))
+        } else
+          Hilbert2D.xy2d(Hilbert2D.gridGlobal(cx), Hilbert2D.gridGlobal(cy))
+      case None => null
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+}
+
 case class StPoint(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
@@ -373,6 +455,16 @@ object GeoFunctions {
   def stPoint(x: Column, y: Column): Column =
     ColumnBridge.column(StPoint(
       cast(ColumnBridge.expr(x)), cast(ColumnBridge.expr(y))))
+
+  /** Hilbert curve index of a geometry (sort key for spatial
+    * clustering). */
+  def stHilbert(g: Column): Column =
+    ColumnBridge.column(StHilbert(Seq(ColumnBridge.expr(g))))
+  def stHilbert(g: Column, xmin: Column, ymin: Column,
+      xmax: Column, ymax: Column): Column =
+    ColumnBridge.column(StHilbert(
+      ColumnBridge.expr(g) +: Seq(xmin, ymin, xmax, ymax)
+        .map(c => cast(ColumnBridge.expr(c)))))
 
   /** Bounding-box intersection predicate (file-prunable with literal
     * bounds). */

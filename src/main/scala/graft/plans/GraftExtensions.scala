@@ -493,6 +493,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("st_point", classOf[graft.functions.StPoint]),
       (args: Seq[Expression]) => graft.functions.StPoint(
         Cast(args(0), DoubleType), Cast(args(1), DoubleType))))
+    e.injectFunction((FunctionIdentifier("st_hilbert"),
+      info("st_hilbert", classOf[graft.functions.StHilbert]),
+      (args: Seq[Expression]) => graft.functions.StHilbert(
+        args.head +: args.tail.map(Cast(_, DoubleType)))))
     e.injectFunction((FunctionIdentifier("st_bbox_intersects"),
       info("st_bbox_intersects", classOf[graft.functions.StBboxIntersects]),
       (args: Seq[Expression]) => graft.functions.StBboxIntersects(
