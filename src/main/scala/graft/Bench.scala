@@ -57,8 +57,6 @@ object Bench {
       // ingest naturally produces many ~100 MB files per table instead.)
       val n = math.max(1, math.min(32,
         math.ceil(Files.size(f) / (400.0 * 1024)).toInt))
-      if (t == "events") // TIMESTAMP(NANOS) column: see Tables.events
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(f.toString)
       val out = clusterKeys.get(t) match {
         case Some(k) if n > 1 =>

@@ -24,22 +24,21 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long (legacy nanosAsLong) and truncate to µs,
-    * matching DuckDB's ns→µs semantics for every grain we query at. */
+  /** events.ts is parquet timestamp[us] (no tz annotation). Force a
+    * TIMESTAMP (LTZ) read — the micros on disk are taken as UTC instants
+    * verbatim, no adjustment — so every downstream `unix_micros` /
+    * `date_format` / `window` keeps the exact semantics the oracles were
+    * written against (DuckDB reads the same column as TIMESTAMP and
+    * `epoch_us` agrees bit-for-bit). */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
-  }
-  /** events with `ts` left as the raw TIMESTAMP(NANOS) long — for
-    * queries that bucket time arithmetically (one integer op per row
-    * beats a per-row timestamp conversion; the conversion then runs on
-    * the handful of group keys after the agg). */
-  def eventsRawNanos: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
+    val path = s"$sfDir/events.parquet"
+    val inferred = Tables.schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val schema = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "ts")
+        f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+      else f))
+    spark.read.schema(schema).parquet(path)
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

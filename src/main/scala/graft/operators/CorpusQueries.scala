@@ -472,9 +472,8 @@ object CorpusQueries extends QueryPack {
     * streaming operator itself oracle-checkable. */
   private def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
@@ -482,7 +481,6 @@ object CorpusQueries extends QueryPack {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
     // huge watermark delay: no-data batches then never fire event-time
     // timeouts, so output is EXACTLY the gap-closed sessions ("all but
     // each user's last") — the deterministic set the oracle computes.
@@ -554,9 +552,8 @@ object CorpusQueries extends QueryPack {
     * bounded by the dedup horizon. */
   private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sdd")

@@ -421,9 +421,8 @@ object PipelineQueries extends QueryPack {
     * SQL, i.e. streaming/batch equivalence is the check. */
   private def streamWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file-stream source wants a directory: expose the single events file
@@ -434,7 +433,6 @@ object PipelineQueries extends QueryPack {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -464,9 +462,8 @@ object PipelineQueries extends QueryPack {
     * against batch SQL over the source. */
   private def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
@@ -474,7 +471,6 @@ object PipelineQueries extends QueryPack {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))"))
     val work = java.nio.file.Files.createTempDirectory("graft-ingest")
     val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
     lake.createTable("ev", stream.schema)

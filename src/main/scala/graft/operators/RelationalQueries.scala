@@ -406,19 +406,20 @@ object RelationalQueries extends QueryPack {
   /** Date/time bucketing over the events table (hourly rollup). */
   private def qDateTrunc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // Bucket on the RAW nanos long (one integer division per row — no
-    // per-row timestamp conversion at all), aggregate on the 8-byte
-    // bucket, and only then convert + render the ~3k group keys. The
-    // shuffle carries longs, not 19-byte strings. Hour buckets divide
-    // evenly in UTC nanos, so this is exactly date_trunc('hour', ts).
-    val nsPerHour = 3600L * 1000000000L
-    t.eventsRawNanos
-      .groupBy(expr(s"CAST(ts AS BIGINT) DIV ${nsPerHour}L").as("hr_bucket"),
+    // Bucket on the raw micros long (`unix_micros` is a zero-cost codegen
+    // extraction of the timestamp's internal long; the DIV is one integer
+    // op per row), aggregate on the 8-byte bucket, and only then convert
+    // + render the ~3k group keys. The shuffle carries longs, not 19-byte
+    // strings. Hour buckets divide evenly in UTC micros, so this is
+    // exactly date_trunc('hour', ts).
+    val usPerHour = 3600L * 1000000L
+    t.events
+      .groupBy(expr(s"unix_micros(ts) DIV ${usPerHour}L").as("hr_bucket"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         lsum(sl2(col("value")), 100.0).as("total_value"))
       .select(
-        date_format(timestamp_micros(col("hr_bucket") * (nsPerHour / 1000L)),
+        date_format(timestamp_micros(col("hr_bucket") * usPerHour),
           "yyyy-MM-dd HH:mm:ss").as("hr"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hr"), col("event_type"))
