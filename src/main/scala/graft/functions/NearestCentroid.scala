@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Argmin-distance centroid assignment for the k-means operator: given a
+  * 1e6-scaled long-array embedding (see
+  * [[graft.operators.Similarity.scaled]]), returns the 0-based index of
+  * the nearest centroid by squared L2 distance, ties broken toward the
+  * smaller index.
+  *
+  * All-integer arithmetic — a 64-dim squared distance of ±2e6-scaled
+  * component deltas is ≤ ~2.6e14, comfortably inside a long — so the
+  * assignment is bit-identical to the DuckDB oracle's unrolled-CTE
+  * computation. One fused codegen'd loop over k·dim per row keeps the
+  * whole assignment stage inside WholeStageCodegen (the k×N
+  * candidate-join formulation would leave it). Centroids ride along as a
+  * broadcast-style reference object in the generated code, not a literal
+  * — k·dim longs of plan metadata per round. */
+case class NearestCentroid(child: Expression,
+    centroids: Array[Array[Long]]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroidOps.assign(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NearestCentroidOps.assign($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+object NearestCentroidOps {
+  def assign(v: ArrayData, centroids: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestDist = Long.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var d = 0L
+      var i = 0
+      while (i < c.length) {
+        val x = v.getLong(i) - c(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestDist) { bestDist = d; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+object NearestCentroidFunctions {
+  def nearestCentroid(scaledVec: Column,
+      centroids: Array[Array[Long]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expr(scaledVec), centroids))
+}

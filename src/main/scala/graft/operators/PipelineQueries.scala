@@ -487,6 +487,111 @@ object PipelineQueries extends QueryPack {
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- k-means
+
+  /** Distributed k-means assignment ([[Similarity.kMeans]]): integer
+    * centroids + long squared-L2 make every Lloyd round bit-reproducible,
+    * so the DuckDB oracle replays all three rounds as unrolled CTEs and
+    * the final 500-row assignment hash-matches exactly. */
+  private def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.kMeans(e, "vec_id", "embedding", k = 8, iters = 3)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** one unrolled Lloyd round: assign to nearest centroid (argmin long
+    * squared-L2, ties to smaller cluster), then integer-mean update with
+    * empty clusters carrying the previous centroid */
+  private def kmeansRoundSql(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, cl FROM (
+       |  SELECT s.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY list_aggregate(list_transform(list_zip(s.v, c.cv),
+       |      q -> (q[1]-q[2])*(q[1]-q[2])), 'sum'), c.cl) AS rn
+       |  FROM s, $prev c) t WHERE rn = 1),
+       |e$i AS (SELECT a.cl, unnest(range(1, len(s.v)+1)) AS idx,
+       |               unnest(s.v) AS val
+       |        FROM a$i a JOIN s USING (vec_id)),
+       |g$i AS (SELECT cl, idx, SUM(val) AS sv, COUNT(*) AS n
+       |        FROM e$i GROUP BY cl, idx),
+       |n$i AS (SELECT cl, list(CAST(CASE WHEN sv >= 0
+       |          THEN (2*sv + n) // (2*n)
+       |          ELSE -((-2*sv + n) // (2*n)) END AS BIGINT)
+       |          ORDER BY idx) AS cv
+       |        FROM g$i GROUP BY cl),
+       |c$i AS (SELECT p.cl, COALESCE(n$i.cv, p.cv) AS cv
+       |        FROM $prev p LEFT JOIN n$i USING (cl))""".stripMargin
+
+  /** the final assignment `af` uses the POST-round-3 centroids c3 —
+    * matching [[Similarity.kMeans]], which labels with the centroids as
+    * updated by the last Lloyd round */
+  private val kmeansChainSql =
+    s"""WITH s AS (SELECT vec_id, $scaledSqlFrag AS v FROM embeddings),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       |       FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 8) t),
+       |${kmeansRoundSql(1, "c0")},
+       |${kmeansRoundSql(2, "c1")},
+       |${kmeansRoundSql(3, "c2")},
+       |af AS (SELECT vec_id, cl FROM (
+       |  SELECT s.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY list_aggregate(list_transform(list_zip(s.v, c.cv),
+       |      q -> (q[1]-q[2])*(q[1]-q[2])), 'sum'), c.cl) AS rn
+       |  FROM s, c3 c) t WHERE rn = 1)""".stripMargin
+
+  private val embedKmeansSql =
+    s"""$kmeansChainSql
+       |SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+       |FROM af ORDER BY vec_id""".stripMargin
+
+  /** Cluster representatives ([[Similarity.clusterMedoids]]): one member
+    * per k-means cluster, nearest the final centroid by integer distance
+    * — the diversity-sampling primitive. */
+  private def embedMedoids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.clusterMedoids(e, "vec_id", "embedding", k = 8, iters = 3)
+      .select(col("cluster").cast("long").as("cluster"), col("vec_id"))
+      .orderBy(col("cluster"))
+  }
+
+  private val embedMedoidsSql =
+    s"""$kmeansChainSql
+       |SELECT CAST(cl AS BIGINT) AS cluster, vec_id FROM (
+       |  SELECT a.cl, s.vec_id, ROW_NUMBER() OVER (PARTITION BY a.cl
+       |    ORDER BY list_aggregate(list_transform(list_zip(s.v, c3.cv),
+       |      q -> (q[1]-q[2])*(q[1]-q[2])), 'sum'), s.vec_id) AS rn
+       |  FROM af a JOIN s USING (vec_id) JOIN c3 ON a.cl = c3.cl) t
+       |WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
+    * k-means blocks the pair space, the exact scaled cosine refines; the
+    * oracle replays the clustering chain and the within-cluster pair
+    * join. */
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // τ=0.40 sits inside the synthetic corpus's similarity range (top
+    // pairwise cosine ≈0.51), so the dedup actually prunes (~24 of 500)
+    Similarity.semanticDedup(e, "vec_id", "embedding", k = 8, iters = 3,
+      threshold = 0.40)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupSql =
+    s"""$kmeansChainSql,
+       |pp AS (SELECT b.vec_id AS ib,
+       |  CAST(list_aggregate(list_transform(list_zip(sa.v, sb.v),
+       |       q -> q[1] * q[2]), 'sum') AS DOUBLE)
+       |  / (SQRT(CAST(list_aggregate(list_transform(sa.v, x -> x*x), 'sum') AS DOUBLE))
+       |   * SQRT(CAST(list_aggregate(list_transform(sb.v, x -> x*x), 'sum') AS DOUBLE)))
+       |  AS score
+       |  FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  JOIN s sa ON sa.vec_id = a.vec_id
+       |  JOIN s sb ON sb.vec_id = b.vec_id),
+       |drp AS (SELECT DISTINCT ib FROM pp WHERE score > 0.40)
+       |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster FROM af a
+       |WHERE a.vec_id NOT IN (SELECT ib FROM drp)
+       |ORDER BY a.vec_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", textLangId, Some(textLangIdSql)),
@@ -502,6 +607,9 @@ object PipelineQueries extends QueryPack {
     QueryDef("embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("embed_lsh_topk", embedLshTopK, Some(annTopKSql)),
     QueryDef("embed_ivf_topk", embedIvfTopK, Some(annTopKSql)),
+    QueryDef("embed_kmeans", embedKmeans, Some(embedKmeansSql)),
+    QueryDef("embed_medoids", embedMedoids, Some(embedMedoidsSql)),
+    QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode,

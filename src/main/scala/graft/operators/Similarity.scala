@@ -335,4 +335,119 @@ object Similarity {
         lit(0d), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** round-half-away-from-zero integer division (the centroid mean) —
+    * the exact formula the DuckDB oracle spells with `//`, so both
+    * engines derive bit-identical centroids every round */
+  @inline private def rdiv(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((-2 * s + n) / (2 * n))
+
+  /** Distributed k-means (Lloyd's) over an embedding column, fully
+    * deterministic and engine-reproducible: vectors are 1e6-scaled longs
+    * ([[scaled]]), centroids are integer component-wise means (round half
+    * away from zero), assignment is argmin squared-L2 in pure long
+    * arithmetic with ties to the smaller cluster id
+    * ([[graft.functions.NearestCentroid]] — one fused codegen loop, no
+    * k×N candidate join), and the init is the k smallest-id vectors. A
+    * DuckDB oracle can replay every round as unrolled CTEs and match the
+    * final assignment hash-exactly.
+    *
+    * Scale shape: each round is one map-side-combinable aggregation —
+    * posexplode fans a row into `dim` (cluster, idx, val) entries but
+    * partial aggregation collapses them to k·dim rows PER PARTITION
+    * before the shuffle, and only k·dim aggregated rows reach the driver
+    * (centroids are metadata, like IVF's). Empty clusters keep their
+    * previous centroid. Returns (vec_id, cluster). */
+  def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): DataFrame =
+    kMeansModel(df, idCol, vecCol, k, iters)._2
+
+  /** [[kMeans]] plus the final integer centroids (k·dim longs — model
+    * metadata, like the IVF quantizer). */
+  def kMeansModel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): (Array[Array[Long]], DataFrame) = {
+    val s = df.select(col(idCol).as("vec_id"),
+      scaled(col(vecCol)).as("sv"))
+      .persist()
+    var centroids: Array[Array[Long]] = s.orderBy(col("vec_id")).limit(k)
+      .select(col("sv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(centroids.length == k,
+      s"k-means needs at least $k vectors, found ${centroids.length}")
+    for (_ <- 1 to iters) {
+      val assigned = s.withColumn("c",
+        graft.functions.NearestCentroidFunctions
+          .nearestCentroid(col("sv"), centroids))
+      val sums = assigned
+        .select(col("c"), posexplode(col("sv")).as(Seq("idx", "v")))
+        .groupBy(col("c"), col("idx"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            val c = old.clone()
+            rows.foreach(r => c(r.getInt(1)) = rdiv(r.getLong(2), r.getLong(3)))
+            c
+          case None => old // empty cluster: centroid carries over
+        }
+      }
+    }
+    val out = s.select(col("vec_id"),
+      graft.functions.NearestCentroidFunctions
+        .nearestCentroid(col("sv"), centroids).as("cluster"))
+    s.unpersist()
+    (centroids, out)
+  }
+
+  /** Cluster representatives (diversity sampling): the member nearest its
+    * cluster's final centroid — integer distance, ties to the smaller
+    * vec_id — one per cluster. The window partitions by cluster id (k
+    * partitions; k is a model knob, so skew is bounded by design), and
+    * the distance is computed against the broadcast centroid literal —
+    * no second pass over the model fit. */
+  def clusterMedoids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val (cents, assigned) = kMeansModel(df, idCol, vecCol, k, iters)
+    val s = df.select(col(idCol).as("vec_id"),
+      scaled(col(vecCol)).as("sv")).join(assigned, "vec_id")
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val dist = aggregate(
+      zip_with(col("sv"), element_at(centLit, col("cluster") + 1),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("d"), col("vec_id"))
+    s.withColumn("d", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id"))
+  }
+
+  /** SemDeDup-style semantic dedup: cluster with [[kMeans]], then inside
+    * each cluster drop any vector that has a smaller-id neighbor with
+    * cosine above `threshold`. Deterministic single-pass variant of the
+    * greedy SemDeDup sweep (a dropped vector can still shadow later ids —
+    * strictly more aggressive, and expressible as one equi-join).
+    * Pairwise work is cluster-blocked: the join key is the cluster id, so
+    * the plan carries no cross product and at 100 TB the pair volume is
+    * bounded by the largest cluster (pick k accordingly — the same knob
+    * SemDeDup itself exposes). Returns the KEPT rows (vec_id, cluster). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, threshold: Double = 0.95): DataFrame = {
+    val assigned = kMeans(df, idCol, vecCol, k, iters)
+    val s = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+      .join(assigned, "vec_id")
+    val a = s.select(col("cluster"), col("vec_id").as("id_a"),
+      col("sv").as("sv_a"))
+    val b = s.select(col("cluster"), col("vec_id").as("id_b"),
+      col("sv").as("sv_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineScaled(col("sv_a"), col("sv_b")) > threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    s.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
 }

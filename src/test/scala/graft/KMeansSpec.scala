@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the deterministic k-means / semantic-dedup
+  * operators (the hash-exact cross-engine check is the driver's
+  * `embed_kmeans` / `semantic_dedup` oracles). */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables(spark, dir).embeddings
+
+  test("kMeans: deterministic, total, every cluster id in range") {
+    val a1 = Similarity.kMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val a2 = Similarity.kMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val n = emb.count()
+    assert(a1.count() === n) // total assignment: every vector labeled
+    assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty,
+      "same input must produce the identical assignment")
+    val cls = a1.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cls.forall(c => c >= 0 && c < 4))
+  }
+
+  test("kMeans iterations reduce (never increase) total sq distance") {
+    // Lloyd's monotonicity survives the integer rounding only
+    // approximately, but 1 → 3 rounds must not make the clustering
+    // worse on well-separated synthetic data: compare within-cluster
+    // mean pairwise cosine (higher = tighter clusters).
+    def tightness(iters: Int): Double = {
+      val a = Similarity.kMeans(emb, "vec_id", "embedding", 4, iters)
+      val s = emb.select(col("vec_id"),
+        Similarity.scaled(col("embedding")).as("sv")).join(a, "vec_id")
+      val l = s.select(col("cluster"), col("vec_id").as("ia"),
+        col("sv").as("sa"))
+      val r = s.select(col("cluster"), col("vec_id").as("ib"),
+        col("sv").as("sb"))
+      l.join(r, Seq("cluster")).filter(col("ia") < col("ib"))
+        .agg(avg(Similarity.cosineScaled(col("sa"), col("sb"))))
+        .head().getDouble(0)
+    }
+    assert(tightness(3) >= tightness(1) - 1e-9)
+  }
+
+  test("clusterMedoids: one representative per non-empty cluster, " +
+      "and it is a member of its own cluster") {
+    val m = Similarity.clusterMedoids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val assigned = Similarity.kMeans(emb, "vec_id", "embedding", 4, 2)
+    val rows = m.collect()
+    assert(rows.map(_.getInt(0)).distinct.length === rows.length,
+      "at most one medoid per cluster")
+    val sizes = assigned.groupBy("cluster").count().count()
+    assert(rows.length === sizes.toInt,
+      "exactly one medoid per non-empty cluster")
+    // each medoid is assigned to the cluster it represents
+    val joined = m.join(assigned, "vec_id")
+      .filter(m("cluster") =!= assigned("cluster")).count()
+    assert(joined === 0)
+  }
+
+  test("semanticDedup: kept/dropped partition is exactly the shadow rule") {
+    val tau = 0.40
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = tau)
+    val assigned = Similarity.kMeans(emb, "vec_id", "embedding", 4, 2)
+    val s = emb.select(col("vec_id"),
+      Similarity.scaled(col("embedding")).as("sv")).join(assigned, "vec_id")
+    val a = s.select(col("cluster"), col("vec_id").as("ia"),
+      col("sv").as("sa"))
+    val b = s.select(col("cluster"), col("vec_id").as("ib"),
+      col("sv").as("sb"))
+    val shadowed = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(Similarity.cosineScaled(col("sa"), col("sb")) > tau)
+      .select(col("ib").as("vec_id")).distinct()
+    // kept = all − shadowed, exactly
+    val expectKept = assigned.join(shadowed, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cluster")
+    assert(kept.select("vec_id", "cluster").except(expectKept).isEmpty)
+    assert(expectKept.except(kept.select("vec_id", "cluster")).isEmpty)
+    // a planted exact copy is always dropped (cosine 1 > any τ)
+    val withCopy = emb.unionByName(
+      emb.filter(col("vec_id") === 1).withColumn("vec_id", lit(999999L)))
+    val kept2 = Similarity.semanticDedup(withCopy, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = tau)
+    assert(kept2.filter(col("vec_id") === 999999L).isEmpty,
+      "an exact duplicate embedding must be dropped")
+  }
+}
