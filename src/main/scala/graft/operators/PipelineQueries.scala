@@ -562,6 +562,68 @@ object PipelineQueries extends QueryPack {
        |  FROM af a JOIN s USING (vec_id) JOIN c3 ON a.cl = c3.cl) t
        |WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** Product-quantization codes ([[Similarity.pqEncode]]): 4 subspaces
+    * of 16 dims, 8-centroid codebook each, 2 Lloyd rounds — the oracle
+    * generates the per-subspace k-means chain (same unrolled-CTE
+    * machinery, suffixed names over sliced vectors) and joins the four
+    * final assignments. */
+  private def pqEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqEncode(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  /** suffixed k-means CTE chain over source CTE `s$sfx` (vec_id, v):
+    * init c0$sfx (k smallest ids), `iters` Lloyd rounds, final
+    * assignment af$sfx against the post-update centroids */
+  private def kmeansCtes(sfx: String, k: Int, iters: Int): String = {
+    def assignSql(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, cl FROM (
+         |  SELECT s.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY list_aggregate(list_transform(list_zip(s.v, c.cv),
+         |      q -> (q[1]-q[2])*(q[1]-q[2])), 'sum'), c.cl) AS rn
+         |  FROM s$sfx s, $cents c) t WHERE rn = 1)""".stripMargin
+    def roundSql(i: Int, prev: String): String =
+      s"""${assignSql(s"a$i$sfx", prev)},
+         |e$i$sfx AS (SELECT a.cl, unnest(range(1, len(s.v)+1)) AS idx,
+         |               unnest(s.v) AS val
+         |        FROM a$i$sfx a JOIN s$sfx s USING (vec_id)),
+         |g$i$sfx AS (SELECT cl, idx, SUM(val) AS sv, COUNT(*) AS n
+         |        FROM e$i$sfx GROUP BY cl, idx),
+         |n$i$sfx AS (SELECT cl, list(CAST(CASE WHEN sv >= 0
+         |          THEN (2*sv + n) // (2*n)
+         |          ELSE -((-2*sv + n) // (2*n)) END AS BIGINT)
+         |          ORDER BY idx) AS cv
+         |        FROM g$i$sfx GROUP BY cl),
+         |c$i$sfx AS (SELECT p.cl, COALESCE(n$i$sfx.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN n$i$sfx USING (cl))""".stripMargin
+    val init =
+      s"""c0$sfx AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+         |       v AS cv
+         |       FROM (SELECT vec_id, v FROM s$sfx ORDER BY vec_id
+         |             LIMIT $k) t)""".stripMargin
+    val rounds = (1 to iters).map(i => roundSql(i, s"c${i - 1}$sfx"))
+    (Seq(init) ++ rounds :+ assignSql(s"af$sfx", s"c$iters$sfx"))
+      .mkString(",\n")
+  }
+
+  private val pqEncodeSql = {
+    val (m, sub, k, iters) = (4, 16, 8, 2)
+    val subs = (0 until m).map { j =>
+      s"""s_$j AS (SELECT vec_id, v[${j * sub + 1}:${(j + 1) * sub}] AS v
+         |       FROM base),
+         |${kmeansCtes(s"_$j", k, iters)}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m)
+      .map(j => s"CAST(af_$j.cl AS BIGINT) AS code$j").mkString(", ")
+    val joins = (0 until m)
+      .map(j => s"JOIN af_$j ON af_$j.vec_id = base.vec_id").mkString(" ")
+    s"""WITH base AS (SELECT vec_id, $scaledSqlFrag AS v FROM embeddings),
+       |$subs
+       |SELECT base.vec_id, $codeCols
+       |FROM base $joins ORDER BY base.vec_id""".stripMargin
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * k-means blocks the pair space, the exact scaled cosine refines; the
     * oracle replays the clustering chain and the within-cluster pair
@@ -609,6 +671,7 @@ object PipelineQueries extends QueryPack {
     QueryDef("embed_ivf_topk", embedIvfTopK, Some(annTopKSql)),
     QueryDef("embed_kmeans", embedKmeans, Some(embedKmeansSql)),
     QueryDef("embed_medoids", embedMedoids, Some(embedMedoidsSql)),
+    QueryDef("pq_encode", pqEncodeQ, Some(pqEncodeSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),

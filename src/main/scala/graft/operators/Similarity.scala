@@ -425,6 +425,34 @@ object Similarity {
       .select(col("cluster"), col("vec_id"))
   }
 
+  /** Product-quantization encode: split the embedding into `m` equal
+    * subspaces, fit a deterministic [[kMeansModel]] codebook per
+    * subspace, and emit each vector's per-subspace nearest-centroid code
+    * — the standard 64× compression step for billion-vector ANN (codes
+    * are m small ints instead of dim floats). Training is m bounded
+    * k-means fits (codebooks are model metadata); encoding is ONE
+    * map-only projection with m fused codegen argmins over array slices
+    * — no join, no shuffle, so the encode pass streams at scan speed
+    * over any corpus size. Same integer arithmetic as [[kMeans]], so a
+    * DuckDB oracle replays all m chains and matches the codes exactly.
+    * Returns (vec_id, code0 … code{m-1}). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codebooks = (0 until m).map { j =>
+      kMeansModel(df.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as("emb")),
+        idCol, "emb", k, iters)._1
+    }
+    val s = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+    s.select(col("vec_id") +: (0 until m).map(j =>
+      graft.functions.NearestCentroidFunctions.nearestCentroid(
+        slice(col("sv"), j * sub + 1, sub), codebooks(j))
+        .cast("long").as(s"code$j")): _*)
+  }
+
   /** SemDeDup-style semantic dedup: cluster with [[kMeans]], then inside
     * each cluster drop any vector that has a smaller-id neighbor with
     * cosine above `threshold`. Deterministic single-pass variant of the

@@ -62,6 +62,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(joined === 0)
   }
 
+  test("pqEncode: total, in-range, deterministic; exact copies share codes") {
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2)
+    assert(codes.count() === emb.count())
+    assert(codes.columns.toSeq === Seq("vec_id", "code0", "code1",
+      "code2", "code3"))
+    (0 to 3).foreach { j =>
+      val mx = codes.agg(max(col(s"code$j")), min(col(s"code$j"))).head()
+      assert(mx.getLong(0) < 8 && mx.getLong(1) >= 0)
+    }
+    // an exact duplicate vector must encode to the identical code word
+    val withCopy = emb.unionByName(
+      emb.filter(col("vec_id") === 7).withColumn("vec_id", lit(888888L)))
+    val c2 = Similarity.pqEncode(withCopy, "vec_id", "embedding", 4, 8, 2)
+    val orig = c2.filter(col("vec_id") === 7).drop("vec_id").head()
+    val copy = c2.filter(col("vec_id") === 888888L).drop("vec_id").head()
+    assert(orig === copy)
+  }
+
   test("semanticDedup: kept/dropped partition is exactly the shadow rule") {
     val tau = 0.40
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
