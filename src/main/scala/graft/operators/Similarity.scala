@@ -437,7 +437,14 @@ object Similarity {
     * DuckDB oracle replays all m chains and matches the codes exactly.
     * Returns (vec_id, code0 … code{m-1}). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+      m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame =
+    pqModel(df, idCol, vecCol, m, k, iters)._2
+
+  /** [[pqEncode]] plus the per-subspace codebooks (m·k·subDim longs —
+    * model metadata). */
+  def pqModel(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 8, iters: Int = 2)
+      : (Seq[Array[Array[Long]]], DataFrame) = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -447,10 +454,47 @@ object Similarity {
         idCol, "emb", k, iters)._1
     }
     val s = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
-    s.select(col("vec_id") +: (0 until m).map(j =>
+    val codes = s.select(col("vec_id") +: (0 until m).map(j =>
       graft.functions.NearestCentroidFunctions.nearestCentroid(
         slice(col("sv"), j * sub + 1, sub), codebooks(j))
         .cast("long").as(s"code$j")): _*)
+    (codebooks, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query is scaled
+    * and sliced once on the driver, a k-entry squared-distance lookup
+    * table per subspace is precomputed against the FINAL codebooks, and
+    * each encoded vector's approximate distance is m literal-array
+    * lookups + a sum — a map-only scoring pass feeding
+    * TakeOrderedAndProject, the plan shape that scans compressed codes
+    * instead of raw floats at 100 TB (the whole point of PQ). Integer
+    * distances → deterministic, oracle-exact ranking (ties to the
+    * smaller vec_id). */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], topK: Int,
+      m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (codebooks, codes) = pqModel(df, idCol, vecCol, m, k, iters)
+    val sub = queryVec.length / m
+    val sq = queryVec.map(graft.functions.ScaledCosineOps.sc)
+    val luts: Seq[Seq[Long]] = (0 until m).map { j =>
+      codebooks(j).toSeq.map { cent =>
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val x = sq(j * sub + i) - cent(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val dist = (0 until m).map(j =>
+      element_at(typedLit(luts(j)), (col(s"code$j") + 1).cast("int")))
+      .reduce(_ + _)
+    codes.withColumn("adist", dist)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("adist"))
   }
 
   /** SemDeDup-style semantic dedup: cluster with [[kMeans]], then inside

@@ -81,6 +81,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(orig === copy)
   }
 
+  test("pqAdcTopK: top-k shape, sorted distances, copy-of-query minimizes") {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val base = emb.filter(col("vec_id") =!= 0)
+    val top = Similarity.pqAdcTopK(base, "vec_id", "embedding", qv,
+      topK = 10, m = 4, k = 8, iters = 2).collect()
+    assert(top.length === 10)
+    assert(top.map(_.getLong(0)).distinct.length === 10)
+    val dists = top.map(_.getLong(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    // an exact copy of the query vector is assigned, per subspace, to the
+    // centroid nearest the query — its ADC distance is the global minimum
+    val withCopy = base.unionByName(
+      emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(777777L)))
+    val top2 = Similarity.pqAdcTopK(withCopy, "vec_id", "embedding", qv,
+      topK = withCopy.count().toInt, m = 4, k = 8, iters = 2).collect()
+    val copyDist = top2.find(_.getLong(0) == 777777L).get.getLong(1)
+    assert(top2.forall(_.getLong(1) >= copyDist))
+  }
+
   test("semanticDedup: kept/dropped partition is exactly the shadow rule") {
     val tau = 0.40
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
