@@ -9,19 +9,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Argmin-distance centroid assignment for the k-means operator: given a
-  * 1e6-scaled long-array embedding (see
-  * [[graft.operators.Similarity.scaled]]), returns the 0-based index of
-  * the nearest centroid by squared L2 distance, ties broken toward the
-  * smaller index.
+  * raw float-array embedding, scales each component to a 1e6 long
+  * ([[ScaledCosineOps.sc]], the same rounding as
+  * [[graft.operators.Similarity.scaled]]) INSIDE the loop and returns
+  * the 0-based index of the nearest centroid by squared L2 distance,
+  * ties broken toward the smaller index.
   *
   * All-integer arithmetic — a 64-dim squared distance of ±2e6-scaled
   * component deltas is ≤ ~2.6e14, comfortably inside a long — so the
   * assignment is bit-identical to the DuckDB oracle's unrolled-CTE
-  * computation. One fused codegen'd loop over k·dim per row keeps the
-  * whole assignment stage inside WholeStageCodegen (the k×N
-  * candidate-join formulation would leave it). Centroids ride along as a
-  * broadcast-style reference object in the generated code, not a literal
-  * — k·dim longs of plan metadata per round. */
+  * computation. Taking the FLOAT array (not a pre-scaled long array)
+  * matters: the scaling would otherwise be a `transform` higher-order
+  * function, which is not codegen-supported and would drop the whole
+  * projection out of WholeStageCodegen. One fused loop over k·dim per
+  * row keeps it in (KMeansSpec asserts this). Centroids ride along as a
+  * reference object in the generated code — k·dim longs of plan
+  * metadata per round. */
 case class NearestCentroid(child: Expression,
     centroids: Array[Array[Long]]) extends UnaryExpression {
 
@@ -44,15 +47,19 @@ case class NearestCentroid(child: Expression,
 
 object NearestCentroidOps {
   def assign(v: ArrayData, centroids: Array[Array[Long]]): Int = {
+    val n = v.numElements()
+    val sv = new Array[Long](n)
+    var i = 0
+    while (i < n) { sv(i) = ScaledCosineOps.sc(v.getFloat(i)); i += 1 }
     var best = 0
     var bestDist = Long.MaxValue
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
       var d = 0L
-      var i = 0
+      i = 0
       while (i < c.length) {
-        val x = v.getLong(i) - c(i)
+        val x = sv(i) - c(i)
         d += x * x
         i += 1
       }
@@ -64,8 +71,10 @@ object NearestCentroidOps {
 }
 
 object NearestCentroidFunctions {
-  def nearestCentroid(scaledVec: Column,
+  /** `floatVec` is the raw array<float> embedding column (or a slice of
+    * it); scaling happens inside the fused loop */
+  def nearestCentroid(floatVec: Column,
       centroids: Array[Array[Long]]): Column =
     ColumnBridge.column(
-      NearestCentroid(ColumnBridge.expr(scaledVec), centroids))
+      NearestCentroid(ColumnBridge.expr(floatVec), centroids))
 }

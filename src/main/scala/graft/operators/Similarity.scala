@@ -366,22 +366,28 @@ object Similarity {
     * metadata, like the IVF quantizer). */
   def kMeansModel(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3): (Array[Array[Long]], DataFrame) = {
-    val s = df.select(col(idCol).as("vec_id"),
-      scaled(col(vecCol)).as("sv"))
+    // keep the FLOAT vectors: NearestCentroid scales inside its fused
+    // loop, and pre-scaling via transform() (a non-codegen HOF) would
+    // push every assignment projection out of WholeStageCodegen
+    val s = df.select(col(idCol).as("vec_id"), col(vecCol).as("fv"))
       .persist()
     var centroids: Array[Array[Long]] = s.orderBy(col("vec_id")).limit(k)
-      .select(col("sv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+      .select(col("fv")).collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(graft.functions.ScaledCosineOps.sc))
     require(centroids.length == k,
       s"k-means needs at least $k vectors, found ${centroids.length}")
     for (_ <- 1 to iters) {
       val assigned = s.withColumn("c",
         graft.functions.NearestCentroidFunctions
-          .nearestCentroid(col("sv"), centroids))
+          .nearestCentroid(col("fv"), centroids))
       val sums = assigned
-        .select(col("c"), posexplode(col("sv")).as(Seq("idx", "v")))
+        .select(col("c"), posexplode(col("fv")).as(Seq("idx", "v")))
+        // per-element scaling AFTER the explode is a plain scalar
+        // expression (codegen), identical to scaled()'s rounding
         .groupBy(col("c"), col("idx"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .agg(sum(round(col("v").cast("double") * 1000000d, 0)
+          .cast("long")).as("sv"), count(lit(1)).as("n"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, j) =>
@@ -396,7 +402,7 @@ object Similarity {
     }
     val out = s.select(col("vec_id"),
       graft.functions.NearestCentroidFunctions
-        .nearestCentroid(col("sv"), centroids).as("cluster"))
+        .nearestCentroid(col("fv"), centroids).as("cluster"))
     s.unpersist()
     (centroids, out)
   }
@@ -453,10 +459,10 @@ object Similarity {
         slice(col(vecCol), j * sub + 1, sub).as("emb")),
         idCol, "emb", k, iters)._1
     }
-    val s = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+    val s = df.select(col(idCol).as("vec_id"), col(vecCol).as("fv"))
     val codes = s.select(col("vec_id") +: (0 until m).map(j =>
       graft.functions.NearestCentroidFunctions.nearestCentroid(
-        slice(col("sv"), j * sub + 1, sub), codebooks(j))
+        slice(col("fv"), j * sub + 1, sub), codebooks(j))
         .cast("long").as(s"code$j")): _*)
     (codebooks, codes)
   }
@@ -509,15 +515,17 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, threshold: Double = 0.95): DataFrame = {
     val assigned = kMeans(df, idCol, vecCol, k, iters)
-    val s = df.select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+    val s = df.select(col(idCol).as("vec_id"), col(vecCol).as("fv"))
       .join(assigned, "vec_id")
     val a = s.select(col("cluster"), col("vec_id").as("id_a"),
-      col("sv").as("sv_a"))
+      col("fv").as("fv_a"))
     val b = s.select(col("cluster"), col("vec_id").as("id_b"),
-      col("sv").as("sv_b"))
+      col("fv").as("fv_b"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineScaled(col("sv_a"), col("sv_b")) > threshold)
+      // fused scaled cosine over the float arrays (same semantics as
+      // cosineScaled∘scaled, but stays inside whole-stage codegen)
+      .filter(scaledCosine(col("fv_a"), col("fv_b")) > threshold)
       .select(col("id_b").as("vec_id")).distinct()
     s.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))

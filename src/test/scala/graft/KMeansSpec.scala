@@ -101,6 +101,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(top2.forall(_.getLong(1) >= copyDist))
   }
 
+  test("plan shapes: no cartesian product anywhere; assignment stays " +
+      "in whole-stage codegen") {
+    val assigned = Similarity.kMeans(emb, "vec_id", "embedding", 4, 1)
+    // codegen stages render as `*(n) Project ...` in the plan string
+    val aPlan = assigned.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[vec_id""".r.findFirstIn(aPlan).isDefined,
+      s"assignment projection left whole-stage codegen:\n$aPlan")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", 4, 1,
+      threshold = 0.4)
+    val dPlan = kept.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("CartesianProduct") &&
+      !dPlan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup must stay cluster-blocked:\n$dPlan")
+    val top = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      emb.select("embedding").head().getSeq[Float](0).toArray, 5,
+      m = 4, k = 4, iters = 1)
+    val tPlan = top.queryExecution.executedPlan.toString
+    assert(tPlan.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be a map-side top-k, not a global sort:\n$tPlan")
+    assert(!tPlan.contains("CartesianProduct"))
+  }
+
   test("semanticDedup: kept/dropped partition is exactly the shadow rule") {
     val tau = 0.40
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
