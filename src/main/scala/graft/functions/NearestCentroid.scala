@@ -68,6 +68,47 @@ object NearestCentroidOps {
     }
     best
   }
+
+  def distTo(v: ArrayData, centroids: Array[Array[Long]],
+      cluster: Int): Long = {
+    val c = centroids(cluster)
+    var d = 0L
+    var i = 0
+    while (i < c.length) {
+      val x = ScaledCosineOps.sc(v.getFloat(i)) - c(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+}
+
+/** Squared L2 distance from a float-array embedding to ONE centroid of a
+  * codebook, selected per row by the 0-based `cluster` column — the
+  * medoid-pass companion of [[NearestCentroid]]: same inside-the-loop
+  * scaling, same integer arithmetic, fused + codegen'd instead of a
+  * zip_with/aggregate HOF pair that would leave WholeStageCodegen. */
+case class CentroidDistance(left: Expression, right: Expression,
+    centroids: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any, cl: Any): Any =
+    NearestCentroidOps.distTo(v.asInstanceOf[ArrayData],
+      centroids, cl.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, (v, cl) =>
+      s"${ev.value} = graft.functions.NearestCentroidOps" +
+        s".distTo($v, $ref, $cl);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CentroidDistance =
+    copy(left = newLeft, right = newRight)
 }
 
 object NearestCentroidFunctions {
@@ -77,4 +118,10 @@ object NearestCentroidFunctions {
       centroids: Array[Array[Long]]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expr(floatVec), centroids))
+
+  /** squared L2 distance to `centroids(cluster)`; cluster is 0-based */
+  def centroidDistance(floatVec: Column, cluster: Column,
+      centroids: Array[Array[Long]]): Column =
+    ColumnBridge.column(CentroidDistance(ColumnBridge.expr(floatVec),
+      ColumnBridge.expr(cluster), centroids))
 }

@@ -416,16 +416,14 @@ object Similarity {
   def clusterMedoids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
     val (cents, assigned) = kMeansModel(df, idCol, vecCol, k, iters)
-    val s = df.select(col(idCol).as("vec_id"),
-      scaled(col(vecCol)).as("sv")).join(assigned, "vec_id")
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    val dist = aggregate(
-      zip_with(col("sv"), element_at(centLit, col("cluster") + 1),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val s = df.select(col(idCol).as("vec_id"), col(vecCol).as("fv"))
+      .join(assigned, "vec_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("d"), col("vec_id"))
-    s.withColumn("d", dist)
+    // fused codegen distance to the row's own centroid — the full-corpus
+    // medoid pass stays map-only + one k-bounded window
+    s.withColumn("d", graft.functions.NearestCentroidFunctions
+        .centroidDistance(col("fv"), col("cluster"), cents))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("vec_id"))
