@@ -557,6 +557,39 @@ object RelationalQueries extends QueryPack {
       |ORDER BY g_nation, g_prio, n_name NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** explicit GROUPING SETS (not derivable from CUBE/ROLLUP: a chosen
+    * subset of grouping combinations, here (status, priority) / (status)
+    * / ()) — one Expand + one aggregation, the same plan shape Spark
+    * gives CUBE, so the cost is rows × |sets| into a map-side partial
+    * agg, never |sets| scans. */
+  private def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+        |  COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_c
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS total_c
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), ())
+      |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   /** distinct-set aggregation to a sorted list (rendered as a string so
     * both engines hash identically). */
   private def qArrayAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -604,6 +637,7 @@ object RelationalQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
     QueryDef("q_date_parts", qDateParts, Some(qDatePartsSql)),
     QueryDef("q13_outer_histogram", qOuterHistogram, Some(qOuterHistogramSql)),
