@@ -664,6 +664,56 @@ object PipelineQueries extends QueryPack {
        |ORDER BY adist, base.vec_id LIMIT 20""".stripMargin
   }
 
+  /** IVF-PQ probe ([[Similarity.ivfPqTopK]]): coarse k-means cells + PQ
+    * codes + nprobe-limited ADC — the faiss IVFPQ (by_residual=false)
+    * layout, oracle-exact because every stage is the same scaled-long
+    * arithmetic. */
+  private def ivfPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.ivfPqTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", qv, topK = 20, kCoarse = 8, coarseIters = 2,
+      m = 4, k = 8, iters = 2, nprobe = 3)
+  }
+
+  private val ivfPqTopKSql = {
+    val (m, sub, k, iters) = (4, 16, 8, 2)
+    val (kc, coarseIters, nprobe) = (8, 2, 3)
+    val subs = (0 until m).map { j =>
+      s"""s_$j AS (SELECT vec_id, v[${j * sub + 1}:${(j + 1) * sub}] AS v
+         |       FROM base),
+         |${kmeansCtes(s"_$j", k, iters)}""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until m).map { j =>
+      s"""lut_$j AS (SELECT c.cl,
+         |  list_aggregate(list_transform(
+         |    list_zip(q0.v[${j * sub + 1}:${(j + 1) * sub}], c.cv),
+         |    q -> (q[1]-q[2])*(q[1]-q[2])), 'sum') AS d
+         |  FROM c${iters}_$j c, q0)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m).map(j =>
+      s"JOIN af_$j ON af_$j.vec_id = base.vec_id " +
+        s"JOIN lut_$j l$j ON l$j.cl = af_$j.cl").mkString(" ")
+    val distSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, $scaledSqlFrag AS v FROM embeddings
+       |       WHERE vec_id <> 0),
+       |q0 AS (SELECT $scaledSqlFrag AS v FROM embeddings WHERE vec_id = 0),
+       |s_c AS (SELECT vec_id, v FROM base),
+       |${kmeansCtes("_c", kc, coarseIters)},
+       |pc AS (SELECT cl FROM (
+       |  SELECT c.cl, ROW_NUMBER() OVER (ORDER BY
+       |    list_aggregate(list_transform(list_zip(q0.v, c.cv),
+       |      q -> (q[1]-q[2])*(q[1]-q[2])), 'sum'), c.cl) AS rn
+       |  FROM c${coarseIters}_c c, q0) t WHERE rn <= $nprobe),
+       |$subs,
+       |$luts
+       |SELECT base.vec_id, CAST($distSum AS BIGINT) AS adist
+       |FROM base JOIN af_c ON af_c.vec_id = base.vec_id $joins
+       |WHERE af_c.cl IN (SELECT cl FROM pc)
+       |ORDER BY adist, base.vec_id LIMIT 20""".stripMargin
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * k-means blocks the pair space, the exact scaled cosine refines; the
     * oracle replays the clustering chain and the within-cluster pair
@@ -713,6 +763,7 @@ object PipelineQueries extends QueryPack {
     QueryDef("embed_medoids", embedMedoids, Some(embedMedoidsSql)),
     QueryDef("pq_encode", pqEncodeQ, Some(pqEncodeSql)),
     QueryDef("pq_adc_topk", pqAdcTopKQ, Some(pqAdcTopKSql)),
+    QueryDef("ivfpq_topk", ivfPqTopKQ, Some(ivfPqTopKSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),

@@ -501,6 +501,57 @@ object Similarity {
       .select(col("vec_id"), col("adist"))
   }
 
+  /** IVF-PQ probe (the faiss IVFPQ layout with `by_residual=false`):
+    * the corpus is coarse-partitioned by [[kMeans]] cluster, vectors are
+    * stored as PQ codes, and a query probes only the `nprobe` coarse
+    * cells nearest it — ADC-scoring codes instead of floats. At 100 TB
+    * the coarse cell is the partition key of the persisted index (like
+    * [[ivfReindex]]) and a probe reads nprobe partitions of 4-long codes
+    * — both the IO reduction (partition pruning) and the CPU reduction
+    * (ADC) compose. All arithmetic is the same scaled-long machinery, so
+    * the approximate result is deterministic and oracle-exact. Ties
+    * break to the smaller coarse cell / vec_id. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], topK: Int, kCoarse: Int = 8,
+      coarseIters: Int = 2, m: Int = 4, k: Int = 8, iters: Int = 2,
+      nprobe: Int = 3): DataFrame = {
+    val (coarseCents, coarseAssign) =
+      kMeansModel(df, idCol, vecCol, kCoarse, coarseIters)
+    val sq = queryVec.map(graft.functions.ScaledCosineOps.sc)
+    def distToCent(c: Array[Long]): Long = {
+      var d = 0L
+      var i = 0
+      while (i < c.length) { val x = sq(i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probed = coarseCents.zipWithIndex
+      .map { case (c, j) => (distToCent(c), j) }
+      .sorted.take(nprobe).map(_._2)
+    val (codebooks, codes) = pqModel(df, idCol, vecCol, m, k, iters)
+    val sub = queryVec.length / m
+    val luts: Seq[Seq[Long]] = (0 until m).map { j =>
+      codebooks(j).toSeq.map { cent =>
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val x = sq(j * sub + i) - cent(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val dist = (0 until m).map(j =>
+      element_at(typedLit(luts(j)), (col(s"code$j") + 1).cast("int")))
+      .reduce(_ + _)
+    coarseAssign.filter(col("cluster").isin(probed.toSeq: _*))
+      .join(codes, "vec_id")
+      .withColumn("adist", dist)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("adist"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster with [[kMeans]], then inside
     * each cluster drop any vector that has a smaller-id neighbor with
     * cosine above `threshold`. Deterministic single-pass variant of the

@@ -123,6 +123,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(!tPlan.contains("CartesianProduct"))
   }
 
+  test("ivfPqTopK: probe subset of full ADC ranking; full probe = ADC") {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val base = emb.filter(col("vec_id") =!= 0)
+    val n = base.count().toInt
+    // probing ALL coarse cells must reproduce the plain ADC ranking
+    val full = Similarity.ivfPqTopK(base, "vec_id", "embedding", qv,
+      topK = 10, kCoarse = 4, coarseIters = 1, m = 4, k = 4, iters = 1,
+      nprobe = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adc = Similarity.pqAdcTopK(base, "vec_id", "embedding", qv,
+      topK = 10, m = 4, k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.toSeq === adc.toSeq)
+    // nprobe=1 returns only members of probed cells, still sorted
+    val probed = Similarity.ivfPqTopK(base, "vec_id", "embedding", qv,
+      topK = n, kCoarse = 4, coarseIters = 1, m = 4, k = 4, iters = 1,
+      nprobe = 1).collect()
+    assert(probed.length < n, "nprobe=1 must prune some cells")
+    val d = probed.map(_.getLong(1))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+  }
+
   test("semanticDedup: kept/dropped partition is exactly the shadow rule") {
     val tau = 0.40
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
