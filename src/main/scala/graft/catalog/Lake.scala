@@ -582,23 +582,67 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** CREATE MACRO name(params) AS body (reference ducklake_macro tables);
     * expansion is textual parameter substitution at call sites. */
   def createMacro(name: String, params: Seq[String], body: String): Unit =
-    meta.createMacro(name, params, body)
+    meta.createMacro(name, Seq(MacroImpl(params.map((_, None)), body,
+      isTable = false)))
 
+  /** Full CREATE [OR REPLACE] MACRO surface: arity overloads
+    * (test_multiple_implementations.test), `:=` parameter defaults
+    * (test_default_parameter.test), table macros (test_macro_tables.test). */
+  def createMacro(name: String, impls: Seq[MacroImpl],
+      orReplace: Boolean): Unit =
+    meta.createMacro(name, impls, orReplace = orReplace)
+
+  def dropMacro(name: String, isTable: Boolean = false,
+      ifExists: Boolean = false): Unit =
+    meta.dropMacro(name, isTable, ifExists)
+
+  /** Textual macro expansion at call sites, to fixpoint (macros may call
+    * macros). Implementation choice per call site: exact arity first, then
+    * the smallest implementation whose missing trailing parameters all
+    * carry `:=` defaults. Bodies are parenthesized — scalar bodies inline
+    * into expressions, table bodies become derived tables in FROM
+    * (test_macro_tables.test `FROM xt(5,'tom')`). */
   private def expandMacros(sqlText: String, snapshotId: Long): String = {
+    val macros = meta.listMacros(snapshotId)
+    if (macros.isEmpty) return sqlText
     var out = sqlText
-    meta.listMacros(snapshotId).foreach { m =>
-      meta.macroByName(m, snapshotId).foreach { case (params, body) =>
-        val call = (s"""(?i)\\b$m\\s*\\(([^()]*)\\)""").r
-        out = call.replaceAllIn(out, mt => {
-          val args = mt.group(1).split(",").map(_.trim)
-          var expanded = body
-          params.zip(args).foreach { case (p, a) =>
-            expanded = expanded.replaceAll(s"\\b$p\\b",
-              java.util.regex.Matcher.quoteReplacement(a))
-          }
-          java.util.regex.Matcher.quoteReplacement(s"($expanded)")
-        })
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false
+      macros.foreach { m =>
+        val impls = meta.macroImplsByName(m, snapshotId)
+        if (impls.nonEmpty) {
+          // args may contain one paren-nesting level (function calls);
+          // quote the name — schema-qualified macros contain '.'
+          val qm = java.util.regex.Pattern.quote(m)
+          val call =
+            (s"""(?i)\\b$qm\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)""").r
+          val next = call.replaceAllIn(out, mt => {
+            val raw = mt.group(1).trim
+            val args =
+              if (raw.isEmpty) Seq.empty[String]
+              else LakeSql.splitTop(raw).map(_.trim)
+            val impl = impls.find(_.params.length == args.length)
+              .orElse(impls.filter { i =>
+                i.params.length > args.length &&
+                  i.params.drop(args.length).forall(_._2.isDefined)
+              }.sortBy(_.params.length).headOption)
+              .getOrElse(throw new IllegalArgumentException(
+                s"macro $m has no implementation for ${args.length} " +
+                  s"argument(s)"))
+            var expanded = impl.body
+            impl.params.zipWithIndex.foreach { case ((p, dflt), i) =>
+              val a = if (i < args.length) args(i) else dflt.get
+              expanded = expanded.replaceAll(s"\\b$p\\b",
+                java.util.regex.Matcher.quoteReplacement(a))
+            }
+            java.util.regex.Matcher.quoteReplacement(s"($expanded)")
+          })
+          if (next != out) { out = next; changed = true }
+        }
       }
+      rounds += 1
     }
     out
   }
@@ -924,6 +968,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * disk, catalog untouched. */
   def rollback(): Unit = txn.foreach { st =>
     txn = None
+    // a set_commit_message issued inside the rolled-back transaction must
+    // not leak onto the next commit (audit/test_base_audit.test ROLLBACK)
+    meta.clearPendingCommitMessage()
     (st.appends.flatMap(_._4.map(_.path)) ++
       st.deletes.values.flatMap(_._1.values.map(_._1)))
       .foreach(p => io.delete(p))
@@ -1010,8 +1057,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def resetPartitionedBy(table: String): Unit =
     meta.setPartitionSpec(resolve(table).tableId, Nil): Unit
 
-  def setCommitMessage(author: String, message: String): Unit =
-    meta.setCommitMessage(author, message)
+  def setCommitMessage(author: String, message: String,
+      extraInfo: Option[String] = None): Unit =
+    meta.setCommitMessage(author, message, extraInfo)
 
   /** ducklake_set_option: global, or table-scoped when `table` is given
     * (reference ducklake_set_option.cpp table_name=> parameter). */
@@ -2638,12 +2686,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** snapshots() table function (reference base_metadata_function.cpp:38-59). */
   def snapshots(): DataFrame = {
     import spark.implicits._
-    meta.allSnapshots().map { case (s, ch, author, msg) =>
+    meta.allSnapshots().map { case (s, ch, author, msg, extra) =>
       (s.snapshotId, new java.sql.Timestamp(s.snapshotTimeMs),
-        s.schemaVersion, ch.getOrElse(""), author.getOrElse(""),
-        msg.getOrElse(""))
+        s.schemaVersion, ch.getOrElse(""), author.orNull,
+        msg.orNull, extra.orNull)
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes",
-      "author", "commit_message")
+      "author", "commit_message", "commit_extra_info")
   }
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId

@@ -78,6 +78,10 @@ private[catalog] object LakeSql {
   private val Rollback = """(?is)^(?:ROLLBACK|ABORT)\s*$""".r
   private val Merge =
     """(?is)^MERGE\s+INTO\s+([\w$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+)$""".r
+  private val CreateMacro =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w$.]+)\s*(\(.+)$""".r
+  private val DropMacro =
+    """(?is)^DROP\s+MACRO\s+(TABLE\s+)?(IF\s+EXISTS\s+)?([\w$.]+)\s*$""".r
 
   /** Try to handle `stmt` as a DML/DDL statement; None → plain query. */
   def dispatch(lake: Lake, spark: SparkSession, stmt: String,
@@ -187,12 +191,37 @@ private[catalog] object LakeSql {
           case "set_option" =>
             lake.setOption(args(0), args(1), args.lift(2)); count(0L)
           case "set_commit_message" =>
-            lake.setCommitMessage(args(0), args(1)); count(0L)
+            // CALL set_commit_message(author, message [, extra_info=>'…'])
+            // (reference ducklake_set_commit_message.cpp; audit tests).
+            // Unquoted NULL → SQL NULL; '' escapes inside quoted strings.
+            def nv(s: String): String =
+              if (s == null || s.equalsIgnoreCase("NULL")) null
+              else s.replace("''", "'")
+            val extra = splitTop(rawArgs).map(_.trim)
+              .find(_.matches("(?is)^extra_info\\s*=>.*"))
+              .map(a => nv(stripQuotes(
+                a.replaceFirst("(?is)^extra_info\\s*=>", "").trim)))
+            lake.setCommitMessage(nv(args(0)), nv(args(1)), extra)
+            count(0L)
           case "add_data_files" =>
             lake.addDataFiles(args(0), args.drop(1)); count(0L)
           case other => throw new IllegalArgumentException(
             s"unknown function: $other")
         }
+      }
+
+      // CREATE [OR REPLACE] MACRO name (a, b := 5) AS body
+      //   [, (a) AS body, …]            — arity overloads
+      //   | (a, n) AS TABLE SELECT …    — table macro, used in FROM
+      // (reference test/sql/macros corpus)
+      case CreateMacro(orReplace, name, rest) => Some {
+        lake.createMacro(name, parseMacroImpls(rest), orReplace != null)
+        count(0L)
+      }
+      case DropMacro(tableKw, ifExists, name) => Some {
+        lake.dropMacro(name, isTable = tableKw != null,
+          ifExists = ifExists != null)
+        count(0L)
       }
 
       case Begin() => Some { lake.begin(); count(0L) }
@@ -531,6 +560,84 @@ private[catalog] object LakeSql {
     if (t.length >= 2 && t.head == '"' && t.last == '"')
       t.substring(1, t.length - 1)
     else t
+  }
+
+  /** Parse a CREATE MACRO implementation list: `(params) AS [TABLE] body`
+    * repeated, comma-separated (test_multiple_implementations.test). A
+    * scalar body ends at a top-level comma whose remainder reads as the
+    * next `(params) AS` head; a table body consumes the rest. */
+  private def parseMacroImpls(rest0: String): Seq[MacroImpl] = {
+    val impls = scala.collection.mutable.ListBuffer.empty[MacroImpl]
+    var s = rest0.trim
+    while (s.nonEmpty) {
+      require(s.startsWith("("), s"expected macro parameter list at: $s")
+      val close = matchingParen(s)
+      // a parameter is `name`, `name TYPE` (test_defined_types.test), or
+      // `name [TYPE] := default`
+      val parsed = splitTop(s.substring(1, close)).map(_.trim)
+        .filter(_.nonEmpty).map { p0 =>
+          val i = p0.indexOf(":=")
+          val (decl, dflt) =
+            if (i >= 0) (p0.substring(0, i).trim,
+              Some(p0.substring(i + 2).trim))
+            else (p0, None)
+          val parts = decl.split("\\s+", 2)
+          (parts(0), if (parts.length > 1) parts(1).trim else "unknown",
+            dflt)
+        }
+      val params = parsed.map(p => (p._1, p._3))
+      val paramTypes = parsed.map(_._2)
+      s = s.substring(close + 1).trim
+      require(s.matches("(?is)^AS\\s.+"), s"expected AS after macro " +
+        s"parameter list, got: $s")
+      s = s.replaceFirst("(?is)^AS\\s+", "")
+      val isTable = s.matches("(?is)^TABLE\\s.+")
+      if (isTable) s = s.replaceFirst("(?is)^TABLE\\s+", "")
+      // defaults may not precede non-default parameters
+      val firstDflt = params.indexWhere(_._2.isDefined)
+      require(firstDflt < 0 || params.drop(firstDflt).forall(_._2.isDefined),
+        "macro parameters with defaults must come last")
+      if (isTable) {
+        impls += MacroImpl(params, s.trim, isTable = true, paramTypes)
+        s = ""
+      } else {
+        // find the overload separator: a top-level comma followed by a
+        // complete `(…) AS` head
+        var depth = 0
+        var inQuote = false
+        var cut = -1
+        var i = 0
+        while (cut < 0 && i < s.length) {
+          val ch = s.charAt(i)
+          if (inQuote) { if (ch == '\'') inQuote = false }
+          else ch match {
+            case '\'' => inQuote = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 =>
+              val rem = s.substring(i + 1).trim
+              if (rem.startsWith("(")) {
+                val c2 = matchingParen(rem)
+                if (c2 > 0 && rem.substring(c2 + 1)
+                    .matches("(?is)^\\s*AS\\s.+")) cut = i
+              }
+            case _ =>
+          }
+          i += 1
+        }
+        if (cut < 0) {
+          impls += MacroImpl(params, s.trim, isTable = false, paramTypes)
+          s = ""
+        } else {
+          impls += MacroImpl(params, s.substring(0, cut).trim,
+            isTable = false, paramTypes)
+          s = s.substring(cut + 1).trim
+        }
+      }
+    }
+    require(impls.map(_.isTable).distinct.length == 1,
+      "macro implementations must be all scalar or all table")
+    impls.toSeq
   }
 
   private def stripQuotes(s: String): String = {

@@ -226,11 +226,13 @@ class MetadataManager(val jdbcUrl: String,
       |  macro_id BIGINT NOT NULL, schema_id BIGINT, macro_name VARCHAR(256),
       |  begin_snapshot BIGINT, end_snapshot BIGINT, is_table_macro BOOLEAN)""",
     """CREATE TABLE ducklake_macro_impl (
-      |  macro_id BIGINT NOT NULL, dialect VARCHAR(64), body VARCHAR(32000))""",
+      |  macro_id BIGINT NOT NULL, macro_impl_id BIGINT NOT NULL,
+      |  dialect VARCHAR(64), body VARCHAR(32000), macro_type VARCHAR(16))""",
     """CREATE TABLE ducklake_macro_parameters (
-      |  macro_id BIGINT NOT NULL, parameter_index BIGINT,
-      |  parameter_name VARCHAR(256), parameter_type VARCHAR(1024),
-      |  default_value VARCHAR(1024))""",
+      |  macro_id BIGINT NOT NULL, macro_impl_id BIGINT NOT NULL,
+      |  parameter_index BIGINT, parameter_name VARCHAR(256),
+      |  parameter_type VARCHAR(1024), default_value VARCHAR(1024),
+      |  default_type VARCHAR(64))""",
     """CREATE TABLE ducklake_sort_info (
       |  sort_info_id BIGINT NOT NULL, table_id BIGINT,
       |  begin_snapshot BIGINT, end_snapshot BIGINT)""",
@@ -415,18 +417,20 @@ class MetadataManager(val jdbcUrl: String,
       Long.box(tsMs))(readSnapshot).headOption
   }
 
-  def allSnapshots(): Seq[(Snapshot, Option[String], Option[String], Option[String])] =
+  def allSnapshots(): Seq[(Snapshot, Option[String], Option[String],
+      Option[String], Option[String])] =
     withConn { c =>
       query(c,
         """SELECT s.snapshot_id, s.snapshot_time, s.schema_version,
           |s.next_catalog_id, s.next_file_id, ch.changes_made, ch.author,
-          |ch.commit_message
+          |ch.commit_message, ch.commit_extra_info
           |FROM ducklake_snapshot s
           |LEFT OUTER JOIN ducklake_snapshot_changes ch
           |  ON s.snapshot_id = ch.snapshot_id
           |ORDER BY s.snapshot_id""".stripMargin) { rs =>
         (readSnapshot(rs), optString(rs, "changes_made"),
-          optString(rs, "author"), optString(rs, "commit_message"))
+          optString(rs, "author"), optString(rs, "commit_message"),
+          optString(rs, "commit_extra_info"))
       }
     }
 
@@ -451,11 +455,17 @@ class MetadataManager(val jdbcUrl: String,
     try getOption("retry_backoff").flatMap(_.toDoubleOption).getOrElse(1.5)
     catch { case _: Throwable => 1.5 }
 
-  /** one-shot author/message for the NEXT commit (reference
-    * ducklake_set_commit_message.cpp). */
-  @volatile private var pendingCommitMessage: Option[(String, String)] = None
-  def setCommitMessage(author: String, message: String): Unit =
-    pendingCommitMessage = Some((author, message))
+  /** one-shot author/message/extra_info for the NEXT commit (reference
+    * ducklake_set_commit_message.cpp; extra_info parameter and the
+    * commit_extra_info column per test/sql/audit/test_base_audit.test).
+    * Each call replaces the previous one (last set wins); a ROLLBACK
+    * discards it ([[clearPendingCommitMessage]]). */
+  @volatile private var pendingCommitMessage:
+    Option[(Option[String], Option[String], Option[String])] = None
+  def setCommitMessage(author: String, message: String,
+      extraInfo: Option[String] = None): Unit =
+    pendingCommitMessage = Some((Option(author), Option(message), extraInfo))
+  def clearPendingCommitMessage(): Unit = pendingCommitMessage = None
 
   /** Run `body` against a fresh snapshot and commit it as snapshot
     * base+1. On a lost race (PK violation on snapshot_id) re-checks
@@ -469,21 +479,25 @@ class MetadataManager(val jdbcUrl: String,
     if (readOnly) throw new UnsupportedOperationException(
       "Cannot write to attached database: the lake is attached in " +
         "read-only mode")
+    var hadPending = false
     val changes0 = pendingCommitMessage match {
-      case Some((author, msg)) if changes.commitMessage.isEmpty =>
+      case Some((author, msg, extra)) if changes.commitMessage.isEmpty =>
         pendingCommitMessage = None
-        changes.copy(author = Some(author), commitMessage = Some(msg))
+        hadPending = true
+        changes.copy(author = author, commitMessage = msg, extraInfo = extra)
       case _ => changes
     }
     // require_commit_message option (reference ducklake_set_option.cpp):
-    // data-changing snapshots must carry a message
-    if (changes0.commitMessage.isEmpty &&
+    // data-changing snapshots must carry a message (an explicit
+    // set_commit_message with NULL fields also satisfies it — the
+    // reference checks that commit info was *provided*, not non-NULL)
+    if (!hadPending && changes0.commitMessage.isEmpty &&
       (changes0.insertedIntoTables.nonEmpty ||
         changes0.deletedFromTables.nonEmpty) &&
-      getOption("require_commit_message").contains("true"))
+      getOption("require_commit_message").exists(_.equalsIgnoreCase("true")))
       throw new IllegalStateException(
-        "require_commit_message is set: call setCommitMessage before " +
-          "committing data changes")
+        "Commit Information for the snapshot is required but has not " +
+          "been provided.")
     var attempt = 0
     var wait = -1L // settings read lazily, only when a conflict occurs
     while (true) {
@@ -507,9 +521,11 @@ class MetadataManager(val jdbcUrl: String,
           Long.box(ids.nextFileId))
         exec(c,
           """INSERT INTO ducklake_snapshot_changes (snapshot_id, changes_made,
-            |author, commit_message) VALUES (?, ?, ?, ?)""".stripMargin,
+            |author, commit_message, commit_extra_info)
+            |VALUES (?, ?, ?, ?, ?)""".stripMargin,
           Long.box(newSnap.snapshotId), changes0.summary,
-          changes0.author.orNull, changes0.commitMessage.orNull)
+          changes0.author.orNull, changes0.commitMessage.orNull,
+          changes0.extraInfo.orNull)
         if (schemaChange) {
           exec(c,
             "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (?, ?)",
@@ -2199,53 +2215,118 @@ class MetadataManager(val jdbcUrl: String,
   // ---------------------------------------------------------------- macros
 
   /** SQL macros, stored multi-dialect like the reference (ducklake_macro /
-    * _impl / _parameters, metadata_manager.cpp:284-290). */
-  def createMacro(name: String, params: Seq[String], body: String,
-      isTableMacro: Boolean = false, dialect: String = "spark"): Unit =
+    * _impl / _parameters, metadata_manager.cpp:284-290). One macro row per
+    * CREATE MACRO statement; N implementation rows (overloads by arity,
+    * test_multiple_implementations.test) keyed by (macro_id,
+    * macro_impl_id); parameters per implementation, with optional `:=`
+    * defaults (test_default_parameter.test). Scalar and table macros may
+    * share a name (test_scalar_table_macros.test) — they land as separate
+    * macro rows and DROP MACRO [TABLE] targets its own kind. */
+  def createMacro(name: String, impls: Seq[MacroImpl],
+      dialect: String = "spark", orReplace: Boolean = false): Unit = {
+    require(impls.nonEmpty, "macro needs at least one implementation")
+    require(impls.map(_.params.length).distinct.length == impls.length,
+      s"macro $name: duplicate implementation arity")
+    val isTable = impls.head.isTable
     commitSnapshot(SnapshotChanges(createdTables = Seq(s"macro:$name")),
       schemaChange = true) { (c, snap, ids) =>
+      val existing = liveMacroIds(c, name, snap.snapshotId - 1, isTable)
+      if (existing.nonEmpty) {
+        if (!orReplace) throw new IllegalArgumentException(
+          s"macro $name already exists (use CREATE OR REPLACE MACRO)")
+        existing.foreach(mid => exec(c,
+          "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
+          Long.box(snap.snapshotId), Long.box(mid)))
+      }
       val mid = ids.newCatalogId()
       exec(c,
         """INSERT INTO ducklake_macro (macro_id, schema_id, macro_name,
           |begin_snapshot, end_snapshot, is_table_macro)
           |VALUES (?, 0, ?, ?, NULL, ?)""".stripMargin,
         Long.box(mid), name, Long.box(snap.snapshotId),
-        Boolean.box(isTableMacro))
-      exec(c,
-        "INSERT INTO ducklake_macro_impl (macro_id, dialect, body) VALUES (?, ?, ?)",
-        Long.box(mid), dialect, body)
-      params.zipWithIndex.foreach { case (p, i) =>
+        Boolean.box(isTable))
+      impls.zipWithIndex.foreach { case (impl, implId) =>
         exec(c,
-          """INSERT INTO ducklake_macro_parameters (macro_id, parameter_index,
-            |parameter_name) VALUES (?, ?, ?)""".stripMargin,
-          Long.box(mid), Long.box(i.toLong), p)
+          """INSERT INTO ducklake_macro_impl (macro_id, macro_impl_id,
+            |dialect, body, macro_type) VALUES (?, ?, ?, ?, ?)""".stripMargin,
+          Long.box(mid), Long.box(implId.toLong), dialect, impl.body,
+          if (impl.isTable) "table" else "scalar")
+        impl.params.zipWithIndex.foreach { case ((p, dflt), i) =>
+          exec(c,
+            """INSERT INTO ducklake_macro_parameters (macro_id,
+              |macro_impl_id, parameter_index, parameter_name,
+              |parameter_type, default_value, default_type)
+              |VALUES (?, ?, ?, ?, ?, ?, 'unknown')""".stripMargin,
+            Long.box(mid), Long.box(implId.toLong), Long.box(i.toLong), p,
+            impl.paramTypes.lift(i).getOrElse("unknown"), dflt.orNull)
+        }
       }
     }
+  }
 
-  /** (params, body) of a live macro at a snapshot. */
-  def macroByName(name: String, snapshotId: Long,
-      dialect: String = "spark"): Option[(Seq[String], String)] =
+  private def liveMacroIds(c: Connection, name: String, snapshotId: Long,
+      isTable: Boolean): Seq[Long] =
+    query(c,
+      """SELECT macro_id FROM ducklake_macro
+        |WHERE macro_name = ? AND is_table_macro = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      name, Boolean.box(isTable), Long.box(snapshotId),
+      Long.box(snapshotId))(_.getLong(1))
+
+  /** DROP MACRO [TABLE] name: ends the live macro of the given kind. */
+  def dropMacro(name: String, isTable: Boolean,
+      ifExists: Boolean = false): Unit =
+    commitSnapshot(SnapshotChanges(droppedTables = Seq(s"macro:$name")),
+      schemaChange = true) { (c, snap, _) =>
+      val mids = liveMacroIds(c, name, snap.snapshotId - 1, isTable)
+      if (mids.isEmpty && !ifExists) throw new IllegalArgumentException(
+        s"no ${if (isTable) "table " else ""}macro named $name")
+      mids.foreach(mid => exec(c,
+        "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
+        Long.box(snap.snapshotId), Long.box(mid)))
+    }
+
+  /** All live implementations of `name` at a snapshot, across macro rows
+    * (a scalar and a table macro of one name coexist). */
+  def macroImplsByName(name: String, snapshotId: Long,
+      dialect: String = "spark"): Seq[MacroImpl] =
     withConn { c =>
       val mids = query(c,
         """SELECT macro_id FROM ducklake_macro
           |WHERE macro_name = ? AND begin_snapshot <= ?
           |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
         name, Long.box(snapshotId), Long.box(snapshotId))(_.getLong(1))
-      mids.headOption.flatMap { mid =>
-        val body = query(c,
-          "SELECT body FROM ducklake_macro_impl WHERE macro_id = ? AND dialect = ?",
-          Long.box(mid), dialect)(_.getString(1)).headOption
-        val params = query(c,
-          """SELECT parameter_name FROM ducklake_macro_parameters
-            |WHERE macro_id = ? ORDER BY parameter_index""".stripMargin,
-          Long.box(mid))(_.getString(1))
-        body.map(b => (params, b))
+      mids.flatMap { mid =>
+        query(c,
+          """SELECT macro_impl_id, body, macro_type FROM ducklake_macro_impl
+            |WHERE macro_id = ? AND dialect = ?
+            |ORDER BY macro_impl_id""".stripMargin,
+          Long.box(mid), dialect) { rs =>
+          (rs.getLong(1), rs.getString(2), rs.getString(3))
+        }.map { case (implId, body, tpe) =>
+          val params = query(c,
+            """SELECT parameter_name, default_value
+              |FROM ducklake_macro_parameters
+              |WHERE macro_id = ? AND macro_impl_id = ?
+              |ORDER BY parameter_index""".stripMargin,
+            Long.box(mid), Long.box(implId)) { rs =>
+            (rs.getString(1), Option(rs.getString(2)))
+          }
+          MacroImpl(params, body, tpe == "table")
+        }
       }
     }
 
+  /** (params, body) of a live macro at a snapshot — first implementation
+    * (legacy single-impl surface). */
+  def macroByName(name: String, snapshotId: Long,
+      dialect: String = "spark"): Option[(Seq[String], String)] =
+    macroImplsByName(name, snapshotId, dialect).headOption
+      .map(i => (i.params.map(_._1), i.body))
+
   def listMacros(snapshotId: Long): Seq[String] = withConn { c =>
     query(c,
-      """SELECT macro_name FROM ducklake_macro
+      """SELECT DISTINCT macro_name FROM ducklake_macro
         |WHERE begin_snapshot <= ?
         |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
       Long.box(snapshotId), Long.box(snapshotId))(_.getString(1))

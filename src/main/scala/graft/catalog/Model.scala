@@ -139,6 +139,14 @@ final case class PartitionField(
 
 final case class PartitionSpec(partitionId: Long, fields: Seq[PartitionField])
 
+/** One macro implementation: parameters (name, optional `:=` default
+  * expression), body text, scalar vs table kind (reference ducklake_macro
+  * model, test/sql/macros). `paramTypes` carries optional declared types
+  * (`x INTEGER`, test_defined_types.test) aligned with `params`; empty →
+  * all 'unknown'. */
+final case class MacroImpl(params: Seq[(String, Option[String])],
+    body: String, isTable: Boolean, paramTypes: Seq[String] = Nil)
+
 final case class SnapshotChanges(
     createdTables: Seq[String] = Nil,
     droppedTables: Seq[String] = Nil,
@@ -147,7 +155,8 @@ final case class SnapshotChanges(
     compactedTables: Seq[Long] = Nil,
     alteredTables: Seq[Long] = Nil,
     author: Option[String] = None,
-    commitMessage: Option[String] = None) {
+    commitMessage: Option[String] = None,
+    extraInfo: Option[String] = None) {
   /** change summary string, reference docs/README.md table_changes format */
   def summary: String = {
     val parts = Seq(

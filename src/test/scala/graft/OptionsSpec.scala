@@ -79,6 +79,62 @@ class OptionsSpec extends AnyFunSuite {
     assert(s.contains("require_commit_message") && s.contains("encrypted"))
   }
 
+  test("commit audit trail: extra_info, last-set-wins, rollback discards") {
+    // reference test/sql/audit/test_base_audit.test
+    val dir = Files.createTempDirectory("graftopt5").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", Seq((1, "a")).toDF("id", "v"))
+
+    // plain commits carry NULL author/message/extra_info
+    val first = lake.snapshots().orderBy(org.apache.spark.sql.functions
+      .col("snapshot_id").desc).limit(1).collect()(0)
+    assert(first.isNullAt(first.fieldIndex("author")))
+    assert(first.isNullAt(first.fieldIndex("commit_extra_info")))
+
+    // last set_commit_message before the commit wins; extra_info lands in
+    // commit_extra_info (with '' quote-escapes resolved)
+    lake.begin()
+    lake.sql("INSERT INTO t VALUES (2, 'b')")
+    lake.sql("CALL set_commit_message('Pedro', 'bla')")
+    lake.sql("CALL set_commit_message('Mark', 'Inserting Teddy', " +
+      "extra_info=>'{''barks'':7}')")
+    lake.commit()
+    val snap = lake.snapshots().orderBy(org.apache.spark.sql.functions
+      .col("snapshot_id").desc).limit(1).collect()(0)
+    assert(snap.getAs[String]("author") == "Mark")
+    assert(snap.getAs[String]("commit_message") == "Inserting Teddy")
+    assert(snap.getAs[String]("commit_extra_info") == "{'barks':7}")
+
+    // a rolled-back transaction discards its pending message
+    lake.begin()
+    lake.sql("INSERT INTO t VALUES (3, 'c')")
+    lake.sql("CALL set_commit_message('Pedro', 'Adding Hannes')")
+    lake.rollback()
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    val after = lake.snapshots().orderBy(org.apache.spark.sql.functions
+      .col("snapshot_id").desc).limit(1).collect()(0)
+    assert(after.isNullAt(after.fieldIndex("author")))
+    assert(after.isNullAt(after.fieldIndex("commit_message")))
+
+    // NULL author with a message; boolean option accepts True spelling
+    lake.sql("CALL set_commit_message(NULL, 'Adding Mark')")
+    lake.append("t", Seq((4, "d")).toDF("id", "v"))
+    val m = lake.snapshots().orderBy(org.apache.spark.sql.functions
+      .col("snapshot_id").desc).limit(1).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("author")))
+    assert(m.getAs[String]("commit_message") == "Adding Mark")
+    lake.sql("CALL set_option('require_commit_message', 'True')")
+    val e = intercept[IllegalStateException] {
+      lake.append("t", Seq((5, "e")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("Commit Information"))
+    // set_commit_message with NULL fields still satisfies the gate: the
+    // reference requires commit info to be *provided*, not non-NULL
+    lake.sql("CALL set_commit_message(NULL, NULL)")
+    lake.append("t", Seq((5, "e")).toDF("id", "v"))
+    assert(lake.table("t").count() == 5)
+  }
+
   test("hive_file_pattern=false writes flat files; pruning unaffected") {
     val dir = Files.createTempDirectory("graftopt4").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
