@@ -744,6 +744,92 @@ object PipelineQueries extends QueryPack {
        |WHERE a.vec_id NOT IN (SELECT ib FROM drp)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ------------------------------------- exact duplicated-substring spans
+
+  /** Exact substring-span dedup coverage (the "Deduplicating Training Data
+    * Makes Language Models Better" ExactSubstr criterion, re-expressed
+    * relationally): a token window is duplicated when its 8-token gram
+    * recurs anywhere in the corpus; per document we report total windows,
+    * duplicated windows, and a ≥10% coverage flag. Scale shape: the gram
+    * fan-out is map-side only, BOTH aggregations are partial+final (the
+    * (doc,gram) pre-agg keeps the corpus-count join at distinct-gram
+    * width, not occurrence width), and the arithmetic is pure integers so
+    * the oracle hash-matches. At 100 TB the gram string in the shuffle key
+    * would dominate — swap `g` for xxhash64(g) in both aggs (collision
+    * odds ~n²/2⁶⁴ are acceptable for a dedup heuristic); kept as strings
+    * here for the exact oracle. */
+  private def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val grams = d.select(col("doc_id"),
+      explode(TextAnalysis.ngrams(col("text"), 8)).as("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("k"))
+    val corpus = perDoc.groupBy(col("g")).agg(sum(col("k")).as("c"))
+    perDoc.join(corpus, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_grams"),
+        sum(when(col("c") > 1, col("k")).otherwise(lit(0)))
+          .cast("long").as("dup_grams"))
+      .withColumn("flagged",
+        (col("dup_grams") * 10 >= col("n_grams")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(0, GREATEST(len(t)-7,0)),
+      |        i -> array_to_string(t[i+1:i+8],' '))) AS g FROM toks),
+      |pd AS (SELECT doc_id, g, COUNT(*) AS k FROM g GROUP BY doc_id, g),
+      |cc AS (SELECT g, SUM(k) AS c FROM pd GROUP BY g)
+      |SELECT pd.doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN c > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_grams,
+      |  CAST(SUM(CASE WHEN c > 1 THEN k ELSE 0 END)*10 >= SUM(k) AS BIGINT) AS flagged
+      |FROM pd JOIN cc USING (g) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+
+  // --------------------------------------- DSIR-style importance weights
+
+  /** Data Selection via Importance Resampling (hashed n-gram features):
+    * documents are scored by Σ_b count_b(doc) · w_b where w_b is the
+    * target-vs-raw frequency ratio of feature bucket b (64 buckets, an
+    * engine-portable token→bucket map so DuckDB reproduces it; a real
+    * deployment would use murmur3 shingles). Ratios are scaled-integer
+    * (×1e6, floor division) so scores hash-match exactly. Scale shape:
+    * bucket counting is map-side combinable into 64 rows; the weight
+    * table broadcasts; the only real shuffle is the per-(doc,bucket)
+    * partial agg, and top-100 is TakeOrdered — no global sort. */
+  private def dsirWeight(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val tok = d.select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        pmod(length(col("w")) * 31 + ascii(col("w")), lit(64)).as("b"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = tok.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val wgt = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(tc, 0) * 1000000) DIV rc").as("w"))
+    val db = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    db.join(broadcast(wgt), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("w")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+  }
+
+  private val dsirWeightSql =
+    """WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w FROM documents),
+      |f AS (SELECT doc_id, source, (len(w)*31 + ascii(w)) % 64 AS b
+      |      FROM tok WHERE len(w) > 0),
+      |raw AS (SELECT b, COUNT(*) AS rc FROM f GROUP BY b),
+      |tgt AS (SELECT b, COUNT(*) AS tc FROM f WHERE source = 'src0' GROUP BY b),
+      |wgt AS (SELECT raw.b AS b, (COALESCE(tc, 0) * 1000000) // rc AS w
+      |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      |db AS (SELECT doc_id, b, COUNT(*) AS k FROM f GROUP BY doc_id, b)
+      |SELECT db.doc_id, CAST(SUM(k * w) AS BIGINT) AS score
+      |FROM db JOIN wgt USING (b) GROUP BY db.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", textLangId, Some(textLangIdSql)),
@@ -775,5 +861,7 @@ object PipelineQueries extends QueryPack {
       Some(multimodalFramesSql)),
     QueryDef("stream_window", streamWindow, Some(streamWindowSql)),
     QueryDef("stream_ingest", streamIngest, Some(streamIngestSql)),
+    QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("dsir_weight", dsirWeight, Some(dsirWeightSql)),
   )
 }

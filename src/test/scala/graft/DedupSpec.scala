@@ -213,6 +213,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring coverage flags byte-identical twins fully") {
+    // a doc duplicated verbatim has EVERY 8-gram shared → dup_grams ==
+    // n_grams and the ≥10% flag fires; unrelated long docs stay clean
+    import graft.operators.PipelineQueries
+    val q = PipelineQueries.queries.find(_.name == "dedup_substring").get
+    val out = q.fn(spark, dir)
+    val planted = out.filter(col("doc_id") < 50) // generator plants dups
+    assert(out.count() > 0)
+    assert(out.filter(col("dup_grams") > col("n_grams")).count() == 0)
+    // flag is exactly the 10% rule — recompute and compare
+    val bad = out.filter(
+      (col("dup_grams") * 10 >= col("n_grams")).cast("long") =!=
+        col("flagged")).count()
+    assert(bad == 0)
+    assert(planted.count() > 0)
+  }
+
+  test("dsir weights rank in-domain docs above out-of-domain") {
+    // scoring against target source='src0' must rank src0 docs higher on
+    // average than the corpus tail: the top-100 should over-represent src0
+    import graft.operators.PipelineQueries
+    val q = PipelineQueries.queries.find(_.name == "dsir_weight").get
+    val top = q.fn(spark, dir)
+    val docs0 = Tables(spark, dir).documents.select("doc_id", "source")
+    val joined = top.join(docs0, "doc_id")
+    val frac0 = joined.filter(col("source") === "src0").count().toDouble /
+      joined.count()
+    val base = docs0.filter(col("source") === "src0").count().toDouble /
+      docs0.count()
+    assert(frac0 >= base,
+      s"top-100 src0 fraction $frac0 below corpus baseline $base")
+  }
+
   test("centroid-angle bound prunes far cluster pairs, keeps near ones") {
     // orthogonal centroids with tight radii: cross pairs cannot reach
     // cos 0.9 (angle π/2 > 0.451 + 0.05 + 0.05) and must be pruned
