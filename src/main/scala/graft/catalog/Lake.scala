@@ -587,14 +587,51 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   /** Full CREATE [OR REPLACE] MACRO surface: arity overloads
     * (test_multiple_implementations.test), `:=` parameter defaults
-    * (test_default_parameter.test), table macros (test_macro_tables.test). */
+    * (test_default_parameter.test), table macros (test_macro_tables.test).
+    * Inside an open transaction the statement buffers (visible to the
+    * txn's own queries, committed as one snapshot —
+    * test_macro_transactions.test); duplicate/missing checks still fire at
+    * statement time like the reference. */
   def createMacro(name: String, impls: Seq[MacroImpl],
-      orReplace: Boolean): Unit =
-    meta.createMacro(name, impls, orReplace = orReplace)
+      orReplace: Boolean): Unit = txn match {
+    case Some(st) =>
+      val kind = impls.head.isTable
+      if (!orReplace && effectiveMacroImpls(name).exists(_.isTable == kind))
+        throw new IllegalArgumentException(
+          s"""Macro Function with name "$name" already exists""")
+      st.macroOps += CreateMacroOp(name, impls, orReplace)
+    case None => meta.createMacro(name, impls, orReplace = orReplace)
+  }
 
   def dropMacro(name: String, isTable: Boolean = false,
-      ifExists: Boolean = false): Unit =
-    meta.dropMacro(name, isTable, ifExists)
+      ifExists: Boolean = false): Unit = txn match {
+    case Some(st) =>
+      if (!ifExists &&
+          !effectiveMacroImpls(name).exists(_.isTable == isTable))
+        throw new IllegalArgumentException(
+          s"no ${if (isTable) "table " else ""}macro named $name")
+      st.macroOps += DropMacroOp(name, isTable, ifExists)
+    case None => meta.dropMacro(name, isTable, ifExists)
+  }
+
+  /** Committed macro implementations overlaid with the open transaction's
+    * buffered creates/drops, in statement order. */
+  private def effectiveMacroImpls(name: String,
+      snapshotId: Long = meta.currentSnapshot().snapshotId)
+      : Seq[MacroImpl] = {
+    var impls = meta.macroImplsByName(name, snapshotId)
+    txn.foreach(_.macroOps.foreach {
+      case DropMacroOp(n, isTable, _) if n == name =>
+        impls = impls.filterNot(_.isTable == isTable)
+      case CreateMacroOp(n, newImpls, _) if n == name =>
+        // a buffered create of a kind replaces that kind (a non-replace
+        // duplicate was rejected at statement time)
+        impls = impls.filterNot(_.isTable == newImpls.head.isTable) ++
+          newImpls
+      case _ =>
+    })
+    impls
+  }
 
   /** Textual macro expansion at call sites, to fixpoint (macros may call
     * macros). Implementation choice per call site: exact arity first, then
@@ -603,7 +640,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * into expressions, table bodies become derived tables in FROM
     * (test_macro_tables.test `FROM xt(5,'tom')`). */
   private def expandMacros(sqlText: String, snapshotId: Long): String = {
-    val macros = meta.listMacros(snapshotId)
+    val macros = (meta.listMacros(snapshotId) ++
+      txn.toSeq.flatMap(_.macroOps.collect {
+        case CreateMacroOp(n, _, _) => n
+      })).distinct
     if (macros.isEmpty) return sqlText
     var out = sqlText
     var rounds = 0
@@ -611,7 +651,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     while (changed && rounds < 10) {
       changed = false
       macros.foreach { m =>
-        val impls = meta.macroImplsByName(m, snapshotId)
+        val impls = effectiveMacroImpls(m, snapshotId)
         if (impls.nonEmpty) {
           // args may contain one paren-nesting level (function calls);
           // quote the name — schema-qualified macros contain '.'
@@ -905,6 +945,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // conflict at commit; tables created into them in the same txn work)
     val createdSchemas = scala.collection.mutable.LinkedHashSet
       .empty[String]
+    // macro DDL buffered in statement order (test_macro_transactions.test):
+    // visible to the txn's own expansion, applied at commit
+    val macroOps = scala.collection.mutable.ArrayBuffer.empty[MacroOp]
     // column changes buffered for COMMITTED tables, in statement order
     // (reference multiple_column_changes.test); guarded so a table never
     // mixes staged data files with a pending schema change
@@ -957,9 +1000,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
         created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
-        alterList.nonEmpty)
+        alterList.nonEmpty || st.macroOps.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
-        created, drops, newSchemas, alterList)
+        created, drops, newSchemas, alterList, st.macroOps.toSeq)
     txn = None
     st.cleanupScratch()
   }

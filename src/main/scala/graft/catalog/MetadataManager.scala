@@ -611,6 +611,17 @@ class MetadataManager(val jdbcUrl: String,
         name)(_.getLong(1)).head
       if (live > 0) throw new IllegalArgumentException(
         s"schema $name is not empty")
+      // macros qualified into this schema block the drop, like tables
+      // (test_schema_dependency.test / test_macro_transactions.test: the
+      // reference requires CASCADE, which we do not implement — drop the
+      // macros first)
+      val liveMacros = query(c,
+        """SELECT COUNT(*) FROM ducklake_macro
+          |WHERE macro_name LIKE ? AND end_snapshot IS NULL""".stripMargin,
+        s"$name.%")(_.getLong(1)).head
+      if (liveMacros > 0) throw new IllegalArgumentException(
+        s"schema $name holds macros; drop them first " +
+          "(DROP SCHEMA ... CASCADE is not supported)")
       val n = exec(c,
         "UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_name = ? AND end_snapshot IS NULL",
         Long.box(snap.snapshotId), name)
@@ -1052,19 +1063,22 @@ class MetadataManager(val jdbcUrl: String,
         Seq[Long])] = Nil,
       dropped: Seq[(Long, String, String)] = Nil,
       createdSchemas: Seq[String] = Nil,
-      alters: Seq[(Long, AlterSpec)] = Nil): Snapshot = {
+      alters: Seq[(Long, AlterSpec)] = Nil,
+      macroOps: Seq[MacroOp] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1) ++ alters.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
-        createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" },
-        droppedTables = dropped.map { case (_, s, n) => s"$s.$n" },
+        createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" } ++
+          macroOps.collect { case CreateMacroOp(n, _, _) => s"macro:$n" },
+        droppedTables = dropped.map { case (_, s, n) => s"$s.$n" } ++
+          macroOps.collect { case DropMacroOp(n, _, _) => s"macro:$n" },
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
       schemaChange = created.nonEmpty || dropped.nonEmpty ||
-        createdSchemas.nonEmpty || alters.nonEmpty,
+        createdSchemas.nonEmpty || alters.nonEmpty || macroOps.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
@@ -1245,6 +1259,14 @@ class MetadataManager(val jdbcUrl: String,
                   s"${ci.typeString} -> $nt")
             reopenColumn(c, snap.snapshotId, tid, ci.copy(typeString = nt))
         }
+      }
+      // buffered macro DDL, in statement order (DROP+CREATE of one name
+      // in one transaction nets out correctly)
+      macroOps.foreach {
+        case CreateMacroOp(n, impls, orReplace) =>
+          createMacroIn(c, snap, ids, n, impls, orReplace = orReplace)
+        case DropMacroOp(n, isTable, ifExists) =>
+          dropMacroIn(c, snap, n, isTable, ifExists)
       }
       appends.foreach { case (tid0, partitionId, files0) =>
         val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
@@ -2223,68 +2245,81 @@ class MetadataManager(val jdbcUrl: String,
     * share a name (test_scalar_table_macros.test) — they land as separate
     * macro rows and DROP MACRO [TABLE] targets its own kind. */
   def createMacro(name: String, impls: Seq[MacroImpl],
+      dialect: String = "spark", orReplace: Boolean = false): Unit =
+    commitSnapshot(SnapshotChanges(createdTables = Seq(s"macro:$name")),
+      schemaChange = true) { (c, snap, ids) =>
+      createMacroIn(c, snap, ids, name, impls, dialect, orReplace)
+    }
+
+  /** Macro-create body, shared by the immediate path and the buffered
+    * transaction commit (test_macro_transactions.test). */
+  private[catalog] def createMacroIn(c: Connection, snap: Snapshot,
+      ids: TxnIds, name: String, impls: Seq[MacroImpl],
       dialect: String = "spark", orReplace: Boolean = false): Unit = {
     require(impls.nonEmpty, "macro needs at least one implementation")
     require(impls.map(_.params.length).distinct.length == impls.length,
       s"macro $name: duplicate implementation arity")
     val isTable = impls.head.isTable
-    commitSnapshot(SnapshotChanges(createdTables = Seq(s"macro:$name")),
-      schemaChange = true) { (c, snap, ids) =>
-      val existing = liveMacroIds(c, name, snap.snapshotId - 1, isTable)
-      if (existing.nonEmpty) {
-        if (!orReplace) throw new IllegalArgumentException(
-          s"macro $name already exists (use CREATE OR REPLACE MACRO)")
-        existing.foreach(mid => exec(c,
-          "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
-          Long.box(snap.snapshotId), Long.box(mid)))
-      }
-      val mid = ids.newCatalogId()
+    val existing = liveMacroIds(c, name, isTable)
+    if (existing.nonEmpty) {
+      if (!orReplace) throw new IllegalArgumentException(
+        s"""Macro Function with name "$name" already exists""")
+      existing.foreach(mid => exec(c,
+        "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
+        Long.box(snap.snapshotId), Long.box(mid)))
+    }
+    val mid = ids.newCatalogId()
+    exec(c,
+      """INSERT INTO ducklake_macro (macro_id, schema_id, macro_name,
+        |begin_snapshot, end_snapshot, is_table_macro)
+        |VALUES (?, 0, ?, ?, NULL, ?)""".stripMargin,
+      Long.box(mid), name, Long.box(snap.snapshotId),
+      Boolean.box(isTable))
+    impls.zipWithIndex.foreach { case (impl, implId) =>
       exec(c,
-        """INSERT INTO ducklake_macro (macro_id, schema_id, macro_name,
-          |begin_snapshot, end_snapshot, is_table_macro)
-          |VALUES (?, 0, ?, ?, NULL, ?)""".stripMargin,
-        Long.box(mid), name, Long.box(snap.snapshotId),
-        Boolean.box(isTable))
-      impls.zipWithIndex.foreach { case (impl, implId) =>
+        """INSERT INTO ducklake_macro_impl (macro_id, macro_impl_id,
+          |dialect, body, macro_type) VALUES (?, ?, ?, ?, ?)""".stripMargin,
+        Long.box(mid), Long.box(implId.toLong), dialect, impl.body,
+        if (impl.isTable) "table" else "scalar")
+      impl.params.zipWithIndex.foreach { case ((p, dflt), i) =>
         exec(c,
-          """INSERT INTO ducklake_macro_impl (macro_id, macro_impl_id,
-            |dialect, body, macro_type) VALUES (?, ?, ?, ?, ?)""".stripMargin,
-          Long.box(mid), Long.box(implId.toLong), dialect, impl.body,
-          if (impl.isTable) "table" else "scalar")
-        impl.params.zipWithIndex.foreach { case ((p, dflt), i) =>
-          exec(c,
-            """INSERT INTO ducklake_macro_parameters (macro_id,
-              |macro_impl_id, parameter_index, parameter_name,
-              |parameter_type, default_value, default_type)
-              |VALUES (?, ?, ?, ?, ?, ?, 'unknown')""".stripMargin,
-            Long.box(mid), Long.box(implId.toLong), Long.box(i.toLong), p,
-            impl.paramTypes.lift(i).getOrElse("unknown"), dflt.orNull)
-        }
+          """INSERT INTO ducklake_macro_parameters (macro_id,
+            |macro_impl_id, parameter_index, parameter_name,
+            |parameter_type, default_value, default_type)
+            |VALUES (?, ?, ?, ?, ?, ?, 'unknown')""".stripMargin,
+          Long.box(mid), Long.box(implId.toLong), Long.box(i.toLong), p,
+          impl.paramTypes.lift(i).getOrElse("unknown"), dflt.orNull)
       }
     }
   }
 
-  private def liveMacroIds(c: Connection, name: String, snapshotId: Long,
+  // currently-live check (end IS NULL), not as-of-snapshot: inside one
+  // commit body a DROP+CREATE sequence must see the drop it just applied
+  private def liveMacroIds(c: Connection, name: String,
       isTable: Boolean): Seq[Long] =
     query(c,
       """SELECT macro_id FROM ducklake_macro
-        |WHERE macro_name = ? AND is_table_macro = ? AND begin_snapshot <= ?
-        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
-      name, Boolean.box(isTable), Long.box(snapshotId),
-      Long.box(snapshotId))(_.getLong(1))
+        |WHERE macro_name = ? AND is_table_macro = ?
+        |  AND end_snapshot IS NULL""".stripMargin,
+      name, Boolean.box(isTable))(_.getLong(1))
 
   /** DROP MACRO [TABLE] name: ends the live macro of the given kind. */
   def dropMacro(name: String, isTable: Boolean,
       ifExists: Boolean = false): Unit =
     commitSnapshot(SnapshotChanges(droppedTables = Seq(s"macro:$name")),
       schemaChange = true) { (c, snap, _) =>
-      val mids = liveMacroIds(c, name, snap.snapshotId - 1, isTable)
-      if (mids.isEmpty && !ifExists) throw new IllegalArgumentException(
-        s"no ${if (isTable) "table " else ""}macro named $name")
-      mids.foreach(mid => exec(c,
-        "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
-        Long.box(snap.snapshotId), Long.box(mid)))
+      dropMacroIn(c, snap, name, isTable, ifExists)
     }
+
+  private[catalog] def dropMacroIn(c: Connection, snap: Snapshot,
+      name: String, isTable: Boolean, ifExists: Boolean): Unit = {
+    val mids = liveMacroIds(c, name, isTable)
+    if (mids.isEmpty && !ifExists) throw new IllegalArgumentException(
+      s"no ${if (isTable) "table " else ""}macro named $name")
+    mids.foreach(mid => exec(c,
+      "UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ?",
+      Long.box(snap.snapshotId), Long.box(mid)))
+  }
 
   /** All live implementations of `name` at a snapshot, across macro rows
     * (a scalar and a table macro of one name coexist). */

@@ -147,6 +147,14 @@ final case class PartitionSpec(partitionId: Long, fields: Seq[PartitionField])
 final case class MacroImpl(params: Seq[(String, Option[String])],
     body: String, isTable: Boolean, paramTypes: Seq[String] = Nil)
 
+/** A macro DDL statement buffered inside an open transaction
+  * (test_macro_transactions.test): applied in statement order at commit. */
+sealed trait MacroOp
+final case class CreateMacroOp(name: String, impls: Seq[MacroImpl],
+    orReplace: Boolean) extends MacroOp
+final case class DropMacroOp(name: String, isTable: Boolean,
+    ifExists: Boolean) extends MacroOp
+
 final case class SnapshotChanges(
     createdTables: Seq[String] = Nil,
     droppedTables: Seq[String] = Nil,

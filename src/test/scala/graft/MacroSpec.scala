@@ -100,6 +100,44 @@ class MacroSpec extends AnyFunSuite {
     assert(lake.sql("SELECT add_two_def(1, 2) AS r").head().getInt(0) == 3)
   }
 
+  test("transaction-local macro DDL (test_macro_transactions.test)") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq(Tuple1(1)).toDF("x"))
+    lake.sql("CREATE MACRO simple(a) AS a")
+    val snapsBefore = lake.snapshots().count()
+
+    lake.begin()
+    // duplicate create errors at statement time
+    intercept[IllegalArgumentException](
+      lake.sql("CREATE MACRO simple(a) AS a"))
+    // in-txn drop hides the macro from the txn's own queries
+    lake.sql("DROP MACRO simple")
+    intercept[Exception](lake.sql("SELECT simple(1) AS r").collect())
+    // re-create inside the same txn; visible to the txn immediately
+    lake.sql("CREATE MACRO simple(a) AS a + 100")
+    assert(lake.sql("SELECT simple(1) AS r").head().getInt(0) == 101)
+    lake.commit()
+    // committed as ONE snapshot; the net effect survives
+    assert(lake.snapshots().count() == snapsBefore + 1)
+    assert(lake.sql("SELECT simple(1) AS r").head().getInt(0) == 101)
+
+    // rollback discards buffered macro DDL
+    lake.begin()
+    lake.sql("DROP MACRO simple")
+    lake.rollback()
+    assert(lake.sql("SELECT simple(1) AS r").head().getInt(0) == 101)
+  }
+
+  test("DROP SCHEMA blocked by schema-qualified macros") {
+    val lake = freshLake()
+    lake.sql("CREATE SCHEMA test")
+    lake.sql("CREATE MACRO test.simple(a) AS a")
+    val e = intercept[IllegalArgumentException](lake.dropSchema("test"))
+    assert(e.getMessage.contains("macros"))
+    lake.sql("DROP MACRO test.simple")
+    lake.dropSchema("test")
+  }
+
   test("macro body args with nested function calls") {
     val lake = freshLake()
     lake.sql("CREATE MACRO clamp0(v) AS greatest(v, 0)")
