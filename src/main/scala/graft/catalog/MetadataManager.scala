@@ -283,6 +283,13 @@ class MetadataManager(val jdbcUrl: String,
         java.util.UUID.randomUUID().toString)
       exec(c,
         "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (0, 0)")
+      // snapshot 0 reports the bootstrap schema like the reference
+      // (ducklake_snapshots.test: `{schemas_created=[main]}`)
+      exec(c,
+        """INSERT INTO ducklake_snapshot_changes (snapshot_id, changes_made,
+          |author, commit_message, commit_extra_info)
+          |VALUES (0, ?, NULL, NULL, NULL)""".stripMargin,
+        SnapshotChanges(createdTables = Seq("schema:main")).summary)
     }
   }
 
@@ -1071,9 +1078,11 @@ class MetadataManager(val jdbcUrl: String,
     commitSnapshot(
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" } ++
-          macroOps.collect { case CreateMacroOp(n, _, _) => s"macro:$n" },
+          macroOps.collect { case CreateMacroOp(n, impls, _) =>
+            s"${if (impls.exists(_.isTable)) "tmacro" else "macro"}:$n" },
         droppedTables = dropped.map { case (_, s, n) => s"$s.$n" } ++
-          macroOps.collect { case DropMacroOp(n, _, _) => s"macro:$n" },
+          macroOps.collect { case DropMacroOp(n, isTable, _) =>
+            s"${if (isTable) "tmacro" else "macro"}:$n" },
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
@@ -2246,7 +2255,8 @@ class MetadataManager(val jdbcUrl: String,
     * macro rows and DROP MACRO [TABLE] targets its own kind. */
   def createMacro(name: String, impls: Seq[MacroImpl],
       dialect: String = "spark", orReplace: Boolean = false): Unit =
-    commitSnapshot(SnapshotChanges(createdTables = Seq(s"macro:$name")),
+    commitSnapshot(SnapshotChanges(createdTables = Seq(
+      s"${if (impls.exists(_.isTable)) "tmacro" else "macro"}:$name")),
       schemaChange = true) { (c, snap, ids) =>
       createMacroIn(c, snap, ids, name, impls, dialect, orReplace)
     }
@@ -2306,7 +2316,8 @@ class MetadataManager(val jdbcUrl: String,
   /** DROP MACRO [TABLE] name: ends the live macro of the given kind. */
   def dropMacro(name: String, isTable: Boolean,
       ifExists: Boolean = false): Unit =
-    commitSnapshot(SnapshotChanges(droppedTables = Seq(s"macro:$name")),
+    commitSnapshot(SnapshotChanges(droppedTables = Seq(
+      s"${if (isTable) "tmacro" else "macro"}:$name")),
       schemaChange = true) { (c, snap, _) =>
       dropMacroIn(c, snap, name, isTable, ifExists)
     }

@@ -165,16 +165,44 @@ final case class SnapshotChanges(
     author: Option[String] = None,
     commitMessage: Option[String] = None,
     extraInfo: Option[String] = None) {
-  /** change summary string, reference docs/README.md table_changes format */
+  /** change summary string in the reference's snapshots() spelling
+    * (test/sql/functions/ducklake_snapshots.test:
+    * `{schemas_created=[main]}`, `{tables_created=[s1.tbl]}`,
+    * `{tables_inserted_into=[1]}`; macros per
+    * test/sql/macros/test_attach_timetravel.test:
+    * `{scalar_macros_created=['main."simple"']}`). Created/dropped
+    * schema/macro entries ride in the created/droppedTables seqs with a
+    * `schema:` / `macro:` / `tmacro:` prefix. */
   def summary: String = {
+    def bucket(xs: Seq[String]): (Seq[String], Seq[String], Seq[String], Seq[String]) = (
+      xs.filter(_.startsWith("schema:")).map(_.stripPrefix("schema:")),
+      xs.filter(_.startsWith("macro:")).map(_.stripPrefix("macro:")),
+      xs.filter(_.startsWith("tmacro:")).map(_.stripPrefix("tmacro:")),
+      xs.filterNot(x => x.startsWith("schema:") || x.startsWith("macro:") ||
+        x.startsWith("tmacro:")))
+    def quoteMacro(m: String): String = {
+      val i = m.lastIndexOf('.')
+      val (s, n) = if (i < 0) ("main", m) else (m.substring(0, i), m.substring(i + 1))
+      s"""'$s."$n"'"""
+    }
+    val (schemasC, macrosC, tmacrosC, tablesC) = bucket(createdTables)
+    val (schemasD, macrosD, tmacrosD, tablesD) = bucket(droppedTables)
+    def part(key: String, vals: Seq[String]): Option[String] =
+      if (vals.isEmpty) None else Some(s"$key=[${vals.mkString(", ")}]")
     val parts = Seq(
-      createdTables.map(t => s"created_table:$t"),
-      droppedTables.map(t => s"dropped_table:$t"),
-      insertedIntoTables.map(t => s"inserted_into_table:$t"),
-      deletedFromTables.map(t => s"deleted_from_table:$t"),
-      compactedTables.map(t => s"compacted_table:$t"),
-      alteredTables.map(t => s"altered_table:$t")).flatten
-    parts.mkString(",")
+      part("schemas_created", schemasC),
+      part("tables_created", tablesC),
+      part("scalar_macros_created", macrosC.map(quoteMacro)),
+      part("table_macros_created", tmacrosC.map(quoteMacro)),
+      part("schemas_dropped", schemasD),
+      part("tables_dropped", tablesD),
+      part("scalar_macros_dropped", macrosD.map(quoteMacro)),
+      part("table_macros_dropped", tmacrosD.map(quoteMacro)),
+      part("tables_inserted_into", insertedIntoTables.map(_.toString)),
+      part("tables_deleted_from", deletedFromTables.map(_.toString)),
+      part("tables_compacted", compactedTables.map(_.toString)),
+      part("tables_altered", alteredTables.map(_.toString))).flatten
+    "{" + parts.mkString(", ") + "}"
   }
   def isAppendOnly: Boolean =
     createdTables.isEmpty && droppedTables.isEmpty &&
