@@ -513,7 +513,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private val TableFn =
-    """(?is)\b((?:FROM|JOIN)\s+)(snapshots|table_info|settings|options|list_files|table_changes|table_insertions|table_deletions|database_size)\s*\(([^)]*)\)""".r
+    """(?is)\b((?:FROM|JOIN)\s+)(snapshots|table_info|settings|options|list_files|table_changes|table_insertions|table_deletions|database_size|metadata_log)\s*\(([^)]*)\)""".r
 
   /** The reference's metadata table functions in FROM position
     * (ducklake_snapshots/table_info/list_files/table_changes …,
@@ -547,6 +547,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           tableInsertions(arg(0), arg(1).toLong, arg(2).toLong)
         case "table_deletions" =>
           tableDeletions(arg(0), arg(1).toLong, arg(2).toLong)
+        case "metadata_log" => metadataLog()
       }
       val vn = s"__fn_${m.group(2).toLowerCase(java.util.Locale.ROOT)}_" +
         math.abs(m.group(3).hashCode).toString
@@ -2735,6 +2736,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         msg.orNull, extra.orNull)
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes",
       "author", "commit_message", "commit_extra_info")
+  }
+
+  /** Metadata query logging (reference ducklake_metadata_logging.test:
+    * enable_logging('DuckLakeMetadata') + duckdb_logs_parsed): when
+    * enabled, every catalog SQL statement records (timestamp, catalog,
+    * query, elapsed). Surface: `CALL enable_logging()` / `CALL
+    * disable_logging()` and `FROM metadata_log()` in lake.sql. */
+  def enableMetadataLogging(): Unit = meta.loggingEnabled = true
+  def disableMetadataLogging(): Unit = {
+    meta.loggingEnabled = false
+    meta.clearQueryLog()
+  }
+  def metadataLog(): DataFrame = {
+    import spark.implicits._
+    meta.queryLogSnapshot().map { case (ts, sql, us) =>
+      (new java.sql.Timestamp(ts), meta.jdbcUrl, sql, us / 1000.0)
+    }.toDF("log_ts", "catalog", "query", "elapsed_ms")
   }
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId

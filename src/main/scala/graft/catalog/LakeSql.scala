@@ -205,6 +205,12 @@ private[catalog] object LakeSql {
             count(0L)
           case "add_data_files" =>
             lake.addDataFiles(args(0), args.drop(1)); count(0L)
+          // CALL enable_logging(['DuckLakeMetadata']) — reference
+          // ducklake_metadata_logging.test; the optional logger-name arg
+          // is accepted and ignored (there is only the metadata logger)
+          case "enable_logging" => lake.enableMetadataLogging(); count(0L)
+          case "disable_logging" =>
+            lake.disableMetadataLogging(); count(0L)
           case other => throw new IllegalArgumentException(
             s"unknown function: $other")
         }

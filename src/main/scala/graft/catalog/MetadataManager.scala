@@ -77,23 +77,45 @@ class MetadataManager(val jdbcUrl: String,
     case None => sql
   }
 
+  // ------------------------------------------- metadata query logging
+  // (reference ducklake_metadata_logging.test: enable_logging
+  // ('DuckLakeMetadata') records every catalog SQL with its latency).
+  // Bounded ring so a long session cannot grow without limit.
+  @volatile private[catalog] var loggingEnabled = false
+  private val logCap = 10000
+  private val queryLogBuf =
+    new ArrayBuffer[(Long, String, Long)] // (epoch ms, sql, elapsed µs)
+  private def recordLog(sql: String, t0: Long): Unit =
+    if (loggingEnabled) queryLogBuf.synchronized {
+      if (queryLogBuf.size >= logCap) queryLogBuf.remove(0)
+      queryLogBuf += ((System.currentTimeMillis(), sql,
+        (System.nanoTime() - t0) / 1000L))
+    }
+  private[catalog] def queryLogSnapshot(): Seq[(Long, String, Long)] =
+    queryLogBuf.synchronized(queryLogBuf.toSeq)
+  private[catalog] def clearQueryLog(): Unit =
+    queryLogBuf.synchronized(queryLogBuf.clear())
+
   protected def query[A](c: Connection, sql: String, args: Any*)(
       f: ResultSet => A): Seq[A] = {
-    Using.resource(c.prepareStatement(qualify(sql))) { ps =>
+    val t0 = System.nanoTime()
+    try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
       Using.resource(ps.executeQuery()) { rs =>
         val out = ArrayBuffer.empty[A]
         while (rs.next()) out += f(rs)
         out.toSeq
       }
-    }
+    } finally recordLog(sql, t0)
   }
 
-  protected def exec(c: Connection, sql: String, args: Any*): Int =
-    Using.resource(c.prepareStatement(qualify(sql))) { ps =>
+  protected def exec(c: Connection, sql: String, args: Any*): Int = {
+    val t0 = System.nanoTime()
+    try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
       ps.executeUpdate()
-    }
+    } finally recordLog(sql, t0)
+  }
 
   /** One prepared statement, many rows, one executeBatch — the staged-
     * commit shape (reference ducklake_staged_commit.cpp builds the whole
@@ -103,12 +125,15 @@ class MetadataManager(val jdbcUrl: String,
     * between O(1) and O(rows) network round trips per commit. */
   protected def execBatch(c: Connection, sql: String,
       rows: Seq[Seq[Any]]): Unit =
-    if (rows.nonEmpty) Using.resource(c.prepareStatement(qualify(sql))) { ps =>
-      rows.foreach { args =>
-        args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
-        ps.addBatch()
-      }
-      ps.executeBatch(): Unit
+    if (rows.nonEmpty) {
+      val t0 = System.nanoTime()
+      try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
+        rows.foreach { args =>
+          args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+          ps.addBatch()
+        }
+        ps.executeBatch(): Unit
+      } finally recordLog(s"[batch ${rows.size}] $sql", t0)
     }
 
   private def optLong(rs: ResultSet, col: String): Option[Long] = {

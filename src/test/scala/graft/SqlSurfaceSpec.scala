@@ -197,6 +197,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getString(0) == "false")
   }
 
+  test("metadata query logging (ducklake_metadata_logging.test)") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.sql("CALL enable_logging('DuckLakeMetadata')")
+    lake.createTableAs("lg", Seq((1, "hello"), (2, "world")).toDF("id", "v"))
+    assert(lake.sql("SELECT COUNT(*) AS n FROM lg").head().getLong(0) == 2)
+    // logs were generated, the catalog column matches, latency is sane,
+    // queries are non-empty — the reference's four assertions
+    val log = lake.sql("SELECT * FROM metadata_log()")
+    assert(log.count() > 0)
+    assert(log.filter(col("catalog") =!= lake.meta.jdbcUrl).count() == 0)
+    assert(log.filter(col("elapsed_ms") < 0).count() == 0)
+    assert(log.filter(col("query").isNull ||
+      length(col("query")) === 0).count() == 0)
+    // disable clears and stops recording
+    lake.sql("CALL disable_logging()")
+    lake.append("lg", Seq((3, "x")).toDF("id", "v"))
+    assert(lake.metadataLog().count() == 0)
+  }
+
   test("maintenance functions via CALL") {
     val dir = Files.createTempDirectory("graftsqlcall").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
