@@ -3325,8 +3325,23 @@ object Lake {
     * DUCKLAKE secret holding metadata_path/data_path (reference
     * ducklake_secret.cpp attach-by-secret). */
   def attach(spark: SparkSession, secretRef: String): Lake = {
-    require(secretRef.startsWith("ducklake:"),
-      "attach-by-secret expects a 'ducklake:<name>' reference")
+    if (!secretRef.startsWith("ducklake:")) {
+      // ATTACH without DATA_PATH (reference data_path_tag.test: an
+      // existing lake re-attaches with the data path stored in its own
+      // ducklake_metadata) — the catalog must already exist
+      require(secretRef.startsWith("jdbc:") ||
+        secretRef.startsWith("http") ||
+        new java.io.File(secretRef).exists(),
+        s"cannot attach without DATA_PATH: catalog $secretRef does not " +
+          "exist (pass a data path to create a new lake)")
+      val url =
+        if (secretRef.startsWith("jdbc:") || secretRef.startsWith("http"))
+          secretRef
+        else MetadataManager.derbyUrl(secretRef)
+      val probe = new MetadataManager(url, None)
+      val stored = probe.dataPath
+      return attach(spark, secretRef, stored)
+    }
     val name = secretRef.stripPrefix("ducklake:")
     val s = Secrets.get(name).getOrElse(
       throw new IllegalArgumentException(s"no secret $name"))

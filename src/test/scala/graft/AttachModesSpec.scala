@@ -11,6 +11,23 @@ class AttachModesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("attach without DATA_PATH reads the stored path " +
+      "(reference data_path_tag.test)") {
+    val dir = Files.createTempDirectory("graftnodp").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.detach()
+    // re-attach with the catalog alone: data path comes from
+    // ducklake_metadata
+    val re = Lake.attach(spark, s"$dir/cat")
+    assert(re.table("t").count() == 2)
+    re.append("t", Seq((3, "c")).toDF("id", "v"))
+    assert(re.table("t").count() == 3)
+    // a nonexistent catalog without a data path cannot create a lake
+    intercept[IllegalArgumentException](
+      Lake.attach(spark, s"$dir/nosuch"))
+  }
+
   test("read-only attach rejects every write, allows reads") {
     val dir = Files.createTempDirectory("graftro").toString
     // read-only attach of a non-existent catalog fails
