@@ -617,6 +617,75 @@ object CorpusQueries extends QueryPack {
        |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  // ------------------------------------------- per-source TF-IDF profile
+
+  /** Top-10 characteristic terms per ingestion source by TF-IDF — the
+    * per-domain vocabulary profile a mixture audit reads. idf is the
+    * scaled-integer ratio sources/df (floor ×1e6) so scores hash-match
+    * DuckDB exactly. Scale shape: tf is one map-side-combinable shuffle on
+    * (source, term); df aggregates FROM tf (already distinct — no second
+    * pass over occurrences); the source count is a broadcast 1-row agg;
+    * top-10 is a per-source window over ≤|vocab| rows, partitioned by
+    * source so no single-partition window. */
+  private def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val tok = d.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w"))
+      .agg(countDistinct(col("source")).as("df"))
+    val nSrc = d.select(countDistinct(col("source")).as("s"))
+    val scored = tf.join(df, "w").crossJoin(broadcast(nSrc))
+      .select(col("source"), col("w").as("term"),
+        (col("tf") * expr("(s * 1000000) DIV df")).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("term"), col("score").cast("long"))
+      .orderBy(col("source"), col("score").desc, col("term"))
+  }
+
+  private val tfidfTermsSql =
+    """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+      |tf AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY source, w),
+      |df AS (SELECT w, COUNT(DISTINCT source) AS df FROM tf GROUP BY w),
+      |ns AS (SELECT COUNT(DISTINCT source) AS s FROM documents),
+      |sc AS (SELECT source, w AS term, tf * ((s * 1000000) // df) AS score
+      |       FROM tf JOIN df USING (w) CROSS JOIN ns),
+      |rk AS (SELECT source, term, score, ROW_NUMBER() OVER
+      |        (PARTITION BY source ORDER BY score DESC, term) AS rn FROM sc)
+      |SELECT source, term, CAST(score AS BIGINT) AS score FROM rk
+      |WHERE rn <= 10 ORDER BY source, score DESC, term""".stripMargin
+
+  // ------------------------------------------------ Zipf token histogram
+
+  /** Token-frequency power-law histogram: terms bucketed by
+    * floor(log2(count)) — the corpus-health curve (a healthy natural
+    * corpus is near-Zipfian; synthetic or templated data shows up as
+    * spikes). The bucket is computed as length(bin(c))-1, pure integer in
+    * both engines — no float log2 at bucket boundaries. One shuffle
+    * (term counts); the histogram itself is ≤64 rows. */
+  private def tokenZipf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy((length(bin(col("c"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("c")).cast("long").as("occurrences"))
+      .orderBy(col("bucket"))
+  }
+
+  private val tokenZipfSql =
+    """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+      |SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(c) AS BIGINT) AS occurrences
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("contamination_score", contaminationScore,
@@ -635,5 +704,7 @@ object CorpusQueries extends QueryPack {
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
+    QueryDef("tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
+    QueryDef("token_zipf", tokenZipf, Some(tokenZipfSql)),
   )
 }
