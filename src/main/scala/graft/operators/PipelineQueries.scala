@@ -457,6 +457,59 @@ object PipelineQueries extends QueryPack {
        |  ${graft.QueryDsl.oLsum(graft.QueryDsl.oSl2("value"), "100.0")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** Stream-stream interval join (click→purchase attribution): two
+    * watermarked event streams joined per user with an event-time range
+    * (purchase within 30 min after the click) — the canonical Structured
+    * Streaming stateful join; state is bounded by the watermark + range so
+    * it cannot grow without limit on an unbounded source. Oracle is the
+    * identical batch self-join, i.e. streaming/batch equivalence is the
+    * check. Scale shape: both sides shuffle once on user_id; per-key state
+    * holds ≤ watermark-window of rows. */
+  private def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src(): DataFrame = {
+      val d = java.nio.file.Files.createTempDirectory("graft-sjoin")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      spark.readStream.schema(schema).parquet(d.toString)
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = src().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val j = clicks.as("c").join(buys.as("b"),
+      col("c.user_id") === col("b.user_id") &&
+        col("b.buy_ts") > col("c.click_ts") &&
+        col("b.buy_ts") <= col("c.click_ts") + expr("INTERVAL 30 MINUTES"),
+      "inner")
+    val qn = s"strj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = j.select(col("c.user_id").as("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamJoinSql =
+    """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   /** Streaming ingestion INTO the lake (LakeSink foreachBatch sink with
     * idempotent batch tracking), verified by aggregating the landed table
     * against batch SQL over the source. */
@@ -863,5 +916,6 @@ object PipelineQueries extends QueryPack {
     QueryDef("stream_ingest", streamIngest, Some(streamIngestSql)),
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dsir_weight", dsirWeight, Some(dsirWeightSql)),
+    QueryDef("stream_join", streamJoin, Some(streamJoinSql)),
   )
 }
