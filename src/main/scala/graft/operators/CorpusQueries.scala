@@ -706,5 +706,44 @@ object CorpusQueries extends QueryPack {
     QueryDef("q_window_frames", qWindowFrames, Some(qWindowFramesSql)),
     QueryDef("tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     QueryDef("token_zipf", tokenZipf, Some(tokenZipfSql)),
+    QueryDef("bpe_merges", bpeMerges, Some(bpeMergesSql)),
   )
+
+  /** Distributed BPE tokenizer-training merges ([[Bpe.merges]]): 6 rounds
+    * of weighted pair counting + greedy merge over the distinct-word
+    * vocabulary. The oracle replays every round as unrolled CTEs — pair
+    * counts via 1-based list indexing, the merge as the identical
+    * delimiter-bounded string replace — so the chosen merges and their
+    * counts hash-match exactly. */
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.merges(Tables(spark, dir).documents, "text", rounds = 6)
+
+  /** one unrolled BPE round: count pairs over s$i, pick best, rewrite */
+  private def bpeRoundSql(i: Int): String =
+    s"""e$i AS (
+       |  SELECT unnest(range(1, len(syms))) AS j, syms, f FROM (
+       |    SELECT string_split(trim(r, '|'), '|') AS syms, f FROM s$i) q
+       |  WHERE len(syms) >= 2),
+       |p$i AS (
+       |  SELECT syms[j] AS l, syms[j+1] AS rr, CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM e$i GROUP BY 1, 2),
+       |b$i AS (SELECT l, rr, cnt FROM p$i ORDER BY cnt DESC, l, rr LIMIT 1),
+       |s${i + 1} AS (
+       |  SELECT replace(r, '|' || b.l || '|' || b.rr || '|',
+       |                    '|' || b.l || b.rr || '|') AS r, f
+       |  FROM s$i, b$i b)""".stripMargin
+
+  private val bpeMergesSql =
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE word <> '' GROUP BY word),
+       |s1 AS (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS r, f
+       |       FROM w),
+       |${(1 to 6).map(bpeRoundSql).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to 6).map(i =>
+            s"  SELECT CAST($i AS INT) AS round, l AS lhs, rr AS rhs, cnt FROM b$i")
+            .mkString("\n  UNION ALL\n")}
+       |) ORDER BY round""".stripMargin
 }

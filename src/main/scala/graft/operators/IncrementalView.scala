@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.catalog.Lake
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over the lake's change feed.
+  *
+  * A summary table (GROUP BY keys + retractable aggregates: row count and
+  * exact long sums) is kept current by folding ONLY the rows that changed
+  * in `(fromVersion, toVersion]` — inserts add, deletes retract — instead
+  * of rescanning the base table. UPDATEs surface through the feed as a
+  * delete + an insert (reference `ducklake_table_changes` semantics,
+  * docs/README.md:86-96), so they retract the old value and add the new
+  * one with no special casing.
+  *
+  * 100 TB story: a refresh reads the delta files only (the CDC scan is
+  * driven by `begin_snapshot` ranges in the catalog, never a full-table
+  * scan), pre-aggregates them map-side to one row per touched group, and
+  * MERGEs that — the shuffle carries `O(changed groups)` rows, and the
+  * MERGE's copy-on-write rewrite touches only the MV files holding those
+  * groups. A nightly refresh over a 100 TB fact table with a 0.1% daily
+  * delta therefore costs ~100 GB of scan + a kilobyte-scale shuffle,
+  * where `REFRESH MATERIALIZED VIEW` in a scan-based engine costs the
+  * full 100 TB.
+  *
+  * Aggregates must be retractable and exact for incremental == recompute
+  * to hold bit-for-bit: COUNT and SUM over integer/scaled-long inputs
+  * (see [[graft.QueryDsl.sl2]]) qualify; float sums and MIN/MAX (which
+  * would need a rescan of the group on retraction of the extremum) are
+  * deliberately out of scope, exactly like Flink's retract-stream aggs.
+  */
+object IncrementalView {
+
+  /** Internal key column used when the view groups by more than one
+    * column (the lake's MERGE keys on a single column). */
+  private val KeyCol = "mv_key"
+  private val Sep = ""
+
+  private def needsKey(groupCols: Seq[String]) = groupCols.length != 1
+  private def keyExpr(groupCols: Seq[String]): Column =
+    concat_ws(Sep, groupCols.map(c => col(c).cast("string")): _*)
+  private def mergeKey(groupCols: Seq[String]): String =
+    if (needsKey(groupCols)) KeyCol else groupCols.head
+
+  /** Full aggregation of `df` in MV layout:
+    * [mv_key,] groupCols, n_rows, sum columns. */
+  private def aggregate(df: DataFrame, groupCols: Seq[String],
+      sums: Seq[(String, Column)]): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sums.map { case (n, e) => sum(e).cast("long").as(n) }: _*)
+    if (needsKey(groupCols)) {
+      val cols = KeyCol +: (groupCols ++ ("n_rows" +: sums.map(_._1)))
+      agg.withColumn(KeyCol, keyExpr(groupCols)).select(cols.map(col): _*)
+    } else agg
+  }
+
+  /** Create MV table `mvName` as the full aggregation of lake table
+    * `base` (one-time build; thereafter use [[refresh]]).
+    * @return the base-table snapshot version the view reflects. */
+  def materialize(lake: Lake, base: String, mvName: String,
+      groupCols: Seq[String], sums: Seq[(String, Column)]): Long = {
+    val v = lake.currentSnapshotId()
+    lake.createTableAs(mvName, aggregate(lake.table(base), groupCols, sums))
+    v
+  }
+
+  /** Fold base-table changes in `(fromVersion, toVersion]` into the MV.
+    * @return `toVersion` (the version the view now reflects). */
+  def refresh(lake: Lake, base: String, mvName: String,
+      groupCols: Seq[String], sums: Seq[(String, Column)],
+      fromVersion: Long,
+      toVersion: Option[Long] = None): Long = {
+    val to = toVersion.getOrElse(lake.currentSnapshotId())
+    if (to == fromVersion) return to
+    val changes = lake.tableChanges(base, fromVersion, to)
+    if (changes.isEmpty) return to // nothing changed: zero commits
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    // one row per touched group — partial aggregation happens map-side,
+    // so the shuffle ahead of the MERGE is O(changed groups)
+    val delta0 = changes.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).cast("long").as("d_n"),
+        sums.map { case (n, e) =>
+          sum(sign * e).cast("long").as(s"d_$n") }: _*)
+    val delta =
+      if (needsKey(groupCols)) delta0.withColumn(KeyCol, keyExpr(groupCols))
+      else delta0
+    val key = mergeKey(groupCols)
+    val updates: Map[String, Column] =
+      Map("n_rows" -> (col("t.n_rows") + col("s.d_n"))) ++
+        sums.map { case (n, _) => n -> (col(s"t.$n") + col(s"s.d_$n")) }
+    val inserts: Seq[(String, Column)] =
+      (if (needsKey(groupCols)) Seq(KeyCol -> col(s"s.$KeyCol")) else Nil) ++
+        groupCols.map(g => g -> col(s"s.$g")) ++
+        Seq("n_rows" -> col("s.d_n")) ++
+        sums.map { case (n, _) => n -> col(s"s.d_$n") }
+    lake.merge(mvName, delta, key,
+      whenMatchedUpdate = Some(updates),
+      whenNotMatchedInsert = true,
+      notMatchedInsertValues = Some(inserts))
+    // groups whose membership dropped to zero leave the view (a pure
+    // positional delete — no rewrite of surviving rows)
+    lake.delete(mvName, col("n_rows") === 0L)
+    to
+  }
+
+  /** The MV in reader layout (internal key column dropped). */
+  def read(lake: Lake, mvName: String, groupCols: Seq[String]): DataFrame = {
+    val df = lake.table(mvName)
+    if (needsKey(groupCols)) df.drop(KeyCol) else df
+  }
+}

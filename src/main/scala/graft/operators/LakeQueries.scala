@@ -432,6 +432,87 @@ object LakeQueries extends QueryPack {
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   }
 
+  /** VARIANT column lifecycle (reference ducklake_types.cpp:61 variant +
+    * ducklake_variant_stats.cpp shredded-path stats): events.props parsed
+    * into a Spark 4 VariantType column, `$.k` shredded as BIGINT so every
+    * appended file carries per-path min/max in
+    * `ducklake_file_variant_stats`, data range-clustered on k so the
+    * catalog prunes non-matching files BEFORE Spark plans, filtered via
+    * `variant_get`. The oracle replays with DuckDB JSON extraction. */
+  private def qVariant(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        parse_json(col("props")).as("payload"))
+    lake.createTable("ev", ev.schema)
+    lake.setOption("variant_shredded_paths", "payload:$.k:bigint",
+      table = Some("ev"))
+    // range-cluster on the shredded path so per-file [min,max] are
+    // disjoint and the k >= 90 filter prunes most files in the catalog
+    lake.append("ev", ev.repartitionByRange(8,
+      get_json_object(col("payload").cast("string"), "$.k").cast("long")))
+    lake.table("ev",
+      Some(variant_get(col("payload"), "$.k", "bigint") >= 90L))
+      .select(col("event_id"),
+        variant_get(col("payload"), "$.k", "bigint").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qVariantSql =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  /** Incremental materialized-view maintenance
+    * ([[IncrementalView]]): a COUNT/exact-SUM summary of a lake table is
+    * kept current from the CDC feed alone across an append, a
+    * copy-on-write UPDATE (retract + add), and a DELETE — never
+    * rescanning the base table. The oracle recomputes the final state
+    * from scratch in DuckDB, so incremental == recompute is hash-checked
+    * end to end. */
+  private def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val lake = freshLake(spark)
+    val orders = Tables(spark, dir).orders
+    lake.createTableAs("orders", orders)
+    val sums = Seq("total_cents" -> sl2(col("o_totalprice")))
+    val v0 = IncrementalView.materialize(lake, "orders", "mv",
+      Seq("o_orderpriority"), sums)
+    // delta workload: append shifted copies, double 'P' prices, delete
+    lake.append("orders", orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    lake.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderstatus") === "P")
+    lake.delete("orders", col("o_orderkey") % 13 === 0)
+    IncrementalView.refresh(lake, "orders", "mv",
+      Seq("o_orderpriority"), sums, fromVersion = v0)
+    IncrementalView.read(lake, "mv", Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qIncrementalAggSql = {
+    import graft.QueryDsl._
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority,
+       |         o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM base),
+       |fin AS (SELECT * FROM upd WHERE o_orderkey % 13 <> 0)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${oSl2("o_totalprice")}) AS BIGINT) AS total_cents
+       |FROM fin GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
@@ -452,5 +533,8 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
     QueryDef("lake_http_catalog", qHttpCatalog, Some(qHttpCatalogSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),
+    QueryDef("lake_variant", qVariant, Some(qVariantSql)),
+    QueryDef("lake_incremental_agg", qIncrementalAgg,
+      Some(qIncrementalAggSql)),
   )
 }

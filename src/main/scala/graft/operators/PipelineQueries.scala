@@ -540,6 +540,73 @@ object PipelineQueries extends QueryPack {
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming UPSERT into the lake: each micro-batch is reduced to its
+    * latest row per user (max (ts, event_id) — deterministic tie-break)
+    * and MERGEd into the target keyed on user_id, matched rows updated
+    * only when the incoming event is newer. The lake table converges to
+    * last-event-per-user regardless of batch boundaries — the streaming
+    * twin of a CDC `apply_changes` sink (Delta-style foreachBatch merge).
+    * Scale: each batch shuffles O(distinct users in batch); the merge
+    * rewrites only files holding matched users. */
+  private def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // re-chunk the source into 4 ts-ranged files and feed them one per
+    // micro-batch, so the cross-batch newer-than merge gate is exercised
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-upsert-src")
+    spark.read.schema(schema).parquet(s"$dir/events.parquet")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val work = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
+    lake.createTable("last_ev", StructType(Seq(
+      StructField("user_id", LongType), StructField("last_ts", TimestampType),
+      StructField("last_event_id", LongType),
+      StructField("last_type", StringType),
+      StructField("last_value", DoubleType))))
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch-local last row per user: max of the (ts, event_id, …)
+        // struct orders by ts then event_id lexicographically
+        val latest = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("last_ts"),
+            col("m.event_id").as("last_event_id"),
+            col("m.event_type").as("last_type"),
+            col("m.value").as("last_value"))
+        lake.merge("last_ev", latest, "user_id",
+          whenMatchedUpdate = Some(Map(
+            "last_ts" -> col("s.last_ts"),
+            "last_event_id" -> col("s.last_event_id"),
+            "last_type" -> col("s.last_type"),
+            "last_value" -> col("s.last_value"))),
+          matchedCondition = Some(col("s.last_ts") > col("t.last_ts") ||
+            (col("s.last_ts") === col("t.last_ts") &&
+              col("s.last_event_id") > col("t.last_event_id"))),
+          whenNotMatchedInsert = true)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    lake.table("last_ev").orderBy(col("user_id"))
+  }
+
+  private val streamUpsertSql =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- k-means
 
   /** Distributed k-means assignment ([[Similarity.kMeans]]): integer
@@ -917,5 +984,6 @@ object PipelineQueries extends QueryPack {
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dsir_weight", dsirWeight, Some(dsirWeightSql)),
     QueryDef("stream_join", streamJoin, Some(streamJoinSql)),
+    QueryDef("stream_upsert", streamUpsert, Some(streamUpsertSql)),
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Lake
+import graft.operators.IncrementalView
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental materialized-view maintenance: the refreshed view must
+  * equal a from-scratch recompute after every mix of DML, including
+  * multi-column groups (internal merge key) and groups whose membership
+  * drops to zero. */
+class IncrementalViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graft-ivspec").toString
+    Lake.attach(spark, s"$dir/cat", s"$dir/data")
+  }
+
+  private def sorted(df: DataFrame, cols: Seq[String]): Seq[String] =
+    df.orderBy(cols.map(col): _*).collect().map(_.toString).toSeq
+
+  private def recompute(lake: Lake, base: String, groups: Seq[String],
+      sums: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    lake.table(base).groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sums.map { case (n, e) => sum(e).cast("long").as(n) }: _*)
+
+  test("single-group view tracks append, update, delete exactly") {
+    val lake = freshLake()
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L),
+      (4L, "c", 7L)).toDF("id", "g", "v")
+    lake.createTableAs("t", base)
+    val sums = Seq("v_sum" -> col("v"))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", Seq("g"), sums)
+
+    lake.append("t", Seq((5L, "a", 100L), (6L, "d", 1L)).toDF("id", "g", "v"))
+    lake.update("t", Map("v" -> (col("v") + 1000L)), col("id") === 3L)
+    lake.delete("t", col("id") === 2L)
+    IncrementalView.refresh(lake, "t", "mv", Seq("g"), sums, v0)
+
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    val want = sorted(recompute(lake, "t", Seq("g"), sums), Seq("g"))
+    assert(got == want)
+    assert(got == Seq("[a,2,110]", "[b,1,1005]", "[c,1,7]", "[d,1,1]"))
+  }
+
+  test("multi-column groups use the internal key; zero groups vanish") {
+    val lake = freshLake()
+    val base = Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L),
+      (3L, "b", "x", 5L)).toDF("id", "g1", "g2", "v")
+    lake.createTableAs("t", base)
+    val groups = Seq("g1", "g2")
+    val sums = Seq("v_sum" -> col("v"))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", groups, sums)
+
+    // (b,x) loses its only row → must disappear from the view;
+    // (a,x) gains one; (c,z) is brand new
+    lake.delete("t", col("id") === 3L)
+    lake.append("t",
+      Seq((4L, "a", "x", 30L), (5L, "c", "z", 2L)).toDF("id", "g1", "g2", "v"))
+    IncrementalView.refresh(lake, "t", "mv", groups, sums, v0)
+
+    val got = sorted(IncrementalView.read(lake, "mv", groups), groups)
+    val want = sorted(recompute(lake, "t", groups, sums), groups)
+    assert(got == want)
+    assert(got == Seq("[a,x,2,40]", "[a,y,1,20]", "[c,z,1,2]"))
+    // the vanished group left no zombie row behind
+    assert(lake.table("mv").filter(col("g1") === "b").count() == 0)
+  }
+
+  test("repeated refreshes from successive versions stay consistent") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      (1L to 50L).map(i => (i, (i % 5).toString, i)).toDF("id", "g", "v"))
+    val sums = Seq("v_sum" -> col("v"))
+    var v = IncrementalView.materialize(lake, "t", "mv", Seq("g"), sums)
+    (1 to 3).foreach { round =>
+      lake.delete("t", col("id") % 7 === round.toLong)
+      lake.append("t", Seq((1000L + round, "9", round.toLong))
+        .toDF("id", "g", "v"))
+      v = IncrementalView.refresh(lake, "t", "mv", Seq("g"), sums, v)
+      val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+      val want = sorted(recompute(lake, "t", Seq("g"), sums), Seq("g"))
+      assert(got == want, s"diverged at round $round")
+    }
+  }
+
+  test("no-op refresh (no changes) leaves the view untouched") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, "a", 10L)).toDF("id", "g", "v"))
+    val sums = Seq("v_sum" -> col("v"))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", Seq("g"), sums)
+    val before = lake.currentSnapshotId()
+    IncrementalView.refresh(lake, "t", "mv", Seq("g"), sums, v0)
+    assert(lake.currentSnapshotId() == before) // early-out, no commits
+  }
+}
