@@ -43,10 +43,36 @@ object LakeRegistry {
 case class LakeRelationPlaceholder(alias: String, table: String,
     output: Seq[Attribute], version: Option[Long] = None,
     tsMs: Option[Long] = None) extends LeafNode {
+  /** Catalog-backed estimates (reference answers scan cardinality from
+    * `ducklake_table_stats`, ducklake_multi_file_list.cpp:136-142): lets
+    * every optimizer rule that fires BEFORE [[ExpandLakeScan]] — join
+    * reorder under CBO, broadcast-threshold checks on not-yet-expanded
+    * relations — see the table's real byte/row size instead of
+    * `defaultSizeInBytes` (= "assume huge"). A small dimension read
+    * through plain SQL thus broadcasts at 100 TB fact scale even when
+    * the decision point precedes expansion. Cached per placeholder
+    * instance; a registry/stats miss falls back to the conservative
+    * default. */
+  private lazy val catalogStats:
+      org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val fromCatalog = for {
+      lake <- LakeRegistry.get(alias)
+      info <- scala.util.Try(
+        lake.meta.tableByName(table.split('.').last,
+          version.getOrElse(lake.currentSnapshotId()),
+          if (table.contains('.')) table.split('.').head else "main"))
+        .toOption.flatten
+      st <- lake.meta.tableStats(info.tableId)
+      if st.fileSizeBytes > 0 || st.recordCount > 0
+    } yield org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = BigInt(st.fileSizeBytes max 1L),
+      rowCount = Some(BigInt(st.recordCount)))
+    fromCatalog.getOrElse(
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = conf.defaultSizeInBytes))
+  }
   override def computeStats():
-      org.apache.spark.sql.catalyst.plans.logical.Statistics =
-    org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = conf.defaultSizeInBytes)
+      org.apache.spark.sql.catalyst.plans.logical.Statistics = catalogStats
 }
 
 /** `spark.sql("INSERT INTO graft.t …")` → a lake append at execution

@@ -90,6 +90,26 @@ class CountFastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("placeholder stats come from the catalog, not defaultSizeInBytes") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      lake.createTableAs("dim",
+        (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      val rel = spark.sql("SELECT * FROM graft.dim")
+        .queryExecution.analyzed.collectFirst {
+          case p: graft.plans.LakeRelationPlaceholder => p
+        }
+      assert(rel.isDefined, "expected the lake placeholder in the plan")
+      val st = rel.get.computeStats()
+      assert(st.rowCount.contains(BigInt(20)),
+        s"rowCount should be catalog-exact, got ${st.rowCount}")
+      // bytes = actual parquet size, many orders below defaultSizeInBytes
+      assert(st.sizeInBytes > 0 &&
+        st.sizeInBytes < spark.sessionState.conf.defaultSizeInBytes,
+        s"sizeInBytes should come from the catalog, got ${st.sizeInBytes}")
+    }
+  }
+
   test("inlined data rows and txn-local state are handled") {
     withLake { (spark, lake) =>
       import spark.implicits._
