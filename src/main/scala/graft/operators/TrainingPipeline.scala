@@ -254,6 +254,36 @@ object TrainingPipeline extends QueryPack {
       |    AS BIGINT) AS bin_id
       |FROM documents ORDER BY lang, doc_id""".stripMargin
 
+  // --------------------------------------------------- global shard plan
+
+  /** Corpus-wide training-shard layout ([[ShardPlan.assign]]): docs in a
+    * deterministic md5-shuffled TOTAL order, cut every 16384 tokens. The
+    * Spark side runs the two-pass distributed prefix sum (range
+    * partition → parallel local windows → P-row offset broadcast); the
+    * oracle is the equivalent naive global window, so the hash-match
+    * proves the distributed decomposition computes the exact same
+    * prefix sums. */
+  private def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val okey = md5(concat(col("doc_id").cast("string"), lit(":shard:42"))
+      .cast("binary"))
+    ShardPlan.assign(d, "doc_id",
+      TextAnalysis.tokenCount(col("text")), okey, capacity = 16384L)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shardPlanSql =
+    """WITH t AS (SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':shard:42') AS okey,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY okey, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    // 16384 AS BIGINT) AS shard_id
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ end-to-end pipeline
 
   /** The WHOLE training-data prep pipeline as ONE declarative plan:
@@ -341,5 +371,6 @@ object TrainingPipeline extends QueryPack {
     QueryDef("doc_sample", docSample, Some(docSampleSql)),
     QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
     QueryDef("token_pack", tokenPack, Some(tokenPackSql)),
+    QueryDef("shard_plan", shardPlan, Some(shardPlanSql)),
   )
 }
