@@ -208,6 +208,22 @@ private[catalog] object LakeSql {
           // CALL enable_logging(['DuckLakeMetadata']) — reference
           // ducklake_metadata_logging.test; the optional logger-name arg
           // is accepted and ignored (there is only the metadata logger)
+          // managed incremental materialized views (beyond the reference;
+          // graft.operators.IncrementalView):
+          //   CALL create_mv('mv', 'base', 'g1,g2', 'name:expr;name2:e2')
+          //   CALL refresh_mv('mv')   — definition + version checkpoint
+          //                             live as table-scoped options
+          case "create_mv" =>
+            val sums = args(3).split(";").toSeq.filter(_.nonEmpty).map { s =>
+              val i = s.indexOf(':')
+              (s.substring(0, i).trim, s.substring(i + 1).trim)
+            }
+            count(graft.operators.IncrementalView.createManaged(
+              lake, args(0), args(1),
+              args(2).split(",").toSeq.map(_.trim), sums))
+          case "refresh_mv" =>
+            count(graft.operators.IncrementalView.refreshManaged(
+              lake, args(0)))
           case "enable_logging" => lake.enableMetadataLogging(); count(0L)
           case "disable_logging" =>
             lake.disableMetadataLogging(); count(0L)

@@ -105,6 +105,89 @@ object IncrementalView {
     to
   }
 
+  /** Catch the view up to the base table's current snapshot in bounded
+    * batches — the continuous-maintenance loop ([[graft.streaming
+    * .ChangeFeed]]'s offset contract: durable snapshot-id offsets,
+    * `maxSnapshotsPerBatch` caps each replay so a view recovering from a
+    * long pause folds bounded deltas instead of one giant batch).
+    * @return the base version the view now reflects (callers persist it
+    *         as their checkpoint offset). */
+  def followFeed(lake: Lake, base: String, mvName: String,
+      groupCols: Seq[String], sums: Seq[(String, Column)],
+      fromVersion: Long,
+      maxSnapshotsPerBatch: Option[Long] = None): Long = {
+    var v = fromVersion
+    var latest = lake.currentSnapshotId()
+    while (v < latest) {
+      val to = maxSnapshotsPerBatch
+        .map(m => math.min(latest, v + m)).getOrElse(latest)
+      v = refresh(lake, base, mvName, groupCols, sums, v, Some(to))
+      // the refresh's own MV commits advance the snapshot counter; the
+      // next round over them finds an empty base delta and early-outs
+      latest = lake.currentSnapshotId()
+    }
+    v
+  }
+
+  // ------------------------------------------------------ managed views
+
+  private val DefKey = "mv_definition"
+  private val VerKey = "mv_version"
+  private val FieldSep = ""
+
+  private def tableIdOf(lake: Lake, table: String): Long = {
+    val (schema, name) = table.split('.') match {
+      case Array(s, t) => (s, t)
+      case Array(t) => ("main", t)
+    }
+    lake.meta.tableByName(name, lake.currentSnapshotId(), schema)
+      .getOrElse(throw new IllegalArgumentException(s"no table $table"))
+      .tableId
+  }
+
+  /** [[materialize]] + store the view's definition (base, groups, sum
+    * expressions as SQL text) and reflected version as table-scoped
+    * catalog options — the managed-view catalog entry that lets
+    * [[refreshManaged]] run from the view name alone. */
+  def createManaged(lake: Lake, mvName: String, base: String,
+      groupCols: Seq[String], sums: Seq[(String, String)]): Long = {
+    val v = materialize(lake, base, mvName, groupCols,
+      sums.map { case (n, e) => n -> expr(e) })
+    lake.setOption(DefKey,
+      Seq(base, groupCols.mkString(","),
+        sums.map { case (n, e) => s"$n:$e" }.mkString(";"))
+        .mkString(FieldSep),
+      table = Some(mvName))
+    lake.setOption(VerKey, v.toString, table = Some(mvName))
+    v
+  }
+
+  /** Catch a managed view up to the base's current snapshot using its
+    * stored definition + version checkpoint. */
+  def refreshManaged(lake: Lake, mvName: String): Long = {
+    val tid = tableIdOf(lake, mvName)
+    val defn = lake.meta.getOptionScoped(DefKey, "table", tid).getOrElse(
+      throw new IllegalArgumentException(
+        s"$mvName is not a managed view (no $DefKey option)"))
+    val from = lake.meta.getOptionScoped(VerKey, "table", tid)
+      .map(_.toLong).getOrElse(throw new IllegalStateException(
+        s"$mvName has no $VerKey checkpoint"))
+    val Array(base, groupsS, sumsS) = defn.split(FieldSep, -1)
+    val groups = groupsS.split(",").toSeq
+    val sums = sumsS.split(";").toSeq.filter(_.nonEmpty).map { s =>
+      val i = s.indexOf(':')
+      (s.substring(0, i), expr(s.substring(i + 1)))
+    }
+    val before = lake.currentSnapshotId()
+    val v = followFeed(lake, base, mvName, groups, sums, from)
+    // persist the checkpoint only when the view actually folded a delta —
+    // a no-op refresh must not itself commit (the stale `from` only costs
+    // a metadata-cheap empty-range rescan next time)
+    if (lake.currentSnapshotId() != before)
+      lake.setOption(VerKey, v.toString, table = Some(mvName))
+    v
+  }
+
   /** The MV in reader layout (internal key column dropped). */
   def read(lake: Lake, mvName: String, groupCols: Seq[String]): DataFrame = {
     val df = lake.table(mvName)

@@ -90,6 +90,43 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("followFeed catches up over many snapshots in bounded batches") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      (1L to 30L).map(i => (i, (i % 3).toString, i)).toDF("id", "g", "v"))
+    val sums = Seq("v_sum" -> col("v"))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", Seq("g"), sums)
+    // five un-refreshed DML snapshots pile up
+    (1 to 3).foreach { r =>
+      lake.append("t", Seq((100L + r, "7", r.toLong)).toDF("id", "g", "v"))
+    }
+    lake.delete("t", col("id") % 5 === 0)
+    lake.update("t", Map("v" -> (col("v") * 10L)), col("g") === "1")
+    // bounded catch-up: one snapshot per batch
+    val vEnd = IncrementalView.followFeed(lake, "t", "mv", Seq("g"), sums,
+      v0, maxSnapshotsPerBatch = Some(1L))
+    assert(vEnd >= v0 + 5)
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    val want = sorted(recompute(lake, "t", Seq("g"), sums), Seq("g"))
+    assert(got == want)
+  }
+
+  test("managed view via SQL CALL: create_mv + refresh_mv from name alone") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v"))
+    lake.sql("CALL create_mv('mv', 't', 'g', 'v_sum:v')")
+    lake.append("t", Seq((3L, "a", 7L), (4L, "c", 1L)).toDF("id", "g", "v"))
+    lake.delete("t", col("id") === 2L)
+    lake.sql("CALL refresh_mv('mv')")
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    assert(got == Seq("[a,2,17]", "[c,1,1]"))
+    // second refresh with no base changes is a no-op (checkpoint moved)
+    val before = lake.currentSnapshotId()
+    lake.sql("CALL refresh_mv('mv')")
+    assert(lake.currentSnapshotId() == before)
+  }
+
   test("no-op refresh (no changes) leaves the view untouched") {
     val lake = freshLake()
     lake.createTableAs("t", Seq((1L, "a", 10L)).toDF("id", "g", "v"))
