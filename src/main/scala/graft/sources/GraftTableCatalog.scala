@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The catalog instance finds its [[Lake]] through [[LakeRegistry]] under
   * the catalog's own name, so `LakeRegistry.register("graft", lake)` wires
   * both surfaces at once. */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
 
@@ -134,6 +135,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     lake.renameTable(tableName(oldIdent), tableName(newIdent))
+
+  // ------------------------------------------------------- procedures
+
+  /** Spark 4 native `CALL graft.<proc>(…)` — the reference's table-
+    * function maintenance surface as DSv2 stored procedures
+    * ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql
+      .connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"procedure not found: $catalogName.${ident.name()}"))
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   // ------------------------------------------------------- namespaces
 
