@@ -4,16 +4,42 @@ import graft.sources.{GraftRelation, GraftSource}
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister,
-  RelationProvider}
+  RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
-/** Registers the `graft` format: `spark.read.format("graft")` and
-  * `df.write.format("graft")` (see [[graft.sources.GraftSource]] for the
-  * option surface). Spark's provider lookup resolves
+/** Registers the `graft` format: `spark.read.format("graft")`,
+  * `df.write.format("graft")` and the streaming CDC source
+  * `spark.readStream.format("graft")` (see [[graft.sources.GraftSource]]
+  * and [[graft.streaming.ChangeFeedStreamSource]] for the option
+  * surface). Spark's provider lookup resolves
   * `format("graft")` → `graft.DefaultSource`. */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val lake = GraftSource.lakeFor(sqlContext, parameters)
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("option table is required"))
+    val cur = lake.currentSnapshotId()
+    (shortName(), lake.tableChanges(table, cur, cur).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val lake = GraftSource.lakeFor(sqlContext, parameters)
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("option table is required"))
+    new graft.streaming.ChangeFeedStreamSource(sqlContext, lake, table,
+      parameters.get("startVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

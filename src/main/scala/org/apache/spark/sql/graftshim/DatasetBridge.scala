@@ -10,4 +10,14 @@ object DatasetBridge {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame as a STREAMING DataFrame (isStreaming =
+    * true) over its physical RDD — what a V1 streaming `Source.getBatch`
+    * must return (the micro-batch engine splices this plan in place of
+    * the streaming relation; FileStreamSource does the same). */
+  def asStreaming(session: SparkSession, df: DataFrame): DataFrame = {
+    val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
