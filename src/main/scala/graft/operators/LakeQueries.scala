@@ -513,6 +513,55 @@ object LakeQueries extends QueryPack {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Streaming CDC source end-to-end ([[graft.streaming
+    * .ChangeFeedStreamSource]]): full-history replay of a lake table's
+    * change feed through `spark.readStream.format("graft")` (AvailableNow,
+    * bounded 2-snapshot batches), landed in a memory sink and aggregated;
+    * the oracle replays the same insert/delete history in SQL. */
+  private def qStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val lake = freshLake(spark)
+    graft.plans.LakeRegistry.register("graft_cdc", lake)
+    val orders = Tables(spark, dir).orders
+    lake.createTableAs("o", orders.filter(col("o_orderkey") % 2 === 0))
+    lake.append("o",
+      orders.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 0))
+    lake.delete("o", col("o_orderkey") % 7 === 0)
+    val qn = s"cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft")
+      .option("alias", "graft_cdc").option("table", "o")
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .select(col("change_type"), col("o_totalprice"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(sl2(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("change_type"))
+  }
+
+  private val qStreamCdcSql = {
+    import graft.QueryDsl._
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0),
+       |ch AS (
+       |  SELECT 'insert' AS change_type, o_totalprice FROM base
+       |  UNION ALL
+       |  SELECT 'delete' AS change_type, o_totalprice FROM base
+       |  WHERE o_orderkey % 7 = 0)
+       |SELECT change_type, COUNT(*) AS n,
+       |  CAST(SUM(${oSl2("o_totalprice")}) AS BIGINT) AS total_cents
+       |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
@@ -536,5 +585,6 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_variant", qVariant, Some(qVariantSql)),
     QueryDef("lake_incremental_agg", qIncrementalAgg,
       Some(qIncrementalAggSql)),
+    QueryDef("stream_cdc", qStreamCdc, Some(qStreamCdcSql)),
   )
 }
