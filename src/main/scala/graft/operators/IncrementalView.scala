@@ -76,6 +76,17 @@ object IncrementalView {
     if (to == fromVersion) return to
     val changes = lake.tableChanges(base, fromVersion, to)
     if (changes.isEmpty) return to // nothing changed: zero commits
+    applyDelta(lake, mvName, groupCols, sums, changes)
+    to
+  }
+
+  /** Fold a batch of change rows (schema: base columns + `change_type`
+    * insert/delete) into the MV — the primitive [[refresh]] and
+    * streaming maintenance (a CDC `readStream` + `foreachBatch`) share.
+    * One MERGE + one positional delete of emptied groups; the shuffle
+    * carries O(touched groups) rows. */
+  def applyDelta(lake: Lake, mvName: String, groupCols: Seq[String],
+      sums: Seq[(String, Column)], changes: DataFrame): Unit = {
     val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
     // one row per touched group — partial aggregation happens map-side,
     // so the shuffle ahead of the MERGE is O(changed groups)
@@ -102,7 +113,6 @@ object IncrementalView {
     // groups whose membership dropped to zero leave the view (a pure
     // positional delete — no rewrite of surviving rows)
     lake.delete(mvName, col("n_rows") === 0L)
-    to
   }
 
   /** Catch the view up to the base table's current snapshot in bounded

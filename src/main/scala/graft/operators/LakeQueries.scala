@@ -562,6 +562,49 @@ object LakeQueries extends QueryPack {
        |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin
   }
 
+  /** Continuously-maintained materialized view: the CDC stream source
+    * feeds [[IncrementalView.applyDelta]] through foreachBatch — the MV
+    * is folded forward per micro-batch (2-snapshot batches here), never
+    * recomputed. The oracle recomputes the final grouped state from
+    * scratch, proving stream-maintained ≡ recompute. */
+  private def qStreamMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val lake = freshLake(spark)
+    graft.plans.LakeRegistry.register("graft_mv", lake)
+    val orders = Tables(spark, dir).orders
+    lake.createTableAs("o", orders.filter(col("o_orderkey") % 2 === 0))
+    val groups = Seq("o_orderpriority")
+    val sums = Seq("total_cents" -> sl2(col("o_totalprice")))
+    val v0 = IncrementalView.materialize(lake, "o", "mv", groups, sums)
+    lake.append("o", orders.filter(col("o_orderkey") % 2 === 1))
+    lake.delete("o", col("o_orderkey") % 5 === 0)
+    val q = spark.readStream.format("graft")
+      .option("alias", "graft_mv").option("table", "o")
+      .option("startVersion", v0.toString)
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-smv-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalView.applyDelta(lake, "mv", groups, sums, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    IncrementalView.read(lake, "mv", groups)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qStreamMvSql = {
+    import graft.QueryDsl._
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${oSl2("o_totalprice")}) AS BIGINT) AS total_cents
+       |FROM orders WHERE o_orderkey % 5 <> 0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
@@ -586,5 +629,6 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_incremental_agg", qIncrementalAgg,
       Some(qIncrementalAggSql)),
     QueryDef("stream_cdc", qStreamCdc, Some(qStreamCdcSql)),
+    QueryDef("stream_mv", qStreamMv, Some(qStreamMvSql)),
   )
 }
