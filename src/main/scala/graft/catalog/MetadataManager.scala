@@ -24,6 +24,16 @@ class MetadataManager(val jdbcUrl: String,
 
   import MetadataManager.FormatVersion
 
+  // cap embedded Derby's per-database open-file (ContainerCache) count
+  // BEFORE the engine boots: the default of 100 RandomAccessFiles per
+  // database exhausts the process fd limit when a test/verify run
+  // attaches hundreds of throwaway lakes in one JVM (observed: "Too many
+  // open files" at ~350 suites). 24 comfortably covers the hot
+  // ducklake_* tables; colder containers reopen on demand.
+  if (jdbcUrl.startsWith("jdbc:derby:") &&
+      System.getProperty("derby.storage.fileCacheSize") == null)
+    System.setProperty("derby.storage.fileCacheSize", "24")
+
   /** backend dialect resolved from the URL (Derby embedded default;
     * Postgres/SQLite for server/file catalogs — [[CatalogDialect]]) */
   val dialect: CatalogDialect = CatalogDialect.forUrl(jdbcUrl)

@@ -262,7 +262,77 @@ object EventQueries extends QueryPack {
       |WHERE props LIKE '%"k": 7%'
       |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 25""".stripMargin
 
+  /** Conversion funnel view → click → purchase: per user the FIRST view,
+    * the first click strictly after it, the first purchase strictly
+    * after that; counts per stage. Each stage is one conditional-min
+    * aggregation + a broadcast-size join on user_id (shrinking stage
+    * populations), the standard large-scale funnel shape. */
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts") > col("v.tv"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+        col("e.ts") > col("c.tc"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tp"))
+    val spark2 = spark; import spark2.implicits._
+    Seq(("1_view", v.count()), ("2_view_click", c.count()),
+      ("3_full_funnel", p.count()))
+      .toDF("stage", "n_users").orderBy(col("stage"))
+  }
+
+  private val qFunnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT '3_full_funnel', CAST(COUNT(*) AS BIGINT) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by first-activity week,
+    * distinct actives counted k weeks later. Two hash aggregations plus
+    * one shuffle on user_id — the cohort matrix every analytics engine
+    * ships; week arithmetic kept as exact day-diff/7 on Monday-truncated
+    * dates so both engines agree. */
+  private def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("w0"))
+    val active = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("w")).distinct()
+    first.join(active, "user_id")
+      .withColumn("k",
+        (datediff(col("w"), col("w0")) / 7).cast("int"))
+      .groupBy(col("w0"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w0"), col("k"))
+  }
+
+  private val qRetentionSql =
+    """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS w0
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT f.w0, CAST(date_diff('day', f.w0, a.w) / 7 AS INT) AS k,
+      |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+      |FROM f JOIN a ON f.user_id = a.user_id
+      |GROUP BY f.w0, k ORDER BY f.w0, k""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("cb_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("cb_retention", qRetention, Some(qRetentionSql)),
     QueryDef("cb_type_share", typeShare, Some(typeShareSql)),
     QueryDef("cb_uniq_per_type", uniqPerType, Some(uniqPerTypeSql)),
     QueryDef("cb_dow_hour", dowHour, Some(dowHourSql)),

@@ -21,14 +21,27 @@ object LakeQueries extends QueryPack {
     Lake.attach(spark, s"$dir/catalog", s"$dir/data")
   }
 
+  /** Shut the throwaway lake's embedded catalog down before handing the
+    * result back: scan plans resolve their file lists (and inlined rows)
+    * eagerly, so materialization never touches the catalog — and a full
+    * verify/test run attaches hundreds of throwaway lakes in one JVM, so
+    * leaving each Derby instance booted exhausts the process fd limit
+    * (same lifecycle the HTTP-catalog query demonstrates by stopping its
+    * server before returning). */
+  private def detached(lake: Lake, df: => DataFrame): DataFrame = {
+    val out = df
+    lake.detach()
+    out
+  }
+
   /** ingest → scan round-trip (scan/insert operators, reference
     * ducklake_scan.cpp + ducklake_insert.cpp). */
   private def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val lake = freshLake(spark)
     lake.createTableAs("orders", Tables(spark, dir).orders)
-    lake.table("orders")
+    detached(lake, lake.table("orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val roundtripSql =
@@ -39,9 +52,9 @@ object LakeQueries extends QueryPack {
     val lake = freshLake(spark)
     lake.createTableAs("orders", Tables(spark, dir).orders)
     lake.delete("orders", col("o_orderstatus") === "F")
-    lake.table("orders")
+    detached(lake, lake.table("orders")
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val qDeleteSql =
@@ -54,9 +67,9 @@ object LakeQueries extends QueryPack {
     lake.createTableAs("orders", Tables(spark, dir).orders)
     lake.update("orders", Map("o_orderpriority" -> lit("0-UPDATED")),
       col("o_orderstatus") === "P")
-    lake.table("orders")
+    detached(lake, lake.table("orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val qUpdateSql =
@@ -75,9 +88,9 @@ object LakeQueries extends QueryPack {
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     lake.merge("t", source, "o_orderkey",
       whenMatchedUpdate = Some(Map("o_totalprice" -> col("s.o_totalprice"))))
-    lake.table("t")
+    detached(lake, lake.table("t")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val qMergeSql =
@@ -94,8 +107,8 @@ object LakeQueries extends QueryPack {
     lake.createTableAs("orders", Tables(spark, dir).orders)
     val v1 = lake.currentSnapshotId()
     lake.delete("orders", col("o_orderkey") % 2 === 0)
-    lake.tableAtVersion("orders", v1)
-      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    detached(lake, lake.tableAtVersion("orders", v1)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")))
   }
 
   private val qTimeTravelSql =
@@ -110,8 +123,8 @@ object LakeQueries extends QueryPack {
     val s1 = lake.currentSnapshotId()
     lake.append("orders", orders.filter(col("o_orderdate") >= cut))
     val s2 = lake.currentSnapshotId()
-    lake.tableInsertions("orders", s1, s2)
-      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    detached(lake, lake.tableInsertions("orders", s1, s2)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")))
   }
 
   private val qCdcInsertionsSql =
@@ -126,8 +139,8 @@ object LakeQueries extends QueryPack {
     val s1 = lake.currentSnapshotId()
     lake.delete("orders", col("o_orderstatus") === "F")
     val s2 = lake.currentSnapshotId()
-    lake.tableDeletions("orders", s1, s2)
-      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    detached(lake, lake.tableDeletions("orders", s1, s2)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")))
   }
 
   private val qCdcDeletionsSql =
@@ -146,10 +159,10 @@ object LakeQueries extends QueryPack {
       lake.append("li", t.lineitem.filter(col("l_returnflag") === rf))
     }
     lake.mergeAdjacentFiles("li")
-    lake.table("li")
+    detached(lake, lake.table("li")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag")))
   }
 
   private val qCompactionSql =
@@ -168,11 +181,11 @@ object LakeQueries extends QueryPack {
       lake.append("li", li.filter(
         year(col("l_shipdate")) >= y0 && year(col("l_shipdate")) < y1))
     }
-    lake.table("li",
+    detached(lake, lake.table("li",
       Some(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag")))
   }
 
   private val qPrunedScanSql =
@@ -193,9 +206,9 @@ object LakeQueries extends QueryPack {
     lake.append("p", part.select(
       (col("p_partkey") + 10000000L).as("p_partkey"), col("p_name"),
       lit("new").as("flag")))
-    lake.table("p")
+    detached(lake, lake.table("p")
       .select(col("p_partkey"), col("flag"))
-      .orderBy(col("p_partkey"))
+      .orderBy(col("p_partkey")))
   }
 
   private val qSchemaEvolutionSql =
@@ -217,9 +230,9 @@ object LakeQueries extends QueryPack {
       (col("p_partkey") + 10000000L).as("p_partkey"),
       col("p_name").as("part_name"), col("p_size")))
     lake.dropColumn("p", "p_size")
-    lake.table("p")
+    detached(lake, lake.table("p")
       .select(col("p_partkey"), col("part_name"))
-      .orderBy(col("p_partkey"))
+      .orderBy(col("p_partkey")))
   }
 
   private val qRenameMappingSql =
@@ -242,8 +255,8 @@ object LakeQueries extends QueryPack {
       """INSERT INTO o
         |SELECT o_orderkey + 10000000, o_orderstatus, 'NEW'
         |FROM o WHERE o_orderstatus = 'O'""".stripMargin)
-    lake.sql(
-      "SELECT o_orderkey, o_orderpriority FROM o ORDER BY o_orderkey")
+    detached(lake, lake.sql(
+      "SELECT o_orderkey, o_orderpriority FROM o ORDER BY o_orderkey"))
   }
 
   private val qSqlDmlSql =
@@ -283,12 +296,15 @@ object LakeQueries extends QueryPack {
       df.head().getLong(0)
     }
     import spark.implicits._
-    Seq(
+    val out = Seq(
       ("after_file_delete",
         metaCount(s"SELECT COUNT(*) FROM graft.o VERSION AS OF $v2")),
       ("after_inline_delete", metaCount("SELECT COUNT(*) FROM graft.o")),
       ("all", metaCount(s"SELECT COUNT(*) FROM graft.o VERSION AS OF $v1")))
       .toDF("stage", "n").orderBy("stage")
+    // counts were taken eagerly above; the result is a local DF
+    graft.plans.LakeRegistry.unregister("graft")
+    detached(lake, out)
   }
 
   private val qFastCountSql =
@@ -376,9 +392,9 @@ object LakeQueries extends QueryPack {
     lake.setOption("encrypted", "true")
     lake.createTableAs("orders", Tables(spark, dir).orders)
     lake.delete("orders", col("o_orderstatus") === "P")
-    lake.table("orders")
+    detached(lake, lake.table("orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val qEncryptedSql =
@@ -393,9 +409,9 @@ object LakeQueries extends QueryPack {
     lake.createTableAs("orders", Tables(spark, dir).orders)
     lake.delete("orders", col("o_orderstatus") === "F")
     lake.delete("orders", col("o_orderkey") % 100 === 0) // union path
-    lake.table("orders")
+    detached(lake, lake.table("orders")
       .select(col("o_orderkey"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")))
   }
 
   private val qDeleteDvSql =
@@ -417,11 +433,12 @@ object LakeQueries extends QueryPack {
     lake.createTable("customer", t.customer.schema)
     lake.setPartitionedBy("customer", Seq(("c_custkey", "bucket(8)")))
     lake.append("customer", t.customer)
-    lake.bucketJoin("orders", "o_custkey", "customer", "c_custkey")
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-        lsum(sl2(col("o_totalprice")), 100.0).as("total"))
-      .orderBy(col("c_mktsegment"))
+    detached(lake,
+      lake.bucketJoin("orders", "o_custkey", "customer", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          lsum(sl2(col("o_totalprice")), 100.0).as("total"))
+        .orderBy(col("c_mktsegment")))
   }
 
   private val qBucketJoinSql = {
@@ -451,11 +468,11 @@ object LakeQueries extends QueryPack {
     // disjoint and the k >= 90 filter prunes most files in the catalog
     lake.append("ev", ev.repartitionByRange(8,
       get_json_object(col("payload").cast("string"), "$.k").cast("long")))
-    lake.table("ev",
+    detached(lake, lake.table("ev",
       Some(variant_get(col("payload"), "$.k", "bigint") >= 90L))
       .select(col("event_id"),
         variant_get(col("payload"), "$.k", "bigint").as("k"))
-      .orderBy(col("event_id"))
+      .orderBy(col("event_id")))
   }
 
   private val qVariantSql =
@@ -488,8 +505,9 @@ object LakeQueries extends QueryPack {
     lake.delete("orders", col("o_orderkey") % 13 === 0)
     IncrementalView.refresh(lake, "orders", "mv",
       Seq("o_orderpriority"), sums, fromVersion = v0)
-    IncrementalView.read(lake, "mv", Seq("o_orderpriority"))
-      .orderBy(col("o_orderpriority"))
+    detached(lake,
+      IncrementalView.read(lake, "mv", Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority")))
   }
 
   private val qIncrementalAggSql = {
@@ -538,11 +556,12 @@ object LakeQueries extends QueryPack {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(qn)
+    graft.plans.LakeRegistry.unregister("graft_cdc")
+    detached(lake, spark.table(qn)
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n"),
         sum(sl2(col("o_totalprice"))).as("total_cents"))
-      .orderBy(col("change_type"))
+      .orderBy(col("change_type")))
   }
 
   private val qStreamCdcSql = {
@@ -593,8 +612,9 @@ object LakeQueries extends QueryPack {
       }
       .start()
     q.awaitTermination()
-    IncrementalView.read(lake, "mv", groups)
-      .orderBy(col("o_orderpriority"))
+    graft.plans.LakeRegistry.unregister("graft_mv")
+    detached(lake, IncrementalView.read(lake, "mv", groups)
+      .orderBy(col("o_orderpriority")))
   }
 
   private val qStreamMvSql = {

@@ -530,10 +530,14 @@ object PipelineQueries extends QueryPack {
     graft.streaming.LakeSink.ingestAvailable(lake, "ev", stream,
       s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       s"$work/ckpt")
-    lake.table("ev")
+    // scan plan resolves its file list eagerly; shut the throwaway
+    // catalog down so its Derby fds release (fd-bounded verify runs)
+    val out = lake.table("ev")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
       .orderBy(col("event_type"))
+    lake.detach()
+    out
   }
 
   private val streamIngestSql =
@@ -597,7 +601,9 @@ object PipelineQueries extends QueryPack {
       }
       .start()
     q.awaitTermination()
-    lake.table("last_ev").orderBy(col("user_id"))
+    val out = lake.table("last_ev").orderBy(col("user_id"))
+    lake.detach()
+    out
   }
 
   private val streamUpsertSql =
