@@ -3154,6 +3154,87 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       StatsCodec.encode(lit.value, lit.dataType).map { enc =>
         StatsFilter(ci.columnId, op, enc, StatsCodec.isNumeric(dt))
       }.toSeq
+
+    // ---- monotone-extraction rewrite -----------------------------------
+    // `year(a) cmp k` maps to a range on the RAW column (year() is
+    // monotone), so the predicate prunes through the same per-file
+    // min/max zone maps — the reference prunes year-transform partitions
+    // from raw stats the same way
+    // (ducklake_metadata_manager.cpp:1719-1740). Only used for FILE
+    // pruning; the original expression still filters rows, so the
+    // rewrite must merely never over-prune (sessions run UTC, matching
+    // the write-side stats encoding). year(ts) analyzes as
+    // Year(Cast(ts, date)) on resolved trees and as an unresolved
+    // `year` call on the DataFrame path; both unwrap.
+    object YearOf {
+      def unapply(ex: Expression): Option[Expression] = ex match {
+        case org.apache.spark.sql.catalyst.expressions.Year(child) =>
+          Some(stripDateCast(child))
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+              Seq("year") && f.arguments.size == 1 =>
+          Some(stripDateCast(f.arguments.head))
+        case _ => None
+      }
+      private def stripDateCast(ex: Expression): Expression = ex match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == org.apache.spark.sql.types.DateType => c.child
+        case other => other
+      }
+    }
+    object IntLit {
+      def unapply(ex: Expression): Option[Int] = ex match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+          Some(v)
+        case _ => None
+      }
+    }
+    def janLit(y: Int, dt: DataType): Option[Literal] = {
+      val d = java.time.LocalDate.of(y, 1, 1)
+      dt match {
+        case org.apache.spark.sql.types.DateType =>
+          Some(Literal(d.toEpochDay.toInt, dt))
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          Some(Literal(d.toEpochDay * 86400L * 1000000L, dt))
+        case _ => None
+      }
+    }
+    /** a ∈ [Jan1(geY), Jan1(ltY)) in the column's own type */
+    def yearRange(a: Expression, geY: Option[Int],
+        ltY: Option[Int]): Option[Expression] =
+      colId(a).flatMap { case (_, dt) =>
+        val ge = geY.flatMap(janLit(_, dt))
+          .map(l => GreaterThanOrEqual(a, l): Expression)
+        val lt = ltY.flatMap(janLit(_, dt))
+          .map(l => LessThan(a, l): Expression)
+        (ge, lt) match {
+          case (Some(g), Some(l2)) => Some(And(g, l2))
+          case (g, l2) => g.orElse(l2)
+        }
+      }
+    val e1 = e.transformUp {
+      case x @ GreaterThanOrEqual(YearOf(a), IntLit(y)) =>
+        yearRange(a, Some(y), None).getOrElse(x)
+      case x @ GreaterThan(YearOf(a), IntLit(y)) =>
+        yearRange(a, Some(y + 1), None).getOrElse(x)
+      case x @ LessThan(YearOf(a), IntLit(y)) =>
+        yearRange(a, None, Some(y)).getOrElse(x)
+      case x @ LessThanOrEqual(YearOf(a), IntLit(y)) =>
+        yearRange(a, None, Some(y + 1)).getOrElse(x)
+      case x @ EqualTo(YearOf(a), IntLit(y)) =>
+        yearRange(a, Some(y), Some(y + 1)).getOrElse(x)
+      case x @ EqualTo(IntLit(y), YearOf(a)) =>
+        yearRange(a, Some(y), Some(y + 1)).getOrElse(x)
+      case x @ GreaterThanOrEqual(IntLit(y), YearOf(a)) =>
+        yearRange(a, None, Some(y + 1)).getOrElse(x)
+      case x @ GreaterThan(IntLit(y), YearOf(a)) =>
+        yearRange(a, None, Some(y)).getOrElse(x)
+      case x @ LessThan(IntLit(y), YearOf(a)) =>
+        yearRange(a, Some(y + 1), None).getOrElse(x)
+      case x @ LessThanOrEqual(IntLit(y), YearOf(a)) =>
+        yearRange(a, Some(y), None).getOrElse(x)
+    }
     // derive a [low, high] literal envelope for an expression constraining
     // ONE column (None side = unbounded); used for disjunction pruning
     def boundsOf(ex: Expression)
@@ -3207,7 +3288,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         case _ => None
       }
     }
-    e match {
+    e1 match {
       case And(l, r) =>
         extractStatsFilters(l, cols) ++ extractStatsFilters(r, cols)
       // disjunction envelope (reference prunes ORs through its zone maps

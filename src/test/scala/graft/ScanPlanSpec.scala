@@ -50,6 +50,35 @@ class ScanPlanSpec extends AnyFunSuite {
     assert(n2 == 1 && df2.count() == 11)
   }
 
+  test("year(ts) predicates prune files via the monotone rewrite") {
+    val dir = Files.createTempDirectory("graftspyr").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    def rows(y0: Int, y1: Int) =
+      (0 until 50).map(i => (y0 * 100L + i,
+        java.sql.Timestamp.valueOf(s"$y0-0${i % 9 + 1}-1${i % 8} 12:00:00")))
+        .toDF("id", "ts")
+    lake.createTableAs("t", rows(1995, 1996).coalesce(1))
+    lake.append("t", rows(1997, 1998).coalesce(1))
+    lake.append("t", rows(1999, 2000).coalesce(1))
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+    // year(ts) >= 1999 → only the third file
+    val ge = lake.table("t", Some(year(col("ts")) >= 1999))
+    assert(scanned(ge) == 1, s"year>= pruning missing: ${scanned(ge)}")
+    assert(ge.count() == 50)
+    // year(ts) = 1997 → only the middle file
+    val eq = lake.table("t", Some(year(col("ts")) === 1997))
+    assert(scanned(eq) == 1)
+    assert(eq.count() == 50)
+    // year(ts) < 1997 → only the first file
+    val lt = lake.table("t", Some(year(col("ts")) < 1997))
+    assert(scanned(lt) == 1)
+    assert(lt.count() == 50)
+    lake.detach()
+  }
+
   test("epoch-mapped scan (post-rename) still pushes filters to parquet") {
     val dir = Files.createTempDirectory("graftsp3").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
