@@ -625,6 +625,56 @@ object LakeQueries extends QueryPack {
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Incremental dedup: only the rows INSERTED since the last dedup
+    * snapshot are checked — content hashes of the delta anti-join the
+    * prior corpus' hash set, then first-occurrence-wins within the delta.
+    * At 100 TB this is THE dedup shape that matters: daily batches dedup
+    * against an ever-growing corpus by shuffling only `delta + corpus
+    * hash column` (16 B/row), never the corpus text. Composes the CDC
+    * surface (tableInsertions), time travel (prior corpus AT v0), and
+    * the hash-first dedup rule. */
+  private def qIncrementalDedup(spark: SparkSession,
+      dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    lake.createTableAs("docs", d.filter(col("doc_id") % 3 =!= 0))
+    val v0 = lake.currentSnapshotId()
+    // the new batch: fresh docs + shifted-id duplicates of existing text
+    lake.append("docs",
+      d.filter(col("doc_id") % 3 === 0).unionByName(
+        d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)))
+    val v1 = lake.currentSnapshotId()
+    val priorHashes = lake.tableAtVersion("docs", v0)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val delta = lake.tableInsertions("docs", v0, v1)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    detached(lake, delta
+      .join(priorHashes, Seq("h"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")))
+  }
+
+  private val qIncrementalDedupSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents
+      |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0),
+      |cand AS (
+      |  SELECT doc_id, md5(text) AS h FROM delta
+      |  WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM corpus))
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h
+      |    ORDER BY doc_id) AS rn FROM cand)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
@@ -650,5 +700,7 @@ object LakeQueries extends QueryPack {
       Some(qIncrementalAggSql)),
     QueryDef("stream_cdc", qStreamCdc, Some(qStreamCdcSql)),
     QueryDef("stream_mv", qStreamMv, Some(qStreamMvSql)),
+    QueryDef("incremental_dedup", qIncrementalDedup,
+      Some(qIncrementalDedupSql)),
   )
 }
