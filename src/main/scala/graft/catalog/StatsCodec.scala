@@ -24,8 +24,22 @@ object StatsCodec {
     v =>
       dt match {
         case BooleanType => Some(if (v.asInstanceOf[Boolean]) "1" else "0")
-        case ByteType | ShortType | IntegerType | LongType | FloatType |
-            DoubleType | _: DecimalType =>
+        // non-finite float extremes (a NaN max, an infinite min) have no
+        // storable bound — encode NULL, which pruning treats as
+        // "cannot prove", keeping the file (reference NaN rules,
+        // ducklake_metadata_manager.cpp:1294-1340; the contains_nan flag
+        // still records NaN presence). Derby's DOUBLE also rejects
+        // NaN/Inf outright, so this guard is load-bearing for commits.
+        case FloatType => v match {
+          case f: Float if f.isNaN || f.isInfinite => None
+          case _ => Some(v.toString)
+        }
+        case DoubleType => v match {
+          case d: Double if d.isNaN || d.isInfinite => None
+          case _ => Some(v.toString)
+        }
+        case ByteType | ShortType | IntegerType | LongType |
+            _: DecimalType =>
           Some(v.toString)
         case DateType => Some(v match {
           case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
