@@ -1146,6 +1146,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .foreach(v => m += "parquet.compression.codec.zstd.level" -> v)
     optionFor(table, "parquet_row_group_size_bytes")
       .foreach(v => m += "parquet.block.size" -> v)
+    // parquet bloom filters for equality-heavy columns (Spark-native
+    // extra beyond the reference's option set): point lookups skip row
+    // groups whose bloom misses — at 100 TB the difference between a
+    // full-partition scan and a handful of row groups for id probes.
+    // Value: comma-separated column list, optional :ndv suffix, e.g.
+    // `set_option('parquet_bloom_filter_columns', 'user_id:100000,sku')`
+    optionFor(table, "parquet_bloom_filter_columns").foreach { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { entry =>
+        val (c, ndv) = entry.split(":") match {
+          case Array(c0, n) => (c0.trim, Some(n.trim))
+          case _ => (entry, None)
+        }
+        m += s"parquet.bloom.filter.enabled#$c" -> "true"
+        ndv.foreach(n =>
+          m += s"parquet.bloom.filter.expected.ndv#$c" -> n)
+      }
+    }
     m.toMap ++ cryptoOpts
   }
 

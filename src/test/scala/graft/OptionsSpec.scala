@@ -61,6 +61,38 @@ class OptionsSpec extends AnyFunSuite {
     assert(lake.table("small").count() == 40000)
   }
 
+  test("parquet_bloom_filter_columns writes real bloom filters") {
+    val dir = Files.createTempDirectory("graftbloom").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    // high-cardinality values: parquet omits blooms for columns that
+    // stay fully dictionary-encoded (the dictionary already filters)
+    val df = (1 to 5000).map(i => (i.toLong, s"user_${i}_${"x" * 40}"))
+      .toDF("id", "u")
+    lake.createTable("t", df.schema)
+    lake.setOption("parquet_bloom_filter_columns", "u:10000,id",
+      table = Some("t"))
+    lake.append("t", df.coalesce(1))
+    assert(lake.table("t")
+      .filter(org.apache.spark.sql.functions.col("u") ===
+        s"user_3_${"x" * 40}")
+      .count() == 1)
+    // the footer must actually carry bloom filters for both columns
+    val rel = lake.listFiles("t").select("data_file").head().getString(0)
+    val file = lake.io.abs(rel)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val withBloom = (0 until cols.size()).map(cols.get)
+        .filter(_.getBloomFilterOffset >= 0)
+        .map(_.getPath.toDotString).toSet
+      assert(withBloom == Set("u", "id"),
+        s"expected bloom filters on u,id; found $withBloom")
+    } finally reader.close()
+  }
+
   test("require_commit_message gates data changes; settings() lists") {
     val dir = Files.createTempDirectory("graftopt3").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
