@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *
   * Aggregates must be retractable and exact for incremental == recompute
   * to hold bit-for-bit: COUNT and SUM over integer/scaled-long inputs
-  * (see [[graft.QueryDsl.sl2]]) qualify; float sums and MIN/MAX (which
-  * would need a rescan of the group on retraction of the extremum) are
-  * deliberately out of scope, exactly like Flink's retract-stream aggs.
+  * (see [[graft.QueryDsl.sl2]]) qualify directly. MIN/MAX are supported
+  * through [[Extrema]] with the delete-aware split real engines use:
+  * groups touched only by inserts fold `least`/`greatest` forward (a
+  * new value can only improve the extremum), while groups that saw a
+  * delete — whose stored extremum may have been retracted — are
+  * PARTIALLY recomputed from the base table restricted to exactly
+  * those groups (a semi-join against the dirty-group list, version-
+  * pinned so late refreshes stay consistent). Float sums remain out of
+  * scope (not order-independent), like Flink's retract-stream rules.
   */
 object IncrementalView {
 
@@ -43,15 +49,28 @@ object IncrementalView {
   private def mergeKey(groupCols: Seq[String]): String =
     if (needsKey(groupCols)) KeyCol else groupCols.head
 
+  /** MIN/MAX aggregates for the view (see class doc: insert-only folds,
+    * delete-touched groups partially recomputed). */
+  final case class Extrema(mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil) {
+    def isEmpty: Boolean = mins.isEmpty && maxs.isEmpty
+    def names: Seq[String] = mins.map(_._1) ++ maxs.map(_._1)
+  }
+
   /** Full aggregation of `df` in MV layout:
-    * [mv_key,] groupCols, n_rows, sum columns. */
+    * [mv_key,] groupCols, n_rows, sum columns, extrema columns. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
-      sums: Seq[(String, Column)]): DataFrame = {
+      sums: Seq[(String, Column)],
+      extrema: Extrema = Extrema()): DataFrame = {
+    val aggExprs =
+      sums.map { case (n, e) => sum(e).cast("long").as(n) } ++
+        extrema.mins.map { case (n, e) => min(e).as(n) } ++
+        extrema.maxs.map { case (n, e) => max(e).as(n) }
     val agg = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sums.map { case (n, e) => sum(e).cast("long").as(n) }: _*)
+      .agg(count(lit(1)).as("n_rows"), aggExprs: _*)
     if (needsKey(groupCols)) {
-      val cols = KeyCol +: (groupCols ++ ("n_rows" +: sums.map(_._1)))
+      val cols = KeyCol +: (groupCols ++ ("n_rows" +: (sums.map(_._1) ++
+        extrema.names)))
       agg.withColumn(KeyCol, keyExpr(groupCols)).select(cols.map(col): _*)
     } else agg
   }
@@ -60,9 +79,11 @@ object IncrementalView {
     * `base` (one-time build; thereafter use [[refresh]]).
     * @return the base-table snapshot version the view reflects. */
   def materialize(lake: Lake, base: String, mvName: String,
-      groupCols: Seq[String], sums: Seq[(String, Column)]): Long = {
+      groupCols: Seq[String], sums: Seq[(String, Column)],
+      extrema: Extrema = Extrema()): Long = {
     val v = lake.currentSnapshotId()
-    lake.createTableAs(mvName, aggregate(lake.table(base), groupCols, sums))
+    lake.createTableAs(mvName,
+      aggregate(lake.table(base), groupCols, sums, extrema))
     v
   }
 
@@ -71,13 +92,98 @@ object IncrementalView {
   def refresh(lake: Lake, base: String, mvName: String,
       groupCols: Seq[String], sums: Seq[(String, Column)],
       fromVersion: Long,
-      toVersion: Option[Long] = None): Long = {
+      toVersion: Option[Long] = None,
+      extrema: Extrema = Extrema()): Long = {
     val to = toVersion.getOrElse(lake.currentSnapshotId())
     if (to == fromVersion) return to
     val changes = lake.tableChanges(base, fromVersion, to)
     if (changes.isEmpty) return to // nothing changed: zero commits
-    applyDelta(lake, mvName, groupCols, sums, changes)
+    if (extrema.isEmpty) applyDelta(lake, mvName, groupCols, sums, changes)
+    else applyDeltaWithExtrema(lake, base, mvName, groupCols, sums,
+      extrema, changes, to)
     to
+  }
+
+  /** Extrema-aware fold: phase A folds sums/counts AND least/greatest
+    * for groups the delta only INSERTED into (gated by a per-group
+    * delete count); phase B partially recomputes the groups that saw a
+    * delete — their stored extremum may have been retracted — from the
+    * base table AT `to` (version-pinned, so bounded-batch catch-up and
+    * late refreshes stay consistent), restricted by a semi-join to
+    * exactly the dirty groups. Groups fully deleted leave the view. */
+  private def applyDeltaWithExtrema(lake: Lake, base: String,
+      mvName: String, groupCols: Seq[String],
+      sums: Seq[(String, Column)], extrema: Extrema,
+      changes: DataFrame, to: Long): Unit = {
+    val isIns = col("change_type") === "insert"
+    val sign = when(isIns, 1L).otherwise(-1L)
+    val aggExprs =
+      Seq(sum(sign).cast("long").as("d_n"),
+        sum(when(isIns, 0L).otherwise(1L)).cast("long").as("d_del")) ++
+        sums.map { case (n, e) => sum(sign * e).cast("long").as(s"d_$n") } ++
+        extrema.mins.map { case (n, e) =>
+          min(when(isIns, e)).as(s"d_$n") } ++
+        extrema.maxs.map { case (n, e) =>
+          max(when(isIns, e)).as(s"d_$n") }
+    val delta0 = changes.groupBy(groupCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val delta =
+      if (needsKey(groupCols)) delta0.withColumn(KeyCol, keyExpr(groupCols))
+      else delta0
+    val key = mergeKey(groupCols)
+
+    // ---- phase A: insert-only groups fold forward -----------------------
+    val updates: Map[String, Column] =
+      Map("n_rows" -> (col("t.n_rows") + col("s.d_n"))) ++
+        sums.map { case (n, _) => n -> (col(s"t.$n") + col(s"s.d_$n")) } ++
+        extrema.mins.map { case (n, _) =>
+          n -> least(col(s"t.$n"), col(s"s.d_$n")) } ++
+        extrema.maxs.map { case (n, _) =>
+          n -> greatest(col(s"t.$n"), col(s"s.d_$n")) }
+    val inserts: Seq[(String, Column)] =
+      (if (needsKey(groupCols)) Seq(KeyCol -> col(s"s.$KeyCol")) else Nil) ++
+        groupCols.map(g => g -> col(s"s.$g")) ++
+        Seq("n_rows" -> col("s.d_n")) ++
+        (sums.map(_._1) ++ extrema.names).map(n => n -> col(s"s.d_$n"))
+    lake.merge(mvName, delta, key,
+      whenMatchedUpdate = Some(updates),
+      whenNotMatchedInsert = true,
+      matchedCondition = Some(col("s.d_del") === 0L),
+      notMatchedCondition = Some(col("s.d_del") === 0L),
+      notMatchedInsertValues = Some(inserts))
+
+    // ---- phase B: delete-touched groups partially recomputed ------------
+    val dirtyKeys = delta.filter(col("d_del") > 0L)
+      .select(groupCols.map(col): _*).distinct()
+    if (!dirtyKeys.isEmpty) {
+      val baseAt = lake.tableAtVersion(base, to)
+      val recomputed = aggregate(
+        baseAt.join(broadcast(dirtyKeys), groupCols, "left_semi"),
+        groupCols, sums, extrema)
+      val allAggs = "n_rows" +: (sums.map(_._1) ++ extrema.names)
+      lake.merge(mvName, recomputed, key,
+        whenMatchedUpdate = Some(
+          allAggs.map(n => n -> col(s"s.$n")).toMap),
+        whenNotMatchedInsert = true,
+        notMatchedInsertValues = Some(
+          (if (needsKey(groupCols)) Seq(KeyCol -> col(s"s.$KeyCol"))
+           else Nil) ++
+            groupCols.map(g => g -> col(s"s.$g")) ++
+            allAggs.map(n => n -> col(s"s.$n"))))
+      // dirty groups with NO surviving rows vanish from the view; the
+      // list is bounded by groups fully deleted in this delta
+      val keyOf =
+        if (needsKey(groupCols)) keyExpr(groupCols) else col(key)
+      val vanished = dirtyKeys
+        .join(recomputed, groupCols, "left_anti")
+        .select(keyOf.cast("string").as("k"))
+        .collect().map(_.getString(0)).toSeq
+      if (vanished.nonEmpty)
+        lake.delete(mvName,
+          col(key).cast("string").isin(vanished: _*))
+    }
+    // clean groups whose membership dropped to zero leave the view too
+    lake.delete(mvName, col("n_rows") === 0L)
   }
 
   /** Fold a batch of change rows (schema: base columns + `change_type`
@@ -125,13 +231,15 @@ object IncrementalView {
   def followFeed(lake: Lake, base: String, mvName: String,
       groupCols: Seq[String], sums: Seq[(String, Column)],
       fromVersion: Long,
-      maxSnapshotsPerBatch: Option[Long] = None): Long = {
+      maxSnapshotsPerBatch: Option[Long] = None,
+      extrema: Extrema = Extrema()): Long = {
     var v = fromVersion
     var latest = lake.currentSnapshotId()
     while (v < latest) {
       val to = maxSnapshotsPerBatch
         .map(m => math.min(latest, v + m)).getOrElse(latest)
-      v = refresh(lake, base, mvName, groupCols, sums, v, Some(to))
+      v = refresh(lake, base, mvName, groupCols, sums, v, Some(to),
+        extrema)
       // the refresh's own MV commits advance the snapshot counter; the
       // next round over them finds an empty base delta and early-outs
       latest = lake.currentSnapshotId()
@@ -155,14 +263,30 @@ object IncrementalView {
       .tableId
   }
 
-  /** [[materialize]] + store the view's definition (base, groups, sum
-    * expressions as SQL text) and reflected version as table-scoped
+  /** aggregate entry list ("name:expr" = sum; "name:min:expr" /
+    * "name:max:expr" = extrema) → (sums, Extrema) */
+  private def parseAggEntries(
+      entries: Seq[(String, String)]): (Seq[(String, Column)], Extrema) = {
+    val sums = scala.collection.mutable.Buffer.empty[(String, Column)]
+    val mins = scala.collection.mutable.Buffer.empty[(String, Column)]
+    val maxs = scala.collection.mutable.Buffer.empty[(String, Column)]
+    entries.foreach { case (n, rest) =>
+      if (rest.startsWith("min:")) mins += n -> expr(rest.substring(4))
+      else if (rest.startsWith("max:")) maxs += n -> expr(rest.substring(4))
+      else sums += n -> expr(rest)
+    }
+    (sums.toSeq, Extrema(mins.toSeq, maxs.toSeq))
+  }
+
+  /** [[materialize]] + store the view's definition (base, groups,
+    * aggregate entries as SQL text — "name:expr" sums, "name:min:expr" /
+    * "name:max:expr" extrema) and reflected version as table-scoped
     * catalog options — the managed-view catalog entry that lets
     * [[refreshManaged]] run from the view name alone. */
   def createManaged(lake: Lake, mvName: String, base: String,
       groupCols: Seq[String], sums: Seq[(String, String)]): Long = {
-    val v = materialize(lake, base, mvName, groupCols,
-      sums.map { case (n, e) => n -> expr(e) })
+    val (sumAggs, extrema) = parseAggEntries(sums)
+    val v = materialize(lake, base, mvName, groupCols, sumAggs, extrema)
     lake.setOption(DefKey,
       Seq(base, groupCols.mkString(","),
         sums.map { case (n, e) => s"$n:$e" }.mkString(";"))
@@ -184,12 +308,14 @@ object IncrementalView {
         s"$mvName has no $VerKey checkpoint"))
     val Array(base, groupsS, sumsS) = defn.split(FieldSep, -1)
     val groups = groupsS.split(",").toSeq
-    val sums = sumsS.split(";").toSeq.filter(_.nonEmpty).map { s =>
-      val i = s.indexOf(':')
-      (s.substring(0, i), expr(s.substring(i + 1)))
-    }
+    val (sums, extrema) = parseAggEntries(
+      sumsS.split(";").toSeq.filter(_.nonEmpty).map { s =>
+        val i = s.indexOf(':')
+        (s.substring(0, i), s.substring(i + 1))
+      })
     val before = lake.currentSnapshotId()
-    val v = followFeed(lake, base, mvName, groups, sums, from)
+    val v = followFeed(lake, base, mvName, groups, sums, from,
+      extrema = extrema)
     // persist the checkpoint only when the view actually folded a delta —
     // a no-op refresh must not itself commit (the stale `from` only costs
     // a metadata-cheap empty-range rescan next time)

@@ -675,6 +675,48 @@ object LakeQueries extends QueryPack {
       |    ORDER BY doc_id) AS rn FROM cand)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Extrema-aware incremental MV ([[IncrementalView.Extrema]]): MIN and
+    * MAX columns maintained through deletes — insert-only groups fold
+    * least/greatest, delete-touched groups partially recompute from a
+    * dirty-group semi-join. The workload deletes rows across every
+    * priority (retracting extremes) and appends shifted copies; the
+    * oracle recomputes the final grouped state from scratch. */
+  private def qMvExtrema(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val lake = freshLake(spark)
+    val orders = Tables(spark, dir).orders
+    lake.createTableAs("o", orders)
+    val groups = Seq("o_orderpriority")
+    val sums = Seq("total_cents" -> sl2(col("o_totalprice")))
+    val ext = IncrementalView.Extrema(
+      mins = Seq("min_cents" -> sl2(col("o_totalprice"))),
+      maxs = Seq("max_cents" -> sl2(col("o_totalprice"))))
+    val v0 = IncrementalView.materialize(lake, "o", "mv", groups, sums, ext)
+    lake.delete("o", col("o_orderkey") % 11 === 0)
+    lake.append("o", orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    IncrementalView.refresh(lake, "o", "mv", groups, sums, v0,
+      extrema = ext)
+    detached(lake, IncrementalView.read(lake, "mv", groups)
+      .orderBy(col("o_orderpriority")))
+  }
+
+  private val qMvExtremaSql = {
+    import graft.QueryDsl._
+    s"""WITH fin AS (
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 11 <> 0
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_totalprice FROM orders
+       |  WHERE o_orderkey % 13 = 0)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${oSl2("o_totalprice")}) AS BIGINT) AS total_cents,
+       |  CAST(MIN(${oSl2("o_totalprice")}) AS BIGINT) AS min_cents,
+       |  CAST(MAX(${oSl2("o_totalprice")}) AS BIGINT) AS max_cents
+       |FROM fin GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
@@ -702,5 +744,6 @@ object LakeQueries extends QueryPack {
     QueryDef("stream_mv", qStreamMv, Some(qStreamMvSql)),
     QueryDef("incremental_dedup", qIncrementalDedup,
       Some(qIncrementalDedupSql)),
+    QueryDef("lake_mv_extrema", qMvExtrema, Some(qMvExtremaSql)),
   )
 }

@@ -127,6 +127,71 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(lake.currentSnapshotId() == before)
   }
 
+  private def recomputeFull(lake: Lake, base: String, groups: Seq[String],
+      sums: Seq[(String, org.apache.spark.sql.Column)],
+      ext: IncrementalView.Extrema): DataFrame =
+    lake.table(base).groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sums.map { case (n, e) => sum(e).cast("long").as(n) } ++
+          ext.mins.map { case (n, e) => min(e).as(n) } ++
+          ext.maxs.map { case (n, e) => max(e).as(n) }): _*)
+
+  test("MIN/MAX extrema: insert-only folds, delete-touched recomputes") {
+    val lake = freshLake()
+    lake.createTableAs("t", Seq(
+      (1L, "a", 10L), (2L, "a", 50L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 9L), (6L, "c", 7L)).toDF("id", "g", "v"))
+    val sums = Seq("v_sum" -> col("v"))
+    val ext = IncrementalView.Extrema(
+      mins = Seq("v_min" -> col("v")), maxs = Seq("v_max" -> col("v")))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", Seq("g"),
+      sums, ext)
+
+    // 'a': delete its MAX row (50) → partial recompute must find 30;
+    // 'b': insert-only (least/greatest fold, no recompute);
+    // 'c': fully deleted → vanishes; 'd': brand new
+    lake.delete("t", col("id") === 2L)
+    lake.append("t", Seq((7L, "b", 1L), (8L, "d", 99L)).toDF("id", "g", "v"))
+    lake.delete("t", col("id") === 6L)
+    IncrementalView.refresh(lake, "t", "mv", Seq("g"), sums, v0,
+      extrema = ext)
+
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    val want = sorted(recomputeFull(lake, "t", Seq("g"), sums, ext),
+      Seq("g"))
+    assert(got == want)
+    assert(got == Seq("[a,2,40,10,30]", "[b,3,15,1,9]", "[d,1,99,99,99]"))
+  }
+
+  test("extrema: delete-then-reinsert inside one delta recomputes right") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      Seq((1L, "a", 100L), (2L, "a", 20L)).toDF("id", "g", "v"))
+    val sums = Seq("v_sum" -> col("v"))
+    val ext = IncrementalView.Extrema(maxs = Seq("v_max" -> col("v")))
+    val v0 = IncrementalView.materialize(lake, "t", "mv", Seq("g"),
+      sums, ext)
+    // retract the max AND add a smaller one in the same refresh window
+    lake.delete("t", col("id") === 1L)
+    lake.append("t", Seq((3L, "a", 60L)).toDF("id", "g", "v"))
+    IncrementalView.refresh(lake, "t", "mv", Seq("g"), sums, v0,
+      extrema = ext)
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    assert(got == Seq("[a,2,80,60]"))
+  }
+
+  test("managed view with extrema entries via SQL CALL") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 8L)).toDF("id", "g", "v"))
+    lake.sql("CALL create_mv('mv', 't', 'g', 'v_sum:v;lo:min:v;hi:max:v')")
+    lake.delete("t", col("id") === 2L) // retracts a's MIN
+    lake.append("t", Seq((4L, "b", 20L)).toDF("id", "g", "v"))
+    lake.sql("CALL refresh_mv('mv')")
+    val got = sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+    assert(got == Seq("[a,1,10,10,10]", "[b,2,28,8,20]"))
+  }
+
   test("no-op refresh (no changes) leaves the view untouched") {
     val lake = freshLake()
     lake.createTableAs("t", Seq((1L, "a", 10L)).toDF("id", "g", "v"))
