@@ -904,6 +904,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           if (live.count(_.file.fileSizeBytes < target / 2) > 8)
             mergeAdjacentFiles(name, target)
         }
+        maybeAutoRefresh(name)
         committed
     }
   }
@@ -1127,6 +1128,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
   }
   def options(): Seq[(String, String)] = meta.options()
+
+  /** mv_auto_refresh: after a DML commit, catch every managed view
+    * defined over this table up to the new snapshot (guarded against
+    * re-entry — the refresh's own MV commits must not re-trigger).
+    * Opt-in per table or globally, like auto_compact. */
+  private def maybeAutoRefresh(table: String): Unit =
+    if (txn.isEmpty &&
+        !graft.operators.IncrementalView.autoRefreshActive &&
+        optionFor(table, "mv_auto_refresh").contains("true"))
+      graft.operators.IncrementalView.refreshViewsOn(this, table): Unit
 
   /** table-scoped value wins over the global one */
   private def optionFor(table: String, key: String): Option[String] = {
@@ -2015,7 +2026,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val matched = scan(name, snap, None, withMeta = true)
       .filter(cond)
       .select(col("filename").as("file_path"), col("file_row_number").as("pos"))
-    deleteByPosition(name, t, snap, matched)
+    val n = deleteByPosition(name, t, snap, matched)
+    if (n > 0) maybeAutoRefresh(name)
+    n
   }
 
   private def deleteByPosition(name: String, t: TableInfo, snap: Snapshot,
@@ -2298,6 +2311,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val n = deleteByPosition(name, t, snap, positions, newFiles)
     // update = delete+insert: net row count unchanged
     if (n != 0) restoreRowCount(t.tableId, n)
+    if (n > 0) maybeAutoRefresh(name)
     n
   }
 
@@ -2393,9 +2407,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     positionsOut match {
       case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles): Unit
-      case None if newFiles.nonEmpty => meta.appendFiles(t.tableId, newFiles)
+      case None if newFiles.nonEmpty =>
+        meta.appendFiles(t.tableId, newFiles): Unit
       case None => ()
     }
+    maybeAutoRefresh(name)
   }
 
   // ------------------------------------------------------------------- CDC

@@ -2483,6 +2483,15 @@ class MetadataManager(val jdbcUrl: String,
       (rs.getString(1), rs.getString(2)))
   }
 
+  /** all table-scoped values of one option key → (table_id, value);
+    * used to find the managed views defined over a base table */
+  def tableScopedOptions(key: String): Seq[(Long, String)] = withConn { c =>
+    query(c,
+      """SELECT scope_id, mvalue FROM ducklake_metadata
+        |WHERE mkey = ? AND scope = 'table' ORDER BY scope_id""".stripMargin,
+      key)(rs => (rs.getLong(1), rs.getString(2)))
+  }
+
   /** comments/tags on catalog objects (ducklake_tag). */
   /** `value = null` clears the tag (COMMENT ON ... IS NULL). */
   def setTag(objectId: Long, key: String, value: String): Unit =

@@ -324,6 +324,33 @@ object IncrementalView {
     v
   }
 
+  /** true while a refresh triggered by auto-refresh is running on this
+    * thread — the refresh's own MV commits must not re-trigger */
+  private val inAutoRefresh = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[graft] def autoRefreshActive: Boolean = inAutoRefresh.get()
+
+  /** Refresh every managed view defined over `base` (the mv_auto_refresh
+    * hook's worker). Returns the number of views refreshed. */
+  def refreshViewsOn(lake: Lake, base: String): Int = {
+    if (inAutoRefresh.get()) return 0
+    val baseName = base.stripPrefix("main.")
+    val defs = lake.meta.tableScopedOptions(DefKey)
+    if (defs.isEmpty) return 0
+    val nameById = lake.listSchemas().flatMap { s =>
+      lake.meta.listTables(lake.currentSnapshotId(), s).map(t =>
+        t.tableId -> (if (s == "main") t.name else s"$s.${t.name}"))
+    }.toMap
+    inAutoRefresh.set(true)
+    try defs.count { case (mvId, defn) =>
+      val definedBase = defn.split(FieldSep, -1).head.stripPrefix("main.")
+      definedBase == baseName && nameById.contains(mvId) && {
+        refreshManaged(lake, nameById(mvId)); true
+      }
+    } finally inAutoRefresh.set(false)
+  }
+
   /** The MV in reader layout (internal key column dropped). */
   def read(lake: Lake, mvName: String, groupCols: Seq[String]): DataFrame = {
     val df = lake.table(mvName)

@@ -192,6 +192,31 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(got == Seq("[a,1,10,10,10]", "[b,2,28,8,20]"))
   }
 
+  test("mv_auto_refresh: views follow base DML with no explicit refresh") {
+    val lake = freshLake()
+    lake.createTableAs("t",
+      Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "g", "v"))
+    lake.sql("CALL create_mv('mv', 't', 'g', 'v_sum:v')")
+    lake.setOption("mv_auto_refresh", "true", table = Some("t"))
+
+    lake.append("t", Seq((3L, "a", 7L)).toDF("id", "g", "v"))
+    assert(sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+      == Seq("[a,2,17]", "[b,1,5]"))
+
+    lake.delete("t", col("id") === 2L)
+    assert(sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+      == Seq("[a,2,17]"))
+
+    lake.update("t", Map("v" -> (col("v") + 100L)), col("id") === 1L)
+    assert(sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+      == Seq("[a,2,117]"))
+
+    import spark.implicits._
+    lake.merge("t", Seq((4L, "c", 1L)).toDF("id", "g", "v"), "id")
+    assert(sorted(IncrementalView.read(lake, "mv", Seq("g")), Seq("g"))
+      == Seq("[a,2,117]", "[c,1,1]"))
+  }
+
   test("no-op refresh (no changes) leaves the view untouched") {
     val lake = freshLake()
     lake.createTableAs("t", Seq((1L, "a", 10L)).toDF("id", "g", "v"))
