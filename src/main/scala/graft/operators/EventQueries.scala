@@ -330,7 +330,31 @@ object EventQueries extends QueryPack {
       |FROM f JOIN a ON f.user_id = a.user_id
       |GROUP BY f.w0, k ORDER BY f.w0, k""".stripMargin
 
+  /** PIVOT: event counts per user bucket, one column per event type —
+    * Spark's relational pivot operator; the oracle spells it as
+    * conditional aggregation so both engines emit identical columns. */
+  private def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupBy(col("bucket"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+  }
+
+  private val qPivotSql =
+    """SELECT user_id % 10 AS bucket,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("cb_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("cb_retention", qRetention, Some(qRetentionSql)),
     QueryDef("cb_type_share", typeShare, Some(typeShareSql)),

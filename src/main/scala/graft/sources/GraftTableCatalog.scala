@@ -92,12 +92,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new IllegalArgumentException(
         s"unsupported partition reference ${other.mkString(",")}")
     }
-    t.name() match {
+    // Catalyst emits plural names (years), the SQL parser keeps the
+    // user's spelling (year) — accept both
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
       case "identity" => (col, "identity")
-      case "years" => (col, "year")
-      case "months" => (col, "month")
-      case "days" => (col, "day")
-      case "hours" => (col, "hour")
+      case "years" | "year" => (col, "year")
+      case "months" | "month" => (col, "month")
+      case "days" | "day" => (col, "day")
+      case "hours" | "hour" => (col, "hour")
       case "bucket" =>
         val n = t.arguments().collectFirst {
           case l: Literal[_] => String.valueOf(l.value())

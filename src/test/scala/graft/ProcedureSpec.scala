@@ -41,6 +41,31 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS with PARTITIONED BY through the DSv2 catalog") {
+    withLake { lake =>
+      spark.sql("CREATE TABLE graft.src_tmp AS SELECT * FROM VALUES " +
+        "(1L, TIMESTAMP '1996-03-01 00:00:00'), " +
+        "(2L, TIMESTAMP '1997-07-01 00:00:00'), " +
+        "(3L, TIMESTAMP '1997-11-02 00:00:00') AS t(id, ts)")
+      spark.sql("""CREATE TABLE graft.pt PARTITIONED BY (year(ts))
+        |AS SELECT * FROM graft.src_tmp""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.pt")
+        .head().getLong(0) == 3L)
+      // partition spec landed in the catalog and produced hive paths
+      val files = lake.listFiles("pt").select("data_file")
+        .collect().map(_.getString(0))
+      assert(files.exists(_.contains("1996")) &&
+        files.exists(_.contains("1997")),
+        s"expected year-partitioned paths, got ${files.toSeq}")
+      // bucket transform spelling works too
+      spark.sql("""CREATE TABLE graft.bt PARTITIONED BY (bucket(4, id))
+        |AS SELECT id FROM graft.src_tmp""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.bt")
+        .head().getLong(0) == 3L)
+      spark.sql("DROP TABLE graft.src_tmp")
+    }
+  }
+
   test("managed MV procedures via spark.sql CALL") {
     withLake { lake =>
       lake.createTableAs("base",
