@@ -193,6 +193,31 @@ class HttpCatalogServer(backingJdbcUrl: String, port: Int = 0) {
           req.get("name").asInstanceOf[String],
           req.get("column").asInstanceOf[String])
         try rowsOf(rs) finally rs.close()
+      // staged server-side commit (reference
+      // ducklake_server_side_commit.cpp / staged_commit.hpp: stage the
+      // whole write-set, then ONE call runs it inside the catalog
+      // transaction): a list of {sql, rows:[[params]…]} executed
+      // sequentially with a single prepare+batch each, optionally
+      // followed by the transaction commit — one round trip total.
+      case "script" =>
+        val c = conn(req)
+        var total = 0
+        req.get("stmts").asInstanceOf[java.util.List[_]].asScala.foreach {
+          s0 =>
+            val s = s0.asInstanceOf[java.util.Map[String, Any]]
+            val ps = c.prepareStatement(s.get("sql").asInstanceOf[String])
+            try {
+              s.get("rows").asInstanceOf[java.util.List[_]].asScala
+                .foreach { row =>
+                  bindParams(ps, row.asInstanceOf[java.util.List[_]])
+                  ps.addBatch()
+                }
+              total += ps.executeBatch().sum
+            } finally ps.close()
+        }
+        if (req.getOrDefault("commit", Boolean.box(false))
+            .asInstanceOf[Boolean]) c.commit()
+        java.util.Map.of("n", Int.box(total))
       case "commit" =>
         conn(req).commit(); java.util.Map.of("ok", Boolean.box(true))
       case "rollback" =>
@@ -372,6 +397,64 @@ object HttpCatalogClient {
           r.get("rows").asInstanceOf[java.util.List[_]])
     }
 
+  // ---- staged server-side commit ------------------------------------
+  // (reference ducklake_server_side_commit.cpp / staged_commit.hpp):
+  // MetadataManager buffers a commit's writes client-side and ships them
+  // as ONE `script` request that executes AND commits inside the
+  // catalog transaction — a commit costs one network round trip instead
+  // of one per statement. Reads auto-flush pending writes first, so
+  // read-your-writes inside a commit body still holds.
+  private val sessionOfConn = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Connection, Session]())
+  private val stagingBuf = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Connection,
+      java.util.List[java.util.Map[String, Any]]]())
+
+  /** is this a service connection (staged commits available)? */
+  def supportsStagedCommit(c: Connection): Boolean =
+    sessionOfConn.containsKey(c)
+
+  def beginStaging(c: Connection): Unit =
+    if (supportsStagedCommit(c))
+      stagingBuf.put(c, new java.util.ArrayList()): Unit
+
+  /** Buffer a write if staging is active on `c`; false = run it live. */
+  def stage(c: Connection, sql: String, rows: Seq[Seq[Any]]): Boolean = {
+    val buf = stagingBuf.get(c)
+    if (buf == null) false
+    else {
+      val enc = new java.util.ArrayList[Any]()
+      rows.foreach { r =>
+        val row = new java.util.ArrayList[Any]()
+        r.foreach(v => row.add(encodeValue(v)))
+        enc.add(row)
+      }
+      buf.add(java.util.Map.of("sql", sql, "rows", enc))
+      true
+    }
+  }
+
+  def stagingActive(c: Connection): Boolean = stagingBuf.get(c) != null
+
+  /** Ship buffered writes as one script (optionally committing in the
+    * same round trip). `commit = true` also ends staging. */
+  def flushStaged(c: Connection, commit: Boolean): Unit = {
+    val buf = stagingBuf.get(c)
+    if (buf == null) {
+      if (commit) c.commit()
+      return
+    }
+    val s = sessionOfConn.get(c)
+    if (!buf.isEmpty || commit) {
+      s.call("script", "stmts" -> new java.util.ArrayList(buf),
+        "commit" -> Boolean.box(commit)): Unit
+      buf.clear()
+    }
+    if (commit) stagingBuf.remove(c): Unit
+  }
+
+  def abortStaging(c: Connection): Unit = stagingBuf.remove(c): Unit
+
   /** Open a catalog session; returns a Connection whose SQL runs on the
     * service end. */
   def connect(url: String): Connection = {
@@ -380,7 +463,7 @@ object HttpCatalogClient {
       .get("sid").asInstanceOf[String]
     val s = new Session(endpoint, sid)
     var closed = false
-    proxy(classOf[Connection]) {
+    val c = proxy(classOf[Connection]) {
       case ("setAutoCommit", _) => null // server sessions are always manual
       case ("getAutoCommit", _) => Boolean.box(false)
       case ("prepareStatement", a) =>
@@ -402,5 +485,7 @@ object HttpCatalogClient {
       case ("isClosed", _) => Boolean.box(closed)
       case ("isValid", _) => Boolean.box(!closed)
     }
+    sessionOfConn.put(c, s)
+    c
   }
 }

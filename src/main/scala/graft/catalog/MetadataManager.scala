@@ -108,6 +108,10 @@ class MetadataManager(val jdbcUrl: String,
 
   protected def query[A](c: Connection, sql: String, args: Any*)(
       f: ResultSet => A): Seq[A] = {
+    // read-your-writes inside a staging window: pending writes flush
+    // (one script round trip, no commit) before the query runs
+    if (HttpCatalogClient.stagingActive(c))
+      HttpCatalogClient.flushStaged(c, commit = false)
     val t0 = System.nanoTime()
     try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
@@ -120,6 +124,11 @@ class MetadataManager(val jdbcUrl: String,
   }
 
   protected def exec(c: Connection, sql: String, args: Any*): Int = {
+    // staged server-side commit: writes inside a staging window buffer
+    // client-side and ship as one script (affected count unknown → -2,
+    // JDBC SUCCESS_NO_INFO; no commit-path caller depends on it)
+    if (HttpCatalogClient.stage(c, qualify(sql), Seq(args.toSeq)))
+      return java.sql.Statement.SUCCESS_NO_INFO
     val t0 = System.nanoTime()
     try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
       args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
@@ -136,6 +145,7 @@ class MetadataManager(val jdbcUrl: String,
   protected def execBatch(c: Connection, sql: String,
       rows: Seq[Seq[Any]]): Unit =
     if (rows.nonEmpty) {
+      if (HttpCatalogClient.stage(c, qualify(sql), rows)) return
       val t0 = System.nanoTime()
       try Using.resource(c.prepareStatement(qualify(sql))) { ps =>
         rows.foreach { args =>
@@ -553,6 +563,10 @@ class MetadataManager(val jdbcUrl: String,
           System.currentTimeMillis(),
           if (schemaChange) base.schemaVersion + 1 else base.schemaVersion,
           base.nextCatalogId, base.nextFileId)
+        // network catalogs: stage the commit's writes client-side and
+        // ship write-set + snapshot rows + COMMIT as one script call
+        // (reference server-side commit); embedded catalogs run live
+        HttpCatalogClient.beginStaging(c)
         body(c, newSnap, ids)
         exec(c,
           """INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time,
@@ -574,12 +588,13 @@ class MetadataManager(val jdbcUrl: String,
             Long.box(newSnap.snapshotId),
             Long.box(newSnap.schemaVersion))
         }
-        c.commit()
+        HttpCatalogClient.flushStaged(c, commit = true)
         c.close()
         return newSnap.copy(
           nextCatalogId = ids.nextCatalogId, nextFileId = ids.nextFileId)
       } catch {
         case e: SQLException if isConflict(e) && attempt < maxRetries =>
+          HttpCatalogClient.abortStaging(c)
           try c.rollback() catch { case _: Throwable => () }
           c.close()
           attempt += 1
@@ -587,6 +602,7 @@ class MetadataManager(val jdbcUrl: String,
           Thread.sleep(wait)
           wait = (wait * retryBackoff).toLong
         case e: Throwable =>
+          HttpCatalogClient.abortStaging(c)
           try c.rollback() catch { case _: Throwable => () }
           c.close()
           throw e
@@ -664,10 +680,17 @@ class MetadataManager(val jdbcUrl: String,
       if (liveMacros > 0) throw new IllegalArgumentException(
         s"schema $name holds macros; drop them first " +
           "(DROP SCHEMA ... CASCADE is not supported)")
-      val n = exec(c,
+      // existence pre-check (not the UPDATE's affected-count): staged
+      // server-side commits defer writes, so update counts are unknown
+      val schemaLive = qLong(c,
+        """SELECT COUNT(*) FROM ducklake_schema
+          |WHERE schema_name = ? AND end_snapshot IS NULL""".stripMargin,
+        name).getOrElse(0L)
+      if (schemaLive == 0)
+        throw new IllegalArgumentException(s"no schema $name")
+      exec(c,
         "UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_name = ? AND end_snapshot IS NULL",
-        Long.box(snap.snapshotId), name)
-      if (n == 0) throw new IllegalArgumentException(s"no schema $name")
+        Long.box(snap.snapshotId), name): Unit
     }
   }
 
