@@ -18,6 +18,7 @@ object SparkEntry {
     operators.PipelineQueries,
     operators.TrainingPipeline,
     operators.CorpusQueries,
+    operators.SeriesQueries,
   )
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
