@@ -193,9 +193,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       meta.addColumn(resolve(table).tableId, field.name, ts, field.nullable,
         defaultValue)
   }
-  def dropColumn(table: String, column: String): Unit =
+  def dropColumn(table: String, column: String): Unit = {
+    // reference guards (drop_sorted_column.test, drop_partition_column
+    // .test): a column in the live sort spec or partition spec cannot be
+    // dropped — RESET SORTED BY / RESET PARTITIONED BY first.
+    val t = resolve(table)
+    val sid = meta.currentSnapshot().snapshotId
+    if (meta.currentSortSpec(t.tableId, sid)
+        .exists(s => SqlIdent.refs(s._1).contains(column.toLowerCase)))
+      throw new IllegalArgumentException(
+        s"cannot drop column $column of $table: the table is sorted by " +
+          "this column (RESET SORTED BY first)")
+    val colId = meta.columnsOf(t.tableId, sid)
+      .find(c => c.parentColumn.isEmpty && c.name.equalsIgnoreCase(column))
+      .map(_.columnId)
+    if (colId.exists(id => meta.currentPartitionSpec(t.tableId, sid)
+        .exists(_.fields.exists(_.columnId == id))))
+      throw new IllegalArgumentException(
+        s"cannot drop column $column of $table: the table is partitioned " +
+          "by this column (RESET PARTITIONED BY first)")
     if (!bufferAlter(table, _ => AlterSpec.DropCol(column)))
-      meta.dropColumn(resolve(table).tableId, column)
+      meta.dropColumn(t.tableId, column)
+  }
   def renameColumn(table: String, oldName: String, newName: String): Unit = {
     if (inliningEnabled(Some(table)))
       validateNoInlinedSystemColumns(Seq(newName))

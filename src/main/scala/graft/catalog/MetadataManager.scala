@@ -1315,6 +1315,7 @@ class MetadataManager(val jdbcUrl: String,
             closeColumnTree(c, snap.snapshotId, tid, cols, root(n).columnId)
           case AlterSpec.RenameCol(o, n2) =>
             reopenColumn(c, snap.snapshotId, tid, root(o).copy(name = n2))
+            rewriteSortSpecIn(c, snap.snapshotId, ids, tid, o, n2)
           case AlterSpec.SetDefault(n, v) =>
             reopenColumn(c, snap.snapshotId, tid,
               root(n).copy(defaultValue = v))
@@ -1819,8 +1820,19 @@ class MetadataManager(val jdbcUrl: String,
       closeColumnTree(c, snap.snapshotId, tableId, cols, ci.columnId)
     }
 
+  /** RENAME COLUMN; live sort expressions referencing the column are
+    * rewritten in the same snapshot so sort-on-insert and sorted
+    * compaction keep working (reference merge_adjacent_sorted_renamed /
+    * flush_sorted_renamed tests). */
   def renameColumn(tableId: Long, oldName: String, newName: String): Unit =
-    alterColumn(tableId, oldName)(ci => ci.copy(name = newName))
+    commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
+      schemaChange = true) { (c, snap, ids) =>
+      val cols = columnsOf(c, tableId, snap.snapshotId - 1)
+      val ci = cols.find(x => x.parentColumn.isEmpty && x.name == oldName)
+        .getOrElse(throw new IllegalArgumentException(s"no column $oldName"))
+      reopenColumn(c, snap.snapshotId, tableId, ci.copy(name = newName))
+      rewriteSortSpecIn(c, snap.snapshotId, ids, tableId, oldName, newName)
+    }
 
   /** SET / DROP NOT NULL (reference ducklake_table_entry.cpp:661,711). */
   def setNullsAllowed(tableId: Long, name: String, allowed: Boolean): Unit =
@@ -1974,26 +1986,36 @@ class MetadataManager(val jdbcUrl: String,
       exprs: Seq[(String, String, String)]): Unit = // (expr, order, nulls)
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, ids) =>
-      exec(c,
-        "UPDATE ducklake_sort_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
-        Long.box(snap.snapshotId), Long.box(tableId))
-      val sid = ids.newCatalogId()
-      exec(c,
-        """INSERT INTO ducklake_sort_info (sort_info_id, table_id,
-          |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
-        Long.box(sid), Long.box(tableId), Long.box(snap.snapshotId))
-      exprs.zipWithIndex.foreach { case ((e, order, nulls), i) =>
-        exec(c,
-          """INSERT INTO ducklake_sort_expression (sort_info_id, table_id,
-            |sort_key_index, expression, dialect, sort_order, null_order)
-            |VALUES (?, ?, ?, ?, 'spark', ?, ?)""".stripMargin,
-          Long.box(sid), Long.box(tableId), Long.box(i.toLong), e, order,
-          nulls)
-      }
+      writeSortSpecIn(c, snap.snapshotId, ids, tableId, exprs)
     }
 
+  private def writeSortSpecIn(c: Connection, snapshotId: Long,
+      ids: TxnIds, tableId: Long,
+      exprs: Seq[(String, String, String)]): Unit = {
+    exec(c,
+      "UPDATE ducklake_sort_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Long.box(snapshotId), Long.box(tableId))
+    val sid = ids.newCatalogId()
+    exec(c,
+      """INSERT INTO ducklake_sort_info (sort_info_id, table_id,
+        |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
+      Long.box(sid), Long.box(tableId), Long.box(snapshotId))
+    exprs.zipWithIndex.foreach { case ((e, order, nulls), i) =>
+      exec(c,
+        """INSERT INTO ducklake_sort_expression (sort_info_id, table_id,
+          |sort_key_index, expression, dialect, sort_order, null_order)
+          |VALUES (?, ?, ?, ?, 'spark', ?, ?)""".stripMargin,
+        Long.box(sid), Long.box(tableId), Long.box(i.toLong), e, order,
+        nulls)
+    }
+  }
+
   def currentSortSpec(tableId: Long,
-      snapshotId: Long): Seq[(String, String, String)] = withConn { c =>
+      snapshotId: Long): Seq[(String, String, String)] =
+    withConn(c => sortSpecIn(c, tableId, snapshotId))
+
+  private def sortSpecIn(c: Connection, tableId: Long,
+      snapshotId: Long): Seq[(String, String, String)] = {
     val sids = query(c,
       """SELECT sort_info_id FROM ducklake_sort_info
         |WHERE table_id = ? AND begin_snapshot <= ?
@@ -2007,6 +2029,20 @@ class MetadataManager(val jdbcUrl: String,
           |ORDER BY sort_key_index""".stripMargin, Long.box(sid))(rs =>
         (rs.getString(1), rs.getString(2), rs.getString(3)))
     }
+  }
+
+  /** Rewrite live sort expressions after a column rename, in the SAME
+    * commit (reference merge_adjacent_sorted_renamed.test: "sort
+    * expressions are updated during rename"). */
+  private def rewriteSortSpecIn(c: Connection, snapshotId: Long,
+      ids: TxnIds, tableId: Long, oldName: String,
+      newName: String): Unit = {
+    val spec = sortSpecIn(c, tableId, snapshotId - 1)
+    val rewritten = spec.map { case (e, o, n) =>
+      (SqlIdent.rewrite(e, oldName, newName), o, n)
+    }
+    if (rewritten != spec)
+      writeSortSpecIn(c, snapshotId, ids, tableId, rewritten)
   }
 
   // ------------------------------------------------------------ inlined data
