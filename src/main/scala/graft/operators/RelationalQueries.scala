@@ -48,7 +48,12 @@ object RelationalQueries extends QueryPack {
         (lsum(p2, 100.0) / count(lit(1))).as("avg_price"),
         (lsum(d4, 10000.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      // bounded output (returnflag × linestatus — a handful of groups at
+      // ANY scale): a single-task final sort beats a global range
+      // exchange + sampling pass, and the map-side partial agg upstream
+      // already did the data-sized work in parallel.
+      .coalesce(1)
+      .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q1Sql = {
@@ -422,7 +427,11 @@ object RelationalQueries extends QueryPack {
         date_format(timestamp_micros(col("hr_bucket") * usPerHour),
           "yyyy-MM-dd HH:mm:ss").as("hr"),
         col("event_type"), col("n"), col("total_value"))
-      .orderBy(col("hr"), col("event_type"))
+      // bounded output (calendar hours × event types — thousands of rows
+      // at ANY data scale): single-task final sort instead of a global
+      // range exchange; the hash agg above stays fully parallel.
+      .coalesce(1)
+      .sortWithinPartitions(col("hr"), col("event_type"))
   }
 
   private val qDateTruncSql =
