@@ -392,8 +392,42 @@ case class ResolveLakeRelation(spark: SparkSession)
         }
       case u: UnresolvedRelation if lakeName(u).isDefined =>
         val (alias, table) = lakeName(u).get
-        placeholder(alias, table)
+        viewOrPlaceholder(alias, table)
     }
+
+  /** `graft.v` where v is a lake VIEW expands to the view's stored SQL
+    * with bare lake relation names qualified by the alias — nested views
+    * and base tables then resolve through this same rule, so catalog
+    * stats/partition pruning reaches every base scan under the view
+    * (reference view tests: views query like tables; view_tosql
+    * semantics). Tables take the placeholder path unchanged. */
+  private def viewOrPlaceholder(alias: String, table: String): LogicalPlan = {
+    val lake = LakeRegistry.get(alias).get
+    val (schema, name) = table.split('.') match {
+      case Array(s, t) => (s, t)
+      case _ => ("main", table)
+    }
+    val sid = lake.currentSnapshotId()
+    lake.meta.viewByName(name, sid, schema) match {
+      case Some(viewSql) =>
+        val body = spark.sessionState.sqlParser.parsePlan(viewSql)
+        def lakeKnows(s: String, t: String): Boolean =
+          lake.meta.tableByName(t, sid, s).isDefined ||
+            lake.meta.viewByName(t, sid, s).isDefined
+        val qualified = body.transformDownWithSubqueries {
+          case ur: UnresolvedRelation => ur.multipartIdentifier match {
+            case Seq(t) if lakeKnows("main", t) =>
+              UnresolvedRelation(Seq(alias, t))
+            case Seq(s, t) if LakeRegistry.get(s).isEmpty &&
+                lakeKnows(s, t) =>
+              UnresolvedRelation(Seq(alias, s, t))
+            case _ => ur
+          }
+        }
+        SubqueryAlias(name, qualified)
+      case None => placeholder(alias, table)
+    }
+  }
 }
 
 /** Unfiltered `COUNT(*)` over a lake table → a [[LocalRelation]] holding

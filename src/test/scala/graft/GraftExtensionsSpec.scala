@@ -230,6 +230,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .map(_.getString(1)).toSeq == Seq("t"))
       spark.sql("DROP TABLE graft.aux.t")
       spark.sql("DROP NAMESPACE graft.aux")
+
+      // ---- lake VIEWS through plain spark.sql ----
+      // a view expands to its stored SQL; the base table resolves through
+      // the same placeholder path (reference: views query like tables)
+      lake.createView("v_big", "SELECT id FROM pr WHERE id > 150")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.v_big")
+        .head().getLong(0) == 50L)
+      // nested views expand recursively
+      lake.createView("v_bigger", "SELECT id FROM v_big WHERE id > 190")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.v_bigger")
+        .head().getLong(0) == 10L)
+      // catalog file pruning reaches the base scan UNDER the view: pr has
+      // two disjoint-range files and the view predicate excludes one
+      val vq = spark.sql("SELECT id FROM graft.v_big")
+      val vFiles = vq.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.relation.location.inputFiles.length).sum
+      assert(vFiles == 1, s"view base scan not pruned: $vFiles files")
+      // views join with tables in the same statement
+      assert(spark.sql(
+        """SELECT COUNT(*) AS n FROM graft.v_big v
+          |JOIN graft.pd d ON v.id = d.id""".stripMargin)
+        .head().getLong(0) == 1L)
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()
