@@ -321,7 +321,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       rewrite(ci.typeString, segs.tail))
   }
 
-  def createView(name: String, sql: String): Unit = meta.createView(name, sql)
+  def createView(name: String, sql: String,
+      orReplace: Boolean = false): Unit = {
+    val (s, v) = splitName(name)
+    meta.createView(v, sql, s, orReplace = orReplace)
+  }
+
+  /** DROP VIEW (reference view lifecycle: the row closes at this
+    * snapshot; time travel before it still sees the view). */
+  def dropView(name: String, ifExists: Boolean = false): Unit = {
+    val (s, v) = splitName(name)
+    meta.dropView(v, s, ifExists)
+  }
 
   // ------------------------------------------------- comments (tags)
 

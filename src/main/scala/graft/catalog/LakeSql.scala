@@ -37,7 +37,9 @@ private[catalog] object LakeSql {
   private val DropSchema =
     """(?is)^DROP\s+SCHEMA\s+([\w$]+)\s*$""".r
   private val CreateView =
-    """(?is)^CREATE\s+VIEW\s+([\w$]+)\s+AS\s+(.+)$""".r
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w$.]+)\s+AS\s+(.+)$""".r
+  private val DropView =
+    """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w$.]+)$""".r
   private val RenameTable =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+RENAME\s+TO\s+([\w$]+)\s*$""".r
   private val RenameColumn =
@@ -253,7 +255,12 @@ private[catalog] object LakeSql {
       case CreateSchema(sc) => Some { lake.createSchema(sc); count(0L) }
       case DropSchema(sc) => Some { lake.dropSchema(sc); count(0L) }
 
-      case CreateView(v, query) => Some { lake.createView(v, query); count(0L) }
+      case CreateView(orReplace, v, query) => Some {
+        lake.createView(v, query, orReplace = orReplace != null); count(0L)
+      }
+      case DropView(ifExists, v) => Some {
+        lake.dropView(v, ifExists = ifExists != null); count(0L)
+      }
 
       case RenameTable(oldName, newName) => Some {
         lake.renameTable(oldName, newName); count(0L)

@@ -2299,12 +2299,23 @@ class MetadataManager(val jdbcUrl: String,
   // ------------------------------------------------------------------ views
 
   def createView(name: String, sql: String, schema: String = "main",
-      dialect: String = "spark"): Unit =
+      dialect: String = "spark", orReplace: Boolean = false): Unit =
     commitSnapshot(SnapshotChanges(createdTables = Seq(s"view:$name")),
       schemaChange = true) { (c, snap, ids) =>
       val schemaId = query(c,
         "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
         schema)(_.getLong(1)).head
+      val existing = query(c,
+        """SELECT view_id FROM ducklake_view
+          |WHERE view_name = ? AND schema_id = ? AND end_snapshot IS NULL"""
+          .stripMargin, name, Long.box(schemaId))(_.getLong(1))
+      if (existing.nonEmpty) {
+        if (!orReplace) throw new IllegalArgumentException(
+          s"view $name already exists (use CREATE OR REPLACE VIEW)")
+        exec(c,
+          "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
+          Long.box(snap.snapshotId), Long.box(existing.head))
+      }
       exec(c,
         """INSERT INTO ducklake_view (view_id, view_uuid, begin_snapshot,
           |end_snapshot, schema_id, view_name, dialect, sql_text)
@@ -2312,6 +2323,27 @@ class MetadataManager(val jdbcUrl: String,
         Long.box(ids.newCatalogId()),
         java.util.UUID.randomUUID().toString, Long.box(snap.snapshotId),
         Long.box(schemaId), name, dialect, sql)
+    }
+
+  /** DROP VIEW: closes the live row; time travel before the drop still
+    * resolves the view (same lifecycle as tables). */
+  def dropView(name: String, schema: String = "main",
+      ifExists: Boolean = false): Unit =
+    commitSnapshot(SnapshotChanges(droppedTables = Seq(s"view:$name")),
+      schemaChange = true) { (c, snap, _) =>
+      // existence probe first (reads bypass staged-commit buffering, so
+      // the IF EXISTS check works over the HTTP catalog too)
+      val ids0 = query(c,
+        """SELECT v.view_id FROM ducklake_view v
+          |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+          |WHERE v.view_name = ? AND s.schema_name = ?
+          |  AND v.end_snapshot IS NULL""".stripMargin,
+        name, schema)(_.getLong(1))
+      if (ids0.isEmpty) {
+        if (!ifExists) throw new IllegalArgumentException(s"no view $name")
+      } else exec(c,
+        "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(ids0.head))
     }
 
   /** All live views at a snapshot: (name, sql_text). */

@@ -104,6 +104,34 @@ case class LakeInsertCommand(alias: String, table: String,
   }
 }
 
+/** CREATE [OR REPLACE] VIEW through plain spark.sql: stores the view's
+  * original SQL text in the lake catalog (dialect 'spark'); reads
+  * resolve through the placeholder expansion in the resolution rule. */
+case class LakeCreateViewCommand(alias: String, name: String,
+    viewSql: String, orReplace: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    lake.createView(name, viewSql, orReplace = orReplace)
+    Nil
+  }
+}
+
+/** DROP VIEW [IF EXISTS] through plain spark.sql. */
+case class LakeDropViewCommand(alias: String, name: String,
+    ifExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    lake.dropView(name, ifExists = ifExists)
+    Nil
+  }
+}
+
 object LakeDml {
   /** re-anchor a resolved condition/value on column NAMES so it resolves
     * against the Lake API's own scan DataFrame */
@@ -390,9 +418,43 @@ case class ResolveLakeRelation(spark: SparkSession)
             placeholder(alias, table, ver, ts)
           case None => tt
         }
+      // CREATE [OR REPLACE] VIEW graft.v AS … / DROP VIEW graft.v — Spark
+      // 4.1 has no V2 ViewCatalog execution path, so route the parsed
+      // view commands to the lake's view DDL here (reference gets view
+      // DDL free from DuckDB's catalog).
+      case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView =>
+        (cv.child match {
+          case ui: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => lakeIdent(ui.nameParts)
+          case _ => None
+        }) match {
+          case Some((alias, name)) if cv.originalText.isDefined =>
+            LakeCreateViewCommand(alias, name, cv.originalText.get,
+              cv.replace)
+          case _ => cv
+        }
+      case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
+        (dv.child match {
+          case ui: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => lakeIdent(ui.nameParts)
+          case _ => None
+        }) match {
+          case Some((alias, name)) =>
+            LakeDropViewCommand(alias, name, dv.ifExists)
+          case _ => dv
+        }
       case u: UnresolvedRelation if lakeName(u).isDefined =>
         val (alias, table) = lakeName(u).get
         viewOrPlaceholder(alias, table)
+    }
+
+  private def lakeIdent(parts: Seq[String]): Option[(String, String)] =
+    parts match {
+      case Seq(alias, name) if LakeRegistry.get(alias).isDefined =>
+        Some((alias, name))
+      case Seq(alias, schema, name) if LakeRegistry.get(alias).isDefined =>
+        Some((alias, s"$schema.$name"))
+      case _ => None
     }
 
   /** `graft.v` where v is a lake VIEW expands to the view's stored SQL

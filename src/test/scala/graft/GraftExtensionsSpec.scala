@@ -253,6 +253,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT COUNT(*) AS n FROM graft.v_big v
           |JOIN graft.pd d ON v.id = d.id""".stripMargin)
         .head().getLong(0) == 1L)
+
+      // ---- view DDL through plain spark.sql ----
+      spark.sql("CREATE VIEW graft.v_sql AS SELECT id FROM graft.pr WHERE id <= 100")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.v_sql")
+        .head().getLong(0) == 100L)
+      // duplicate create errors; OR REPLACE swaps the definition
+      intercept[Exception](spark.sql(
+        "CREATE VIEW graft.v_sql AS SELECT id FROM graft.pr"))
+      spark.sql(
+        "CREATE OR REPLACE VIEW graft.v_sql AS SELECT id FROM graft.pr WHERE id <= 10")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.v_sql")
+        .head().getLong(0) == 10L)
+      // DROP VIEW; IF EXISTS tolerates the gone view
+      spark.sql("DROP VIEW graft.v_sql")
+      intercept[Exception](
+        spark.sql("SELECT * FROM graft.v_sql").collect())
+      spark.sql("DROP VIEW IF EXISTS graft.v_sql")
+      intercept[Exception](spark.sql("DROP VIEW graft.v_sql"))
+      // lake.sql spellings share the same lifecycle
+      lake.sql("CREATE VIEW v_ls AS SELECT id FROM pr WHERE id > 190")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.v_ls")
+        .head().getLong(0) == 10L)
+      lake.sql("DROP VIEW v_ls")
+      intercept[Exception](
+        spark.sql("SELECT * FROM graft.v_ls").collect())
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()
