@@ -334,6 +334,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     meta.dropView(v, s, ifExists)
   }
 
+  /** ALTER VIEW … RENAME TO (same-schema, like table renames). */
+  def renameView(oldName: String, newName: String): Unit = {
+    val (s, v) = splitName(oldName)
+    val (s2, v2) = splitName(newName)
+    require(s == s2, "rename cannot move a view across schemas")
+    meta.renameView(v, v2, s)
+  }
+
   // ------------------------------------------------- comments (tags)
 
   /** COMMENT ON TABLE / VIEW (reference comments family): the 'comment'

@@ -42,6 +42,8 @@ private[catalog] object LakeSql {
     """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w$.]+)$""".r
   private val RenameTable =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+RENAME\s+TO\s+([\w$]+)\s*$""".r
+  private val RenameView =
+    """(?is)^ALTER\s+VIEW\s+([\w$.]+)\s+RENAME\s+TO\s+([\w$.]+)\s*$""".r
   private val RenameColumn =
     """(?is)^ALTER\s+TABLE\s+([\w$]+)\s+RENAME\s+(?:COLUMN\s+)?([\w$.]+)\s+TO\s+([\w$]+)\s*$""".r
   private val AddColumn =
@@ -262,6 +264,9 @@ private[catalog] object LakeSql {
         lake.dropView(v, ifExists = ifExists != null); count(0L)
       }
 
+      case RenameView(oldName, newName) => Some {
+        lake.renameView(oldName, newName); count(0L)
+      }
       case RenameTable(oldName, newName) => Some {
         lake.renameTable(oldName, newName); count(0L)
       }

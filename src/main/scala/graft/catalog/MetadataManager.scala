@@ -768,6 +768,16 @@ class MetadataManager(val jdbcUrl: String,
           if (ifNotExists) return tableByName(name, cur.snapshotId, schema).get
           throw new CommitConflictException(s"table $name already exists")
         }
+        // reference ducklake_view_table_conflict.test: a live VIEW of the
+        // same name blocks table creation
+        if (query(c,
+          """SELECT 1 FROM ducklake_view v
+            |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+            |WHERE v.view_name = ? AND s.schema_name = ?
+            |  AND v.end_snapshot IS NULL""".stripMargin,
+          name, schema)(_.getInt(1)).nonEmpty)
+          throw new CommitConflictException(
+            s"cannot create table $name: a view with this name exists")
       }) { (c, snap, ids) =>
       val schemaId = query(c,
         "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
@@ -2305,6 +2315,11 @@ class MetadataManager(val jdbcUrl: String,
       val schemaId = query(c,
         "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
         schema)(_.getLong(1)).head
+      // a live TABLE of the same name blocks view creation (reference
+      // ducklake_view_table_conflict.test)
+      if (tableByName(c, name, snap.snapshotId - 1, schema).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot create view $name: a table with this name exists")
       val existing = query(c,
         """SELECT view_id FROM ducklake_view
           |WHERE view_name = ? AND schema_id = ? AND end_snapshot IS NULL"""
@@ -2344,6 +2359,34 @@ class MetadataManager(val jdbcUrl: String,
       } else exec(c,
         "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
         Long.box(snap.snapshotId), Long.box(ids0.head))
+    }
+
+  /** ALTER VIEW … RENAME TO (reference ducklake_rename_view.test): the
+    * old row closes, a new row opens with the SAME view_id/uuid/sql so
+    * identity and time travel behave exactly like table renames. */
+  def renameView(oldName: String, newName: String,
+      schema: String = "main"): Unit =
+    commitSnapshot(SnapshotChanges(
+      commitMessage = Some(s"rename view $oldName to $newName")),
+      schemaChange = true) { (c, snap, _) =>
+      val row = query(c,
+        """SELECT v.view_id, v.view_uuid, v.schema_id, v.dialect, v.sql_text
+          |FROM ducklake_view v
+          |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+          |WHERE v.view_name = ? AND s.schema_name = ?
+          |  AND v.end_snapshot IS NULL""".stripMargin,
+        oldName, schema)(rs => (rs.getLong(1), rs.getString(2),
+        rs.getLong(3), rs.getString(4), rs.getString(5))).headOption
+        .getOrElse(throw new IllegalArgumentException(s"no view $oldName"))
+      exec(c,
+        "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(row._1))
+      exec(c,
+        """INSERT INTO ducklake_view (view_id, view_uuid, begin_snapshot,
+          |end_snapshot, schema_id, view_name, dialect, sql_text)
+          |VALUES (?, ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+        Long.box(row._1), row._2, Long.box(snap.snapshotId),
+        Long.box(row._3), newName, row._4, row._5)
     }
 
   /** All live views at a snapshot: (name, sql_text). */

@@ -119,6 +119,19 @@ case class LakeCreateViewCommand(alias: String, name: String,
   }
 }
 
+/** ALTER VIEW … RENAME TO through plain spark.sql. */
+case class LakeRenameViewCommand(alias: String, name: String,
+    newName: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val lake = LakeRegistry.get(alias).getOrElse(
+      throw new IllegalStateException(s"lake alias $alias unregistered"))
+    lake.renameView(name, newName)
+    Nil
+  }
+}
+
 /** DROP VIEW [IF EXISTS] through plain spark.sql. */
 case class LakeDropViewCommand(alias: String, name: String,
     ifExists: Boolean)
@@ -432,6 +445,20 @@ case class ResolveLakeRelation(spark: SparkSession)
             LakeCreateViewCommand(alias, name, cv.originalText.get,
               cv.replace)
           case _ => cv
+        }
+      // ALTER VIEW graft.v RENAME TO v2 — same no-V2-path situation
+      case rt: org.apache.spark.sql.catalyst.plans.logical.RenameTable
+          if rt.isView =>
+        (rt.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView => lakeIdent(u.multipartIdentifier)
+          case ui: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => lakeIdent(ui.nameParts)
+          case _ => None
+        }) match {
+          case Some((alias, name)) =>
+            LakeRenameViewCommand(alias, name, rt.newName.mkString("."))
+          case _ => rt
         }
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
         (dv.child match {

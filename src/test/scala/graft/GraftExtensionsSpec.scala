@@ -278,6 +278,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       lake.sql("DROP VIEW v_ls")
       intercept[Exception](
         spark.sql("SELECT * FROM graft.v_ls").collect())
+      // ALTER VIEW RENAME through both SQL paths (reference
+      // ducklake_rename_view.test)
+      spark.sql("CREATE VIEW graft.v_r1 AS SELECT id FROM graft.pr WHERE id = 1")
+      spark.sql("ALTER VIEW graft.v_r1 RENAME TO v_r2")
+      assert(spark.sql("SELECT id FROM graft.v_r2").head().getLong(0) == 1L)
+      intercept[Exception](
+        spark.sql("SELECT * FROM graft.v_r1").collect())
+      lake.sql("ALTER VIEW v_r2 RENAME TO v_r3")
+      assert(spark.sql("SELECT id FROM graft.v_r3").head().getLong(0) == 1L)
+      spark.sql("DROP VIEW graft.v_r3")
+      // table/view name conflicts error both ways (reference
+      // ducklake_view_table_conflict.test)
+      intercept[Exception](
+        lake.createView("pr", "SELECT 1 AS x"))
+      spark.sql("CREATE VIEW graft.v_cf AS SELECT 42 AS x")
+      intercept[Exception](
+        spark.sql("CREATE TABLE graft.v_cf (i INT)"))
+      spark.sql("DROP VIEW graft.v_cf")
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()
