@@ -669,6 +669,15 @@ class MetadataManager(val jdbcUrl: String,
         name)(_.getLong(1)).head
       if (live > 0) throw new IllegalArgumentException(
         s"schema $name is not empty")
+      // live VIEWS block the drop like tables (reference
+      // drop_schema_after_drop_dependents.test)
+      val liveViews = query(c,
+        """SELECT COUNT(*) FROM ducklake_view v
+          |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+          |WHERE s.schema_name = ? AND v.end_snapshot IS NULL""".stripMargin,
+        name)(_.getLong(1)).head
+      if (liveViews > 0) throw new IllegalArgumentException(
+        s"schema $name is not empty (live views)")
       // macros qualified into this schema block the drop, like tables
       // (test_schema_dependency.test / test_macro_transactions.test: the
       // reference requires CASCADE, which we do not implement — drop the

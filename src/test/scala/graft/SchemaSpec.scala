@@ -58,6 +58,15 @@ class SchemaSpec extends AnyFunSuite {
       val n = ext.sql("SELECT SUM(x) AS s FROM graft.raw.ev")
         .head().getDouble(0)
       assert(n == 12.0)
+      // schema-scoped views resolve as graft.<schema>.<view>, and a live
+      // view blocks DROP SCHEMA like tables do
+      lake.createView("raw.big", "SELECT id FROM raw.ev WHERE x > 6")
+      assert(ext.sql("SELECT id FROM graft.raw.big").head().getLong(0) == 2L)
+      lake.dropTable("raw.ev")
+      val e = intercept[IllegalArgumentException](lake.dropSchema("raw"))
+      assert(e.getMessage.contains("not empty"))
+      lake.dropView("raw.big")
+      lake.dropSchema("raw")
     } finally {
       graft.plans.LakeRegistry.unregister("graft")
       org.apache.spark.sql.SparkSession.clearActiveSession()
