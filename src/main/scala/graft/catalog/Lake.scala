@@ -2540,9 +2540,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** Greedy compaction of adjacent small files toward target size; the
     * merged file materializes rowid + insertion snapshot columns so row
     * identity and CDC survive (reference
-    * ducklake_compaction_functions.cpp:289-400,548-602). */
+    * ducklake_compaction_functions.cpp:289-400,548-602).
+    *
+    * `maxCompactedFiles` caps the number of merge OPERATIONS this run
+    * performs (reference merge_adjacent_max_files.test,
+    * ducklake_compaction_functions.cpp:797-804) — incremental compaction
+    * for bounded maintenance windows: at 100 TB you compact a few groups
+    * per run instead of rewriting the whole table's small-file backlog
+    * in one snapshot. */
   def mergeAdjacentFiles(name: String,
-      targetFileSize: Long = 512L * 1024 * 1024): Int = {
+      targetFileSize: Long = 512L * 1024 * 1024,
+      maxCompactedFiles: Option[Int] = None): Int = {
+    maxCompactedFiles.foreach(m => require(m > 0,
+      "The max_compacted_files option must be greater than zero."))
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
@@ -2578,7 +2588,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // table's sort order even when inputs interleave (reference
     // merge_adjacent_sorted family). Inlined deletes apply like the scan.
     val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
-    groups.foreach { case (pid, pv, group) =>
+    val limited = maxCompactedFiles match {
+      case Some(m) => groups.take(m)
+      case None => groups
+    }
+    limited.foreach { case (pid, pv, group) =>
       val rows = buildScan(t, allCols, group, snap, withMeta = true,
         inlinedDeletes = meta.liveInlinedDeletes(t.tableId, snap.snapshotId))
         .select((cols.map(c => col(c.name)) :+
@@ -2598,7 +2612,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
                           // out of record_count when their delete committed
         partitionId = pid)
     }
-    groups.size
+    limited.size
   }
 
   /** Rewrite files whose deleted fraction ≥ threshold, dropping dead rows

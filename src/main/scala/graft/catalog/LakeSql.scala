@@ -173,9 +173,16 @@ private[catalog] object LakeSql {
         val args = splitTop(rawArgs).filter(_.nonEmpty).map(stripQuotes)
         fn.toLowerCase(Locale.ROOT) match {
           case "merge_adjacent_files" =>
-            count(lake.mergeAdjacentFiles(args(0),
-              args.lift(1).map(_.toLong).getOrElse(512L * 1024 * 1024))
-              .toLong)
+            // optional named cap (reference merge_adjacent_max_files):
+            // CALL merge_adjacent_files('t', max_compacted_files=>2)
+            val maxFiles = splitTop(rawArgs).map(_.trim)
+              .find(_.matches("(?is)^max_compacted_files\\s*=>.*"))
+              .map(_.replaceFirst("(?is)^max_compacted_files\\s*=>", "")
+                .trim.toInt)
+            val positional = args.filterNot(_.contains("=>"))
+            count(lake.mergeAdjacentFiles(positional(0),
+              positional.lift(1).map(_.toLong).getOrElse(512L * 1024 * 1024),
+              maxFiles).toLong)
           case "rewrite_data_files" =>
             count(lake.rewriteDataFiles(args(0),
               args.lift(1).map(_.toDouble).getOrElse(0.95)).toLong)

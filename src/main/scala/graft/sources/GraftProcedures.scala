@@ -33,9 +33,11 @@ object GraftProcedures {
   private val specs: Seq[Spec] = Seq(
     Spec("merge_adjacent_files",
       Seq(("table_name", StringType, None),
-        ("target_file_size", LongType, Some((512L * 1024 * 1024).toString))),
+        ("target_file_size", LongType, Some((512L * 1024 * 1024).toString)),
+        ("max_compacted_files", LongType, Some("NULL"))),
       (lake, r) => lake.mergeAdjacentFiles(s(r, 0),
-        optL(r, 1).getOrElse(512L * 1024 * 1024)).toLong),
+        optL(r, 1).getOrElse(512L * 1024 * 1024),
+        optL(r, 2).map(_.toInt)).toLong),
     Spec("rewrite_data_files",
       Seq(("table_name", StringType, None),
         ("delete_threshold", DoubleType, Some("0.95"))),

@@ -151,6 +151,34 @@ class LakeSpec extends AnyFunSuite {
     assert(changes.filter(col("change_type") === "delete").count() == 1)
   }
 
+  test("max_compacted_files caps merge operations per run (incremental compaction)") {
+    val lake = freshLake()
+    lake.createTable("mc", StructType(Seq(StructField("id", LongType))))
+    // two partitions' worth of groups: force >1 merge group via tiny
+    // target size so the cap is observable
+    (0 until 6).foreach(k =>
+      lake.append("mc", (k * 10L until (k + 1) * 10L).toDF("id")
+        .coalesce(1)))
+    val before = lake.listFiles("mc").count()
+    assert(before == 6)
+    // tiny target → several merge groups; cap to 1 operation
+    val fileSize = lake.listFiles("mc").select("file_size_bytes")
+      .as[Long].head()
+    val ops = lake.mergeAdjacentFiles("mc",
+      targetFileSize = fileSize * 2 + 16, maxCompactedFiles = Some(1))
+    assert(ops == 1, s"expected exactly one merge operation, got $ops")
+    val after = lake.listFiles("mc").count()
+    assert(after < before && after > 1,
+      s"one bounded merge must leave remaining groups ($before -> $after)")
+    assert(lake.table("mc").count() == 60)
+    // the cap validates like the reference
+    intercept[IllegalArgumentException](
+      lake.mergeAdjacentFiles("mc", maxCompactedFiles = Some(0)))
+    // SQL CALL spelling
+    lake.sql("CALL merge_adjacent_files('mc', max_compacted_files=>1000)")
+    assert(lake.table("mc").count() == 60)
+  }
+
   test("compaction merges files, keeps rowids + time travel") {
     val lake = freshLake()
     lake.createTable("c", StructType(Seq(StructField("id", LongType))))
