@@ -62,6 +62,26 @@ class ReferenceIssuesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("time travel across mixed inlined-delete / delete-file history (issue 1074)") {
+    val dir = Files.createTempDirectory("graft1074").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("t", (0L until 100L).toDF("id").coalesce(1))
+    val v1 = lake.currentSnapshotId()
+    lake.setOption("data_inlining_row_limit", "100")
+    lake.delete("t", col("id") === 0L) // inlined delete
+    val v2 = lake.currentSnapshotId()
+    lake.setOption("data_inlining_row_limit", "0")
+    lake.delete("t", col("id") === 1L) // delete file
+    val v3 = lake.currentSnapshotId()
+    lake.delete("t", col("id") === 2L) // second delete file
+    val v4 = lake.currentSnapshotId()
+    assert(lake.tableAtVersion("t", v1).count() == 100)
+    assert(lake.tableAtVersion("t", v2).count() == 99)
+    assert(lake.tableAtVersion("t", v3).count() == 98)
+    assert(lake.tableAtVersion("t", v4).count() == 97)
+    assert(lake.table("t").count() == 97)
+  }
+
   test("filter on ADD COLUMN DEFAULT matches pre-existing files (issue 1135)") {
     val dir = Files.createTempDirectory("graft1135").toString
     val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
