@@ -193,10 +193,90 @@ object SeriesQueries extends QueryPack {
       |  TRUE AS var_matches_eigenvalue, TRUE AS orthonormal
       |FROM range(4) t(i) ORDER BY component""".stripMargin
 
+  // ------------------------------------------- exact z-score anomalies
+
+  /** Hourly anomaly detection with EXACT integer arithmetic: an hour is
+    * anomalous when its total deviates from the per-type mean by more
+    * than 3σ. The float-free trick: with S=Σx, SS=Σx² and n hours,
+    * z² > 9  ⇔  (x·n − S)² > 9·(SS·n − S²) — both sides are integers
+    * (decimal(38,0) in Spark, int128 in DuckDB), so the decision is
+    * bit-identical across engines with no sqrt/stddev drift.
+    *
+    * Scale shape: one hash agg over events (corpus-sized), one tiny agg
+    * over the hourly series, broadcast of 5 (S, SS, n) rows back onto
+    * the series — no second pass over events. */
+  private def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val ev = Tables(spark, dir).events
+    val byHour = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(sl2(col("value"))).as("x"))
+    val stats = byHour.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"),
+        count(lit(1)).as("n"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    byHour.join(broadcast(stats), "event_type")
+      .withColumn("lhs",
+        (dec(col("x")) * col("n") - col("s")) *
+          (dec(col("x")) * col("n") - col("s")))
+      .withColumn("rhs",
+        lit(9) * (dec(col("ss")) * col("n") - dec(col("s")) * col("s")))
+      .filter(col("lhs") > col("rhs"))
+      .select(col("event_type"), col("h"), col("x").as("total_c"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  private val tsAnomalySql =
+    """WITH byh AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, SUM(x) AS s,
+      |         SUM(CAST(x AS HUGEINT) * x) AS ss, COUNT(*) AS n
+      |       FROM byh GROUP BY 1)
+      |SELECT b.event_type, b.h, b.x AS total_c
+      |FROM byh b JOIN st USING (event_type)
+      |WHERE (CAST(b.x AS HUGEINT) * n - s) * (CAST(b.x AS HUGEINT) * n - s)
+      |      > 9 * (CAST(ss AS HUGEINT) * n - CAST(s AS HUGEINT) * s)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------- event transitions
+
+  /** First-order event-sequence transition matrix per user stream: counts
+    * of consecutive (prev_type → next_type) pairs ordered by event time —
+    * the base statistic for session flow / Markov-chain analyses. One
+    * shuffle on user_id (the lag window), one hash agg on the 25 pair
+    * keys. Ties in ts are broken by event_id so the sequence is total
+    * and engine-independent. */
+  private def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  private val eventTransitionsSql =
+    """SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events) t
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_sentences", dedupSentences, Some(dedupSentencesSql)),
     QueryDef("ts_gapfill", tsGapfill, Some(tsGapfillSql)),
     QueryDef("embed_scalar_quant", embedScalarQuant, Some(embedScalarQuantSql)),
     QueryDef("embed_pca", embedPca, Some(embedPcaSql)),
+    QueryDef("ts_anomaly", tsAnomaly, Some(tsAnomalySql)),
+    QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
   )
 }
