@@ -1620,11 +1620,100 @@ class MetadataManager(val jdbcUrl: String,
         if (tbl == "ducklake_data_file") {
           exec(c, "DELETE FROM ducklake_file_column_stats WHERE data_file_id = ?",
             Long.box(fid))
+          exec(c, "DELETE FROM ducklake_file_variant_stats WHERE data_file_id = ?",
+            Long.box(fid))
           exec(c, "DELETE FROM ducklake_file_partition_value WHERE data_file_id = ?",
             Long.box(fid))
         }
       }
     }
+    // metadata debt cleanup (reference expire_snapshots_metadata_cleanup
+    // .test): versioned catalog rows whose ENTIRE [begin, end) lifetime
+    // is invisible to every remaining snapshot are unreachable — purge
+    // them so a long-lived catalog does not accrete every dropped
+    // table/column/view/macro/spec forever.
+    def purgeDead(table: String): Unit =
+      exec(c,
+        s"""DELETE FROM $table WHERE end_snapshot IS NOT NULL
+           |AND NOT EXISTS (
+           |  SELECT 1 FROM ducklake_snapshot s
+           |  WHERE s.snapshot_id >= $table.begin_snapshot
+           |    AND s.snapshot_id < $table.end_snapshot)""".stripMargin)
+    // NOTE ducklake_column is deliberately NOT in this list: closed
+    // column versions of a LIVE table are still load-bearing — files
+    // written before a rename resolve their columns through the epoch
+    // mapping at the file's begin_snapshot, which needs the historical
+    // rows even after those snapshots expire. Column rows purge only
+    // when their whole table is gone (below).
+    Seq("ducklake_view", "ducklake_partition_info",
+      "ducklake_sort_info", "ducklake_macro").foreach(purgeDead)
+    // purge the tables first, then everything still keyed to a table id
+    // that no longer exists in ANY version window (rows of dropped tables
+    // keep end_snapshot NULL and are reachable only through their table)
+    purgeDead("ducklake_table")
+    Seq("ducklake_column", "ducklake_partition_info", "ducklake_sort_info")
+      .foreach { t =>
+        exec(c,
+          s"""DELETE FROM $t WHERE NOT EXISTS (
+             |  SELECT 1 FROM ducklake_table x
+             |  WHERE x.table_id = $t.table_id)""".stripMargin)
+      }
+    // child rows keyed by a now-purged parent
+    exec(c,
+      """DELETE FROM ducklake_partition_column WHERE NOT EXISTS (
+        |  SELECT 1 FROM ducklake_partition_info i
+        |  WHERE i.partition_id = ducklake_partition_column.partition_id)"""
+        .stripMargin)
+    exec(c,
+      """DELETE FROM ducklake_sort_expression WHERE NOT EXISTS (
+        |  SELECT 1 FROM ducklake_sort_info i
+        |  WHERE i.sort_info_id = ducklake_sort_expression.sort_info_id)"""
+        .stripMargin)
+    Seq("ducklake_macro_impl", "ducklake_macro_parameters").foreach { t =>
+      exec(c,
+        s"""DELETE FROM $t WHERE NOT EXISTS (
+           |  SELECT 1 FROM ducklake_macro m
+           |  WHERE m.macro_id = $t.macro_id)""".stripMargin)
+    }
+    Seq("ducklake_table_stats", "ducklake_table_column_stats").foreach { t =>
+      exec(c,
+        s"""DELETE FROM $t WHERE NOT EXISTS (
+           |  SELECT 1 FROM ducklake_table x
+           |  WHERE x.table_id = $t.table_id)""".stripMargin)
+    }
+    // files of tables purged above (their rows keep end_snapshot NULL —
+    // they are reachable only through the table): schedule the physical
+    // delete and drop the rows + per-file stats
+    Seq("ducklake_data_file", "ducklake_delete_file").foreach { tbl =>
+      val idCol = if (tbl == "ducklake_data_file") "data_file_id"
+        else "delete_file_id"
+      val orphaned = query(c,
+        s"""SELECT $idCol, path FROM $tbl f WHERE NOT EXISTS (
+           |  SELECT 1 FROM ducklake_table x
+           |  WHERE x.table_id = f.table_id)""".stripMargin) { rs =>
+        (rs.getLong(1), rs.getString(2))
+      }
+      orphaned.foreach { case (fid, path) =>
+        exec(c,
+          """INSERT INTO ducklake_files_scheduled_for_deletion
+            |(data_file_id, path, path_is_relative, schedule_start)
+            |VALUES (?, ?, true, ?)""".stripMargin,
+          Long.box(fid), path, Long.box(nowMs))
+        exec(c, s"DELETE FROM $tbl WHERE $idCol = ?", Long.box(fid))
+        if (tbl == "ducklake_data_file") {
+          exec(c, "DELETE FROM ducklake_file_column_stats WHERE data_file_id = ?",
+            Long.box(fid))
+          exec(c, "DELETE FROM ducklake_file_variant_stats WHERE data_file_id = ?",
+            Long.box(fid))
+          exec(c, "DELETE FROM ducklake_file_partition_value WHERE data_file_id = ?",
+            Long.box(fid))
+        }
+      }
+    }
+    // ducklake_schema_versions is NOT trimmed: like historical column
+    // rows, the ledger is load-bearing for files that outlive their
+    // creating snapshot (the scan resolves a file's schema epoch through
+    // it), and it is one tiny row per schema change.
     toDrop
   }
 

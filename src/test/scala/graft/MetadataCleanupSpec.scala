@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import graft.catalog._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-debt cleanup on expire_snapshots (reference
+  * expire_snapshots_metadata_cleanup.test): once every snapshot that
+  * could see a dropped table/column/view/macro/spec is expired, the
+  * catalog rows purge — a long-lived catalog does not accrete every
+  * entity ever dropped. */
+class MetadataCleanupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def count(url: String, table: String): Long = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  test("expire purges catalog rows of fully-dropped entities") {
+    val dir = Files.createTempDirectory("graftmeta").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTable("tbl", StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType))))
+    lake.append("tbl", Seq((1, "a")).toDF("i", "s").coalesce(1))
+    lake.append("tbl", Seq((2, "b")).toDF("i", "s").coalesce(1))
+    lake.addColumn("tbl", StructField("j", IntegerType), Some("0"))
+    lake.setSortedBy("tbl", Seq(("i", "asc")))
+    lake.setPartitionedBy("tbl", Seq(("i", "identity")))
+    lake.createView("v", "SELECT i FROM tbl")
+    lake.createMacro("m", Seq("x"), "x + 1")
+    val url = lake.meta.jdbcUrl
+    assert(count(url, "ducklake_table") > 0)
+    assert(count(url, "ducklake_view") > 0)
+    // drop everything, then expire all but the latest snapshot
+    lake.dropView("v")
+    lake.dropMacro("m", isTable = false, ifExists = false)
+    lake.dropTable("tbl")
+    lake.expireSnapshots(Some(System.currentTimeMillis() + 1000000))
+    lake.cleanupOldFiles()
+    for (t <- Seq("ducklake_table", "ducklake_column", "ducklake_view",
+      "ducklake_macro", "ducklake_macro_impl", "ducklake_macro_parameters",
+      "ducklake_sort_info", "ducklake_sort_expression",
+      "ducklake_partition_info", "ducklake_partition_column",
+      "ducklake_data_file", "ducklake_delete_file",
+      "ducklake_file_column_stats", "ducklake_table_stats",
+      "ducklake_table_column_stats"))
+      assert(count(url, t) == 0, s"$t should be empty after expire")
+  }
+
+  test("expire keeps metadata reachable from live snapshots") {
+    val dir = Files.createTempDirectory("graftmeta2").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("t", Seq(1, 2, 3).toDF("a").coalesce(1))
+    lake.renameColumn("t", "a", "b")
+    val url = lake.meta.jdbcUrl
+    // two column rows: closed [create, rename) and live [rename, ∞)
+    assert(count(url, "ducklake_column") == 2)
+    // expire the pre-rename snapshots: the closed column row must STAY —
+    // the pre-rename file still resolves its columns through the epoch
+    // mapping at its own begin_snapshot — and the table reads fine
+    lake.expireSnapshots(Some(System.currentTimeMillis() + 1000000))
+    assert(count(url, "ducklake_column") == 2)
+    assert(count(url, "ducklake_table") == 1)
+    assert(lake.table("t").select("b").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3))
+    // …and once the table is dropped and its last snapshot expires, the
+    // column rows go too
+    lake.dropTable("t")
+    lake.expireSnapshots(Some(System.currentTimeMillis() + 1000000))
+    assert(count(url, "ducklake_column") == 0)
+    assert(count(url, "ducklake_table") == 0)
+  }
+}
