@@ -1493,6 +1493,42 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     Some(fileRows + meta.liveInlinedRows(t.tableId, snapId).size)
   }
 
+  /** MIN/MAX of a column answered from cumulative catalog stats — the
+    * reference's min_max_optimization family: folds only when the stats
+    * are DEFINITIVE, i.e. no deletes anywhere on the table (global stats
+    * are not tightened on delete), no inlined rows (appendInlined does
+    * not merge cumulative stats), no NaN contamination (NaN outranks the
+    * stored max in Spark ordering), no open transaction, both bounds
+    * present, and the value round-trips exactly for the type. Returns
+    * Catalyst-internal (min, max). */
+  def fastExtrema(name: String, column: String): Option[(Any, Any)] = {
+    if (txn.isDefined) return None
+    val snapId = meta.currentSnapshot().snapshotId
+    val t = resolve(name, Some(snapId))
+    val files = meta.filesForScan(t.tableId, snapId)
+    if (files.isEmpty) return None
+    if (files.exists(_.deleteFiles.nonEmpty)) return None
+    if (meta.liveInlinedDeletes(t.tableId, snapId).nonEmpty) return None
+    if (meta.liveInlinedRows(t.tableId, snapId).nonEmpty) return None
+    val ci = meta.columnsOf(t.tableId, snapId)
+      .find(c => c.parentColumn.isEmpty && c.name == column)
+      .getOrElse(return None)
+    // a column added with DEFAULT reads the default back from files
+    // written before it existed — values the cumulative stats never saw
+    if (ci.initialDefault.isDefined) return None
+    val dt = DuckLakeTypes.fromTypeString(ci.typeString)
+    if (!StatsCodec.statsSupported(dt)) return None
+    meta.tableColumnStats(t.tableId).find(_._1 == ci.columnId)
+      .flatMap { case (_, _, nan, minS, maxS, _) =>
+        if (nan) None
+        else for {
+          mn <- minS; mx <- maxS
+          mnV <- StatsCodec.decodeInternal(mn, dt)
+          mxV <- StatsCodec.decodeInternal(mx, dt)
+        } yield (mnV, mxV)
+      }
+  }
+
   def tableAtVersion(name: String, version: Long,
       filter: Option[Column] = None): DataFrame = {
     val snap = meta.snapshotByVersion(version).getOrElse(

@@ -65,6 +65,29 @@ object StatsCodec {
       }
   }
 
+  /** Canonical stats string → Catalyst INTERNAL value (UTF8String for
+    * strings, epoch days/micros ints for date/time) — the inverse of
+    * [[encode]], used to fold MIN/MAX aggregates straight from catalog
+    * stats (reference min_max_optimization family). None when the string
+    * does not round-trip exactly for the type. */
+  def decodeInternal(s: String, dt: DataType): Option[Any] = dt match {
+    case BooleanType => Some(s == "1")
+    case ByteType => s.toByteOption
+    case ShortType => s.toShortOption
+    case IntegerType => s.toIntOption
+    case LongType => s.toLongOption
+    case FloatType => s.toFloatOption.filterNot(f => f.isNaN || f.isInfinite)
+    case DoubleType => s.toDoubleOption.filterNot(d => d.isNaN || d.isInfinite)
+    case d: DecimalType =>
+      scala.util.Try(org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(s), d.precision, d.scale)).toOption
+    case DateType => s.toIntOption.orElse(s.toLongOption.map(_.toInt))
+    case TimestampType | TimestampNTZType => s.toLongOption
+    case StringType =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case _ => None
+  }
+
   /** Is a stats string usable as both bounds for this type? */
   def statsSupported(dt: DataType): Boolean = dt match {
     case _: NumericType | DateType | TimestampType | TimestampNTZType |

@@ -317,6 +317,58 @@ object LakeQueries extends QueryPack {
       |SELECT 'all', COUNT(*) FROM orders
       |ORDER BY stage""".stripMargin
 
+  /** MIN/MAX answered from cumulative catalog stats (reference
+    * min_max_optimization family): the metadata-only fold is ASSERTED
+    * (LocalRelation plan, no scan) on the clean table, then a delete
+    * disables the fold and the scan path returns the same exact answers
+    * the oracle computes. */
+  private def qFastExtrema(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    graft.plans.LakeRegistry.register("graft", lake)
+    lake.createTableAs("o", Tables(spark, dir).orders)
+    def run(sql: String, mustFold: Boolean) = {
+      val df = spark.sql(sql)
+      val folded = df.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      require(folded == mustFold,
+        s"MIN/MAX fold expected=$mustFold got=$folded for: $sql")
+      df.head()
+    }
+    val clean = run(
+      """SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+        |MIN(o_orderpriority) AS min_pri, MAX(o_orderpriority) AS max_pri,
+        |COUNT(*) AS n FROM graft.o""".stripMargin, mustFold = true)
+    lake.delete("o", col("o_orderkey") === clean.getLong(0))
+    val afterDel = run(
+      "SELECT MIN(o_orderkey) AS min_key, COUNT(*) AS n FROM graft.o",
+      mustFold = false)
+    import spark.implicits._
+    val out = Seq(
+      ("clean", clean.getLong(0), clean.getLong(1),
+        clean.getLong(6)),
+      ("after_delete", afterDel.getLong(0), clean.getLong(1),
+        afterDel.getLong(1))).toDF("stage", "min_key", "max_key", "n")
+      .withColumn("min_pri", lit(clean.getString(4)))
+      .withColumn("max_pri", lit(clean.getString(5)))
+      .orderBy("stage")
+    graft.plans.LakeRegistry.unregister("graft")
+    detached(lake, out)
+  }
+
+  private val qFastExtremaSql =
+    """SELECT 'after_delete' AS stage,
+      |  (SELECT MIN(o_orderkey) FROM orders
+      |   WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM orders)) AS min_key,
+      |  MAX(o_orderkey) AS max_key, COUNT(*) - 1 AS n,
+      |  MIN(o_orderpriority) AS min_pri, MAX(o_orderpriority) AS max_pri
+      |FROM orders
+      |UNION ALL
+      |SELECT 'clean', MIN(o_orderkey), MAX(o_orderkey), COUNT(*),
+      |  MIN(o_orderpriority), MAX(o_orderpriority)
+      |FROM orders
+      |ORDER BY stage""".stripMargin
+
   /** Pure-spark.sql DDL lifecycle against the DSv2 catalog
     * ([[graft.sources.GraftTableCatalog]]): CREATE TABLE AS SELECT
     * populates a real lake table (V1-write fallback → distributed append
@@ -734,6 +786,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
     QueryDef("lake_fast_count", qFastCount, Some(qFastCountSql)),
+    QueryDef("lake_fast_extrema", qFastExtrema, Some(qFastExtremaSql)),
     QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
     QueryDef("lake_http_catalog", qHttpCatalog, Some(qHttpCatalogSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),

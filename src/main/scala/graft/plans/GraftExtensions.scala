@@ -536,10 +536,25 @@ case class LakeCountFromStats(spark: SparkSession)
   import org.apache.spark.sql.catalyst.plans.logical.{
     Aggregate, LocalRelation}
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+
+  /** What a no-grouping aggregate expression folds to: count-star, or a
+    * MIN/MAX over a placeholder output column. */
+  private sealed trait Fold
+  private case object CountStar extends Fold
+  private case class Extremum(column: String, isMax: Boolean) extends Fold
+
+  private def foldOf(e: NamedExpression,
+      p: LakeRelationPlaceholder): Option[Fold] = e match {
     case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false,
-      None, _), _) => true
-    case _ => false
+      None, _), _) => Some(CountStar)
+    case Alias(AggregateExpression(Min(ar: AttributeReference), Complete,
+      false, None, _), _) =>
+      p.output.find(_.exprId == ar.exprId).map(a => Extremum(a.name, false))
+    case Alias(AggregateExpression(Max(ar: AttributeReference), Complete,
+      false, None, _), _) =>
+      p.output.find(_.exprId == ar.exprId).map(a => Extremum(a.name, true))
+    case _ => None
   }
 
   /** the placeholder under count-preserving operators only */
@@ -554,17 +569,30 @@ case class LakeCountFromStats(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
       case a @ Aggregate(Nil, aggExprs, child, _)
-          if aggExprs.nonEmpty && aggExprs.forall(isCountStar) &&
-            placeholderOf(child).isDefined =>
+          if aggExprs.nonEmpty && placeholderOf(child).isDefined &&
+            aggExprs.forall(e =>
+              foldOf(e, placeholderOf(child).get).isDefined) =>
         val p = placeholderOf(child).get
-        LakeRegistry.get(p.alias)
-          .flatMap(_.fastCount(p.table, p.version, p.tsMs)) match {
-          case Some(n) =>
-            LocalRelation(a.output.map(_.toAttribute),
+        val folds = aggExprs.map(e => foldOf(e, p).get)
+        LakeRegistry.get(p.alias).flatMap { lake =>
+          // MIN/MAX folds only at the CURRENT snapshot (historical global
+          // stats are not versioned); count folds at any snapshot
+          lazy val cnt = lake.fastCount(p.table, p.version, p.tsMs)
+          lazy val extrema: Map[String, Option[(Any, Any)]] =
+            folds.collect { case Extremum(c, _) => c }.distinct
+              .map(c => c -> (if (p.version.isEmpty && p.tsMs.isEmpty)
+                lake.fastExtrema(p.table, c) else None)).toMap
+          val vals = folds.map {
+            case CountStar => cnt
+            case Extremum(c, isMax) =>
+              extrema(c).map(mm => if (isMax) mm._2 else mm._1)
+          }
+          if (vals.forall(_.isDefined))
+            Some(LocalRelation(a.output.map(_.toAttribute),
               Seq(org.apache.spark.sql.catalyst.InternalRow(
-                aggExprs.map(_ => n): _*)))
-          case None => a
-        }
+                vals.map(_.get): _*))))
+          else None
+        }.getOrElse(a)
     }
 }
 

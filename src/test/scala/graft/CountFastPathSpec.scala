@@ -145,4 +145,54 @@ class CountFastPathSpec extends AnyFunSuite {
       assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.t"))
     }
   }
+
+  test("MIN/MAX fold from catalog stats; deletes/inlined/NaN/defaults fall back") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      lake.createTableAs("m",
+        (1L to 1000L).map(i => (i, s"s$i", i / 100.0)).toDF("i", "s", "d")
+          .coalesce(1))
+      def row(sql: String) = spark.sql(sql).head()
+      // folds: numeric, string, double, mixed with COUNT(*)
+      assert(isMetadataOnly(spark, "SELECT MIN(i), MAX(i), COUNT(*) FROM graft.m"))
+      val r = row("SELECT MIN(i) AS a, MAX(i) AS b, COUNT(*) AS c FROM graft.m")
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1000L, 1000L)))
+      assert(isMetadataOnly(spark, "SELECT MIN(s), MAX(s) FROM graft.m"))
+      assert(row("SELECT MAX(s) AS x FROM graft.m").getString(0) == "s999")
+      assert(isMetadataOnly(spark, "SELECT MAX(d) FROM graft.m"))
+      // stats widen across appends
+      lake.append("m", Seq((-50L, "a", 0.0), (5000L, "zz", 9.9))
+        .toDF("i", "s", "d").coalesce(1))
+      assert(isMetadataOnly(spark, "SELECT MIN(i), MAX(i) FROM graft.m"))
+      val r2 = row("SELECT MIN(i) AS a, MAX(i) AS b FROM graft.m")
+      assert((r2.getLong(0), r2.getLong(1)) == ((-50L, 5000L)))
+      // a delete disables the MIN/MAX fold (stats not tightened) but the
+      // answer stays correct via the scan, and COUNT(*) still folds
+      lake.delete("m", col("i") === -50L)
+      assert(!isMetadataOnly(spark, "SELECT MIN(i) FROM graft.m"))
+      assert(row("SELECT MIN(i) AS a FROM graft.m").getLong(0) == 1L)
+      assert(isMetadataOnly(spark, "SELECT COUNT(*) FROM graft.m"))
+      // grouped/filtered aggregates never fold
+      assert(!isMetadataOnly(spark,
+        "SELECT MAX(i) FROM graft.m WHERE i < 10"))
+      // NaN contamination disables the double fold
+      lake.createTableAs("nanny",
+        Seq(1.0, Double.NaN, 3.0).toDF("x").coalesce(1))
+      assert(!isMetadataOnly(spark, "SELECT MAX(x) FROM graft.nanny"))
+      assert(row("SELECT MAX(x) AS x FROM graft.nanny").getDouble(0).isNaN)
+      // ADD COLUMN DEFAULT: old files read the default the stats never saw
+      lake.createTableAs("dflt", (1 to 5).toDF("a").coalesce(1))
+      lake.addColumn("dflt",
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType), Some("42"))
+      assert(!isMetadataOnly(spark, "SELECT MAX(b) FROM graft.dflt"))
+      assert(row("SELECT MAX(b) AS b FROM graft.dflt").getInt(0) == 42)
+      // inlined rows disable the fold (their values bypass the stats)
+      lake.setOption("data_inlining_row_limit", "10")
+      lake.createTableAs("inl", (1L to 100L).toDF("k").coalesce(1))
+      lake.append("inl", Seq(99999L).toDF("k").coalesce(1)) // inlined
+      assert(!isMetadataOnly(spark, "SELECT MAX(k) FROM graft.inl"))
+      assert(row("SELECT MAX(k) AS k FROM graft.inl").getLong(0) == 99999L)
+    }
+  }
 }
