@@ -1529,6 +1529,62 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
   }
 
+  /** Top-N file-pruning threshold (reference topn_file_pruning.test):
+    * for `ORDER BY col DESC LIMIT k`, the best value T such that per-file
+    * stats PROVE at least k non-null rows ≥ T — rows < T can then never
+    * reach the top k, so a `col >= T` row filter is semantics-preserving
+    * and the catalog stats pruner turns it into a file-list cut. `asc`
+    * mirrors with file maxes and `col <= T`.
+    *
+    * Soundness guards: no deletes anywhere (file row counts would
+    * overstate the proof), no open transaction; when the requested null
+    * ordering puts NULLs FIRST, additionally every file must prove zero
+    * nulls and no inlined rows may exist (the filter drops null rows).
+    * Inlined DATA rows only add candidates above the threshold, so they
+    * do not break the proof. Returns the Catalyst-internal threshold. */
+  def topNThreshold(name: String, column: String, k: Long,
+      desc: Boolean, nullsLead: Boolean): Option[Any] = {
+    if (txn.isDefined || k <= 0) return None
+    val snapId = meta.currentSnapshot().snapshotId
+    val t = resolve(name, Some(snapId))
+    val files = meta.filesForScan(t.tableId, snapId)
+    if (files.size < 2) return None // nothing to prune
+    if (files.exists(_.deleteFiles.nonEmpty)) return None
+    if (meta.liveInlinedDeletes(t.tableId, snapId).nonEmpty) return None
+    val ci = meta.columnsOf(t.tableId, snapId)
+      .find(c => c.parentColumn.isEmpty && c.name == column)
+      .getOrElse(return None)
+    val dt = DuckLakeTypes.fromTypeString(ci.typeString)
+    if (!StatsCodec.statsSupported(dt) ||
+      dt == org.apache.spark.sql.types.BooleanType) return None
+    val ranges = meta.fileColumnRanges(t.tableId, ci.columnId)
+    if (nullsLead) {
+      val allNoNull = files.forall(f =>
+        ranges.get(f.file.dataFileId).exists(_._3 == f.file.recordCount))
+      if (!allNoNull || meta.liveInlinedRows(t.tableId, snapId).nonEmpty)
+        return None
+    }
+    val proofs = files.flatMap { f =>
+      ranges.get(f.file.dataFileId).flatMap { case (mn, mx, nonNull, _) =>
+        (if (desc) mn else mx)
+          .flatMap(StatsCodec.decodeInternal(_, dt))
+          .map(b => (b, nonNull))
+      }
+    }
+    if (proofs.isEmpty) return None
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val sorted =
+      if (desc) proofs.sortWith((a, b) => cmp(a._1, b._1) > 0)
+      else proofs.sortWith((a, b) => cmp(a._1, b._1) < 0)
+    var cum = 0L
+    for ((bound, n) <- sorted) {
+      cum += n
+      if (cum >= k) return Some(bound)
+    }
+    None
+  }
+
   def tableAtVersion(name: String, version: Long,
       filter: Option[Column] = None): DataFrame = {
     val snap = meta.snapshotByVersion(version).getOrElse(

@@ -1038,6 +1038,23 @@ class MetadataManager(val jdbcUrl: String,
     }
   }
 
+  /** Per-file (min, max, non-null value count, contains_nan) for one
+    * column — driver-side input to Top-N file pruning (one round-trip,
+    * one row per file). */
+  def fileColumnRanges(tableId: Long, columnId: Long)
+      : Map[Long, (Option[String], Option[String], Long, Boolean)] =
+    withConn { c =>
+      query(c,
+        """SELECT s.data_file_id, s.min_value, s.max_value,
+          |  s.value_count - COALESCE(s.null_count, 0), s.contains_nan
+          |FROM ducklake_file_column_stats s
+          |WHERE s.table_id = ? AND s.column_id = ?""".stripMargin,
+        Long.box(tableId), Long.box(columnId)) { rs =>
+        rs.getLong(1) -> ((Option(rs.getString(2)), Option(rs.getString(3)),
+          rs.getLong(4), rs.getBoolean(5)))
+      }.toMap
+    }
+
   /** Per-file serialized extra stats (geo extent JSON) for one column of
     * the given files — the driver-side input to geometry bbox pruning.
     * One round-trip per scanned column with a geo predicate. */

@@ -369,6 +369,46 @@ object LakeQueries extends QueryPack {
       |FROM orders
       |ORDER BY stage""".stripMargin
 
+  /** Top-N file pruning (reference stats/topn_file_pruning.test): events
+    * ingested as four range-clustered files; `ORDER BY ts DESC LIMIT
+    * 100` through plain spark.sql must read ONLY the files that can
+    * contribute (asserted in-plan) and return exactly the oracle's rows. */
+  private def qTopNPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    graft.plans.LakeRegistry.register("graft", lake)
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .withColumn("_us", expr("unix_micros(ts)"))
+    // 4 disjoint ts ranges -> 4 files with disjoint [min,max] ts spans
+    val bounds = ev.stat.approxQuantile("_us",
+      Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+    val parts = Seq(
+      ev.filter(col("_us") <= bounds(0)),
+      ev.filter(col("_us") > bounds(0) && col("_us") <= bounds(1)),
+      ev.filter(col("_us") > bounds(1) && col("_us") <= bounds(2)),
+      ev.filter(col("_us") > bounds(2))).map(_.drop("_us"))
+    lake.createTableAs("ev", parts.head.orderBy("ts").coalesce(1))
+    parts.tail.foreach(p => lake.append("ev", p.orderBy("ts").coalesce(1)))
+    val q = spark.sql(
+      """SELECT event_id, ts, user_id FROM graft.ev
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    val total = lake.listFiles("ev").count()
+    require(scanned < total,
+      s"top-N pruning did not cut the file list ($scanned of $total)")
+    val out = q.collect()
+    import spark.implicits._
+    graft.plans.LakeRegistry.unregister("graft")
+    detached(lake, spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), q.schema))
+  }
+
+  private val qTopNPruneSql =
+    """SELECT event_id, ts, user_id FROM events
+      |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
+
   /** Pure-spark.sql DDL lifecycle against the DSv2 catalog
     * ([[graft.sources.GraftTableCatalog]]): CREATE TABLE AS SELECT
     * populates a real lake table (V1-write fallback → distributed append
@@ -787,6 +827,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
     QueryDef("lake_fast_count", qFastCount, Some(qFastCountSql)),
     QueryDef("lake_fast_extrema", qFastExtrema, Some(qFastExtremaSql)),
+    QueryDef("lake_topn_prune", qTopNPrune, Some(qTopNPruneSql)),
     QueryDef("lake_sql_ctas", qSqlCtas, Some(qSqlCtasSql)),
     QueryDef("lake_http_catalog", qHttpCatalog, Some(qHttpCatalogSql)),
     QueryDef("lake_encrypted", qEncrypted, Some(qEncryptedSql)),

@@ -596,6 +596,68 @@ case class LakeCountFromStats(spark: SparkSession)
     }
 }
 
+/** Top-N file pruning (reference topn_file_pruning.test's dynamic
+  * filter): `ORDER BY col [DESC] LIMIT k` over a bare lake relation gets
+  * a stats-proven threshold filter injected under the Sort. The filter
+  * is semantics-preserving ([[graft.catalog.Lake.topNThreshold]]'s
+  * guards) and [[ExpandLakeScan]] turns it into a catalog file-list cut
+  * — the top-k of a year of range-clustered data reads one file, not
+  * the table. */
+case class LakeTopNPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Descending, GreaterThanOrEqual, IntegerLiteral, LessThanOrEqual,
+    Literal, NullsFirst, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    GlobalLimit, LocalLimit, Sort}
+
+  /** placeholder under pass-through nodes; a Filter stops the search —
+    * its row-count effect would break the threshold proof (and marks an
+    * already-injected plan) */
+  private def placeholderOf(plan: LogicalPlan)
+      : Option[LakeRelationPlaceholder] = plan match {
+    case p: LakeRelationPlaceholder => Some(p)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+      placeholderOf(child)
+    case SubqueryAlias(_, child) => placeholderOf(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case g @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, srt @ Sort(order, true, child, _)))
+          if order.nonEmpty && placeholderOf(child).isDefined =>
+        val p = placeholderOf(child).get
+        val injected = for {
+          _ <- Option.when(p.version.isEmpty && p.tsMs.isEmpty)(())
+          so = order.head
+          ar <- so.child match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }
+          col <- p.output.find(_.exprId == ar.exprId).map(_.name)
+          lake <- LakeRegistry.get(p.alias)
+          desc = so.direction == Descending
+          t <- lake.topNThreshold(p.table, col, k.toLong, desc,
+            nullsLead = so.nullOrdering == NullsFirst)
+        } yield {
+          val cond =
+            if (desc) GreaterThanOrEqual(ar, Literal(t, ar.dataType))
+            else LessThanOrEqual(ar, Literal(t, ar.dataType))
+          // inject DIRECTLY above the placeholder so ExpandLakeScan's
+          // Filter-adjacent case turns it into a file-list cut in this
+          // same optimizer iteration (the placeholder would otherwise be
+          // expanded un-pruned before pushdown runs again)
+          val pruned = child.transformUp {
+            case pp: LakeRelationPlaceholder if pp.fastEquals(p) =>
+              Filter(cond, pp)
+          }
+          g.copy(child = ll.copy(child = srt.copy(child = pruned)))
+        }
+        injected.getOrElse(g)
+    }
+}
+
 /** Expands [[LakeRelationPlaceholder]] into the lake's pruned scan.
   * Runs at the END of the operator-optimization batch (after the standard
   * pushdown rules in each iteration): a `Filter` directly above the
@@ -654,6 +716,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // order matters: the count rewrite must see the placeholder before
     // ExpandLakeScan replaces it with the physical file scan
     e.injectOptimizerRule(LakeCountFromStats)
+    e.injectOptimizerRule(LakeTopNPruning)
     e.injectOptimizerRule(ExpandLakeScan)
 
     // lake scalar functions in SQL (the reference registers murmur3_32 and
