@@ -41,6 +41,30 @@ object DuckLakeTypes {
   }
 
   /** Canonical DuckLake type string → Spark type. */
+  /** catalog type string → the spelling DuckDB's DESCRIBE shows
+    * (reference alter/add_column.test output shape). */
+  def displayName(ts: String): String = ts.trim.toLowerCase match {
+    case "int8" => "TINYINT"
+    case "int16" => "SMALLINT"
+    case "int32" => "INTEGER"
+    case "int64" => "BIGINT"
+    case "uint8" => "UTINYINT"
+    case "uint16" => "USMALLINT"
+    case "uint32" => "UINTEGER"
+    case "uint64" => "UBIGINT"
+    case "float32" | "float" => "FLOAT"
+    case "float64" | "double" => "DOUBLE"
+    case "varchar" | "string" => "VARCHAR"
+    case "boolean" | "bool" => "BOOLEAN"
+    case "date" => "DATE"
+    case "time" => "TIME"
+    case "blob" | "binary" => "BLOB"
+    case "uuid" => "UUID"
+    case "timestamp" | "timestamptz" => "TIMESTAMP WITH TIME ZONE"
+    case "timestamp_ntz" => "TIMESTAMP"
+    case other => other.toUpperCase(java.util.Locale.ROOT)
+  }
+
   def fromTypeString(s: String): DataType = {
     val t = s.trim
     t match {

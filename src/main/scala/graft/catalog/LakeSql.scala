@@ -84,6 +84,12 @@ private[catalog] object LakeSql {
     """(?is)^MERGE\s+INTO\s+([\w$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+)$""".r
   private val CreateMacro =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w$.]+)\s*(\(.+)$""".r
+  private val Describe =
+    """(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w$.]+)\s*$""".r
+  private val ShowTables =
+    """(?is)^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w$]+))?\s*$""".r
+  private val ShowViews =
+    """(?is)^SHOW\s+VIEWS(?:\s+(?:FROM|IN)\s+([\w$]+))?\s*$""".r
   private val DropMacro =
     """(?is)^DROP\s+MACRO\s+(TABLE\s+)?(IF\s+EXISTS\s+)?([\w$.]+)\s*$""".r
 
@@ -255,6 +261,50 @@ private[catalog] object LakeSql {
         lake.dropMacro(name, isTable = tableKw != null,
           ifExists = ifExists != null)
         count(0L)
+      }
+
+      // introspection statements the reference inherits from its host
+      // engine: DESCRIBE in DuckDB's six-column shape, SHOW TABLES/VIEWS
+      case Describe(tbl) => Some {
+        val snap = lake.meta.currentSnapshot()
+        val (schemaName, baseName) =
+          if (tbl.contains('.'))
+            (tbl.split('.').head, tbl.split('.').last)
+          else ("main", tbl)
+        lake.meta.tableByName(baseName, snap.snapshotId, schemaName) match {
+          case Some(t) =>
+            lake.meta.columnsOf(t.tableId, snap.snapshotId)
+              .filter(_.parentColumn.isEmpty).sortBy(_.columnOrder)
+              .map(c => (c.name, DuckLakeTypes.displayName(c.typeString),
+                if (c.nullsAllowed) "YES" else "NO",
+                null: String, c.defaultValue.orNull, null: String))
+              .toDF("column_name", "column_type", "null", "key", "default",
+                "extra")
+          case None if lake.meta.viewByName(baseName, snap.snapshotId,
+              schemaName).isDefined =>
+            // views describe through their resolved schema
+            lake.view(tbl).schema.fields.toSeq.map(f =>
+              (f.name, DuckLakeTypes.displayName(
+                DuckLakeTypes.toTypeString(f.dataType)),
+                if (f.nullable) "YES" else "NO",
+                null: String, null: String, null: String))
+              .toDF("column_name", "column_type", "null", "key", "default",
+                "extra")
+          case None =>
+            throw new IllegalArgumentException(s"no table $tbl")
+        }
+      }
+      case ShowTables(schema) => Some {
+        val snap = lake.meta.currentSnapshot()
+        lake.meta.listTables(snap.snapshotId,
+          Option(schema).getOrElse("main"))
+          .map(_.name).sorted.toDF("name")
+      }
+      case ShowViews(schema) => Some {
+        val snap = lake.meta.currentSnapshot()
+        lake.meta.listViews(snap.snapshotId,
+          Option(schema).getOrElse("main"))
+          .map(_._1).sorted.toDF("name")
       }
 
       case Begin() => Some { lake.begin(); count(0L) }

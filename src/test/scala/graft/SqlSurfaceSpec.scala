@@ -320,4 +320,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val st = lake.schemaOf("n")("st").dataType.asInstanceOf[StructType]
     assert(st.fieldNames.toSeq == Seq("a", "c"))
   }
+
+  test("DESCRIBE / SHOW TABLES / SHOW VIEWS (reference host-engine introspection)") {
+    val dir = Files.createTempDirectory("graftdesc").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.sql("CREATE TABLE t1 (a INTEGER, b VARCHAR DEFAULT 'x')")
+    lake.sql("ALTER TABLE t1 ALTER a SET NOT NULL")
+    lake.sql("CREATE TABLE t2 (z BIGINT)")
+    lake.sql("CREATE VIEW v1 AS SELECT a FROM t1")
+    val d = lake.sql("DESCRIBE t1").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(4)))
+    assert(d.toSeq == Seq(
+      ("a", "INTEGER", "NO", null),
+      ("b", "VARCHAR", "YES", "'x'")) ||
+      d.toSeq == Seq(
+        ("a", "INTEGER", "NO", null),
+        ("b", "VARCHAR", "YES", "x")))
+    assert(lake.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq ==
+      Seq("t1", "t2"))
+    assert(lake.sql("SHOW VIEWS").collect().map(_.getString(0)).toSeq ==
+      Seq("v1"))
+    val dv = lake.sql("DESC v1").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(dv.toSeq == Seq(("a", "INTEGER")))
+    // schema-scoped
+    lake.sql("CREATE SCHEMA aux")
+    lake.sql("CREATE TABLE aux.t3 (q INTEGER)")
+    assert(lake.sql("SHOW TABLES FROM aux").collect()
+      .map(_.getString(0)).toSeq == Seq("t3"))
+    assert(lake.sql("DESCRIBE aux.t3").collect().map(_.getString(0))
+      .toSeq == Seq("q"))
+  }
 }
