@@ -63,6 +63,73 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PCM16 mono little-endian WAV from a sample array (fixture side: a
+    * real RIFF/WAVE byte stream for the audio codec path). */
+  def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV decode (JDK javax.sound.sampled — the audio twin of the
+    * ImageIO path) of (id, wavBytes) → per-clip features:
+    * (id, sample_rate, n_samples, duration_ms, peak_abs, energy_mod,
+    * sample_checksum, ok). energy = Σ s² mod M and checksum =
+    * Σ (i+1)·(sᵢ+32768) mod M are integer-exact, so an oracle that can
+    * replay the sample source reproduces them bit-for-bit. Corrupt
+    * payloads degrade to ok=false, never fail the partition. */
+  def decodeAudio(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          (id, -1L, -1L, -1L, -1L, -1L, -1L, false)
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          var peak = 0L
+          var energy = 0L
+          var checksum = 0L
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            val s =
+              if (fmt.isBigEndian) ((raw(2 * i).toInt << 8) | (raw(2 * i + 1) & 0xff)).toShort
+              else ((hi << 8) | lo).toShort
+            val sl = s.toLong
+            if (math.abs(sl) > peak) peak = math.abs(sl)
+            energy = (energy + sl * sl) % M
+            checksum = (checksum + (i + 1).toLong * (sl + 32768L)) % M
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toLong
+          (id, rate, n.toLong, n.toLong * 1000L / rate, peak, energy,
+            checksum, true)
+        }
+      } catch {
+        case _: Exception => (id, -1L, -1L, -1L, -1L, -1L, -1L, false)
+      }
+    }).toDF("id", "sample_rate", "n_samples", "duration_ms", "peak_abs",
+      "energy_mod", "sample_checksum", "ok")
+  }
+
   /** ImageIO decode of (id, imageBytes) batches →
     * (id, width, height, pix_checksum, ok) */
   def decodeImages(ds: Dataset[(Long, Array[Byte])]): DataFrame = {

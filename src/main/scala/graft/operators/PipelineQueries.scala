@@ -338,6 +338,49 @@ object PipelineQueries extends QueryPack {
       })
   }
 
+  /** WAV fixtures: a real RIFF/WAVE byte stream per document, samples
+    * from a closed-form rule the oracle replays. */
+  private def docAudio(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (50 + id % 37).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 131 + i * 17) % 4001 - 2000).toShort)
+        (id, Multimodal.encodePcmWav(8000, samples))
+      })
+  }
+
+  /** REAL audio decode via the JDK javax.sound.sampled WAV codec — the
+    * audio twin of multimodal_decode: RIFF bytes → PCM frames → integer
+    * clip features (peak, energy, position checksum) the oracle
+    * recomputes from the sample rule. */
+  private def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(docAudio(spark, dir))
+      .select(col("id").as("doc_id"), col("sample_rate"),
+        col("n_samples"), col("duration_ms"), col("peak_abs"),
+        col("energy_mod"), col("sample_checksum"), col("ok"))
+      .orderBy(col("doc_id"))
+
+  private val multimodalAudioSql =
+    """WITH g AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |  list_transform(range(0, n),
+      |    i -> (doc_id * 131 + i * 17) % 4001 - 2000) AS samp FROM g)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(list_max(list_transform(samp, x -> abs(x))) AS BIGINT)
+      |    AS peak_abs,
+      |  CAST(list_aggregate(list_transform(samp, x -> x * x), 'sum')
+      |    % 1000000007 AS BIGINT) AS energy_mod,
+      |  CAST(list_aggregate(list_transform(range(0, n),
+      |    i -> (i + 1) * (samp[i + 1] + 32768)), 'sum')
+      |    % 1000000007 AS BIGINT) AS sample_checksum,
+      |  TRUE AS ok
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** REAL image decode via the JDK ImageIO PNG codec inside
     * `mapPartitions` (the mapInPandas analog): bytes → raster → a
     * position-weighted pixel checksum the oracle recomputes from the
@@ -981,6 +1024,8 @@ object PipelineQueries extends QueryPack {
       Some(multimodalFeaturesSql)),
     QueryDef("multimodal_decode", multimodalDecode,
       Some(multimodalDecodeSql)),
+    QueryDef("multimodal_audio", multimodalAudio,
+      Some(multimodalAudioSql)),
     QueryDef("multimodal_resize", multimodalResize,
       Some(multimodalResizeSql)),
     QueryDef("multimodal_frames", multimodalFrames,

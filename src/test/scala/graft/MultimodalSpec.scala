@@ -50,4 +50,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got(0).getBoolean(4) && got(0).getLong(1) == -1L)
     assert(got(1).getBoolean(4))
   }
+
+  test("WAV decode: real codec round-trip + corrupt-byte degradation") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val samples = Array.tabulate(100)(i => ((i * 523) % 3001 - 1500).toShort)
+    val wav = graft.operators.Multimodal.encodePcmWav(16000, samples)
+    val bad = "not a wav".getBytes
+    val out = graft.operators.Multimodal.decodeAudio(
+      Seq((1L, wav), (2L, bad)).toDS()).orderBy("id").collect()
+    val good = out(0)
+    assert(good.getBoolean(7))
+    assert(good.getLong(1) == 16000L)
+    assert(good.getLong(2) == 100L)
+    assert(good.getLong(3) == 100L * 1000 / 16000)
+    val expectedPeak = samples.map(s => math.abs(s.toLong)).max
+    assert(good.getLong(4) == expectedPeak)
+    val M = 1000000007L
+    val expectedEnergy = samples.map(s => s.toLong * s.toLong).sum % M
+    assert(good.getLong(5) == expectedEnergy)
+    assert(!out(1).getBoolean(7), "corrupt bytes must degrade to ok=false")
+  }
 }
