@@ -63,6 +63,95 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** grayscale checksum via the decoded RGB (palette-safe: indexed
+    * formats like GIF map index → gray on read) */
+  private def rgbChecksum(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var p = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sum = (sum + (p + 1).toLong * (img.getRGB(x, y) & 0xff)) % M
+        p += 1
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Multi-frame animated GIF from per-frame pixel functions (fixture
+    * side: a REAL video-like container — n full frames in one byte
+    * stream). 8-bit grayscale fits GIF's 256-color palette exactly, so
+    * the round trip is lossless. */
+  def encodeGrayGif(width: Int, height: Int, frames: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // the JDK GIF writer interlaces by default, and its 4-pass row
+    // shuffle corrupts frames shorter than the pass strides — write
+    // sequential scanlines
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          r.setSample(x, y, 0, pixel(f, x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Frame sampling over a multi-frame container (id, gifBytes) → one
+    * row per SAMPLED frame (every `stride`-th): frame count from the
+    * container, per-frame geometry + pixel checksum from a real decode.
+    * The video analog of mapInPandas frame extraction; corrupt payloads
+    * yield a single ok=false row. */
+  def sampleFrames(ds: Dataset[(Long, Array[Byte])],
+      stride: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      try {
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n by stride).map { f =>
+          val img = reader.read(f)
+          (id, n.toLong, f.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, rgbChecksum(img), true)
+        }
+        reader.dispose()
+        rows
+      } catch {
+        case _: Exception =>
+          Seq((id, -1L, -1L, -1L, -1L, -1L, false))
+      }
+    }).toDF("id", "n_frames", "frame_no", "width", "height",
+      "frame_checksum", "ok")
+  }
+
   /** PCM16 mono little-endian WAV from a sample array (fixture side: a
     * real RIFF/WAVE byte stream for the audio codec path). */
   def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

@@ -338,6 +338,44 @@ object PipelineQueries extends QueryPack {
       })
   }
 
+  /** Animated-GIF fixtures: a REAL multi-frame container per document,
+    * frame pixels from a closed-form rule the oracle replays. */
+  private def docVideos(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + id % 3).toInt
+        val nf = (3 + id % 4).toInt
+        (id, Multimodal.encodeGrayGif(w, h, nf,
+          (f, x, y) => ((id * 31 + f * 7 + (y * w + x)) % 256).toInt))
+      })
+  }
+
+  /** REAL frame sampling from a multi-frame container (animated GIF via
+    * ImageIO): every 2nd frame decodes to geometry + a pixel checksum
+    * the oracle recomputes from the frame rule — the video analog of
+    * multimodal_decode. */
+  private def multimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(docVideos(spark, dir), stride = 2)
+      .select(col("id").as("doc_id"), col("n_frames"), col("frame_no"),
+        col("width"), col("height"), col("frame_checksum"), col("ok"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  private val multimodalVideoSql =
+    """WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+      |                  3 + doc_id % 4 AS nf FROM documents),
+      |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS fr FROM g)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(fr AS BIGINT) AS frame_no, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(list_aggregate(list_transform(range(0, w * h),
+      |    p -> (p + 1) * ((doc_id * 31 + fr * 7 + p) % 256)), 'sum')
+      |    % 1000000007 AS BIGINT) AS frame_checksum,
+      |  TRUE AS ok
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
   /** WAV fixtures: a real RIFF/WAVE byte stream per document, samples
     * from a closed-form rule the oracle replays. */
   private def docAudio(spark: SparkSession, dir: String)
@@ -1026,6 +1064,8 @@ object PipelineQueries extends QueryPack {
       Some(multimodalDecodeSql)),
     QueryDef("multimodal_audio", multimodalAudio,
       Some(multimodalAudioSql)),
+    QueryDef("multimodal_video", multimodalVideo,
+      Some(multimodalVideoSql)),
     QueryDef("multimodal_resize", multimodalResize,
       Some(multimodalResizeSql)),
     QueryDef("multimodal_frames", multimodalFrames,

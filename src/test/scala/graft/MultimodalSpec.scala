@@ -71,4 +71,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(good.getLong(5) == expectedEnergy)
     assert(!out(1).getBoolean(7), "corrupt bytes must degrade to ok=false")
   }
+
+  test("GIF multi-frame round trip: lossless gray frames, stride sampling, corrupt degradation") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val gif = graft.operators.Multimodal.encodeGrayGif(6, 5, 7,
+      (f, x, y) => (f * 7 + y * 6 + x) % 256)
+    val out = graft.operators.Multimodal.sampleFrames(
+      Seq((1L, gif), (2L, "junk".getBytes)).toDS(), stride = 2)
+      .orderBy("id", "frame_no").collect()
+    val good = out.filter(_.getLong(0) == 1L)
+    assert(good.forall(_.getBoolean(6)))
+    assert(good.map(_.getLong(2)).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(good.forall(r => r.getLong(1) == 7L && r.getLong(3) == 6L &&
+      r.getLong(4) == 5L))
+    // checksum matches the closed-form pixel rule per frame
+    val M = 1000000007L
+    def expected(f: Long): Long =
+      (0 until 30).map(p => (p + 1).toLong * ((f * 7 + p) % 256)).sum % M
+    good.foreach(r => assert(r.getLong(5) == expected(r.getLong(2)),
+      s"frame ${r.getLong(2)}"))
+    val bad = out.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && !bad(0).getBoolean(6))
+  }
 }
