@@ -324,14 +324,27 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def createView(name: String, sql: String,
       orReplace: Boolean = false): Unit = {
     val (s, v) = splitName(name)
-    meta.createView(v, sql, s, orReplace = orReplace)
+    txn match {
+      case Some(st) =>
+        if (!orReplace && viewSqlAt(s, v).isDefined)
+          throw new IllegalArgumentException(
+            s"view $name already exists (use CREATE OR REPLACE VIEW)")
+        st.viewOps += CreateViewOp(v, s, sql, orReplace)
+      case None => meta.createView(v, sql, s, orReplace = orReplace)
+    }
   }
 
   /** DROP VIEW (reference view lifecycle: the row closes at this
     * snapshot; time travel before it still sees the view). */
   def dropView(name: String, ifExists: Boolean = false): Unit = {
     val (s, v) = splitName(name)
-    meta.dropView(v, s, ifExists)
+    txn match {
+      case Some(st) =>
+        if (!ifExists && viewSqlAt(s, v).isEmpty)
+          throw new IllegalArgumentException(s"no view $name")
+        st.viewOps += DropViewOp(v, s, ifExists)
+      case None => meta.dropView(v, s, ifExists)
+    }
   }
 
   /** ALTER VIEW … RENAME TO (same-schema, like table renames). */
@@ -339,8 +352,47 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val (s, v) = splitName(oldName)
     val (s2, v2) = splitName(newName)
     require(s == s2, "rename cannot move a view across schemas")
-    meta.renameView(v, v2, s)
+    txn match {
+      case Some(st) =>
+        if (viewSqlAt(s, v).isEmpty)
+          throw new IllegalArgumentException(s"no view $oldName")
+        st.viewOps += RenameViewOp(v, v2, s)
+      case None => meta.renameView(v, v2, s)
+    }
   }
+
+  /** View SQL visible to THIS handle: committed state overlaid with the
+    * open transaction's buffered view DDL in statement order. */
+  private[graft] def viewSqlAt(schema: String, name: String)
+      : Option[String] = {
+    val committed = meta.viewByName(name,
+      txn.map(_.base.snapshotId)
+        .getOrElse(meta.currentSnapshot().snapshotId), schema)
+    txn match {
+      case None => committed
+      case Some(st) =>
+        var cur = committed
+        st.viewOps.foreach {
+          case CreateViewOp(n, s, sql, _) if s == schema && n == name =>
+            cur = Some(sql)
+          case DropViewOp(n, s, _) if s == schema && n == name =>
+            cur = None
+          case RenameViewOp(o, n2, s) if s == schema =>
+            if (n2 == name) {
+              // renamed INTO this name: the source's sql
+              cur = viewSqlBefore(st, s, o)
+            } else if (o == name) cur = None
+          case _ => ()
+        }
+        cur
+    }
+  }
+
+  /** committed sql of a view as of the txn base (pre-overlay), used to
+    * resolve rename sources */
+  private def viewSqlBefore(st: TxnState, schema: String,
+      name: String): Option[String] =
+    meta.viewByName(name, st.base.snapshotId, schema)
 
   // ------------------------------------------------- comments (tags)
 
@@ -479,7 +531,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * dialect + SQL text, reference ducklake_view_entry.cpp:125-142). */
   def view(name: String): DataFrame = {
     val snap = meta.currentSnapshot()
-    val sql = meta.viewByName(name, snap.snapshotId)
+    val (vs, vn) = splitName(name)
+    val sql = viewSqlAt(vs, vn)
       .getOrElse(throw new IllegalArgumentException(s"no view $name"))
     meta.listTables(snap.snapshotId).foreach { t =>
       table(t.name).createOrReplaceTempView(t.name)
@@ -514,8 +567,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       // reference queries views like tables): pull each used view's SQL
       // into the mention set until fixpoint so base tables (and nested
       // views) register too, then create them dependency-first
-      val viewsByLower = meta.listViews(snap.snapshotId)
-        .map { case (n, s) => n.toLowerCase -> (n, s) }.toMap
+      // committed views overlaid with the open txn's buffered view DDL
+      // (read-your-writes, like tables/macros)
+      val viewsByLower = {
+        var m = meta.listViews(
+          txn.map(_.base.snapshotId).getOrElse(snap.snapshotId))
+          .map { case (n, s) => n.toLowerCase -> (n, s) }.toMap
+        txn.foreach(_.viewOps.foreach {
+          case CreateViewOp(n, "main", sql, _) =>
+            m += n.toLowerCase -> (n, sql)
+          case DropViewOp(n, "main", _) => m -= n.toLowerCase
+          case RenameViewOp(o, n2, "main") =>
+            m.get(o.toLowerCase).foreach { case (_, sql) =>
+              m = m - o.toLowerCase + (n2.toLowerCase -> (n2, sql))
+            }
+          case _ => ()
+        })
+        m
+      }
       var usedViews = List.empty[(String, String)]
       var frontier = mentioned.intersect(viewsByLower.keySet)
       while (frontier.nonEmpty) {
@@ -988,6 +1057,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // macro DDL buffered in statement order (test_macro_transactions.test):
     // visible to the txn's own expansion, applied at commit
     val macroOps = scala.collection.mutable.ArrayBuffer.empty[MacroOp]
+    // view DDL buffered in statement order (transaction_conflicts_view):
+    // visible to the txn's own reads, applied at commit
+    val viewOps = scala.collection.mutable.ArrayBuffer.empty[ViewOp]
     // column changes buffered for COMMITTED tables, in statement order
     // (reference multiple_column_changes.test); guarded so a table never
     // mixes staged data files with a pending schema change
@@ -1040,9 +1112,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
         created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
-        alterList.nonEmpty || st.macroOps.nonEmpty)
+        alterList.nonEmpty || st.macroOps.nonEmpty || st.viewOps.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
-        created, drops, newSchemas, alterList, st.macroOps.toSeq)
+        created, drops, newSchemas, alterList, st.macroOps.toSeq,
+        st.viewOps.toSeq)
     txn = None
     st.cleanupScratch()
   }

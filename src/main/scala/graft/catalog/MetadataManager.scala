@@ -1165,7 +1165,8 @@ class MetadataManager(val jdbcUrl: String,
       dropped: Seq[(Long, String, String)] = Nil,
       createdSchemas: Seq[String] = Nil,
       alters: Seq[(Long, AlterSpec)] = Nil,
-      macroOps: Seq[MacroOp] = Nil): Snapshot = {
+      macroOps: Seq[MacroOp] = Nil,
+      viewOps: Seq[ViewOp] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1) ++ alters.map(_._1)).distinct.filter(_ >= 0)
@@ -1173,15 +1174,18 @@ class MetadataManager(val jdbcUrl: String,
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" } ++
           macroOps.collect { case CreateMacroOp(n, impls, _) =>
-            s"${if (impls.exists(_.isTable)) "tmacro" else "macro"}:$n" },
+            s"${if (impls.exists(_.isTable)) "tmacro" else "macro"}:$n" } ++
+          viewOps.collect { case CreateViewOp(n, _, _, _) => s"view:$n" },
         droppedTables = dropped.map { case (_, s, n) => s"$s.$n" } ++
           macroOps.collect { case DropMacroOp(n, isTable, _) =>
-            s"${if (isTable) "tmacro" else "macro"}:$n" },
+            s"${if (isTable) "tmacro" else "macro"}:$n" } ++
+          viewOps.collect { case DropViewOp(n, _, _) => s"view:$n" },
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
       schemaChange = created.nonEmpty || dropped.nonEmpty ||
-        createdSchemas.nonEmpty || alters.nonEmpty || macroOps.nonEmpty,
+        createdSchemas.nonEmpty || alters.nonEmpty || macroOps.nonEmpty ||
+        viewOps.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
@@ -1371,6 +1375,17 @@ class MetadataManager(val jdbcUrl: String,
           createMacroIn(c, snap, ids, n, impls, orReplace = orReplace)
         case DropMacroOp(n, isTable, ifExists) =>
           dropMacroIn(c, snap, n, isTable, ifExists)
+      }
+      // buffered view DDL, in statement order; the in-connection bodies
+      // re-run on commit retries, so a racing CREATE VIEW of the same
+      // name surfaces as a conflict (transaction_conflicts_view.test)
+      viewOps.foreach {
+        case CreateViewOp(n, s, sql, orReplace) =>
+          createViewIn(c, snap, ids, n, sql, s, "spark", orReplace)
+        case DropViewOp(n, s, ifExists) =>
+          dropViewIn(c, snap, n, s, ifExists)
+        case RenameViewOp(o, n2, s) =>
+          renameViewIn(c, snap, o, n2, s)
       }
       appends.foreach { case (tid0, partitionId, files0) =>
         val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
@@ -2427,33 +2442,39 @@ class MetadataManager(val jdbcUrl: String,
       dialect: String = "spark", orReplace: Boolean = false): Unit =
     commitSnapshot(SnapshotChanges(createdTables = Seq(s"view:$name")),
       schemaChange = true) { (c, snap, ids) =>
-      val schemaId = query(c,
-        "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
-        schema)(_.getLong(1)).head
-      // a live TABLE of the same name blocks view creation (reference
-      // ducklake_view_table_conflict.test)
-      if (tableByName(c, name, snap.snapshotId - 1, schema).isDefined)
-        throw new IllegalArgumentException(
-          s"cannot create view $name: a table with this name exists")
-      val existing = query(c,
-        """SELECT view_id FROM ducklake_view
-          |WHERE view_name = ? AND schema_id = ? AND end_snapshot IS NULL"""
-          .stripMargin, name, Long.box(schemaId))(_.getLong(1))
-      if (existing.nonEmpty) {
-        if (!orReplace) throw new IllegalArgumentException(
-          s"view $name already exists (use CREATE OR REPLACE VIEW)")
-        exec(c,
-          "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
-          Long.box(snap.snapshotId), Long.box(existing.head))
-      }
-      exec(c,
-        """INSERT INTO ducklake_view (view_id, view_uuid, begin_snapshot,
-          |end_snapshot, schema_id, view_name, dialect, sql_text)
-          |VALUES (?, ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
-        Long.box(ids.newCatalogId()),
-        java.util.UUID.randomUUID().toString, Long.box(snap.snapshotId),
-        Long.box(schemaId), name, dialect, sql)
+      createViewIn(c, snap, ids, name, sql, schema, dialect, orReplace)
     }
+
+  private[catalog] def createViewIn(c: Connection, snap: Snapshot,
+      ids: TxnIds, name: String, sql: String, schema: String,
+      dialect: String, orReplace: Boolean): Unit = {
+    val schemaId = query(c,
+      "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
+      schema)(_.getLong(1)).head
+    // a live TABLE of the same name blocks view creation (reference
+    // ducklake_view_table_conflict.test)
+    if (tableByName(c, name, snap.snapshotId - 1, schema).isDefined)
+      throw new IllegalArgumentException(
+        s"cannot create view $name: a table with this name exists")
+    val existing = query(c,
+      """SELECT view_id FROM ducklake_view
+        |WHERE view_name = ? AND schema_id = ? AND end_snapshot IS NULL"""
+        .stripMargin, name, Long.box(schemaId))(_.getLong(1))
+    if (existing.nonEmpty) {
+      if (!orReplace) throw new IllegalArgumentException(
+        s"view $name already exists (use CREATE OR REPLACE VIEW)")
+      exec(c,
+        "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
+        Long.box(snap.snapshotId), Long.box(existing.head))
+    }
+    exec(c,
+      """INSERT INTO ducklake_view (view_id, view_uuid, begin_snapshot,
+        |end_snapshot, schema_id, view_name, dialect, sql_text)
+        |VALUES (?, ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+      Long.box(ids.newCatalogId()),
+      java.util.UUID.randomUUID().toString, Long.box(snap.snapshotId),
+      Long.box(schemaId), name, dialect, sql)
+  }
 
   /** DROP VIEW: closes the live row; time travel before the drop still
     * resolves the view (same lifecycle as tables). */
@@ -2461,20 +2482,25 @@ class MetadataManager(val jdbcUrl: String,
       ifExists: Boolean = false): Unit =
     commitSnapshot(SnapshotChanges(droppedTables = Seq(s"view:$name")),
       schemaChange = true) { (c, snap, _) =>
-      // existence probe first (reads bypass staged-commit buffering, so
-      // the IF EXISTS check works over the HTTP catalog too)
-      val ids0 = query(c,
-        """SELECT v.view_id FROM ducklake_view v
-          |JOIN ducklake_schema s ON v.schema_id = s.schema_id
-          |WHERE v.view_name = ? AND s.schema_name = ?
-          |  AND v.end_snapshot IS NULL""".stripMargin,
-        name, schema)(_.getLong(1))
-      if (ids0.isEmpty) {
-        if (!ifExists) throw new IllegalArgumentException(s"no view $name")
-      } else exec(c,
-        "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
-        Long.box(snap.snapshotId), Long.box(ids0.head))
+      dropViewIn(c, snap, name, schema, ifExists)
     }
+
+  private[catalog] def dropViewIn(c: Connection, snap: Snapshot,
+      name: String, schema: String, ifExists: Boolean): Unit = {
+    // existence probe first (reads bypass staged-commit buffering, so
+    // the IF EXISTS check works over the HTTP catalog too)
+    val ids0 = query(c,
+      """SELECT v.view_id FROM ducklake_view v
+        |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+        |WHERE v.view_name = ? AND s.schema_name = ?
+        |  AND v.end_snapshot IS NULL""".stripMargin,
+      name, schema)(_.getLong(1))
+    if (ids0.isEmpty) {
+      if (!ifExists) throw new IllegalArgumentException(s"no view $name")
+    } else exec(c,
+      "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? AND end_snapshot IS NULL",
+      Long.box(snap.snapshotId), Long.box(ids0.head))
+  }
 
   /** ALTER VIEW … RENAME TO (reference ducklake_rename_view.test): the
     * old row closes, a new row opens with the SAME view_id/uuid/sql so
@@ -2484,6 +2510,11 @@ class MetadataManager(val jdbcUrl: String,
     commitSnapshot(SnapshotChanges(
       commitMessage = Some(s"rename view $oldName to $newName")),
       schemaChange = true) { (c, snap, _) =>
+      renameViewIn(c, snap, oldName, newName, schema)
+    }
+
+  private[catalog] def renameViewIn(c: Connection, snap: Snapshot,
+      oldName: String, newName: String, schema: String): Unit = {
       val row = query(c,
         """SELECT v.view_id, v.view_uuid, v.schema_id, v.dialect, v.sql_text
           |FROM ducklake_view v

@@ -155,6 +155,17 @@ final case class CreateMacroOp(name: String, impls: Seq[MacroImpl],
 final case class DropMacroOp(name: String, isTable: Boolean,
     ifExists: Boolean) extends MacroOp
 
+/** View DDL buffered inside an open transaction (reference
+  * transaction_conflicts_view.test / ducklake_rename_view.test
+  * txn-local sections): applied in statement order at commit. */
+sealed trait ViewOp
+final case class CreateViewOp(name: String, schema: String, sql: String,
+    orReplace: Boolean) extends ViewOp
+final case class DropViewOp(name: String, schema: String,
+    ifExists: Boolean) extends ViewOp
+final case class RenameViewOp(oldName: String, newName: String,
+    schema: String) extends ViewOp
+
 final case class SnapshotChanges(
     createdTables: Seq[String] = Nil,
     droppedTables: Seq[String] = Nil,

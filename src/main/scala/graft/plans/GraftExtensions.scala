@@ -497,7 +497,7 @@ case class ResolveLakeRelation(spark: SparkSession)
       case _ => ("main", table)
     }
     val sid = lake.currentSnapshotId()
-    lake.meta.viewByName(name, sid, schema) match {
+    lake.viewSqlAt(schema, name) match {
       case Some(viewSql) =>
         val body = spark.sessionState.sqlParser.parsePlan(viewSql)
         def lakeKnows(s: String, t: String): Boolean =

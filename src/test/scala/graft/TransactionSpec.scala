@@ -415,4 +415,39 @@ class TransactionSpec extends AnyFunSuite {
     con2.rollback()
     intercept[IllegalArgumentException](con1.table("t"))
   }
+
+  test("view DDL buffers in a transaction: read-own-writes, rollback, rename (reference transaction_conflicts_view)") {
+    val lake = freshLake()
+    lake.createTableAs("base", (1L to 10L).toDF("id"))
+    // create inside txn: visible to own reads, absent for a second handle
+    lake.begin()
+    lake.createView("v", "SELECT id FROM base WHERE id > 5")
+    assert(lake.view("v").count() == 5)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM v").head().getLong(0) == 5)
+    val before = lake.currentSnapshotId()
+    lake.commit()
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.view("v").count() == 5)
+    // rename inside a txn: own statements see the new name, old gone
+    lake.begin()
+    lake.renameView("v", "v2")
+    assert(lake.view("v2").count() == 5)
+    intercept[IllegalArgumentException](lake.view("v"))
+    lake.rollback()
+    assert(lake.view("v").count() == 5) // rollback restored
+    // drop inside txn + rollback
+    lake.begin()
+    lake.dropView("v")
+    intercept[IllegalArgumentException](lake.view("v"))
+    lake.rollback()
+    assert(lake.view("v").count() == 5)
+    // concurrent same-name create: second committer conflicts
+    val lake2 = Lake.attach(spark, lake.meta.jdbcUrl, lake.dataPath)
+    lake.begin()
+    lake.createView("cv", "SELECT 1 AS x")
+    lake2.createView("cv", "SELECT 2 AS x") // wins immediately
+    intercept[Exception](lake.commit())
+    lake.rollback()
+    assert(lake2.view("cv").head().getInt(0) == 2)
+  }
 }
