@@ -121,4 +121,18 @@ class TopNPruningSpec extends AnyFunSuite {
         Seq("z_val", "y_val", "x_val"))
     }
   }
+
+  test("inlined rows holding the true extremum survive the threshold filter") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      lake.createTableAs("i",
+        (0L until 100L).toDF("v").coalesce(1))
+      lake.append("i", (100L until 200L).toDF("v").coalesce(1))
+      // inlined rows (no file stats) carry the true max
+      lake.setOption("data_inlining_row_limit", "10")
+      lake.append("i", Seq(999L).toDF("v").coalesce(1))
+      val q = spark.sql("SELECT v FROM graft.i ORDER BY v DESC LIMIT 3")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(999L, 199L, 198L))
+    }
+  }
 }
