@@ -60,8 +60,10 @@ object DuckLakeTypes {
     case "time" => "TIME"
     case "blob" | "binary" => "BLOB"
     case "uuid" => "UUID"
-    case "timestamp" | "timestamptz" => "TIMESTAMP WITH TIME ZONE"
-    case "timestamp_ntz" => "TIMESTAMP"
+    // catalog spelling convention here: "timestamp" = TimestampNTZ,
+    // "timestamptz" = TimestampType (see toTypeString)
+    case "timestamp" => "TIMESTAMP"
+    case "timestamptz" => "TIMESTAMP WITH TIME ZONE"
     case other => other.toUpperCase(java.util.Locale.ROOT)
   }
 

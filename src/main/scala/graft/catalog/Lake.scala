@@ -356,43 +356,43 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case Some(st) =>
         if (viewSqlAt(s, v).isEmpty)
           throw new IllegalArgumentException(s"no view $oldName")
+        if (viewSqlAt(s, v2).isDefined)
+          throw new IllegalArgumentException(
+            s"cannot rename view $oldName: view $newName already exists")
         st.viewOps += RenameViewOp(v, v2, s)
       case None => meta.renameView(v, v2, s)
     }
   }
 
-  /** View SQL visible to THIS handle: committed state overlaid with the
-    * open transaction's buffered view DDL in statement order. */
-  private[graft] def viewSqlAt(schema: String, name: String)
-      : Option[String] = {
-    val committed = meta.viewByName(name,
+  /** The view set visible to THIS handle for one schema: committed state
+    * overlaid with the open transaction's buffered view DDL replayed in
+    * statement order (so create→rename chains resolve through the
+    * buffered state, not the txn base). name → sql, names lower-cased. */
+  private[graft] def visibleViews(schema: String)
+      : Map[String, (String, String)] = {
+    var m = meta.listViews(
       txn.map(_.base.snapshotId)
         .getOrElse(meta.currentSnapshot().snapshotId), schema)
-    txn match {
-      case None => committed
-      case Some(st) =>
-        var cur = committed
-        st.viewOps.foreach {
-          case CreateViewOp(n, s, sql, _) if s == schema && n == name =>
-            cur = Some(sql)
-          case DropViewOp(n, s, _) if s == schema && n == name =>
-            cur = None
-          case RenameViewOp(o, n2, s) if s == schema =>
-            if (n2 == name) {
-              // renamed INTO this name: the source's sql
-              cur = viewSqlBefore(st, s, o)
-            } else if (o == name) cur = None
-          case _ => ()
+      .map { case (n, s) => n.toLowerCase -> (n, s) }.toMap
+    txn.foreach(_.viewOps.foreach {
+      case CreateViewOp(n, s, sql, _) if s == schema =>
+        m += n.toLowerCase -> (n, sql)
+      case DropViewOp(n, s, _) if s == schema => m -= n.toLowerCase
+      case RenameViewOp(o, n2, s) if s == schema =>
+        m.get(o.toLowerCase).foreach { case (_, sql) =>
+          m = m - o.toLowerCase + (n2.toLowerCase -> (n2, sql))
         }
-        cur
-    }
+      case _ => ()
+    })
+    m
   }
 
-  /** committed sql of a view as of the txn base (pre-overlay), used to
-    * resolve rename sources */
-  private def viewSqlBefore(st: TxnState, schema: String,
-      name: String): Option[String] =
-    meta.viewByName(name, st.base.snapshotId, schema)
+  /** View SQL visible to THIS handle (committed + txn overlay). */
+  private[graft] def viewSqlAt(schema: String, name: String)
+      : Option[String] =
+    if (txn.isEmpty)
+      meta.viewByName(name, meta.currentSnapshot().snapshotId, schema)
+    else visibleViews(schema).get(name.toLowerCase).map(_._2)
 
   // ------------------------------------------------- comments (tags)
 
@@ -568,23 +568,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       // into the mention set until fixpoint so base tables (and nested
       // views) register too, then create them dependency-first
       // committed views overlaid with the open txn's buffered view DDL
-      // (read-your-writes, like tables/macros)
-      val viewsByLower = {
-        var m = meta.listViews(
-          txn.map(_.base.snapshotId).getOrElse(snap.snapshotId))
-          .map { case (n, s) => n.toLowerCase -> (n, s) }.toMap
-        txn.foreach(_.viewOps.foreach {
-          case CreateViewOp(n, "main", sql, _) =>
-            m += n.toLowerCase -> (n, sql)
-          case DropViewOp(n, "main", _) => m -= n.toLowerCase
-          case RenameViewOp(o, n2, "main") =>
-            m.get(o.toLowerCase).foreach { case (_, sql) =>
-              m = m - o.toLowerCase + (n2.toLowerCase -> (n2, sql))
-            }
-          case _ => ()
-        })
-        m
-      }
+      // (read-your-writes, like tables/macros) — shared overlay helper
+      val viewsByLower = visibleViews("main")
       var usedViews = List.empty[(String, String)]
       var frontier = mentioned.intersect(viewsByLower.keySet)
       while (frontier.nonEmpty) {
@@ -1566,14 +1551,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     Some(fileRows + meta.liveInlinedRows(t.tableId, snapId).size)
   }
 
-  /** MIN/MAX of a column answered from cumulative catalog stats — the
-    * reference's min_max_optimization family: folds only when the stats
-    * are DEFINITIVE, i.e. no deletes anywhere on the table (global stats
-    * are not tightened on delete), no inlined rows (appendInlined does
-    * not merge cumulative stats), no NaN contamination (NaN outranks the
-    * stored max in Spark ordering), no open transaction, both bounds
-    * present, and the value round-trips exactly for the type. Returns
-    * Catalyst-internal (min, max). */
+  /** MIN/MAX of a column answered from catalog stats — the reference's
+    * min_max_optimization family. The bounds come from the LIVE per-file
+    * stats (min of file mins / max of file maxes), NOT the cumulative
+    * table stats: per-file stats are exact for the file forever, so the
+    * fold stays correct after compaction/rewrite drops deleted rows —
+    * where the widen-only global row would still report the deleted
+    * extremum (reference recomputes globals on compaction for the same
+    * reason, min_max_optimization_compaction.test).
+    *
+    * Bails whenever the proof could be wrong: any delete (row counts
+    * diverge from stats), inlined rows (no stats), any file with
+    * non-null values but a missing/unstorable bound (±Infinity doubles,
+    * >256-char strings), NaN contamination (NaN outranks the stored max
+    * in Spark ordering), ADD COLUMN DEFAULT backfill, open transactions,
+    * undecodable bounds. Returns Catalyst-internal (min, max). */
   def fastExtrema(name: String, column: String): Option[(Any, Any)] = {
     if (txn.isDefined) return None
     val snapId = meta.currentSnapshot().snapshotId
@@ -1587,19 +1579,42 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .find(c => c.parentColumn.isEmpty && c.name == column)
       .getOrElse(return None)
     // a column added with DEFAULT reads the default back from files
-    // written before it existed — values the cumulative stats never saw
+    // written before it existed — values no file stats ever saw
     if (ci.initialDefault.isDefined) return None
     val dt = DuckLakeTypes.fromTypeString(ci.typeString)
     if (!StatsCodec.statsSupported(dt)) return None
-    meta.tableColumnStats(t.tableId).find(_._1 == ci.columnId)
-      .flatMap { case (_, _, nan, minS, maxS, _) =>
-        if (nan) None
-        else for {
-          mn <- minS; mx <- maxS
-          mnV <- StatsCodec.decodeInternal(mn, dt)
-          mxV <- StatsCodec.decodeInternal(mx, dt)
-        } yield (mnV, mxV)
+    val ranges = meta.fileColumnRanges(t.tableId, ci.columnId)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    files.foreach { f =>
+      ranges.get(f.file.dataFileId) match {
+        case None =>
+          // no stats row (e.g. file written before the column existed
+          // without a default): nothing provable
+          if (f.file.recordCount > 0) return None
+        case Some((mnS, mxS, nonNull, nan)) =>
+          if (nan) return None
+          if (nonNull > 0) {
+            val mm = for {
+              mn <- mnS; mx <- mxS
+              mnV <- StatsCodec.decodeInternal(mn, dt)
+              mxV <- StatsCodec.decodeInternal(mx, dt)
+            } yield (mnV, mxV)
+            mm match {
+              case Some(p) => bounds += p
+              // non-null values with an unstorable bound (±Inf, long
+              // string): the true extremum is invisible to stats
+              case None => return None
+            }
+          }
       }
+    }
+    if (bounds.isEmpty) return None // all rows null → MIN/MAX are NULL
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    Some((bounds.map(_._1).minBy(identity)(Ordering.fromLessThan(
+        (a: Any, b: Any) => cmp(a, b) < 0)),
+      bounds.map(_._2).maxBy(identity)(Ordering.fromLessThan(
+        (a: Any, b: Any) => cmp(a, b) < 0))))
   }
 
   /** Top-N file-pruning threshold (reference topn_file_pruning.test):

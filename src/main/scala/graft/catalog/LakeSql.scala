@@ -179,16 +179,27 @@ private[catalog] object LakeSql {
         val args = splitTop(rawArgs).filter(_.nonEmpty).map(stripQuotes)
         fn.toLowerCase(Locale.ROOT) match {
           case "merge_adjacent_files" =>
-            // optional named cap (reference merge_adjacent_max_files):
-            // CALL merge_adjacent_files('t', max_compacted_files=>2)
-            val maxFiles = splitTop(rawArgs).map(_.trim)
-              .find(_.matches("(?is)^max_compacted_files\\s*=>.*"))
-              .map(_.replaceFirst("(?is)^max_compacted_files\\s*=>", "")
-                .trim.toInt)
-            val positional = args.filterNot(_.contains("=>"))
+            // named args (reference merge_adjacent_max_files /
+            // compaction_session_target_file_size): unknown names error
+            // instead of silently applying defaults
+            val raw = splitTop(rawArgs).map(_.trim).filter(_.nonEmpty)
+            val (named0, positional0) = raw.partition(_.matches(
+              "(?is)^[a-z_]+\\s*=>.*"))
+            val named = named0.map { a =>
+              val i = a.indexOf("=>")
+              (a.substring(0, i).trim.toLowerCase(Locale.ROOT),
+                stripQuotes(a.substring(i + 2).trim))
+            }.toMap
+            named.keys.find(k =>
+              k != "max_compacted_files" && k != "target_file_size")
+              .foreach(k => throw new IllegalArgumentException(
+                s"unknown named parameter \"$k\" for merge_adjacent_files"))
+            val positional = positional0.map(stripQuotes)
             count(lake.mergeAdjacentFiles(positional(0),
-              positional.lift(1).map(_.toLong).getOrElse(512L * 1024 * 1024),
-              maxFiles).toLong)
+              named.get("target_file_size").map(_.toLong)
+                .orElse(positional.lift(1).map(_.toLong))
+                .getOrElse(512L * 1024 * 1024),
+              named.get("max_compacted_files").map(_.toInt)).toLong)
           case "rewrite_data_files" =>
             count(lake.rewriteDataFiles(args(0),
               args.lift(1).map(_.toDouble).getOrElse(0.95)).toLong)

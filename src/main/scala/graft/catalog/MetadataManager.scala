@@ -2508,6 +2508,8 @@ class MetadataManager(val jdbcUrl: String,
   def renameView(oldName: String, newName: String,
       schema: String = "main"): Unit =
     commitSnapshot(SnapshotChanges(
+      createdTables = Seq(s"view:$newName"),
+      droppedTables = Seq(s"view:$oldName"),
       commitMessage = Some(s"rename view $oldName to $newName")),
       schemaChange = true) { (c, snap, _) =>
       renameViewIn(c, snap, oldName, newName, schema)
@@ -2515,6 +2517,20 @@ class MetadataManager(val jdbcUrl: String,
 
   private[catalog] def renameViewIn(c: Connection, snap: Snapshot,
       oldName: String, newName: String, schema: String): Unit = {
+      // target-name conflicts: an existing live view or table blocks the
+      // rename (same guards as CREATE VIEW); re-runs on commit retries so
+      // a racing CREATE of the target name surfaces
+      if (query(c,
+        """SELECT 1 FROM ducklake_view v
+          |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+          |WHERE v.view_name = ? AND s.schema_name = ?
+          |  AND v.end_snapshot IS NULL""".stripMargin,
+        newName, schema)(_.getInt(1)).nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot rename view $oldName: view $newName already exists")
+      if (tableByName(c, newName, snap.snapshotId - 1, schema).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot rename view $oldName: a table named $newName exists")
       val row = query(c,
         """SELECT v.view_id, v.view_uuid, v.schema_id, v.dialect, v.sql_text
           |FROM ducklake_view v

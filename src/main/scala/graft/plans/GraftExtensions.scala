@@ -457,7 +457,23 @@ case class ResolveLakeRelation(spark: SparkSession)
           case _ => None
         }) match {
           case Some((alias, name)) =>
-            LakeRenameViewCommand(alias, name, rt.newName.mkString("."))
+            // normalize the target: drop a leading catalog alias, and a
+            // bare target inherits the source's schema so non-main views
+            // rename in place (ALTER VIEW graft.raw.v RENAME TO v2)
+            val tgtParts = rt.newName.toList match {
+              case a :: rest if a == alias && rest.nonEmpty => rest
+              case parts => parts
+            }
+            val srcSchema = name.split('.') match {
+              case Array(s, _) => Some(s)
+              case _ => None
+            }
+            val target = tgtParts match {
+              case List(n) =>
+                srcSchema.map(s => s"$s.$n").getOrElse(n)
+              case parts => parts.mkString(".")
+            }
+            LakeRenameViewCommand(alias, name, target)
           case _ => rt
         }
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>

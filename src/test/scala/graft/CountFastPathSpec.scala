@@ -195,4 +195,34 @@ class CountFastPathSpec extends AnyFunSuite {
       assert(row("SELECT MAX(k) AS k FROM graft.inl").getLong(0) == 99999L)
     }
   }
+
+  test("MIN/MAX fold stays exact after rewrite removes deleted extremes; Infinity blocks it") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      def row(sql: String) = spark.sql(sql).head()
+      // delete the max, then rewrite the file away: per-file stats of the
+      // REWRITTEN file are exact, so the fold returns the new true max
+      lake.createTableAs("rw", (1L to 100L).toDF("i").coalesce(1))
+      lake.delete("rw", col("i") === 100L)
+      assert(!isMetadataOnly(spark, "SELECT MAX(i) FROM graft.rw"))
+      lake.rewriteDataFiles("rw", deleteThreshold = 0.0001)
+      assert(isMetadataOnly(spark, "SELECT MAX(i) FROM graft.rw"))
+      assert(row("SELECT MAX(i) AS m, MIN(i) AS n FROM graft.rw")
+        .getLong(0) == 99L)
+      // a +Infinity double makes the max unstorable: fold must bail and
+      // the scan must return Infinity
+      lake.createTableAs("inf",
+        Seq(1.0, 2.0).toDF("x").coalesce(1))
+      lake.append("inf", Seq(Double.PositiveInfinity).toDF("x").coalesce(1))
+      assert(!isMetadataOnly(spark, "SELECT MAX(x) FROM graft.inf"))
+      assert(row("SELECT MAX(x) AS x FROM graft.inf").getDouble(0)
+        .isPosInfinity)
+      // >256-char string extremum is unstorable too
+      lake.createTableAs("ls", Seq("aa", "bb").toDF("s").coalesce(1))
+      lake.append("ls", Seq("z" * 300).toDF("s").coalesce(1))
+      assert(!isMetadataOnly(spark, "SELECT MAX(s) FROM graft.ls"))
+      assert(row("SELECT MAX(s) AS s FROM graft.ls").getString(0)
+        .startsWith("zzz"))
+    }
+  }
 }

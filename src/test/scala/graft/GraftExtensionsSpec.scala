@@ -296,6 +296,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[Exception](
         spark.sql("CREATE TABLE graft.v_cf (i INT)"))
       spark.sql("DROP VIEW graft.v_cf")
+      // rename onto an existing name errors (view and table targets)
+      spark.sql("CREATE VIEW graft.vr1 AS SELECT 1 AS x")
+      spark.sql("CREATE VIEW graft.vr2 AS SELECT 2 AS x")
+      intercept[Exception](
+        spark.sql("ALTER VIEW graft.vr1 RENAME TO vr2"))
+      intercept[Exception](
+        spark.sql("ALTER VIEW graft.vr1 RENAME TO pr"))
+      // a qualified rename target with the catalog alias works
+      spark.sql("ALTER VIEW graft.vr1 RENAME TO graft.vr3")
+      assert(spark.sql("SELECT x FROM graft.vr3").head().getInt(0) == 1)
+      spark.sql("DROP VIEW graft.vr2")
+      spark.sql("DROP VIEW graft.vr3")
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()

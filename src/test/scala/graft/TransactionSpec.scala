@@ -450,4 +450,16 @@ class TransactionSpec extends AnyFunSuite {
     lake.rollback()
     assert(lake2.view("cv").head().getInt(0) == 2)
   }
+
+  test("create-then-rename view inside one transaction reads its own writes") {
+    val lake = freshLake()
+    lake.createTableAs("b2", (1L to 4L).toDF("id"))
+    lake.begin()
+    lake.createView("va", "SELECT id FROM b2 WHERE id > 2")
+    lake.renameView("va", "vb")
+    assert(lake.view("vb").count() == 2)
+    intercept[IllegalArgumentException](lake.view("va"))
+    lake.commit()
+    assert(lake.view("vb").count() == 2)
+  }
 }
