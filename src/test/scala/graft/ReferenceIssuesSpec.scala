@@ -93,4 +93,40 @@ class ReferenceIssuesSpec extends AnyFunSuite {
     // and the catalog-stats pruner must not prune those files either
     assert(lake.table("t", Some(col("b") === 42)).count() == 10)
   }
+
+  test("UPDATE fills an all-null column; filters see the new value (update_null_column)") {
+    val dir = Files.createTempDirectory("graftunc").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("t",
+      Seq((1L, null: String)).toDF("id", "tag").coalesce(1))
+    assert(lake.update("t", Map("tag" -> lit("new")), lit(true)) == 1)
+    val rows = lake.table("t").collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "new")
+    // a filter on the updated value must match (stats of the REWRITTEN
+    // file rule, not the stale all-null original)
+    assert(lake.table("t", Some(col("tag") === "new")).count() == 1)
+    // boolean false filter from the same test file
+    lake.createTableAs("b", Seq(false).toDF("active").coalesce(1))
+    assert(lake.table("b", Some(col("active") === false)).count() == 1)
+  }
+
+  test("SET PARTITIONED BY on a txn-created table survives commit (partition_commit_retry_remap shape)") {
+    val dir = Files.createTempDirectory("graftpcr").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.transaction {
+      lake.createTable("fw", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType))))
+      lake.append("fw",
+        Seq((1L, "ads"), (2L, "ads"), (3L, "bing")).toDF("id", "source")
+          .coalesce(1))
+    }
+    lake.setPartitionedBy("fw", Seq(("source", "identity")))
+    lake.append("fw", Seq((4L, "bing")).toDF("id", "source").coalesce(1))
+    assert(lake.table("fw").count() == 4)
+    // the partitioned file landed under a hive dir and prunes
+    assert(lake.table("fw", Some(col("source") === "bing")).count() == 2)
+  }
 }
