@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.StructType
   * `format("graft")` → `graft.DefaultSource`. */
 class DefaultSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -39,6 +40,33 @@ class DefaultSource extends RelationProvider
     new graft.streaming.ChangeFeedStreamSource(sqlContext, lake, table,
       parameters.get("startVersion").map(_.toLong).getOrElse(0L),
       parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
+  }
+
+  /** `df.writeStream.format("graft").option("table", t)` — streaming
+    * ingestion with the same atomic exactly-once batch ledger as
+    * [[graft.streaming.LakeSink]]: one lake snapshot per micro-batch,
+    * replayed batches skipped via the (queryName, batchId) marker that
+    * commits with the files. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      "the graft streaming sink supports Append mode only")
+    val lake = GraftSource.lakeFor(sqlContext, parameters)
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("option table is required"))
+    val queryName = parameters.getOrElse("queryName", s"graft-sink-$table")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val batch = org.apache.spark.sql.graftshim.DatasetBridge
+          .asBatch(data.sparkSession, data)
+        graft.streaming.LakeSink.appendBatch(lake, table, queryName,
+          batchId, batch): Unit
+      }
+      override def toString: String = s"GraftLakeSink($table)"
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -20,4 +20,15 @@ object DatasetBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-wrap the incremental DataFrame a V1 `Sink.addBatch`
+    * receives as a plain BATCH DataFrame over its physical RDD, so the
+    * sink can run ordinary batch writes on it (the standard V1 sink
+    * pattern — the incoming frame still carries isStreaming = true and
+    * would reject batch actions). */
+  def asBatch(session: SparkSession, df: DataFrame): DataFrame = {
+    val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

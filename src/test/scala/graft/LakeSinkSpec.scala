@@ -68,4 +68,44 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 2) // no duplicate rows
     assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty) // no litter
   }
+
+  test("writeStream.format(graft) ingests with exactly-once markers") {
+    val dir = Files.createTempDirectory("graftsinkfmt").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    graft.plans.LakeRegistry.register("sinkfmt", lake)
+    try {
+      lake.createTable("out", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      val srcDir = s"$dir/incoming"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$srcDir/f1")
+      Seq((3L, "c")).toDF("id", "v").write.parquet(s"$srcDir/f2")
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("id", LongType), StructField("v", StringType))))
+        .parquet(s"$srcDir/*")
+      val q = stream.writeStream
+        .format("graft")
+        .option("alias", "sinkfmt")
+        .option("table", "out")
+        .option("queryName", "fmt_sink")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(lake.table("out").count() == 3)
+      assert(lake.tableWithRowId("out").select("rowid").distinct()
+        .count() == 3)
+      // a second drain of the same source is a no-op (checkpoint + ledger)
+      val q2 = stream.writeStream
+        .format("graft")
+        .option("alias", "sinkfmt")
+        .option("table", "out")
+        .option("queryName", "fmt_sink")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      assert(lake.table("out").count() == 3)
+    } finally graft.plans.LakeRegistry.unregister("sinkfmt")
+  }
 }
