@@ -45,8 +45,17 @@ class DefaultSource extends RelationProvider
   /** `df.writeStream.format("graft").option("table", t)` — streaming
     * ingestion with the same atomic exactly-once batch ledger as
     * [[graft.streaming.LakeSink]]: one lake snapshot per micro-batch,
-    * replayed batches skipped via the (queryName, batchId) marker that
-    * commits with the files. */
+    * replayed batches skipped via the (ledgerKey, batchId) marker that
+    * commits with the files.
+    *
+    * The ledger key defaults to the streaming QUERY ID, which Spark
+    * persists in the checkpoint (same id across restarts of one query
+    * lifetime; a fresh checkpoint mints a new id) — so restarting with a
+    * new checkpoint can never collide with the old ledger and silently
+    * skip batches. An explicit `queryName` option overrides it for
+    * pipelines that intentionally continue one ledger across
+    * checkpoints; regressing batch ids under that override fail loudly
+    * in [[graft.streaming.LakeSink.appendBatch]]. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],
@@ -57,12 +66,21 @@ class DefaultSource extends RelationProvider
     val lake = GraftSource.lakeFor(sqlContext, parameters)
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException("option table is required"))
-    val queryName = parameters.getOrElse("queryName", s"graft-sink-$table")
+    val explicitName = parameters.get("queryName")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val ledgerKey = explicitName.orElse {
+          // Set by StreamExecution on the query's thread for every batch;
+          // stable across restarts from the same checkpoint.
+          Option(data.sparkSession.sparkContext.getLocalProperty(
+            org.apache.spark.sql.execution.streaming.runtime
+              .StreamExecution.QUERY_ID_KEY))
+        }.getOrElse(throw new IllegalStateException(
+          "graft sink: no streaming query id on this thread and no " +
+          "explicit queryName option — cannot key the exactly-once ledger"))
         val batch = org.apache.spark.sql.graftshim.DatasetBridge
           .asBatch(data.sparkSession, data)
-        graft.streaming.LakeSink.appendBatch(lake, table, queryName,
+        graft.streaming.LakeSink.appendBatch(lake, table, ledgerKey,
           batchId, batch): Unit
       }
       override def toString: String = s"GraftLakeSink($table)"

@@ -160,18 +160,64 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             st.appends.clear(); st.appends ++= rest
             mine.flatMap(_._4.map(_.path)).foreach(p => io.delete(p))
           case None =>
-            val info = meta.tableByName(t, st.base.snapshotId, s)
+            // the requested name may be a buffered-rename binding:
+            // translate back to the committed catalog name first
+            val t0 = txnCommittedName(st, s, t)
+              .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+            val info = meta.tableByName(t0, st.base.snapshotId, s)
               .getOrElse(throw new IllegalArgumentException(s"no table $name"))
             st.dropped(info.tableId) = (s, t)
         }
       case None => meta.dropTable(t, s)
     }
   }
+
+  /** ALTER TABLE … RENAME TO. Inside a transaction the rename buffers
+    * (reference rename_table_within_transaction.test /
+    * rename_table_dbt_workload.test): the txn's own statements resolve
+    * the new name (and no longer the old), renames of txn-created tables
+    * just rebind the buffered create, and the catalog learns of
+    * everything in one commit snapshot. */
   def renameTable(oldName: String, newName: String): Unit = {
     val (s, t) = splitName(oldName)
     val (s2, t2) = splitName(newName)
     require(s == s2, "rename cannot move a table across schemas")
-    meta.renameTable(t, t2, s)
+    txn match {
+      case Some(st) =>
+        // the target name must be free under THIS txn's own overlay —
+        // both as a table (committed, created, or rename-bound) and as a
+        // view (committed + buffered view DDL)
+        if (scala.util.Try(resolve(newName)).isSuccess)
+          throw new IllegalArgumentException(
+            s"cannot rename table $oldName: table $newName already exists")
+        if (viewSqlAt(s, t2).isDefined)
+          throw new IllegalArgumentException(
+            s"cannot rename table $oldName: a view named $t2 exists")
+        st.createdByName(s, t) match {
+          case Some(pid) =>
+            val (sc, _, cols) = st.created(pid)
+            st.created(pid) = (sc, t2, cols)
+          case None =>
+            val info = resolve(oldName) // overlay-aware; throws if gone
+            st.renames += ((info.tableId, s, t, t2))
+        }
+      case None => meta.renameTable(t, t2, s)
+    }
+  }
+
+  /** Translate a name through the open txn's buffered renames (reverse
+    * statement order) to the name the COMMITTED catalog knows. None when
+    * the requested name was renamed away and never re-bound. */
+  private def txnCommittedName(st: TxnState, schema: String,
+      name: String): Option[String] = {
+    var t = name
+    st.renames.reverseIterator.foreach { case (_, rs, o, n) =>
+      if (rs == schema) {
+        if (n == t) t = o
+        else if (o == t) return None // renamed away, not re-bound
+      }
+    }
+    Some(t)
   }
 
   def addColumn(table: String, field: StructField,
@@ -386,6 +432,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     })
     m
   }
+
+  /** Table names visible to THIS handle for one schema: committed state
+    * overlaid with the open transaction's buffered creates, drops, and
+    * renames (reference rename_entity.test: renamed entities show only
+    * under their new names inside the transaction). */
+  private[graft] def visibleTableNames(schema: String): Seq[String] =
+    txn match {
+      case None =>
+        meta.listTables(meta.currentSnapshot().snapshotId, schema).map(_.name)
+      case Some(st) =>
+        var names = meta.listTables(st.base.snapshotId, schema)
+          .filterNot(t => st.dropped.contains(t.tableId))
+          .map(t => t.tableId -> t.name)
+        st.renames.foreach { case (tid, rs, _, n) =>
+          if (rs == schema) names = names.map { case (id, nm) =>
+            if (id == tid) (id, n) else (id, nm)
+          }
+        }
+        names.map(_._2) ++ st.created.values.collect {
+          case (s, n, _) if s == schema => n
+        }
+    }
 
   /** View SQL visible to THIS handle (committed + txn overlay). */
   private[graft] def viewSqlAt(schema: String, name: String)
@@ -789,11 +857,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   private def resolve(name: String,
       snapshotId: Option[Long] = None): TableInfo = {
-    val (s, t) = splitName(name)
+    val (s, t0) = splitName(name)
     // tables created inside the open transaction resolve for their own
     // statements (and no one else's — the catalog learns of them at commit)
-    txn.flatMap(_.createdByName(s, t)).foreach { pid =>
-      return TableInfo(pid, "", -1L, t, name)
+    txn.flatMap(_.createdByName(s, t0)).foreach { pid =>
+      return TableInfo(pid, "", -1L, t0, name)
+    }
+    // buffered renames rebind names for the txn's own statements: the
+    // requested CURRENT name translates back to the committed one
+    val t = txn match {
+      case Some(st) => txnCommittedName(st, s, t0)
+        .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+      case None => t0
     }
     val sid = snapshotId.getOrElse(meta.currentSnapshot().snapshotId)
     val info = meta.tableByName(t, sid, s)
@@ -1039,6 +1114,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // conflict at commit; tables created into them in the same txn work)
     val createdSchemas = scala.collection.mutable.LinkedHashSet
       .empty[String]
+    // COMMITTED tables renamed inside this txn, in statement order:
+    // (tableId, schema, oldName, newName). Renames of txn-created tables
+    // rebind `created` directly and never appear here (reference
+    // rename_table_within_transaction.test).
+    val renames = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String)]
     // macro DDL buffered in statement order (test_macro_transactions.test):
     // visible to the txn's own expansion, applied at commit
     val macroOps = scala.collection.mutable.ArrayBuffer.empty[MacroOp]
@@ -1092,15 +1173,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val drops = st.dropped.toSeq.map { case (tid, (s, n)) => (tid, s, n) }
     val newSchemas = st.createdSchemas.toSeq
     val alterList = st.alters.toSeq
+    val renameList = st.renames.toSeq
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
         created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
-        alterList.nonEmpty || st.macroOps.nonEmpty || st.viewOps.nonEmpty)
+        alterList.nonEmpty || st.macroOps.nonEmpty || st.viewOps.nonEmpty ||
+        renameList.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
         created, drops, newSchemas, alterList, st.macroOps.toSeq,
-        st.viewOps.toSeq)
+        st.viewOps.toSeq, renameList)
     txn = None
     st.cleanupScratch()
   }
@@ -1593,18 +1676,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           if (f.file.recordCount > 0) return None
         case Some((mnS, mxS, nonNull, nan)) =>
           if (nan) return None
-          if (nonNull > 0) {
-            val mm = for {
-              mn <- mnS; mx <- mxS
-              mnV <- StatsCodec.decodeInternal(mn, dt)
-              mxV <- StatsCodec.decodeInternal(mx, dt)
-            } yield (mnV, mxV)
-            mm match {
-              case Some(p) => bounds += p
-              // non-null values with an unstorable bound (±Inf, long
-              // string): the true extremum is invisible to stats
-              case None => return None
-            }
+          nonNull match {
+            // NULL value_count/null_count (foreign writer): unknown
+            // counts mean "cannot prove", not "no values" — bail
+            case None => return None
+            case Some(n) if n > 0 =>
+              val mm = for {
+                mn <- mnS; mx <- mxS
+                mnV <- StatsCodec.decodeInternal(mn, dt)
+                mxV <- StatsCodec.decodeInternal(mx, dt)
+              } yield (mnV, mxV)
+              mm match {
+                case Some(p) => bounds += p
+                // non-null values with an unstorable bound (±Inf, long
+                // string): the true extremum is invisible to stats
+                case None => return None
+              }
+            case Some(_) => () // provably all-null file: contributes nothing
           }
       }
     }
@@ -1648,15 +1736,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val ranges = meta.fileColumnRanges(t.tableId, ci.columnId)
     if (nullsLead) {
       val allNoNull = files.forall(f =>
-        ranges.get(f.file.dataFileId).exists(_._3 == f.file.recordCount))
+        ranges.get(f.file.dataFileId).exists(_._3.contains(f.file.recordCount)))
       if (!allNoNull || meta.liveInlinedRows(t.tableId, snapId).nonEmpty)
         return None
     }
     val proofs = files.flatMap { f =>
       ranges.get(f.file.dataFileId).flatMap { case (mn, mx, nonNull, _) =>
-        (if (desc) mn else mx)
-          .flatMap(StatsCodec.decodeInternal(_, dt))
-          .map(b => (b, nonNull))
+        for { // unknown counts prove nothing for this file (sound: the
+              // proof only ever needs a LOWER bound on qualifying rows)
+          n <- nonNull
+          b <- (if (desc) mn else mx).flatMap(StatsCodec.decodeInternal(_, dt))
+        } yield (b, n)
       }
     }
     if (proofs.isEmpty) return None

@@ -190,14 +190,24 @@ private[catalog] object LakeSql {
               (a.substring(0, i).trim.toLowerCase(Locale.ROOT),
                 stripQuotes(a.substring(i + 2).trim))
             }.toMap
-            named.keys.find(k =>
+            named.keys.find(k => k != "table_name" &&
               k != "max_compacted_files" && k != "target_file_size")
               .foreach(k => throw new IllegalArgumentException(
                 s"unknown named parameter \"$k\" for merge_adjacent_files"))
             val positional = positional0.map(stripQuotes)
-            count(lake.mergeAdjacentFiles(positional(0),
+            val tbl = named.get("table_name")
+              .orElse(positional.headOption)
+              .getOrElse(throw new IllegalArgumentException(
+                "merge_adjacent_files requires a table argument " +
+                "(positional or table_name => '…')"))
+            // positional args after the table slot (none consumed when
+            // the table arrived as table_name => '…')
+            val posRest =
+              if (named.contains("table_name")) positional
+              else positional.drop(1)
+            count(lake.mergeAdjacentFiles(tbl,
               named.get("target_file_size").map(_.toLong)
-                .orElse(positional.lift(1).map(_.toLong))
+                .orElse(posRest.headOption.map(_.toLong))
                 .getOrElse(512L * 1024 * 1024),
               named.get("max_compacted_files").map(_.toInt)).toLong)
           case "rewrite_data_files" =>
@@ -306,16 +316,15 @@ private[catalog] object LakeSql {
         }
       }
       case ShowTables(schema) => Some {
-        val snap = lake.meta.currentSnapshot()
-        lake.meta.listTables(snap.snapshotId,
-          Option(schema).getOrElse("main"))
-          .map(_.name).sorted.toDF("name")
+        // txn-aware: buffered creates/drops/renames show their effects
+        // to the txn's own statements (reference rename_entity.test)
+        lake.visibleTableNames(Option(schema).getOrElse("main"))
+          .sorted.toDF("name")
       }
       case ShowViews(schema) => Some {
-        val snap = lake.meta.currentSnapshot()
-        lake.meta.listViews(snap.snapshotId,
-          Option(schema).getOrElse("main"))
-          .map(_._1).sorted.toDF("name")
+        // txn-aware like SHOW TABLES (buffered view DDL overlays)
+        lake.visibleViews(Option(schema).getOrElse("main"))
+          .values.map(_._1).toSeq.sorted.toDF("name")
       }
 
       case Begin() => Some { lake.begin(); count(0L) }

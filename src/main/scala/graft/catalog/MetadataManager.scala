@@ -1040,18 +1040,24 @@ class MetadataManager(val jdbcUrl: String,
 
   /** Per-file (min, max, non-null value count, contains_nan) for one
     * column — driver-side input to Top-N file pruning (one round-trip,
-    * one row per file). */
+    * one row per file). The non-null count is None when value_count or
+    * null_count is NULL in the catalog (both are nullable in the DuckLake
+    * DDL — catalogs written by other writers may omit them): unknown
+    * counts must mean "cannot prove", never "no values". */
   def fileColumnRanges(tableId: Long, columnId: Long)
-      : Map[Long, (Option[String], Option[String], Long, Boolean)] =
+      : Map[Long, (Option[String], Option[String], Option[Long], Boolean)] =
     withConn { c =>
       query(c,
         """SELECT s.data_file_id, s.min_value, s.max_value,
-          |  s.value_count - COALESCE(s.null_count, 0), s.contains_nan
+          |  s.value_count, s.null_count, s.contains_nan
           |FROM ducklake_file_column_stats s
           |WHERE s.table_id = ? AND s.column_id = ?""".stripMargin,
         Long.box(tableId), Long.box(columnId)) { rs =>
+        val vc = rs.getLong(4); val vcNull = rs.wasNull()
+        val nc = rs.getLong(5); val ncNull = rs.wasNull()
+        val nonNull = if (vcNull || ncNull) None else Some(vc - nc)
         rs.getLong(1) -> ((Option(rs.getString(2)), Option(rs.getString(3)),
-          rs.getLong(4), rs.getBoolean(5)))
+          nonNull, rs.getBoolean(6)))
       }.toMap
     }
 
@@ -1166,7 +1172,8 @@ class MetadataManager(val jdbcUrl: String,
       createdSchemas: Seq[String] = Nil,
       alters: Seq[(Long, AlterSpec)] = Nil,
       macroOps: Seq[MacroOp] = Nil,
-      viewOps: Seq[ViewOp] = Nil): Snapshot = {
+      viewOps: Seq[ViewOp] = Nil,
+      renames: Seq[(Long, String, String, String)] = Nil): Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1) ++ alters.map(_._1)).distinct.filter(_ >= 0)
@@ -1192,10 +1199,15 @@ class MetadataManager(val jdbcUrl: String,
         // falsely conflict (concurrent_catalog_id_false_conflict.test)
         created.foreach { case (_, schema, name, _, _) =>
           val cur = currentSnapshot(c)
-          // a live same-name table this txn itself drops is fine (DROP +
-          // CREATE of one name in one transaction)
+          // a live same-name table this txn itself drops — or renames to
+          // a DIFFERENT name — is fine (DROP + CREATE of one name, and
+          // the dbt swap workload's rename-away + create)
+          val renamedAway = renames.groupBy(_._1).collect {
+            case (tid, ops) if ops.last._4 != name => tid
+          }.toSet
           tableByName(c, name, cur.snapshotId, schema).foreach { existing =>
-            if (!dropped.exists(_._1 == existing.tableId))
+            if (!dropped.exists(_._1 == existing.tableId) &&
+                !renamedAway.contains(existing.tableId))
               throw new CommitConflictException(
                 s"table $name already exists")
           }
@@ -1218,6 +1230,39 @@ class MetadataManager(val jdbcUrl: String,
             Long.box(tid))(_.getLong(1)).head
           if (live == 0) throw new CommitConflictException(
             s"table $name was dropped concurrently")
+        }
+        // buffered renames: the source must still be live under the name
+        // this txn saw; the FINAL target name must be free — except for
+        // objects this txn itself drops or renames away
+        if (renames.nonEmpty) {
+          val cur = currentSnapshot(c)
+          val excluded = dropped.map(_._1).toSet ++ renames.map(_._1).toSet
+          renames.groupBy(_._1).foreach { case (tid, ops) =>
+            val liveName = query(c,
+              """SELECT table_name FROM ducklake_table
+                |WHERE table_id = ? AND end_snapshot IS NULL""".stripMargin,
+              Long.box(tid))(_.getString(1)).headOption
+            if (liveName.isEmpty) throw new CommitConflictException(
+              s"table ${ops.head._3} was dropped concurrently")
+            if (liveName.get != ops.head._3)
+              throw new CommitConflictException(
+                s"table ${ops.head._3} was renamed concurrently " +
+                  s"(now ${liveName.get})")
+            val (_, schema, _, fin) = ops.last
+            tableByName(c, fin, cur.snapshotId, schema).foreach { ex =>
+              if (!excluded.contains(ex.tableId))
+                throw new CommitConflictException(
+                  s"table $fin already exists")
+            }
+            val viewHit = query(c,
+              """SELECT 1 FROM ducklake_view v
+                |JOIN ducklake_schema s ON v.schema_id = s.schema_id
+                |WHERE v.view_name = ? AND s.schema_name = ?
+                |  AND v.end_snapshot IS NULL""".stripMargin,
+              fin, schema)(_.getInt(1)).nonEmpty
+            if (viewHit) throw new CommitConflictException(
+              s"a view named $fin already exists")
+          }
         }
         // server-side consolidated check: live-table count + concurrent-
         // ALTER count for EVERY touched table in one statement (the
@@ -1332,6 +1377,29 @@ class MetadataManager(val jdbcUrl: String,
           Long.box(tid))
         tableIdMap(pid) = tid
         colIdMap ++= provIds.zip(realIds)
+      }
+      // buffered renames of COMMITTED tables, in statement order: close
+      // the live row, reopen with the same table_id/uuid/path under the
+      // new name (identity + time travel preserved, exactly like the
+      // statement-level rename). A table both renamed and dropped in this
+      // txn has no live row by now — the drop wins, skip silently.
+      renames.foreach { case (tid, _, _, newName) =>
+        query(c,
+          """SELECT table_uuid, schema_id, path FROM ducklake_table
+            |WHERE table_id = ? AND end_snapshot IS NULL""".stripMargin,
+          Long.box(tid))(rs => (rs.getString(1), rs.getLong(2),
+          rs.getString(3))).headOption.foreach { case (uuid, schemaId, path) =>
+          exec(c,
+            "UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+            Long.box(snap.snapshotId), Long.box(tid))
+          exec(c,
+            """INSERT INTO ducklake_table (table_id, table_uuid,
+              |begin_snapshot, end_snapshot, schema_id, table_name, path,
+              |path_is_relative) VALUES (?, ?, ?, NULL, ?, ?, ?, true)"""
+              .stripMargin,
+            Long.box(tid), uuid, Long.box(snap.snapshotId),
+            Long.box(schemaId), newName, path)
+        }
       }
       // buffered column changes, in statement order; each reads the
       // schema as applied so far within this same snapshot
@@ -2452,8 +2520,11 @@ class MetadataManager(val jdbcUrl: String,
       "SELECT schema_id FROM ducklake_schema WHERE schema_name = ? AND end_snapshot IS NULL",
       schema)(_.getLong(1)).head
     // a live TABLE of the same name blocks view creation (reference
-    // ducklake_view_table_conflict.test)
-    if (tableByName(c, name, snap.snapshotId - 1, schema).isDefined)
+    // ducklake_view_table_conflict.test). Probe AT the commit snapshot:
+    // tables created earlier in this same commit carry
+    // begin_snapshot = snapshotId and must conflict too, while tables
+    // dropped earlier in the commit (end_snapshot = snapshotId) must not.
+    if (tableByName(c, name, snap.snapshotId, schema).isDefined)
       throw new IllegalArgumentException(
         s"cannot create view $name: a table with this name exists")
     val existing = query(c,
@@ -2528,7 +2599,9 @@ class MetadataManager(val jdbcUrl: String,
         newName, schema)(_.getInt(1)).nonEmpty)
         throw new IllegalArgumentException(
           s"cannot rename view $oldName: view $newName already exists")
-      if (tableByName(c, newName, snap.snapshotId - 1, schema).isDefined)
+      // probe AT the commit snapshot so tables created earlier in this
+      // same commit conflict and same-commit drops don't (see createViewIn)
+      if (tableByName(c, newName, snap.snapshotId, schema).isDefined)
         throw new IllegalArgumentException(
           s"cannot rename view $oldName: a table named $newName exists")
       val row = query(c,

@@ -502,29 +502,54 @@ case class ResolveLakeRelation(spark: SparkSession)
 
   /** `graft.v` where v is a lake VIEW expands to the view's stored SQL
     * with bare lake relation names qualified by the alias — nested views
-    * and base tables then resolve through this same rule, so catalog
-    * stats/partition pruning reaches every base scan under the view
-    * (reference view tests: views query like tables; view_tosql
-    * semantics). Tables take the placeholder path unchanged. */
-  private def viewOrPlaceholder(alias: String, table: String): LogicalPlan = {
+    * expand eagerly here (depth-first, cycle-checked) and base tables
+    * resolve through this same rule, so catalog stats/partition pruning
+    * reaches every base scan under the view (reference view tests: views
+    * query like tables; view_tosql semantics). Tables take the
+    * placeholder path unchanged. A self- or mutually-recursive view
+    * chain fails with a clean "recursive view" error (the reference
+    * fails with a max-depth error; Spark's fixpoint analyzer would
+    * otherwise surface a confusing max-iterations internal error). */
+  private def viewOrPlaceholder(alias: String, table: String): LogicalPlan =
+    expandView(alias, table, List.empty)
+
+  private def expandView(alias: String, table: String,
+      stack: List[String]): LogicalPlan = {
     val lake = LakeRegistry.get(alias).get
     val (schema, name) = table.split('.') match {
       case Array(s, t) => (s, t)
       case _ => ("main", table)
     }
+    val key = s"$schema.$name"
     val sid = lake.currentSnapshotId()
     lake.viewSqlAt(schema, name) match {
       case Some(viewSql) =>
+        if (stack.contains(key))
+          throw new IllegalArgumentException(
+            s"recursive lake view: ${(key :: stack).reverse.mkString(" -> ")}")
         val body = spark.sessionState.sqlParser.parsePlan(viewSql)
-        def lakeKnows(s: String, t: String): Boolean =
-          lake.meta.tableByName(t, sid, s).isDefined ||
-            lake.meta.viewByName(t, sid, s).isDefined
+        def isView(s: String, t: String): Boolean =
+          lake.meta.viewByName(t, sid, s).isDefined
+        def isTable(s: String, t: String): Boolean =
+          lake.meta.tableByName(t, sid, s).isDefined
         val qualified = body.transformDownWithSubqueries {
           case ur: UnresolvedRelation => ur.multipartIdentifier match {
-            case Seq(t) if lakeKnows("main", t) =>
+            case Seq(t) if isView("main", t) =>
+              expandView(alias, t, key :: stack)
+            case Seq(s, t) if LakeRegistry.get(s).isEmpty && isView(s, t) =>
+              expandView(alias, s"$s.$t", key :: stack)
+            // alias-qualified nested views must expand HERE too (with the
+            // stack) — leaving them for the analyzer rule would restart
+            // cycle detection from an empty stack and loop
+            case Seq(a, t) if LakeRegistry.get(a).isDefined &&
+                a == alias && isView("main", t) =>
+              expandView(alias, t, key :: stack)
+            case Seq(a, s, t) if LakeRegistry.get(a).isDefined &&
+                a == alias && isView(s, t) =>
+              expandView(alias, s"$s.$t", key :: stack)
+            case Seq(t) if isTable("main", t) =>
               UnresolvedRelation(Seq(alias, t))
-            case Seq(s, t) if LakeRegistry.get(s).isEmpty &&
-                lakeKnows(s, t) =>
+            case Seq(s, t) if LakeRegistry.get(s).isEmpty && isTable(s, t) =>
               UnresolvedRelation(Seq(alias, s, t))
             case _ => ur
           }

@@ -34,7 +34,19 @@ object LakeSink {
     val last = lake.options().collectFirst {
       case (k, v) if k == key => v.toLong
     }.getOrElse(-1L)
-    if (batchId <= last) false
+    if (batchId == last) false // post-commit replay of the same batch
+    else if (batchId < last)
+      // A replay can only re-present the LAST committed batch. Anything
+      // earlier means a different query lifetime is reusing this ledger
+      // key (e.g. a restart with a fresh checkpoint, where batch ids
+      // restart at 0, under an explicit shared queryName) — skipping
+      // would silently drop data, so refuse instead.
+      throw new IllegalStateException(
+        s"streaming ledger '$key' is at batch $last but batch $batchId " +
+        "arrived: batch ids regressed by more than a single replay. " +
+        "This usually means the query was restarted with a NEW checkpoint " +
+        "while keeping the old queryName. Use a fresh queryName (or drop " +
+        "the option to key the ledger on the checkpoint's query id).")
     else
       try {
         lake.append(table, batch,

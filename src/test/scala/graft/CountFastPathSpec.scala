@@ -225,4 +225,29 @@ class CountFastPathSpec extends AnyFunSuite {
         .startsWith("zzz"))
     }
   }
+
+  test("NULL value_count in foreign-writer stats means cannot-prove, not all-null") {
+    withLake { (spark, lake) =>
+      import spark.implicits._
+      def row(sql: String) = spark.sql(sql).head()
+      lake.createTableAs("fw", (1L to 10L).toDF("i").coalesce(1))
+      lake.append("fw", Seq(5000L).toDF("i").coalesce(1))
+      assert(isMetadataOnly(spark, "SELECT MAX(i) FROM graft.fw"))
+      // value_count/null_count are nullable in the DuckLake DDL — a
+      // catalog written by another DuckLake writer may omit them. Blank
+      // them on every file (including the one holding the true max).
+      val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+      try {
+        val st = c.createStatement()
+        st.executeUpdate(
+          "UPDATE ducklake_file_column_stats SET value_count = NULL")
+        st.close()
+      } finally c.close()
+      // unknown counts must mean "cannot prove" (fold bails, the scan
+      // answers) — NOT "all-null file" (which would drop the 5000 max)
+      assert(!isMetadataOnly(spark, "SELECT MAX(i) FROM graft.fw"))
+      assert(row("SELECT MAX(i) AS m FROM graft.fw").getLong(0) == 5000L)
+      assert(row("SELECT MIN(i) AS m FROM graft.fw").getLong(0) == 1L)
+    }
+  }
 }

@@ -308,6 +308,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT x FROM graft.vr3").head().getInt(0) == 1)
       spark.sql("DROP VIEW graft.vr2")
       spark.sql("DROP VIEW graft.vr3")
+      // recursive views fail with a clean error, not an analyzer
+      // max-iterations blowup (reference fails with a max-depth error):
+      // make v_rec1 -> v_rec2 -> v_rec1 via OR REPLACE
+      spark.sql("CREATE VIEW graft.v_rec1 AS SELECT id FROM graft.pr")
+      spark.sql("CREATE VIEW graft.v_rec2 AS SELECT id FROM graft.v_rec1")
+      spark.sql(
+        "CREATE OR REPLACE VIEW graft.v_rec1 AS SELECT id FROM graft.v_rec2")
+      val rec = intercept[Exception](
+        spark.sql("SELECT * FROM graft.v_rec1").collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(rec).exists(_.contains("recursive lake view")), rec)
+      spark.sql("DROP VIEW graft.v_rec1")
+      spark.sql("DROP VIEW graft.v_rec2")
     } finally {
       LakeRegistry.unregister("graft")
       SparkSession.clearActiveSession()

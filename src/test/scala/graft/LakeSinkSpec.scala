@@ -108,4 +108,54 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(lake.table("out").count() == 3)
     } finally graft.plans.LakeRegistry.unregister("sinkfmt")
   }
+
+  test("batch ids regressing past a replay fail loudly (no silent skip)") {
+    val dir = Files.createTempDirectory("graftsinkreg").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTable("t", StructType(Seq(StructField("id", LongType))))
+    val b = Seq(1L, 2L).toDF("id")
+    assert(LakeSink.appendBatch(lake, "t", "qr", 0L, b))
+    assert(LakeSink.appendBatch(lake, "t", "qr", 1L, b))
+    assert(!LakeSink.appendBatch(lake, "t", "qr", 1L, b)) // replay: skip
+    // batch 0 after batch 1 = a NEW query lifetime reusing the ledger key
+    // (fresh checkpoint under an old queryName): must refuse, not drop
+    val e = intercept[IllegalStateException] {
+      LakeSink.appendBatch(lake, "t", "qr", 0L, b)
+    }
+    assert(e.getMessage.contains("regressed"))
+  }
+
+  test("sink without queryName keys the ledger on the checkpointed query id") {
+    val dir = Files.createTempDirectory("graftsinkqid").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    graft.plans.LakeRegistry.register("sinkqid", lake)
+    try {
+      lake.createTable("out", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      val srcDir = s"$dir/incoming"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$srcDir/f1")
+      Seq((3L, "c")).toDF("id", "v").write.parquet(s"$srcDir/f2")
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      def drain(ckpt: String): Unit = {
+        val q = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+          .writeStream.format("graft")
+          .option("alias", "sinkqid").option("table", "out")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(s"$dir/ckptA")
+      assert(lake.table("out").count() == 3)
+      // restarting from the SAME checkpoint replays nothing
+      drain(s"$dir/ckptA")
+      assert(lake.table("out").count() == 3)
+      // a FRESH checkpoint is a new query lifetime: its query id keys a
+      // new ledger, so its batch 0 must NOT be skipped against the old
+      // ledger (the old default 'graft-sink-out' key silently dropped it)
+      drain(s"$dir/ckptB")
+      assert(lake.table("out").count() == 6)
+    } finally graft.plans.LakeRegistry.unregister("sinkqid")
+  }
 }

@@ -233,6 +233,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lake.options().exists(_._1 == "target_file_size"))
     lake.sql("CALL checkpoint('t')")
     assert(lake.table("t").count() == 3)
+    // name-only invocation (reference procedures take table_name as a
+    // named parameter too): splits 3 files back to 1 after more inserts
+    lake.sql("INSERT INTO t VALUES (4, 'd')")
+    lake.sql("INSERT INTO t VALUES (5, 'e')")
+    assert(lake.sql("CALL merge_adjacent_files(table_name => 't')")
+      .head().getLong(0) == 1)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM list_files('t')")
+      .head().getLong(0) == 1)
+    // named table + named knob together
+    lake.sql("INSERT INTO t VALUES (6, 'f')")
+    assert(lake.sql("CALL merge_adjacent_files(table_name => 't', " +
+      "max_compacted_files => 2)").head().getLong(0) == 1)
+    // a missing table argument errors clearly instead of an index crash
+    val e = intercept[IllegalArgumentException](
+      lake.sql("CALL merge_adjacent_files(max_compacted_files => 2)"))
+    assert(e.getMessage.contains("requires a table argument"))
+    assert(lake.table("t").count() == 6)
   }
 
   test("MERGE INTO statement (update + insert)") {

@@ -462,4 +462,122 @@ class TransactionSpec extends AnyFunSuite {
     lake.commit()
     assert(lake.view("vb").count() == 2)
   }
+
+  test("table and view of one name in a single commit conflict; " +
+      "drop-table-then-create-view of one name commits") {
+    val lake = freshLake()
+    // create table t + create view t buffered into ONE commit: the view
+    // guard must see the same-commit table (begin_snapshot = commit
+    // snapshot) and refuse — two live objects must never share a name
+    lake.begin()
+    lake.createTableAs("t", (1L to 3L).toDF("id"))
+    lake.createView("t", "SELECT 1 AS x")
+    val e = intercept[IllegalArgumentException](lake.commit())
+    assert(e.getMessage.contains("a table with this name exists"))
+    lake.rollback()
+    assert(lake.meta.tableByName("t", lake.currentSnapshotId()).isEmpty)
+    // the reverse shape is legal: DROP TABLE u + CREATE VIEW u in one
+    // txn ends with only the view live (the dropped table's
+    // end_snapshot = commit snapshot must NOT block the view)
+    lake.createTableAs("u", (1L to 3L).toDF("id"))
+    lake.transaction {
+      lake.dropTable("u")
+      lake.createView("u", "SELECT 42 AS x")
+    }
+    assert(lake.view("u").head().getInt(0) == 42)
+    assert(lake.meta.tableByName("u", lake.currentSnapshotId()).isEmpty)
+    // rename-view onto a same-commit table name conflicts the same way
+    lake.createTableAs("w", (1L to 2L).toDF("id"))
+    lake.createView("v0", "SELECT 7 AS x")
+    lake.begin()
+    lake.createTableAs("zz", (1L to 2L).toDF("id"))
+    lake.renameView("v0", "zz")
+    val e2 = intercept[IllegalArgumentException](lake.commit())
+    assert(e2.getMessage.contains("a table named zz exists"))
+    lake.rollback()
+  }
+
+  test("RENAME TABLE inside a transaction " +
+      "(reference rename_table_within_transaction.test)") {
+    val lake = freshLake()
+    lake.createTableAs("tbl", Seq(999, 100).toDF("i"))
+    val before = lake.currentSnapshotId()
+    lake.begin()
+    lake.renameTable("tbl", "tbl2")
+    // read-your-writes: old name gone, new name reads the data
+    intercept[IllegalArgumentException](lake.table("tbl"))
+    assert(lake.table("tbl2").orderBy("i").select("i").as[Int]
+      .collect().toSeq == Seq(100, 999))
+    // buffered statements still work against the new name
+    lake.append("tbl2", Seq(7).toDF("i"))
+    assert(lake.table("tbl2").count() == 3)
+    // SHOW TABLES reflects the rename inside the txn (rename_entity.test)
+    assert(lake.sql("SHOW TABLES").as[String].collect().toSeq == Seq("tbl2"))
+    // outside readers still see the old binding until commit
+    val outside = Lake.attach(spark, lake.meta.jdbcUrl, lake.dataPath)
+    assert(outside.table("tbl").count() == 2)
+    lake.commit()
+    assert(lake.currentSnapshotId() == before + 1) // ONE snapshot
+    intercept[IllegalArgumentException](lake.table("tbl"))
+    assert(lake.table("tbl2").count() == 3)
+    // identity survives: time travel before the rename uses the old name
+    assert(lake.tableAtVersion("tbl", before).count() == 2)
+    // rollback path: a buffered rename vanishes
+    lake.begin()
+    lake.renameTable("tbl2", "tbl3")
+    assert(lake.table("tbl3").count() == 3)
+    lake.rollback()
+    assert(lake.table("tbl2").count() == 3)
+    intercept[IllegalArgumentException](lake.table("tbl3"))
+  }
+
+  test("dbt swap workload: create tmp, double rename in one txn " +
+      "(reference rename_table_dbt_workload.test)") {
+    val lake = freshLake()
+    lake.createTableAs("my_table", (0L until 42L).toDF("i"))
+    lake.transaction {
+      lake.createTableAs("my_table_tmp", (0L until 84L).toDF("i"))
+      lake.renameTable("my_table", "my_table_backup")
+      lake.renameTable("my_table_tmp", "my_table") // txn-created rebind
+      assert(lake.table("my_table").count() == 84)
+      assert(lake.table("my_table_backup").count() == 42)
+      intercept[IllegalArgumentException](lake.table("my_table_tmp"))
+      assert(lake.sql("SHOW TABLES").as[String].collect().toSeq ==
+        Seq("my_table", "my_table_backup"))
+    }
+    assert(lake.table("my_table").count() == 84)
+    assert(lake.table("my_table_backup").count() == 42)
+    intercept[IllegalArgumentException](lake.table("my_table_tmp"))
+    assert(lake.sql("SHOW TABLES").as[String].collect().toSeq ==
+      Seq("my_table", "my_table_backup"))
+    // per-file stats of the tmp table's files pruned under the final name
+    assert(lake.table("my_table").where(col("i") < 10).count() == 10)
+  }
+
+  test("txn rename conflicts: target taken, source renamed concurrently") {
+    val lake = freshLake()
+    lake.createTableAs("a", Seq(1).toDF("x"))
+    lake.createTableAs("b", Seq(2).toDF("x"))
+    // target exists (committed, not touched by this txn) → buffer-time error
+    lake.begin()
+    val e = intercept[IllegalArgumentException](lake.renameTable("a", "b"))
+    assert(e.getMessage.contains("already exists"))
+    lake.rollback()
+    // swap within one txn IS legal: a→c then b→a
+    lake.transaction {
+      lake.renameTable("a", "c")
+      lake.renameTable("b", "a")
+    }
+    assert(lake.table("c").head().getInt(0) == 1)
+    assert(lake.table("a").head().getInt(0) == 2)
+    // concurrent rename of the source conflicts at commit
+    val lake2 = Lake.attach(spark, lake.meta.jdbcUrl, lake.dataPath)
+    lake.begin()
+    lake.renameTable("c", "d")
+    lake2.renameTable("c", "e") // wins immediately
+    val e2 = intercept[CommitConflictException](lake.commit())
+    assert(e2.getMessage.contains("renamed concurrently"))
+    lake.rollback()
+    assert(lake.table("e").head().getInt(0) == 1)
+  }
 }
