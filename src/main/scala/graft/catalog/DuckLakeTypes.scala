@@ -114,15 +114,37 @@ object DuckLakeTypes {
 
   /** Widening-only promotion lattice (reference alter tests: "only widening
     * type promotions are allowed"). */
-  private val widenOrder: Map[String, Int] = Map(
-    "int8" -> 1, "int16" -> 2, "int32" -> 3, "int64" -> 4,
-    "uint8" -> 1, "uint16" -> 2, "uint32" -> 3, "uint64" -> 4,
-    "float32" -> 5, "float64" -> 6)
+  private val intRank: Map[String, Int] = Map(
+    "int8" -> 1, "int16" -> 2, "int32" -> 3, "int64" -> 4, "int128" -> 5)
+  private val uintRank: Map[String, Int] = Map(
+    "uint8" -> 1, "uint16" -> 2, "uint32" -> 3, "uint64" -> 4)
+
+  /** Primitive widening per the reference's promotion rule
+    * (ducklake_table_entry.cpp TypePromotionIsAllowed = "max logical type
+    * of source and target IS target", verified against DuckDB's lattice;
+    * promote_type_all.test): within-family rank increase; unsigned→
+    * STRICTLY-wider signed (the signed type must hold the full unsigned
+    * range); never signed→unsigned (negatives would become
+    * unrepresentable — DuckDB's max type jumps to the next signed type
+    * instead); every integer→FLOAT/DOUBLE (FLOAT outranks all integers
+    * in the lattice); timestamp→timestamptz (instant reinterpretation,
+    * alter_timestamptz_promotion.test). */
+  private def primWidening(from: String, to: String): Boolean =
+    (intRank.contains(from), uintRank.contains(from)) match {
+      case (true, _) =>
+        (intRank.contains(to) && intRank(from) < intRank(to)) ||
+          to == "float32" || to == "float64"
+      case (_, true) =>
+        (uintRank.contains(to) && uintRank(from) < uintRank(to)) ||
+          (intRank.contains(to) && uintRank(from) < intRank(to)) ||
+          to == "float32" || to == "float64"
+      case _ =>
+        (from == "float32" && to == "float64") ||
+          (from == "timestamp" && to == "timestamptz")
+    }
 
   def isWidening(from: String, to: String): Boolean =
-    from == to ||
-      (widenOrder.contains(from) && widenOrder.contains(to) &&
-        widenOrder(from) < widenOrder(to)) ||
+    from == to || primWidening(from, to) ||
       structWidening(from, to) || nestedWidening(from, to)
 
   /** list<a>→list<b> / map<k,a>→map<k2,b> widening when the element

@@ -290,7 +290,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       require(DuckLakeTypes.childSpecs(nt).isEmpty,
         "only scalar type changes are supported inside a transaction")
       val cur = columnsAt(tid, meta.currentSnapshot().snapshotId)
-        .find(x => x.parentColumn.isEmpty && x.name == column)
+        .find(x => x.parentColumn.isEmpty && x.name.equalsIgnoreCase(column))
         .getOrElse(throw new IllegalArgumentException(s"no column $column"))
       if (!DuckLakeTypes.isWidening(cur.typeString, nt))
         throw new IllegalArgumentException(
@@ -308,7 +308,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val snapId = meta.currentSnapshot().snapshotId
     val t = resolve(table)
     val ci = meta.columnsOf(t.tableId, snapId)
-      .find(c => c.parentColumn.isEmpty && c.name == column)
+      .find(c => c.parentColumn.isEmpty && c.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(s"no column $column"))
     // contains_null=false is only PROOF when (a) null counts are reliably
     // tracked for the type and (b) no inlined rows exist (appendInlined
@@ -323,10 +323,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         this.table(table).filter(col(column).isNull).limit(1).count()
       require(nulls == 0, s"column $column contains NULL values")
     }
-    meta.setNullsAllowed(t.tableId, column, allowed = false)
+    // inside a transaction the change buffers like every other column
+    // alteration (reference multi_alter_same_column_transaction.test)
+    if (!bufferAlter(table, _ =>
+        AlterSpec.SetNotNull(column, allowed = false)))
+      meta.setNullsAllowed(t.tableId, column, allowed = false)
   }
   def dropNotNull(table: String, column: String): Unit =
-    meta.setNullsAllowed(resolve(table).tableId, column, allowed = true)
+    if (!bufferAlter(table, _ =>
+        AlterSpec.SetNotNull(column, allowed = true)))
+      meta.setNullsAllowed(resolve(table).tableId, column, allowed = true)
   def setColumnDefault(table: String, column: String, default: String): Unit =
     if (!bufferAlter(table, _ => AlterSpec.SetDefault(column,
       Option(default))))
@@ -914,7 +920,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       walk(maxOrder + 1, n, ts, nullable, None)
       cols ++ out
     case AlterSpec.DropCol(n) =>
-      val rootId = cols.find(x => x.parentColumn.isEmpty && x.name == n)
+      val rootId = cols.find(x => x.parentColumn.isEmpty &&
+          x.name.equalsIgnoreCase(n))
         .getOrElse(throw new IllegalArgumentException(s"no column $n"))
         .columnId
       val dead = scala.collection.mutable.Set(rootId)
@@ -927,13 +934,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
       cols.filterNot(c0 => dead.contains(c0.columnId))
     case AlterSpec.RenameCol(o, n2) =>
-      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == o)
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name.equalsIgnoreCase(o))
         c0.copy(name = n2) else c0)
     case AlterSpec.SetDefault(n, v) =>
-      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == n)
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name.equalsIgnoreCase(n))
         c0.copy(defaultValue = v) else c0)
+    case AlterSpec.SetNotNull(n, allowed) =>
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name.equalsIgnoreCase(n))
+        c0.copy(nullsAllowed = allowed) else c0)
     case AlterSpec.ChangeType(n, nt) =>
-      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name == n)
+      cols.map(c0 => if (c0.parentColumn.isEmpty && c0.name.equalsIgnoreCase(n))
         c0.copy(typeString = nt) else c0)
   }
 

@@ -1406,7 +1406,7 @@ class MetadataManager(val jdbcUrl: String,
       alters.foreach { case (tid, spec) =>
         val cols = columnsOf(c, tid, snap.snapshotId)
         def root(n: String): ColumnInfo =
-          cols.find(x => x.parentColumn.isEmpty && x.name == n)
+          cols.find(x => x.parentColumn.isEmpty && x.name.equalsIgnoreCase(n))
             .getOrElse(throw new IllegalArgumentException(s"no column $n"))
         spec match {
           case AlterSpec.AddCol(n, ts, nullable, default, provIds) =>
@@ -1427,6 +1427,9 @@ class MetadataManager(val jdbcUrl: String,
           case AlterSpec.SetDefault(n, v) =>
             reopenColumn(c, snap.snapshotId, tid,
               root(n).copy(defaultValue = v))
+          case AlterSpec.SetNotNull(n, allowed) =>
+            reopenColumn(c, snap.snapshotId, tid,
+              root(n).copy(nullsAllowed = allowed))
           case AlterSpec.ChangeType(n, nt) =>
             val ci = root(n)
             if (!DuckLakeTypes.isWidening(ci.typeString, nt))
@@ -2036,7 +2039,10 @@ class MetadataManager(val jdbcUrl: String,
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, ids) =>
       val cols = columnsOf(c, tableId, snap.snapshotId - 1)
-      val ci = cols.find(x => x.parentColumn.isEmpty && x.name == oldName)
+      // identifiers match case-insensitively, like the reference's host
+      // engine (rename_column_with_case_insensitive_name.test)
+      val ci = cols.find(x => x.parentColumn.isEmpty &&
+          x.name.equalsIgnoreCase(oldName))
         .getOrElse(throw new IllegalArgumentException(s"no column $oldName"))
       reopenColumn(c, snap.snapshotId, tableId, ci.copy(name = newName))
       rewriteSortSpecIn(c, snap.snapshotId, ids, tableId, oldName, newName)
@@ -2131,7 +2137,8 @@ class MetadataManager(val jdbcUrl: String,
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, ids) =>
       val cols = columnsOf(c, tableId, snap.snapshotId - 1)
-      val ci = cols.find(x => x.parentColumn.isEmpty && x.name == name)
+      val ci = cols.find(x => x.parentColumn.isEmpty &&
+          x.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
       val updated = f(ci)
       reopenColumn(c, snap.snapshotId, tableId, updated)

@@ -120,6 +120,8 @@ object AlterSpec {
     extends AlterSpec
   final case class SetDefault(name: String, value: Option[String])
     extends AlterSpec
+  final case class SetNotNull(name: String, allowed: Boolean)
+    extends AlterSpec
   final case class ChangeType(name: String, newType: String)
     extends AlterSpec
 }

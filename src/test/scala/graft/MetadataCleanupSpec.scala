@@ -80,4 +80,29 @@ class MetadataCleanupSpec extends AnyFunSuite {
     assert(count(url, "ducklake_column") == 0)
     assert(count(url, "ducklake_table") == 0)
   }
+
+  test("expiring snapshots around a rename keeps the renamed table's " +
+      "files (reference expire_snapshot_bug.test)") {
+    val dir = Files.createTempDirectory("graftmeta3").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("a", Seq(0).toDF("i").coalesce(1))
+    lake.renameTable("a", "b")
+    val renameSnap = lake.currentSnapshotId()
+    lake.append("b", Seq(1).toDF("i").coalesce(1))
+    // expire everything before the rename, then the rename snapshot
+    // itself; the files must survive (they belong to the LIVE table by
+    // table_id — the bug deleted them because the old NAME looked dead)
+    lake.expireSnapshots(versions = (0L until renameSnap))
+    lake.cleanupOldFiles(Some(System.currentTimeMillis() + 1000000))
+    assert(lake.table("b").orderBy("i").as[Int].collect().toSeq == Seq(0, 1))
+    lake.expireSnapshots(versions = Seq(renameSnap))
+    lake.cleanupOldFiles(Some(System.currentTimeMillis() + 1000000))
+    assert(lake.table("b").orderBy("i").as[Int].collect().toSeq == Seq(0, 1))
+    // rename again and expire everything before the second rename
+    lake.renameTable("b", "c")
+    val rename2 = lake.currentSnapshotId()
+    lake.expireSnapshots(versions = (0L until rename2))
+    lake.cleanupOldFiles(Some(System.currentTimeMillis() + 1000000))
+    assert(lake.table("c").orderBy("i").as[Int].collect().toSeq == Seq(0, 1))
+  }
 }

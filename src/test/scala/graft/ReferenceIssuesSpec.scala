@@ -129,4 +129,77 @@ class ReferenceIssuesSpec extends AnyFunSuite {
     // the partitioned file landed under a hive dir and prunes
     assert(lake.table("fw", Some(col("source") === "bing")).count() == 2)
   }
+
+  test("reserved system column names on CREATE/ADD/RENAME (issue 944)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft944").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    // the reference's effective default inlining limit is 10 (>0), so
+    // its test rejects without any explicit option; ours defaults to 0
+    // (deliberate: distributed writes) — enable inlining for parity
+    lake.setOption("data_inlining_row_limit", "10")
+    val e1 = intercept[IllegalArgumentException](
+      lake.createTable("test", StructType(Seq(
+        StructField("row_id", IntegerType)))))
+    assert(e1.getMessage.contains(
+      "\"row_id\" is reserved by DuckLake for internal use"))
+    lake.createTable("test", StructType(Seq(StructField("a", IntegerType))))
+    val e2 = intercept[IllegalArgumentException](
+      lake.addColumn("test", StructField("row_id", IntegerType)))
+    assert(e2.getMessage.contains("reserved by DuckLake"))
+    val e3 = intercept[IllegalArgumentException](
+      lake.renameColumn("test", "a", "row_id"))
+    assert(e3.getMessage.contains("reserved by DuckLake"))
+  }
+
+  test("txn ADD + RENAME + widen of the same new column (issue 1141)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft1141").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTable("test", StructType(Seq(StructField("a", ByteType))))
+    lake.transaction {
+      lake.addColumn("test", StructField("b", IntegerType))
+      lake.renameColumn("test", "b", "c")
+      lake.changeColumnType("test", "c", LongType)
+    }
+    val desc = lake.sql("DESCRIBE test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc == Seq(("a", "TINYINT"), ("c", "BIGINT")))
+  }
+
+  test("rename column by a case-insensitive name " +
+      "(rename_column_with_case_insensitive_name)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val dir = Files.createTempDirectory("graftci").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTable("test", StructType(Seq(StructField("MyCol", IntegerType))))
+    lake.renameColumn("test", "mycol", "newname") // statement-level path
+    assert(lake.table("test").columns.toSeq == Seq("newname"))
+    // buffered path too
+    lake.transaction { lake.renameColumn("test", "NEWNAME", "final_name") }
+    assert(lake.table("test").columns.toSeq == Seq("final_name"))
+    lake.transaction { lake.setColumnDefault("test", "FINAL_NAME", "7") }
+    lake.sql("INSERT INTO test (final_name) VALUES (1)")
+    assert(lake.table("test").head().getInt(0) == 1)
+  }
+
+  test("COMMENT then DROP in the same transaction commits the drop " +
+      "(comment_then_drop_same_transaction)") {
+    val dir = Files.createTempDirectory("graftcdrop").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("t", Seq(1, 2).toDF("i"))
+    lake.transaction {
+      lake.commentOn("t", "foo")
+      lake.dropTable("t")
+    }
+    intercept[IllegalArgumentException](lake.table("t"))
+    // view flavor
+    lake.createTableAs("t2", Seq(1, 2).toDF("i"))
+    lake.createView("v", "SELECT * FROM t2")
+    lake.transaction {
+      lake.commentOn("v", "foo")
+      lake.dropView("v")
+    }
+    intercept[IllegalArgumentException](lake.view("v"))
+  }
 }

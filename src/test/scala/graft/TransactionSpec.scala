@@ -580,4 +580,75 @@ class TransactionSpec extends AnyFunSuite {
     lake.rollback()
     assert(lake.table("e").head().getInt(0) == 1)
   }
+
+  test("duplicate SET DEFAULT on one column in one transaction " +
+      "(reference set_default_duplicate_in_transaction.test)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE tbl (id INTEGER, a INTEGER)")
+    lake.transaction {
+      lake.setColumnDefault("tbl", "a", "99")
+      lake.setColumnDefault("tbl", "a", "9")
+    }
+    // the next single-alter txn must succeed (reference bug: each alter
+    // emitted a drop+add pair → duplicate live column rows → "Column
+    // with name a already exists" on the next access)
+    lake.transaction { lake.setColumnDefault("tbl", "a", "8") }
+    lake.sql("INSERT INTO tbl (id) VALUES (1)")
+    assert(lake.table("tbl").select("a").head().getInt(0) == 8)
+    // three SET DEFAULTs in one transaction
+    lake.transaction {
+      lake.setColumnDefault("tbl", "a", "1")
+      lake.setColumnDefault("tbl", "a", "2")
+      lake.setColumnDefault("tbl", "a", "3")
+    }
+    lake.sql("INSERT INTO tbl (id) VALUES (2)")
+    assert(lake.table("tbl").where(col("id") === 2)
+      .select("a").head().getInt(0) == 3)
+  }
+
+  test("multiple alters of one column in one transaction " +
+      "(reference multi_alter_same_column_transaction.test)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val lake = freshLake()
+    // Part 1: SET NOT NULL → DROP NOT NULL → SET DEFAULT → RENAME
+    lake.sql("CREATE TABLE t (id INTEGER, col1 INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.setNotNull("t", "col1")
+      lake.dropNotNull("t", "col1")
+      lake.setColumnDefault("t", "col1", "42")
+      lake.renameColumn("t", "col1", "col1_final")
+    }
+    assert(lake.currentSnapshotId() == before + 1) // ONE snapshot
+    lake.sql("INSERT INTO t VALUES (3, NULL)") // DROP NOT NULL won
+    lake.sql("INSERT INTO t (id) VALUES (4)")  // reads the new default
+    assert(lake.table("t").orderBy("id")
+      .select("id", "col1_final").collect().map(r =>
+        (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 20), (3, null), (4, 42)))
+    // Part 3: ADD + RENAME + DROP of the same column nets out
+    lake.sql("CREATE TABLE ard (id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO ard VALUES (1, 'a'), (2, 'b')")
+    lake.transaction {
+      lake.addColumn("ard", StructField("tmp_col", IntegerType))
+      lake.renameColumn("ard", "tmp_col", "renamed_col")
+      lake.dropColumn("ard", "renamed_col")
+    }
+    assert(lake.table("ard").columns.toSeq == Seq("id", "val"))
+    assert(lake.table("ard").count() == 2)
+    // Part 4: ADD two columns and RENAME both in one transaction
+    lake.sql("CREATE TABLE two (id INTEGER)")
+    lake.sql("INSERT INTO two VALUES (1), (2), (3)")
+    lake.transaction {
+      lake.addColumn("two", StructField("col_a",
+        org.apache.spark.sql.types.StringType))
+      lake.addColumn("two", StructField("col_b", IntegerType))
+      lake.renameColumn("two", "col_a", "col_a_renamed")
+      lake.renameColumn("two", "col_b", "col_b_renamed")
+    }
+    assert(lake.table("two").columns.toSeq ==
+      Seq("id", "col_a_renamed", "col_b_renamed"))
+    assert(lake.table("two").where(col("col_a_renamed").isNull).count() == 3)
+  }
 }
