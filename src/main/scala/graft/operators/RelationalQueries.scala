@@ -126,7 +126,10 @@ object RelationalQueries extends QueryPack {
       .join(dims, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      // one row per nation (bounded at ANY scale): single-task final sort
+      // instead of a global range exchange + sampling pass
+      .coalesce(1)
+      .sortWithinPartitions(col("revenue").desc, col("n_name"))
   }
 
   private val q5Sql =
@@ -213,7 +216,11 @@ object RelationalQueries extends QueryPack {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val n = spark.sessionState.conf.numShufflePartitions
+    // 2× the configured shuffle width: unlike the tiny-group hash
+    // aggregates (whose reduce side is a handful of rows), the window's
+    // per-task cost is the O(rows log rows) in-partition sort — doubling
+    // the partition count genuinely halves each task's sort at any scale
+    val n = 2 * spark.sessionState.conf.numShufflePartitions
     t.orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .repartitionByRange(n, col("o_custkey"))
