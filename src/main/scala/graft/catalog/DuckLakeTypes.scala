@@ -158,18 +158,21 @@ object DuckLakeTypes {
       }
     }
 
-  /** struct→struct is widening when every existing field keeps its name
-    * with a widening-compatible type, in order; NEW trailing fields may be
-    * appended (they read back NULL from old files — the schema-on-read
-    * analog of the reference's ADD FIELD, ducklake_table_entry.cpp:1148). */
+  /** struct→struct evolution (reference struct_evolution family,
+    * ducklake_table_entry.cpp ColumnChangeInfo): fields match by NAME —
+    * matched fields must widen (recursively), fields only in the target
+    * are ADDs (old files read them back NULL), fields only in the source
+    * are DROPs. Matched names keep their column_id
+    * (MetadataManager.syncStructChildren), so a dropped-then-re-added
+    * name gets a NEW id and never resurrects old data
+    * (struct_evolution_reuse.test). */
   private def structWidening(from: String, to: String): Boolean =
     (fromTypeString(from), fromTypeString(to)) match {
-      case (a: StructType, b: StructType) =>
-        a.fields.length <= b.fields.length &&
-          a.fields.zip(b.fields).forall { case (fa, fb) =>
-            fa.name == fb.name &&
-              isWidening(toTypeString(fa.dataType), toTypeString(fb.dataType))
-          }
+      case (_: StructType, _: StructType) =>
+        val a = structFieldStrings(from).toMap
+        structFieldStrings(to).forall { case (n, tb) =>
+          a.get(n).forall(ta => isWidening(ta, tb))
+        }
       case _ => false
     }
 

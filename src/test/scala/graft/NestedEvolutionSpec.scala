@@ -39,9 +39,61 @@ class NestedEvolutionSpec extends AnyFunSuite {
       lake.addField("n", "st", StructField("x", IntegerType)))
     intercept[IllegalArgumentException](
       lake.addField("n", "id", StructField("z", IntegerType)))
-    // struct narrowing (dropping a field via changeColumnType) rejected
+    // narrowing a field INSIDE the struct is rejected
     intercept[IllegalArgumentException](
-      lake.changeColumnType("n", "st",
-        StructType(Seq(StructField("x", IntegerType)))))
+      lake.changeColumnType("n", "st", StructType(Seq(
+        StructField("x", ByteType), StructField("y", StringType)))))
+  }
+
+  test("SET DATA TYPE STRUCT evolves by field-name diff " +
+      "(reference struct_evolution / struct_evolution_reuse)") {
+    val dir = Files.createTempDirectory("graftse").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    def insert(rows: Row*): Unit = {
+      val schema = lake.schemaOf("t")
+      lake.append("t", spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row(_)), 1), schema))
+    }
+    def all(): Seq[Row] =
+      lake.table("t").select("col1.*").collect().toSeq
+    lake.createTable("t", StructType(Seq(StructField("col1",
+      StructType(Seq(StructField("i", IntegerType),
+        StructField("j", IntegerType)))))))
+    insert(Row(1, 2))
+    // add k TINYINT: old rows read NULL
+    lake.changeColumnType("t", "col1", StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("k", ByteType))))
+    insert(Row(10, 20, 3.toByte), Row(11, 21, 10.toByte))
+    // promote k to INT (matched name widens, id preserved)
+    lake.changeColumnType("t", "col1", StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("k", IntegerType))))
+    insert(Row(100, 200, 1000))
+    assert(all().map(r => (r.get(0), r.get(1), r.get(2))).toSet == Set(
+      (1, 2, null), (10, 20, 3), (11, 21, 10), (100, 200, 1000)))
+    // drop i: old files read j,k only
+    lake.changeColumnType("t", "col1", StructType(Seq(
+      StructField("j", IntegerType), StructField("k", IntegerType))))
+    insert(Row(150, 1000))
+    assert(all().map(r => (r.get(0), r.get(1))).toSet == Set(
+      (2, null), (20, 3), (21, 10), (200, 1000), (150, 1000)))
+    // drop j too: only k remains
+    lake.changeColumnType("t", "col1", StructType(Seq(
+      StructField("k", IntegerType))))
+    insert(Row(10000))
+    assert(all().map(_.get(0)).toSet == Set(null, 3, 10, 1000, 10000))
+    // re-adding a dropped NAME mints a new field id: old data never
+    // resurrects (struct_evolution_reuse.test)
+    lake.changeColumnType("t", "col1", StructType(Seq(
+      StructField("k", IntegerType), StructField("i", IntegerType))))
+    val iVals = lake.table("t").select("col1.i").collect()
+      .map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    assert(iVals.count(_ == null) == 6) // every pre-re-add row reads NULL
+    // narrowing a matched field still errors
+    intercept[IllegalArgumentException](
+      lake.changeColumnType("t", "col1", StructType(Seq(
+        StructField("k", ByteType), StructField("i", IntegerType)))))
+    lake.detach()
   }
 }
