@@ -3772,18 +3772,15 @@ object Lake {
     * ducklake_secret.cpp attach-by-secret). */
   def attach(spark: SparkSession, secretRef: String): Lake = {
     if (!secretRef.startsWith("ducklake:")) {
-      // ATTACH without DATA_PATH (reference data_path_tag.test: an
-      // existing lake re-attaches with the data path stored in its own
-      // ducklake_metadata) — the catalog must already exist
-      require(secretRef.startsWith("jdbc:") ||
-        secretRef.startsWith("http") ||
-        new java.io.File(secretRef).exists(),
-        s"cannot attach without DATA_PATH: catalog $secretRef does not " +
-          "exist (pass a data path to create a new lake)")
-      val url =
-        if (secretRef.startsWith("jdbc:") || secretRef.startsWith("http"))
-          secretRef
-        else MetadataManager.derbyUrl(secretRef)
+      // ATTACH without DATA_PATH: an existing lake re-attaches with the
+      // data path stored in its own ducklake_metadata (data_path_tag
+      // .test); a NEW filesystem catalog defaults its data to
+      // `<catalog>.files` beside it (general/default_path.test)
+      val isUrl = secretRef.startsWith("jdbc:") ||
+        secretRef.startsWith("http")
+      if (!isUrl && !new java.io.File(secretRef).exists())
+        return attach(spark, secretRef, s"$secretRef.files")
+      val url = if (isUrl) secretRef else MetadataManager.derbyUrl(secretRef)
       val probe = new MetadataManager(url, None)
       val stored = probe.dataPath
       return attach(spark, secretRef, stored)
@@ -3819,6 +3816,7 @@ object Lake {
   def attach(spark: SparkSession, catalogDir: String,
       dataPath: String): Lake =
     attach(spark, catalogDir, dataPath, metadataSchema = None)
+
 
   /** `metadataSchema` mirrors the reference's METADATA_SCHEMA attach
     * option (transaction_schema.test): several lakes share ONE metadata

@@ -23,9 +23,11 @@ class AttachModesSpec extends AnyFunSuite {
     assert(re.table("t").count() == 2)
     re.append("t", Seq((3, "c")).toDF("id", "v"))
     assert(re.table("t").count() == 3)
-    // a nonexistent catalog without a data path cannot create a lake
-    intercept[IllegalArgumentException](
-      Lake.attach(spark, s"$dir/nosuch"))
+    // a nonexistent filesystem catalog without a data path CREATES a
+    // fresh lake with the default <catalog>.files data dir (reference
+    // general/default_path.test — covered in depth below)
+    val fresh = Lake.attach(spark, s"$dir/nosuch")
+    assert(fresh.meta.dataPath.replace('\\', '/').endsWith("nosuch.files"))
   }
 
   test("read-only attach rejects every write, allows reads") {
@@ -186,5 +188,24 @@ class AttachModesSpec extends AnyFunSuite {
         readOnly = false, snapshotVersion = Some(33L))
     }
     assert(miss.getMessage.contains("No snapshot found at version 33"))
+  }
+
+  test("attach without DATA_PATH defaults to <catalog>.files beside it " +
+      "(reference general/default_path.test)") {
+    val dir = Files.createTempDirectory("graftdefp").toString
+    val lake = Lake.attach(spark, s"$dir/cat")
+    lake.createTableAs("test", Seq((1, 2), (3, 4)).toDF("i", "j"))
+    assert(lake.table("test").count() == 2)
+    // files landed under the default data dir, per-table subdirs
+    val files = new java.io.File(s"$dir/cat.files/test")
+      .listFiles((_, n) => n.endsWith(".parquet"))
+    assert(files != null && files.nonEmpty)
+    // re-attach with only the catalog path reads the same data
+    val again = Lake.attach(spark, s"$dir/cat")
+    assert(again.table("test").count() == 2)
+    // a fresh JDBC catalog has no stored data_path and no filesystem
+    // neighbor to default to — attach without DATA_PATH fails
+    intercept[Exception](
+      Lake.attach(spark, "jdbc:derby:memory:defp_missing;create=true"))
   }
 }
