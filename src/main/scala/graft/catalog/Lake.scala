@@ -3232,10 +3232,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         "(foreign files are plaintext)") // parity: reference rejects too
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+    // columnsAt: works for txn-created tables (provisional schema) and
+    // sees buffered alters (add_files_transaction_local.test)
+    val cols = columnsAt(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
     val byName = cols.map(c => c.name -> c).toMap
-    val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+    val spec =
+      if (t.tableId < 0) None
+      else meta.currentPartitionSpec(t.tableId, snap.snapshotId)
     val pending = parquetPaths.map { p =>
       val fileSchema = spark.read.parquet(p).schema
       val resolved: Seq[(String, ColumnInfo)] =
@@ -3260,6 +3264,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
       val mappingId =
         if (identity) None
+        else if (t.tableId < 0) throw new IllegalArgumentException(
+          "add_data_files into a table created in the same transaction " +
+            "requires files matching the table schema exactly " +
+            "(column ids for a name mapping are not allocated yet)")
         else Some(meta.createNameMapping(t.tableId,
           resolved.map { case (sn, ci) => (sn, ci.columnId) }))
       // hive-style partition inference from the source path
@@ -3282,8 +3290,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap)
         .copy(mappingId = mappingId, partitionValues = partVals)
     }
-    meta.appendFiles(t.tableId, pending,
-      spec.filter(_ => hivePartitions).map(_.partitionId))
+    txn match {
+      case Some(st) => // buffer with the txn's appends: visible to the
+        // txn's own reads, ONE commit snapshot, rollback removes the
+        // copied files (add_files_transaction_local / add_rollback)
+        st.appends += ((t.tableId, name,
+          spec.filter(_ => hivePartitions).map(_.partitionId), pending))
+        snap
+      case None =>
+        meta.appendFiles(t.tableId, pending,
+          spec.filter(_ => hivePartitions).map(_.partitionId))
+    }
   }
 
   /** Equality conjuncts on partitioned columns → (key_index, transformed

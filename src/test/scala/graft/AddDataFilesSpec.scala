@@ -81,4 +81,43 @@ class AddDataFilesSpec extends AnyFunSuite {
     assert(lake.table("h").count() == 2)
     assert(lake.table("h", Some(col("region") === "eu")).count() == 1)
   }
+
+  test("add_data_files inside a transaction " +
+      "(reference add_files_transaction_local / add_rollback)") {
+    val (lake, dir) = freshLake()
+    def writeForeign(sub: String, rows: (Long, String)*): String = {
+      rows.toSeq.toDF("col1", "col2").coalesce(1)
+        .write.parquet(s"$dir/$sub")
+      Files.walk(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    }
+    val f1 = writeForeign("for1", (1L, "hello world"))
+    // CREATE TABLE + add_data_files in ONE transaction: read-your-writes,
+    // one commit snapshot
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.createTable("test", Seq((0L, "x")).toDF("col1", "col2").schema)
+      lake.addDataFiles("test", Seq(f1))
+      assert(lake.table("test").head().getString(1) == "hello world")
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("test").head().getString(1) == "hello world")
+    // rollback removes the copied file from the table dir
+    val f2 = writeForeign("for2", (2L, "bye"))
+    lake.begin()
+    lake.addDataFiles("test", Seq(f2))
+    assert(lake.table("test").count() == 2)
+    lake.rollback()
+    assert(lake.table("test").count() == 1)
+    assert(lake.deleteOrphanedFiles("test", dryRun = true).isEmpty)
+    // txn-created table + mismatched schema needs a mapping → clear error
+    val f3 = writeForeign("for3", (3L, "z"))
+    lake.begin()
+    lake.createTable("other",
+      Seq((0L, "x", 0.0)).toDF("col1", "col2", "col3").schema)
+    val e = intercept[IllegalArgumentException](
+      lake.addDataFiles("other", Seq(f3), allowMissing = true))
+    assert(e.getMessage.contains("matching the table schema exactly"))
+    lake.rollback()
+  }
 }
