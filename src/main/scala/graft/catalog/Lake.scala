@@ -732,19 +732,57 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val tbl = m.group(1)
       val raw = m.group(3)
       val df = m.group(2).toUpperCase(java.util.Locale.ROOT) match {
-        case "VERSION" => tableAtVersion(tbl, raw.toLong)
+        case "VERSION" => tableOrViewAtVersion(tbl, raw.toLong)
         case _ =>
           val ms =
             if (raw.startsWith("'"))
               java.sql.Timestamp
                 .valueOf(raw.stripPrefix("'").stripSuffix("'")).getTime
             else raw.toLong
-          tableAtTime(tbl, ms)
+          val snap = meta.snapshotAtTime(ms).getOrElse(
+            throw new IllegalArgumentException(s"no snapshot at time $ms"))
+          tableOrViewAtVersion(tbl, snap.snapshotId)
       }
       val vn = s"${tbl.replace('.', '_')}__at__${raw.replaceAll("\\W", "")}"
       df.createOrReplaceTempView(vn)
       java.util.regex.Matcher.quoteReplacement(vn)
     })
+
+  /** Table OR view resolved AT a snapshot version — time travel
+    * propagates through a view to its base relations, and a view that
+    * did not exist yet errors like the reference
+    * (time_travel/time_travel_views.test). */
+  def tableOrViewAtVersion(name: String, version: Long): DataFrame = {
+    val (s, t) = splitName(name)
+    val snap = meta.snapshotByVersion(version).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $version"))
+    if (meta.tableByName(t, snap.snapshotId, s).isDefined)
+      return tableAtVersion(name, version)
+    meta.viewByName(t, snap.snapshotId, s) match {
+      case None => throw new IllegalArgumentException(
+        s"$name does not exist at version $version")
+      case Some(viewSql) =>
+        // pin every base table of the view's schema (and main) at the
+        // same snapshot, then resolve nested views to fixpoint
+        val schemas = Set("main", s).toSeq
+        schemas.foreach(sc => meta.listTables(snap.snapshotId, sc)
+          .foreach { bt =>
+            val qn = if (sc == "main") bt.name else s"$sc.${bt.name}"
+            tableAtVersion(qn, version).createOrReplaceTempView(bt.name)
+          })
+        var pending = schemas.flatMap(sc =>
+          meta.listViews(snap.snapshotId, sc)).filterNot(_._1 == t)
+        var pass = 0
+        while (pending.nonEmpty && pass < 3) {
+          pending = pending.filterNot { case (vn2, sql2) =>
+            scala.util.Try(
+              spark.sql(sql2).createOrReplaceTempView(vn2)).isSuccess
+          }
+          pass += 1
+        }
+        spark.sql(viewSql)
+    }
+  }
 
   /** CREATE MACRO name(params) AS body (reference ducklake_macro tables);
     * expansion is textual parameter substitution at call sites. */

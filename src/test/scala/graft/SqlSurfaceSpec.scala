@@ -172,6 +172,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(gone == Seq(2L))
   }
 
+  test("views time-travel through to their base tables " +
+      "(reference time_travel_views.test)") {
+    val dir = Files.createTempDirectory("graftsqlvtt").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.sql("CREATE TABLE test (i INTEGER, j INTEGER)")
+    val vNoView = lake.currentSnapshotId()
+    lake.createView("v1",
+      "SELECT i * 100 AS i, j * 100 AS j FROM test ORDER BY i, j")
+    val vEmpty = lake.currentSnapshotId()
+    lake.sql("INSERT INTO test VALUES (1, 2), (2, 3)")
+    val vTwo = lake.currentSnapshotId()
+    lake.sql("INSERT INTO test VALUES (3, 4), (5, 6)")
+    assert(lake.sql("SELECT COUNT(*) AS n FROM v1").head().getLong(0) == 4)
+    // the view did not exist yet → clean error
+    val e = intercept[IllegalArgumentException](
+      lake.sql(s"SELECT * FROM v1 AT (VERSION => $vNoView)").collect())
+    assert(e.getMessage.contains(s"does not exist at version $vNoView"))
+    // at creation time: view exists, base table empty
+    assert(lake.sql(s"SELECT COUNT(*) AS n FROM v1 AT (VERSION => $vEmpty)")
+      .head().getLong(0) == 0)
+    // after the first insert: the view sees two rows ×100
+    assert(lake.sql(
+      s"SELECT i, j FROM v1 AT (VERSION => $vTwo) ORDER BY i")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((100, 200), (200, 300)))
+  }
+
   test("metadata table functions in FROM position") {
     val dir = Files.createTempDirectory("graftsqlfn").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")

@@ -307,6 +307,17 @@ class TransactionSpec extends AnyFunSuite {
       lake.dropTable("tmp")
     }
     intercept[IllegalArgumentException](lake.table("tmp"))
+    // CREATE + DELETE + DROP of one table in a txn leaves no files behind
+    // (reference cleanup/drop_table_cleans_delete_files.test)
+    lake.transaction {
+      lake.createTableAs("gone", (1L to 1000L).toDF("id").coalesce(1))
+      lake.delete("gone", col("id") % 2 === 0)
+      lake.dropTable("gone")
+    }
+    val goneDir = new java.io.File(s"${lake.dataPath}/gone")
+    val leftovers = Option(goneDir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    assert(leftovers.isEmpty, s"leftover files: ${leftovers.toSeq}")
   }
 
   test("CREATE SCHEMA inside a transaction; same-name schema conflicts " +
