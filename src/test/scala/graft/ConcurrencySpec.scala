@@ -34,6 +34,40 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent delete"))
   }
 
+  test("disjoint-file deletes from many concurrent writers all commit " +
+      "(reference concurrent/file_level_conflict.test)") {
+    val dir = Files.createTempDirectory("graftflc").toString
+    val a = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    a.createTable("tbl", StructType(Seq(
+      StructField("key", IntegerType), StructField("grouping", IntegerType))))
+    a.setPartitionedBy("tbl", Seq(("grouping", "identity")))
+    a.append("tbl", (0 until 1000).map(i => (i, i % 20))
+      .toDF("key", "grouping").coalesce(1))
+    a.setOption("max_retry_count", "100")
+    // 20 writers, each deleting ONE key → each touches a different
+    // partition file; file-level conflict detection must let all commit
+    def runAll(range: Range, cond: Int => org.apache.spark.sql.Column): Unit = {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = range.map { i =>
+        new Thread(() => {
+          try {
+            val l = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+            l.delete("tbl", cond(i)): Unit
+          } catch { case t: Throwable => errs.add(t): Unit }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"unexpected conflicts: ${errs.peek()}")
+    }
+    runAll(0 until 20, i => col("key") === i)
+    assert(a.table("tbl").count() == 980)
+    assert(a.table("tbl").agg(sum(col("key"))).head().getLong(0) == 499310L)
+    // two files per transaction, still disjoint across writers
+    runAll(20 until 30, i => col("key") === i || col("key") === i + 10)
+    assert(a.table("tbl").count() == 960)
+    assert(a.table("tbl").agg(sum(col("key"))).head().getLong(0) == 498720L)
+  }
+
   test("delete-vs-compaction conflicts") {
     val lake = freshLake()
     lake.createTable("t", StructType(Seq(StructField("id", LongType))))
