@@ -3160,6 +3160,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   def currentSnapshotId(): Long = meta.currentSnapshot().snapshotId
 
+  /** Whether this handle has an open multi-statement transaction. */
+  def inTransaction: Boolean = txn.isDefined
+
   /** ducklake_last_committed_snapshot: with the single-transaction commit
     * pipeline this equals the current snapshot (an open buffered
     * transaction has not touched the catalog yet). */

@@ -80,6 +80,7 @@ private[catalog] object LakeSql {
     """(?is)^(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$""".r
   private val Commit = """(?is)^COMMIT\s*$""".r
   private val Rollback = """(?is)^(?:ROLLBACK|ABORT)\s*$""".r
+  private val Checkpoint = """(?is)^(?:FORCE\s+)?CHECKPOINT\s*$""".r
   private val Merge =
     """(?is)^MERGE\s+INTO\s+([\w$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+)$""".r
   private val CreateMacro =
@@ -327,6 +328,17 @@ private[catalog] object LakeSql {
           .values.map(_._1).toSeq.sorted.toDF("name")
       }
 
+      // bare CHECKPOINT runs the maintenance pipeline on every table,
+      // skipping views (reference view_checkpoint.test); inside an open
+      // transaction it is a no-op like the reference's wal-checkpoint
+      // (checkpoint_updates_interleaved.test — the txn's own state is
+      // untouched and commits normally)
+      case Checkpoint() => Some {
+        if (!lake.inTransaction)
+          lake.meta.listTables(lake.currentSnapshotId())
+            .foreach(t => lake.checkpoint(t.name))
+        count(0L)
+      }
       case Begin() => Some { lake.begin(); count(0L) }
       case Commit() => Some { lake.commit(); count(0L) }
       case Rollback() => Some { lake.rollback(); count(0L) }

@@ -277,6 +277,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       lake.sql("CALL merge_adjacent_files(max_compacted_files => 2)"))
     assert(e.getMessage.contains("requires a table argument"))
     assert(lake.table("t").count() == 6)
+    // bare CHECKPOINT sweeps every table and skips views (reference
+    // view_checkpoint.test); inside a txn it is a no-op and the txn's
+    // buffered inserts still commit (checkpoint_updates_interleaved.test)
+    lake.sql("CREATE VIEW tv AS SELECT id FROM t")
+    lake.sql("CHECKPOINT")
+    assert(lake.table("t").count() == 6)
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO t VALUES (7, 'g')")
+    lake.sql("CHECKPOINT")
+    lake.sql("INSERT INTO t VALUES (8, 'h')")
+    lake.sql("COMMIT")
+    assert(lake.table("t").count() == 8)
+    assert(lake.sql("SELECT COUNT(*) AS n FROM tv").head().getLong(0) == 8)
   }
 
   test("MERGE INTO statement (update + insert)") {
