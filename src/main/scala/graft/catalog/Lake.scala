@@ -493,16 +493,41 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   /** COMMENT ON COLUMN t.c — nested fields by dotted path (the column_id
     * model gives every nested leaf its own id, so comments survive
-    * renames the same way reads do). */
+    * renames the same way reads do). When the owner is a VIEW, the
+    * comment keys by output-column name in ducklake_view_column_tag
+    * (format v1.1, reference comments family). */
   def commentOnColumn(table: String, column: String,
-      comment: String): Unit = {
-    val (t, ci) = resolveColumn(table, column)
-    meta.setColumnTag(t.tableId, ci.columnId, "comment", comment)
-  }
+      comment: String): Unit =
+    viewColumnOwner(table, column) match {
+      case Some((vid, cn)) => meta.setViewColumnTag(vid, cn, "comment",
+        comment)
+      case None =>
+        val (t, ci) = resolveColumn(table, column)
+        meta.setColumnTag(t.tableId, ci.columnId, "comment", comment)
+    }
 
-  def columnComment(table: String, column: String): Option[String] = {
-    val (t, ci) = resolveColumn(table, column)
-    meta.getColumnTag(t.tableId, ci.columnId, "comment")
+  def columnComment(table: String, column: String): Option[String] =
+    viewColumnOwner(table, column) match {
+      case Some((vid, cn)) => meta.getViewColumnTag(vid, cn, "comment")
+      case None =>
+        val (t, ci) = resolveColumn(table, column)
+        meta.getColumnTag(t.tableId, ci.columnId, "comment")
+    }
+
+  /** When `name` is a VIEW (and not a table), its view_id + the column
+    * name, validated against the view's resolved output schema. */
+  private def viewColumnOwner(name: String,
+      column: String): Option[(Long, String)] = {
+    val snap = meta.currentSnapshot()
+    val (s, t) = splitName(name)
+    if (meta.tableByName(t, snap.snapshotId, s).isDefined) return None
+    meta.viewIdByName(t, snap.snapshotId, s).map { vid =>
+      val out = view(name).schema.fieldNames
+      val cn = out.find(_.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"view $name has no column $column"))
+      (vid, cn)
+    }
   }
 
   private def resolveColumn(table: String,
@@ -1633,9 +1658,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         stats ++ nestedGeoStats,
         partitionValues = partVals.toSeq, variantStats = varStats)
     }.tapEach(_ => ()).toSeq match {
-      case done =>
+      case done0 =>
         // remove staging leftovers (_SUCCESS etc.)
         io.deleteRecursively(stagingRel)
+        // format v1.1 row_group_count: one tiny distributed footer pass
+        // over one-row-per-file (never a driver parquet read); encrypted
+        // footers stay NULL — the column is nullable metadata
+        val done =
+          if (done0.isEmpty || cryptoOpts.nonEmpty) done0
+          else {
+            val ioRef = io
+            val rels = done0.map(_.path)
+            val counts = spark.sparkContext
+              .parallelize(rels, math.min(rels.size, 32))
+              .map(r => r -> ioRef.rowGroupCount(r)).collect().toMap
+            done0.map(f => f.copy(rowGroupCount = counts.get(f.path)))
+          }
         done
     }
   }

@@ -50,6 +50,16 @@ final class LakeIO(val root: String) extends Serializable {
 
   def mkdirs(rel: String): Unit = { fs.mkdirs(new Path(rootPath, rel)): Unit }
 
+  /** Parquet row-group count from the file footer alone (format v1.1
+    * `row_group_count` catalog column; reference row_group_count.test).
+    * Callable on executors — only the root string travels. */
+  def rowGroupCount(rel: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p(rel), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.size.toLong finally r.close()
+  }
+
   def mkdirsRoot(): Unit = { fs.mkdirs(rootPath): Unit }
 
   def exists(rel: String): Boolean = fs.exists(new Path(rootPath, rel))

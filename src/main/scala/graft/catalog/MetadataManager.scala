@@ -229,7 +229,7 @@ class MetadataManager(val jdbcUrl: String,
       |  path VARCHAR(4096), path_is_relative BOOLEAN,
       |  file_format VARCHAR(32), delete_count BIGINT,
       |  file_size_bytes BIGINT, footer_size BIGINT,
-      |  encryption_key VARCHAR(256))""",
+      |  encryption_key VARCHAR(256), row_group_count BIGINT)""",
     """CREATE TABLE ducklake_column (
       |  column_id BIGINT NOT NULL, begin_snapshot BIGINT,
       |  end_snapshot BIGINT, table_id BIGINT, column_order BIGINT,
@@ -286,7 +286,7 @@ class MetadataManager(val jdbcUrl: String,
       |  expression VARCHAR(4096), dialect VARCHAR(64),
       |  sort_order VARCHAR(16), null_order VARCHAR(16))""",
     """CREATE TABLE ducklake_view_column_tag (
-      |  view_id BIGINT, column_id BIGINT, begin_snapshot BIGINT,
+      |  view_id BIGINT, column_name VARCHAR(256), begin_snapshot BIGINT,
       |  end_snapshot BIGINT, tag_key VARCHAR(256), tag_value VARCHAR(4096))"""
   ).map(_.stripMargin)
 
@@ -377,6 +377,18 @@ class MetadataManager(val jdbcUrl: String,
       if (!columnExists(c, t, "EXTRA_STATS"))
         Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
           s"ALTER TABLE ${t.toLowerCase} ADD COLUMN extra_stats VARCHAR(2048)"))))
+    // 1.0 → 1.1-dev1 (reference MigrateV10): per-file row-group counts on
+    // both file tables + view column tags
+    for (t <- Seq("DUCKLAKE_DATA_FILE", "DUCKLAKE_DELETE_FILE"))
+      if (!columnExists(c, t, "ROW_GROUP_COUNT"))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+          s"ALTER TABLE ${t.toLowerCase} ADD COLUMN row_group_count BIGINT"))))
+    if (!tableExists(c, "DUCKLAKE_VIEW_COLUMN_TAG"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        """CREATE TABLE ducklake_view_column_tag (
+          |  view_id BIGINT, column_name VARCHAR(256),
+          |  begin_snapshot BIGINT, end_snapshot BIGINT,
+          |  tag_key VARCHAR(256), tag_value VARCHAR(4096))""".stripMargin))))
     // pre-0.4 catalogs recorded NO flag for compaction/flush-written files
     // that embed materialized rowid columns — mark the catalog for a
     // one-time footer-informed backfill (performed by Lake.attach, which
@@ -908,7 +920,7 @@ class MetadataManager(val jdbcUrl: String,
         Long.box(order.toLong), f.path, Long.box(f.recordCount),
         Long.box(f.fileSizeBytes), Long.box(rowIdStart),
         partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull,
-        Boolean.box(f.hasRowIds))
+        f.rowGroupCount.map(Long.box).orNull, Boolean.box(f.hasRowIds))
       f.columnStats.foreach(st =>
         statRows += colStatsArgs(fid, tableId, f.recordCount, st))
       f.variantStats.foreach { st =>
@@ -933,8 +945,9 @@ class MetadataManager(val jdbcUrl: String,
       """INSERT INTO ducklake_data_file (data_file_id, table_id,
         |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
         |file_format, record_count, file_size_bytes, footer_size,
-        |row_id_start, partition_id, mapping_id, has_row_ids)
-        |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?)""".stripMargin,
+        |row_id_start, partition_id, mapping_id, row_group_count,
+        |has_row_ids)
+        |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?, ?)""".stripMargin,
       fileRows.toSeq)
     execBatch(c, ColStatsSql, statRows.toSeq)
     execBatch(c,
@@ -2904,6 +2917,29 @@ class MetadataManager(val jdbcUrl: String,
       Long.box(tableId), Long.box(columnId), key)(_.getString(1)).headOption
   }
 
+  /** View column tags (format v1.1 ducklake_view_column_tag): views have
+    * no column ids, so tags key by OUTPUT COLUMN NAME — reference
+    * MigrateV10 table shape. */
+  def setViewColumnTag(viewId: Long, column: String, key: String,
+      value: String): Unit = withConn { c =>
+    val snap = currentSnapshot(c).snapshotId
+    exec(c,
+      "UPDATE ducklake_view_column_tag SET end_snapshot = ? WHERE view_id = ? AND column_name = ? AND tag_key = ? AND end_snapshot IS NULL",
+      Long.box(snap), Long.box(viewId), column, key)
+    if (value != null) exec(c,
+      """INSERT INTO ducklake_view_column_tag (view_id, column_name,
+        |begin_snapshot, end_snapshot, tag_key, tag_value)
+        |VALUES (?, ?, ?, NULL, ?, ?)""".stripMargin,
+      Long.box(viewId), column, Long.box(snap), key, value)
+  }
+
+  def getViewColumnTag(viewId: Long, column: String,
+      key: String): Option[String] = withConn { c =>
+    query(c,
+      "SELECT tag_value FROM ducklake_view_column_tag WHERE view_id = ? AND column_name = ? AND tag_key = ? AND end_snapshot IS NULL",
+      Long.box(viewId), column, key)(_.getString(1)).headOption
+  }
+
   def viewIdByName(name: String, snapshotId: Long,
       schema: String = "main"): Option[Long] = withConn { c =>
     query(c,
@@ -2923,9 +2959,14 @@ class MetadataManager(val jdbcUrl: String,
 }
 
 object MetadataManager {
-  /** current metadata format version (bumped by in-place migrations:
-    * 0.3 = round-2/3 catalogs; 0.4 adds has_row_ids + variant stats) */
-  val FormatVersion = "0.5"
+  /** Current metadata format version — the reference's own version label
+    * (ducklake_version.cpp: 0.3 → 0.4 → 1.0 → 1.1-dev1), so a reference
+    * reader attaching this catalog recognizes it. v1.1 brings
+    * row_group_count on both file tables, ducklake_view_column_tag, and
+    * extra_stats; in-place migrations upgrade catalogs labeled
+    * 0.3/0.4/1.0 (reference writers) and 0.5 (this repo's earlier
+    * rounds, schema-equivalent to 1.0+extra_stats). */
+  val FormatVersion = "1.1-dev1"
 
   /** Embedded-Derby URL for a catalog directory. */
   def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"

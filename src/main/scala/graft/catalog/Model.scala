@@ -102,7 +102,8 @@ final case class PendingDataFile(
     partitionValues: Seq[(Long, String)] = Nil,
     mappingId: Option[Long] = None,
     hasRowIds: Boolean = false,
-    variantStats: Seq[VariantPathStats] = Nil)
+    variantStats: Seq[VariantPathStats] = Nil,
+    rowGroupCount: Option[Long] = None)
 
 /** A column change buffered inside an open transaction, applied in
   * statement order by the single commit (reference

@@ -53,6 +53,25 @@ class CommentsSpec extends AnyFunSuite {
     assert(lake.comment("vw").isEmpty)
   }
 
+  test("view COLUMN comments key by output name " +
+      "(format v1.1 ducklake_view_column_tag)") {
+    val lake = freshLake()
+    lake.createTableAs("base", Seq((1, "a")).toDF("id", "v"))
+    lake.createView("vw", "SELECT id AS key, v FROM base")
+    lake.commentOnColumn("vw", "key", "the key")
+    assert(lake.columnComment("vw", "key").contains("the key"))
+    assert(lake.columnComment("vw", "v").isEmpty)
+    // unknown output column errors
+    intercept[IllegalArgumentException](
+      lake.commentOnColumn("vw", "nope", "x"))
+    // comments survive ALTER VIEW RENAME (same view_id)
+    lake.renameView("vw", "vw2")
+    assert(lake.columnComment("vw2", "key").contains("the key"))
+    // NULL clears
+    lake.commentOnColumn("vw2", "key", null)
+    assert(lake.columnComment("vw2", "key").isEmpty)
+  }
+
   test("nested-field comments by dotted path") {
     val lake = freshLake()
     lake.sql("CREATE TABLE n (id BIGINT, info STRUCT(g BIGINT, h STRING))")

@@ -46,4 +46,33 @@ class WriteSizingSpec extends AnyFunSuite {
     // rowids still unique after the background merge
     assert(lake.tableWithRowId("t").select("rowid").distinct().count() == 10)
   }
+
+  test("row_group_count lands in the catalog and tracks the writer's " +
+      "row-group sizing (format v1.1; reference row_group_count.test)") {
+    val dir = Files.createTempDirectory("graftrgc").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("t",
+      (1L to 5000L).map(i => (i, s"payload_$i")).toDF("id", "s").coalesce(1))
+    def counts(): Seq[Long] = {
+      val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT row_group_count FROM ducklake_data_file " +
+            "WHERE end_snapshot IS NULL")
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (rs.next()) out += rs.getLong(1)
+        out.toSeq
+      } finally c.close()
+    }
+    // default sizing: one row group per file
+    assert(counts() == Seq(1L))
+    // tiny row groups → several per file, counted from the footer
+    lake.setOption("parquet_row_group_size_bytes", "16384")
+    lake.append("t",
+      (5001L to 10000L).map(i => (i, s"payload_$i")).toDF("id", "s")
+        .coalesce(1))
+    val after = counts()
+    assert(after.size == 2 && after.max > 1,
+      s"row_group_count not populated from footers: $after")
+  }
 }
