@@ -210,7 +210,7 @@ class MetadataManager(val jdbcUrl: String,
       |  file_format VARCHAR(32), record_count BIGINT,
       |  file_size_bytes BIGINT, footer_size BIGINT, row_id_start BIGINT,
       |  partition_id BIGINT, encryption_key VARCHAR(256),
-      |  partial_max_file_size_bytes BIGINT, mapping_id BIGINT,
+      |  partial_max BIGINT, mapping_id BIGINT,
       |  row_group_count BIGINT, has_row_ids BOOLEAN DEFAULT false)""",
     """CREATE TABLE ducklake_file_column_stats (
       |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
@@ -229,7 +229,8 @@ class MetadataManager(val jdbcUrl: String,
       |  path VARCHAR(4096), path_is_relative BOOLEAN,
       |  file_format VARCHAR(32), delete_count BIGINT,
       |  file_size_bytes BIGINT, footer_size BIGINT,
-      |  encryption_key VARCHAR(256), row_group_count BIGINT)""",
+      |  encryption_key VARCHAR(256), partial_max BIGINT,
+      |  row_group_count BIGINT)""",
     """CREATE TABLE ducklake_column (
       |  column_id BIGINT NOT NULL, begin_snapshot BIGINT,
       |  end_snapshot BIGINT, table_id BIGINT, column_order BIGINT,
@@ -377,6 +378,11 @@ class MetadataManager(val jdbcUrl: String,
       if (!columnExists(c, t, "EXTRA_STATS"))
         Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
           s"ALTER TABLE ${t.toLowerCase} ADD COLUMN extra_stats VARCHAR(2048)"))))
+    // 0.3 → 0.4 (reference): partial_max on both file tables
+    for (t <- Seq("DUCKLAKE_DATA_FILE", "DUCKLAKE_DELETE_FILE"))
+      if (!columnExists(c, t, "PARTIAL_MAX"))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+          s"ALTER TABLE ${t.toLowerCase} ADD COLUMN partial_max BIGINT"))))
     // 1.0 → 1.1-dev1 (reference MigrateV10): per-file row-group counts on
     // both file tables + view column tags
     for (t <- Seq("DUCKLAKE_DATA_FILE", "DUCKLAKE_DELETE_FILE"))
