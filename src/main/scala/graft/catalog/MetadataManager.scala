@@ -267,7 +267,7 @@ class MetadataManager(val jdbcUrl: String,
       |  source_name VARCHAR(256), target_field_id BIGINT, parent_column BIGINT,
       |  is_partition BOOLEAN)""",
     """CREATE TABLE ducklake_schema_versions (
-      |  begin_snapshot BIGINT, schema_version BIGINT)""",
+      |  begin_snapshot BIGINT, schema_version BIGINT, table_id BIGINT)""",
     """CREATE TABLE ducklake_macro (
       |  macro_id BIGINT NOT NULL, schema_id BIGINT, macro_name VARCHAR(256),
       |  begin_snapshot BIGINT, end_snapshot BIGINT, is_table_macro BOOLEAN)""",
@@ -383,6 +383,11 @@ class MetadataManager(val jdbcUrl: String,
       if (!columnExists(c, t, "PARTIAL_MAX"))
         Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
           s"ALTER TABLE ${t.toLowerCase} ADD COLUMN partial_max BIGINT"))))
+    // 0.4+ per-table schema-version rows (reference migration adds
+    // table_id to ducklake_schema_versions)
+    if (!columnExists(c, "DUCKLAKE_SCHEMA_VERSIONS", "TABLE_ID"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        "ALTER TABLE ducklake_schema_versions ADD COLUMN table_id BIGINT"))))
     // 1.0 → 1.1-dev1 (reference MigrateV10): per-file row-group counts on
     // both file tables + view column tags
     for (t <- Seq("DUCKLAKE_DATA_FILE", "DUCKLAKE_DELETE_FILE"))
@@ -601,7 +606,18 @@ class MetadataManager(val jdbcUrl: String,
           changes0.author.orNull, changes0.commitMessage.orNull,
           changes0.extraInfo.orNull)
         if (schemaChange) {
-          exec(c,
+          // per-table rows when the changed tables are known (reference
+          // 0.4+ per-table schema-version tracking); a global row (NULL
+          // table_id) otherwise — the reference migration kept exactly
+          // this dual shape
+          val changedIds = changes0.alteredTables.distinct
+          if (changedIds.nonEmpty) changedIds.foreach { tid =>
+            exec(c,
+              "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version, table_id) VALUES (?, ?, ?)",
+              Long.box(newSnap.snapshotId),
+              Long.box(newSnap.schemaVersion), Long.box(tid))
+          }
+          else exec(c,
             "INSERT INTO ducklake_schema_versions (begin_snapshot, schema_version) VALUES (?, ?)",
             Long.box(newSnap.snapshotId),
             Long.box(newSnap.schemaVersion))
