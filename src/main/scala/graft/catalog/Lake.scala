@@ -1648,7 +1648,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           StatsCodec.encode(row.getAs[Any](s"vmin_$i"), dt),
           StatsCodec.encode(row.getAs[Any](s"vmax_$i"), dt),
           rows - row.getAs[Long](s"vcnt_$i"),
-          numeric = StatsCodec.isNumeric(dt))
+          numeric = StatsCodec.isNumeric(dt),
+          shreddedType = Some(DuckLakeTypes.toTypeString(dt)))
       }
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
       val relPath = hiveDirs.map(d => s"$table/$d/$finalName")

@@ -220,8 +220,10 @@ class MetadataManager(val jdbcUrl: String,
       |  contains_nan BOOLEAN, extra_stats VARCHAR(2048))""",
     """CREATE TABLE ducklake_file_variant_stats (
       |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
-      |  variant_path VARCHAR(1024), null_count BIGINT,
+      |  variant_path VARCHAR(1024), shredded_type VARCHAR(1024),
+      |  column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
       |  min_value VARCHAR(1024), max_value VARCHAR(1024),
+      |  contains_nan BOOLEAN, extra_stats VARCHAR(2048),
       |  min_numeric DOUBLE, max_numeric DOUBLE)""",
     """CREATE TABLE ducklake_delete_file (
       |  delete_file_id BIGINT NOT NULL PRIMARY KEY, table_id BIGINT,
@@ -236,7 +238,8 @@ class MetadataManager(val jdbcUrl: String,
       |  end_snapshot BIGINT, table_id BIGINT, column_order BIGINT,
       |  column_name VARCHAR(256), column_type VARCHAR(1024),
       |  initial_default VARCHAR(1024), default_value VARCHAR(1024),
-      |  nulls_allowed BOOLEAN, parent_column BIGINT)""",
+      |  nulls_allowed BOOLEAN, parent_column BIGINT,
+      |  default_value_type VARCHAR(64), default_value_dialect VARCHAR(64))""",
     """CREATE TABLE ducklake_table_stats (
       |  table_id BIGINT NOT NULL PRIMARY KEY, record_count BIGINT,
       |  next_row_id BIGINT, file_size_bytes BIGINT)""",
@@ -383,6 +386,19 @@ class MetadataManager(val jdbcUrl: String,
       if (!columnExists(c, t, "PARTIAL_MAX"))
         Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
           s"ALTER TABLE ${t.toLowerCase} ADD COLUMN partial_max BIGINT"))))
+    for (col <- Seq(("DEFAULT_VALUE_TYPE", "default_value_type VARCHAR(64)"),
+        ("DEFAULT_VALUE_DIALECT", "default_value_dialect VARCHAR(64)")))
+      if (!columnExists(c, "DUCKLAKE_COLUMN", col._1))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+          s"ALTER TABLE ducklake_column ADD COLUMN ${col._2}"))))
+    for (col <- Seq(("SHREDDED_TYPE", "shredded_type VARCHAR(1024)"),
+        ("COLUMN_SIZE_BYTES", "column_size_bytes BIGINT"),
+        ("VALUE_COUNT", "value_count BIGINT"),
+        ("CONTAINS_NAN", "contains_nan BOOLEAN"),
+        ("EXTRA_STATS", "extra_stats VARCHAR(2048)")))
+      if (!columnExists(c, "DUCKLAKE_FILE_VARIANT_STATS", col._1))
+        Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+          s"ALTER TABLE ducklake_file_variant_stats ADD COLUMN ${col._2}"))))
     // 0.4+ per-table schema-version rows (reference migration adds
     // table_id to ducklake_schema_versions)
     if (!columnExists(c, "DUCKLAKE_SCHEMA_VERSIONS", "TABLE_ID"))
@@ -952,6 +968,7 @@ class MetadataManager(val jdbcUrl: String,
             .map(Double.box).orNull
         varRows += Seq(
           Long.box(fid), Long.box(tableId), Long.box(st.columnId), st.path,
+          st.shreddedType.orNull, Long.box(f.recordCount),
           Long.box(st.nullCount), st.minValue.orNull, st.maxValue.orNull,
           num(st.minValue), num(st.maxValue))
       }
@@ -974,8 +991,9 @@ class MetadataManager(val jdbcUrl: String,
     execBatch(c, ColStatsSql, statRows.toSeq)
     execBatch(c,
       """INSERT INTO ducklake_file_variant_stats (data_file_id, table_id,
-        |column_id, variant_path, null_count, min_value, max_value,
-        |min_numeric, max_numeric) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
+        |column_id, variant_path, shredded_type, value_count, null_count,
+        |min_value, max_value, min_numeric, max_numeric)
+        |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin,
       varRows.toSeq)
     execBatch(c,
       """INSERT INTO ducklake_file_partition_value (data_file_id, table_id,

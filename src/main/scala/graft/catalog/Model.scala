@@ -249,7 +249,8 @@ final case class VariantPathStats(
     minValue: Option[String],
     maxValue: Option[String],
     nullCount: Long,
-    numeric: Boolean)
+    numeric: Boolean,
+    shreddedType: Option[String] = None)
 
 /** Pushed variant-path filter: `variant_get(col, path) op value`. */
 final case class VariantStatsFilter(columnId: Long, path: String,
