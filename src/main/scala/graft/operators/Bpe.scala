@@ -71,4 +71,27 @@ object Bpe {
     import spark.implicits._
     rows.toDF("round", "lhs", "rhs", "cnt")
   }
+
+  /** Apply an ordered merge list (the output of [[merges]]) to text —
+    * the tokenizer's ENCODE side: per document, the token count after
+    * every merge has been applied left-to-right (the same
+    * delimiter-bounded replace as training, so encode ∘ train is
+    * self-consistent). Map-only, pure codegen'd string functions — the
+    * merge list is tiny and lives in the plan as literals, so at 100 TB
+    * this is a single narrow pass with nothing to shuffle. */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      mergeList: Seq[(String, String)]): DataFrame = {
+    def q(s: String): String = s.replace("'", "''")
+    val rep = "concat('|', regexp_replace(w, '(.)', '$1|'))"
+    val chained = mergeList.foldLeft(rep) { case (e, (l, r)) =>
+      s"replace($e, '|${q(l)}|${q(r)}|', '|${q(l)}${q(r)}|')"
+    }
+    docs.selectExpr(idCol,
+      s"""CAST(size(filter(split($textCol, ' '), w -> w <> '')) AS BIGINT)
+         |  AS n_words""".stripMargin,
+      s"""aggregate(
+         |  transform(filter(split($textCol, ' '), w -> w <> ''),
+         |    w -> size(split(trim(BOTH '|' FROM $chained), '\\\\|'))),
+         |  0L, (a, x) -> a + CAST(x AS BIGINT)) AS n_tokens""".stripMargin)
+  }
 }

@@ -707,6 +707,7 @@ object CorpusQueries extends QueryPack {
     QueryDef("tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     QueryDef("token_zipf", tokenZipf, Some(tokenZipfSql)),
     QueryDef("bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
   )
 
   /** Distributed BPE tokenizer-training merges ([[Bpe.merges]]): 6 rounds
@@ -746,4 +747,41 @@ object CorpusQueries extends QueryPack {
             s"  SELECT CAST($i AS INT) AS round, l AS lhs, rr AS rhs, cnt FROM b$i")
             .mkString("\n  UNION ALL\n")}
        |) ORDER BY round""".stripMargin
+
+  /** BPE ENCODE ([[Bpe.encode]]): the 6 trained merges applied to every
+    * document — per-doc token counts after merging. Spark trains via
+    * [[Bpe.merges]] and embeds the pairs as plan literals (map-only
+    * encode pass); the oracle re-derives the same 6 merges through the
+    * bpe_merges CTE chain and applies the identical chained replace, so
+    * token counts hash-match exactly. */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Bpe.merges(docs, "text", rounds = 6)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encode(docs, "text", "doc_id", pairs)
+  }
+
+  private val bpeEncodeSql = {
+    val rep = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    val chained = (1 to 6).foldLeft(rep) { (e, i) =>
+      s"replace($e, '|' || b$i.l || '|' || b$i.rr || '|', " +
+        s"'|' || b$i.l || b$i.rr || '|')"
+    }
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE word <> '' GROUP BY word),
+       |s1 AS (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS r, f
+       |       FROM w),
+       |${(1 to 6).map(bpeRoundSql).mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |    AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(
+       |    list_filter(string_split(text, ' '), w -> w <> ''),
+       |    w -> len(string_split(trim($chained, '|'), '|')))), 0)
+       |    AS BIGINT) AS n_tokens
+       |FROM documents, b1, b2, b3, b4, b5, b6""".stripMargin
+  }
 }
