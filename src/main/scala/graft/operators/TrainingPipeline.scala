@@ -170,6 +170,51 @@ object TrainingPipeline extends QueryPack {
       |  COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_contents
       |FROM documents GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ----------------------------------------------------- mixture epochs
+
+  /** Source-mixture rebalancing with REPETITION (Pile/Dolma-style
+    * mixing): every source is up-/down-sampled toward an equal share of
+    * the corpus character budget. Per source the exact rational rate
+    * lands as integer parts-per-million (`target·10⁶ ÷ source_chars`);
+    * each document gets `⌊rate⌋` copies plus one more when its salted
+    * md5 bucket falls under the fractional remainder — deterministic
+    * repetition with no RNG state, so the SAME docs repeat in any
+    * engine/retry. Shape at 100 TB: one map-side-combinable per-source
+    * aggregate (≤ sources rows) broadcast back onto a map-only pass;
+    * int64 holds while corpus_chars·10⁶ < 2⁶³ (~9 PB of text) — beyond
+    * that the same arithmetic moves to DECIMAL(38,0).
+    * Columns: (doc_id, source, copies). */
+  private def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val s = d.groupBy("source").agg(sum("n_chars").as("sc"))
+    val tot = s.agg(sum(col("sc")).as("t"), count(lit(1)).as("ns"))
+    val plan = s.crossJoin(broadcast(tot))
+      .selectExpr("source", "(t DIV ns) * 1000000L DIV sc AS ppm")
+    d.join(broadcast(plan), "source")
+      .selectExpr("doc_id", "source",
+        """CAST(ppm DIV 1000000L +
+          |  IF(upper(substr(md5(CAST(CAST(doc_id AS STRING) || ':mix:7'
+          |        AS BINARY)), 1, 4)) <
+          |     lpad(hex((ppm % 1000000L) * 65536L DIV 1000000L), 4, '0'),
+          |  1, 0) AS BIGINT) AS copies""".stripMargin)
+  }
+
+  private val mixtureEpochsSql =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sc
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(sc) AS BIGINT) AS t,
+      |               CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+      |plan AS (
+      |  SELECT source, (t // ns) * 1000000 // sc AS ppm FROM s, tot)
+      |SELECT doc_id, d.source,
+      |  CAST(ppm // 1000000 +
+      |    CASE WHEN upper(substr(md5(CAST(doc_id AS VARCHAR) || ':mix:7'),
+      |           1, 4)) <
+      |         lpad(to_hex((ppm % 1000000) * 65536 // 1000000), 4, '0')
+      |    THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |FROM documents d JOIN plan ON d.source = plan.source""".stripMargin
+
   // ------------------------------------------------- deterministic sample
 
   /** Stratified deterministic sample: md5 of (doc_id, salt) buckets each
@@ -369,6 +414,7 @@ object TrainingPipeline extends QueryPack {
     QueryDef("doc_fold", docFold, Some(docFoldSql)),
     QueryDef("train_pipeline_e2e", trainPipelineE2e, Some(trainPipelineE2eSql)),
     QueryDef("doc_sample", docSample, Some(docSampleSql)),
+    QueryDef("mixture_epochs", mixtureEpochs, Some(mixtureEpochsSql)),
     QueryDef("train_shuffle", trainShuffle, Some(trainShuffleSql)),
     QueryDef("token_pack", tokenPack, Some(tokenPackSql)),
     QueryDef("shard_plan", shardPlan, Some(shardPlanSql)),
