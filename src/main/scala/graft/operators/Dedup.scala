@@ -60,6 +60,35 @@ object Dedup {
         x => x.isNotNull))
   }
 
+  /** Exact near-dup pairs of a DELTA batch against an indexed corpus —
+    * the incremental form of n-gram Jaccard dedup: only pairs that share
+    * at least one shingle meet (inverted-index equi-join on the shingle),
+    * which is COMPLETE for any Jaccard threshold > 0, so the output
+    * equals the all-pairs answer without ever forming delta × corpus.
+    * Shuffles carry (id, shingle) pairs — the corpus TEXT never moves.
+    * At 100 TB the shingle join's skew ceiling is stopword shingles;
+    * capping document frequency would bound it but break exactness, so
+    * operational runs compose this with [[minhashLshCandidates]] instead
+    * when approximate recall is acceptable.
+    * Returns (delta_id, corpus_id, jacc) at `threshold` or above. */
+  def nearDupAgainst(index: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol).as(s"${name}_id"),
+        shingles(col(textCol), shingleWidth).as("s"))
+        .select(col(s"${name}_id"), size(col("s")).as(s"${name}_n"),
+          explode(col("s")).as("sh"))
+    side(delta, "delta").join(side(index, "corpus"), "sh")
+      .groupBy(col("delta_id"), col("corpus_id"),
+        col("delta_n"), col("corpus_n"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc", round(col("inter") /
+        (col("delta_n") + col("corpus_n") - col("inter")), 6))
+      .filter(col("jacc") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jacc"))
+  }
+
   /** MinHash signature matrix: (id, seed, minhash) using Spark's
     * codegen'd murmur3 `hash(seed, shingle)` as the seeded hash family. */
   private def minhashes(df: DataFrame, idCol: String, textCol: String,

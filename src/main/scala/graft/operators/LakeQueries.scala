@@ -767,6 +767,62 @@ object LakeQueries extends QueryPack {
       |    ORDER BY doc_id) AS rn FROM cand)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup: the delta batch is checked for n-gram-Jaccard
+    * near-duplicates AGAINST the prior snapshot's corpus
+    * ([[graft.operators.Dedup.nearDupAgainst]]) — a shingle
+    * inverted-index join, complete for any threshold > 0, composed with
+    * CDC (tableInsertions) + time travel exactly like incremental_dedup.
+    * The oracle is the quadratic delta × corpus Jaccard. */
+  private def qIncrementalNearDup(spark: SparkSession,
+      dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    lake.createTableAs("docs", d.filter(col("doc_id") % 3 =!= 0))
+    val v0 = lake.currentSnapshotId()
+    // the new batch: fresh docs + near-dup VARIANTS (one appended token)
+    // of docs already in the index
+    lake.append("docs",
+      d.filter(col("doc_id") % 3 === 0).unionByName(
+        d.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zz_near")).as("text"))))
+    val v1 = lake.currentSnapshotId()
+    val corpus = lake.tableAtVersion("docs", v0)
+      .select(col("doc_id"), col("text"))
+    val delta = lake.tableInsertions("docs", v0, v1)
+      .select(col("doc_id"), col("text"))
+    detached(lake,
+      graft.operators.Dedup.nearDupAgainst(corpus, delta, "doc_id", "text")
+        .orderBy(col("delta_id"), col("corpus_id")))
+  }
+
+  private val qIncrementalNearDupSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz_near' FROM documents
+      |  WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0),
+      |shc AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+      |  FROM corpus),
+      |shd AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, GREATEST(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+      |  FROM delta)
+      |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+      |    AS jacc
+      |FROM shd a, shc b
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY delta_id, corpus_id""".stripMargin
+
   /** Extrema-aware incremental MV ([[IncrementalView.Extrema]]): MIN and
     * MAX columns maintained through deletes — insert-only groups fold
     * least/greatest, delete-touched groups partially recompute from a
@@ -838,6 +894,8 @@ object LakeQueries extends QueryPack {
     QueryDef("stream_mv", qStreamMv, Some(qStreamMvSql)),
     QueryDef("incremental_dedup", qIncrementalDedup,
       Some(qIncrementalDedupSql)),
+    QueryDef("incremental_near_dup", qIncrementalNearDup,
+      Some(qIncrementalNearDupSql)),
     QueryDef("lake_mv_extrema", qMvExtrema, Some(qMvExtremaSql)),
   )
 }
