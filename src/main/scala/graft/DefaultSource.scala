@@ -78,6 +78,24 @@ class DefaultSource extends RelationProvider
         }.getOrElse(throw new IllegalStateException(
           "graft sink: no streaming query id on this thread and no " +
           "explicit queryName option — cannot key the exactly-once ledger"))
+        // upgrade compatibility: pipelines written BEFORE the query-id
+        // keying recorded batches under 'graft-sink-<table>'. A crash
+        // replay straddling the upgrade re-presents exactly the LAST
+        // batch the old ledger committed — honor that one (equality
+        // only: anything lower is a fresh checkpoint's new lifetime and
+        // must NOT be skipped, the bug the query-id keying fixed).
+        if (explicitName.isEmpty) {
+          val opts = lake.options()
+          def last(key: String): Long = opts.collectFirst {
+            case (k, v) if k == s"stream_last_batch:$key:$table" => v.toLong
+          }.getOrElse(-1L)
+          // only before the new ledger has its first entry: a fresh
+          // lifetime always starts at batch 0, so a first-presented
+          // batch EQUAL to the legacy high-water mark (>0) can only be
+          // the pre-upgrade checkpoint continuing
+          if (batchId == last(s"graft-sink-$table") &&
+              batchId >= 0L && last(ledgerKey) == -1L) return
+        }
         val batch = org.apache.spark.sql.graftshim.DatasetBridge
           .asBatch(data.sparkSession, data)
         graft.streaming.LakeSink.appendBatch(lake, table, ledgerKey,

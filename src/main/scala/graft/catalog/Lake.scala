@@ -109,12 +109,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case Some(st) =>
         // transaction-local create (reference basic_transaction.test):
         // buffered until commit; same-name concurrent creates conflict
-        // THERE, different names never do
-        // a table this txn dropped no longer blocks the name (DROP +
-        // CREATE of the same name inside one transaction)
-        if (st.createdByName(s, t).isDefined ||
-            meta.tableByName(t, st.base.snapshotId, s)
-              .exists(i => !st.dropped.contains(i.tableId))) {
+        // THERE, different names never do.
+        // The name-taken probe goes through the txn's FULL overlay
+        // (resolve): a table this txn dropped OR renamed away no longer
+        // blocks the name, while a buffered rename's target name does
+        if (scala.util.Try(resolve(name)).isSuccess) {
           if (ifNotExists) return resolve(name)
           throw new IllegalArgumentException(s"table $name already exists")
         }
@@ -787,13 +786,23 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case None => throw new IllegalArgumentException(
         s"$name does not exist at version $version")
       case Some(viewSql) =>
-        // pin every base table of the view's schema (and main) at the
-        // same snapshot, then resolve nested views to fixpoint
-        val schemas = Set("main", s).toSeq
+        // Pin every base table of the view's schema (and main) at the
+        // same snapshot, then resolve nested views to fixpoint — inside
+        // a CLONED session (own temp-view catalog, shared context), so
+        // the caller's temp views are never clobbered and nothing
+        // version-pinned leaks into the session after the call. "main"
+        // registers first so a same-named table in the view's own
+        // schema wins the bare-name binding.
+        val sub = spark.newSession()
+        val schemas = (Seq("main") ++ (if (s == "main") Nil else Seq(s)))
         schemas.foreach(sc => meta.listTables(snap.snapshotId, sc)
           .foreach { bt =>
             val qn = if (sc == "main") bt.name else s"$sc.${bt.name}"
-            tableAtVersion(qn, version).createOrReplaceTempView(bt.name)
+            // rebind the pinned scan's plan into the SUB session so the
+            // temp view lands in ITS catalog, not the caller's
+            org.apache.spark.sql.graftshim.DatasetBridge
+              .ofRows(sub, tableAtVersion(qn, version).queryExecution.logical)
+              .createOrReplaceTempView(bt.name)
           })
         var pending = schemas.flatMap(sc =>
           meta.listViews(snap.snapshotId, sc)).filterNot(_._1 == t)
@@ -801,11 +810,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         while (pending.nonEmpty && pass < 3) {
           pending = pending.filterNot { case (vn2, sql2) =>
             scala.util.Try(
-              spark.sql(sql2).createOrReplaceTempView(vn2)).isSuccess
+              sub.sql(sql2).createOrReplaceTempView(vn2)).isSuccess
           }
           pass += 1
         }
-        spark.sql(viewSql)
+        // hand the CALLER a frame bound to its own session: the analyzed
+        // plan no longer references the sub-session's temp catalog
+        org.apache.spark.sql.graftshim.DatasetBridge.ofRows(spark,
+          sub.sql(viewSql).queryExecution.analyzed)
     }
   }
 

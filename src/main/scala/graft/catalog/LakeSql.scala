@@ -334,9 +334,15 @@ private[catalog] object LakeSql {
       // (checkpoint_updates_interleaved.test — the txn's own state is
       // untouched and commits normally)
       case Checkpoint() => Some {
-        if (!lake.inTransaction)
-          lake.meta.listTables(lake.currentSnapshotId())
-            .foreach(t => lake.checkpoint(t.name))
+        if (!lake.inTransaction) {
+          val sid = lake.currentSnapshotId()
+          lake.meta.listSchemas().foreach { sc =>
+            lake.meta.listTables(sid, sc.name).foreach { t =>
+              lake.checkpoint(
+                if (sc.name == "main") t.name else s"${sc.name}.${t.name}")
+            }
+          }
+        }
         count(0L)
       }
       case Begin() => Some { lake.begin(); count(0L) }

@@ -416,6 +416,11 @@ class MetadataManager(val jdbcUrl: String,
           |  view_id BIGINT, column_name VARCHAR(256),
           |  begin_snapshot BIGINT, end_snapshot BIGINT,
           |  tag_key VARCHAR(256), tag_value VARCHAR(4096))""".stripMargin))))
+    // 0.5 catalogs created the table with a column_id column (never
+    // written to); the v1.1 shape keys by column NAME — add it
+    else if (!columnExists(c, "DUCKLAKE_VIEW_COLUMN_TAG", "COLUMN_NAME"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        "ALTER TABLE ducklake_view_column_tag ADD COLUMN column_name VARCHAR(256)"))))
     // pre-0.4 catalogs recorded NO flag for compaction/flush-written files
     // that embed materialized rowid columns — mark the catalog for a
     // one-time footer-informed backfill (performed by Lake.attach, which

@@ -83,10 +83,14 @@ object Dedup {
       .groupBy(col("delta_id"), col("corpus_id"),
         col("delta_n"), col("corpus_n"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jacc", round(col("inter") /
-        (col("delta_n") + col("corpus_n") - col("inter")), 6))
-      .filter(col("jacc") >= threshold)
-      .select(col("delta_id"), col("corpus_id"), col("jacc"))
+      // threshold on the RAW ratio (like the all-pairs SQL oracle);
+      // rounding is display-only — filtering the rounded value would
+      // diverge at the boundary (0.4999997 rounds to 0.5)
+      .withColumn("jacc_raw", col("inter") /
+        (col("delta_n") + col("corpus_n") - col("inter")))
+      .filter(col("jacc_raw") >= threshold)
+      .select(col("delta_id"), col("corpus_id"),
+        round(col("jacc_raw"), 6).as("jacc"))
   }
 
   /** MinHash signature matrix: (id, seed, minhash) using Spark's

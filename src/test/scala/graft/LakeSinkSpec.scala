@@ -158,4 +158,37 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(lake.table("out").count() == 6)
     } finally graft.plans.LakeRegistry.unregister("sinkqid")
   }
+
+  test("pre-upgrade ledger: only the exact last legacy batch is honored") {
+    val dir = Files.createTempDirectory("graftsinkleg").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    graft.plans.LakeRegistry.register("sinkleg", lake)
+    try {
+      lake.createTable("out", StructType(Seq(StructField("id", LongType))))
+      // pretend an old (pre-query-id) pipeline committed batches 0..3
+      lake.setOption("stream_last_batch:graft-sink-out:out", "3")
+      val sink = new graft.DefaultSource().createSink(
+        spark.sqlContext,
+        Map("alias" -> "sinkleg", "table" -> "out"),
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+      val qid = java.util.UUID.randomUUID().toString
+      spark.sparkContext.setLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime
+          .StreamExecution.QUERY_ID_KEY, qid)
+      try {
+        val b = Seq(1L, 2L).toDF("id")
+        // the pre-upgrade crash replay re-presents batch 3 → skipped
+        sink.addBatch(3L, b)
+        assert(lake.table("out").count() == 0)
+        // the next batch continues on the NEW query-id ledger
+        sink.addBatch(4L, b)
+        assert(lake.table("out").count() == 2)
+        // once the new ledger has entries the legacy floor never fires
+        sink.addBatch(5L, b)
+        assert(lake.table("out").count() == 4)
+      } finally spark.sparkContext.setLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime
+          .StreamExecution.QUERY_ID_KEY, null)
+    } finally graft.plans.LakeRegistry.unregister("sinkleg")
+  }
 }

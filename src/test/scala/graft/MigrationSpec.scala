@@ -63,4 +63,32 @@ class MigrationSpec extends AnyFunSuite {
       .select(col("id"), parse_json(col("j")).as("payload")))
     assert(lake3.table("vm").count() == 2)
   }
+
+  test("0.5 catalog's old view_column_tag (column_id) gains column_name") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmig5").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("base", Seq((1, "a")).toDF("id", "v"))
+    lake.createView("vw", "SELECT id FROM base")
+    lake.detach()
+    // rewind the catalog to the round-5 shape: version 0.5 +
+    // column_id-keyed view_column_tag (never written to)
+    val c = DriverManager.getConnection(s"jdbc:derby:$dir/cat")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("DROP TABLE ducklake_view_column_tag")
+      st.executeUpdate(
+        """CREATE TABLE ducklake_view_column_tag (
+          |  view_id BIGINT, column_id BIGINT, begin_snapshot BIGINT,
+          |  end_snapshot BIGINT, tag_key VARCHAR(256),
+          |  tag_value VARCHAR(4096))""".stripMargin)
+      st.executeUpdate(
+        "UPDATE ducklake_metadata SET mvalue = '0.5' WHERE mkey = 'version'")
+      st.close()
+    } finally c.close()
+    // re-attach migrates; view COLUMN comments work on the upgraded shape
+    val lake2 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake2.commentOnColumn("vw", "id", "upgraded")
+    assert(lake2.columnComment("vw", "id").contains("upgraded"))
+    lake2.detach()
+  }
 }

@@ -197,6 +197,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"SELECT i, j FROM v1 AT (VERSION => $vTwo) ORDER BY i")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((100, 200), (200, 300)))
+    // pinned-view evaluation is ISOLATED: a user temp view named after
+    // the base table is neither clobbered nor left version-pinned
+    Seq(999).toDF("marker").createOrReplaceTempView("test")
+    assert(lake.sql(s"SELECT COUNT(*) AS n FROM v1 AT (VERSION => $vTwo)")
+      .head().getLong(0) == 2)
+    assert(spark.table("test").columns.toSeq == Seq("marker"))
+    spark.catalog.dropTempView("test")
   }
 
   test("metadata table functions in FROM position") {
@@ -277,12 +284,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       lake.sql("CALL merge_adjacent_files(max_compacted_files => 2)"))
     assert(e.getMessage.contains("requires a table argument"))
     assert(lake.table("t").count() == 6)
-    // bare CHECKPOINT sweeps every table and skips views (reference
-    // view_checkpoint.test); inside a txn it is a no-op and the txn's
-    // buffered inserts still commit (checkpoint_updates_interleaved.test)
+    // bare CHECKPOINT sweeps every table IN EVERY SCHEMA and skips views
+    // (reference view_checkpoint.test); inside a txn it is a no-op and
+    // the txn's buffered inserts still commit
+    // (checkpoint_updates_interleaved.test)
     lake.sql("CREATE VIEW tv AS SELECT id FROM t")
+    lake.createSchema("aux")
+    lake.createTableAs("aux.t2", (1 to 3).toDF("i"))
+    lake.sql("INSERT INTO aux.t2 VALUES (4)")
     lake.sql("CHECKPOINT")
     assert(lake.table("t").count() == 6)
+    // the non-main table was compacted by the sweep (2 files → 1)
+    assert(lake.listFiles("aux.t2").count() == 1)
     lake.sql("BEGIN")
     lake.sql("INSERT INTO t VALUES (7, 'g')")
     lake.sql("CHECKPOINT")

@@ -592,6 +592,35 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("e").head().getInt(0) == 1)
   }
 
+  test("rename-away frees a name for CREATE; a rename's target blocks it") {
+    val lake = freshLake()
+    lake.createTableAs("a", Seq(1).toDF("x"))
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.renameTable("a", "b")
+      // the renamed-away name is reusable in the SAME txn (dbt shape,
+      // reverse order: rename first, then create)
+      lake.createTableAs("a", Seq(9).toDF("x"))
+      // the rename's TARGET name is bound — creating it must fail, or
+      // commit would land two live tables named b
+      val e = intercept[IllegalArgumentException](
+        lake.createTableAs("b", Seq(7).toDF("x")))
+      assert(e.getMessage.contains("already exists"))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("a").head().getInt(0) == 9)
+    assert(lake.table("b").head().getInt(0) == 1)
+    // exactly one live row per name
+    val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT table_name, COUNT(*) FROM ducklake_table " +
+          "WHERE end_snapshot IS NULL GROUP BY table_name")
+      while (rs.next()) assert(rs.getLong(2) == 1L,
+        s"duplicate live rows for ${rs.getString(1)}")
+    } finally c.close()
+  }
+
   test("duplicate SET DEFAULT on one column in one transaction " +
       "(reference set_default_duplicate_in_transaction.test)") {
     val lake = freshLake()
