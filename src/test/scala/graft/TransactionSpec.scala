@@ -592,6 +592,43 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("e").head().getInt(0) == 1)
   }
 
+  test("txn-local truncate writes no files; insert-into-self doubles " +
+      "(reference truncate_table.test / insert_into_self.test)") {
+    val lake = freshLake()
+    // CREATE + full DELETE in one txn: nothing survives, and ideally no
+    // data files either (the staged-file rewrite drops empty outputs)
+    lake.transaction {
+      lake.createTableAs("tl", (0L until 10000L).toDF("id"))
+      assert(lake.table("tl").count() == 10000)
+      assert(lake.delete("tl", lit(true)) == 10000L)
+      assert(lake.table("tl").count() == 0)
+    }
+    assert(lake.table("tl").count() == 0)
+    val dir = new java.io.File(s"${lake.dataPath}/tl")
+    val files = Option(dir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.isEmpty, s"truncated txn table left files: ${files.toSeq}")
+    // committed table truncated inside a txn
+    lake.createTableAs("test", (0L until 1000L).toDF("id"))
+    lake.transaction {
+      assert(lake.delete("test", lit(true)) == 1000L)
+      assert(lake.table("test").count() == 0)
+    }
+    assert(lake.table("test").count() == 0)
+    // insert-into-self: each statement reads the txn's own prior writes
+    lake.sql("CREATE TABLE si (i BIGINT, j STRING)")
+    lake.transaction {
+      lake.sql("INSERT INTO si VALUES (1, '2'), (NULL, '3')")
+      lake.sql("INSERT INTO si SELECT * FROM si")      // 4
+      lake.sql("INSERT INTO si SELECT * FROM si")      // 8
+      lake.sql("INSERT INTO si SELECT * FROM si")      // 16
+      lake.sql("INSERT INTO si SELECT a.i, a.j FROM si a, si b") // +256
+      assert(lake.sql("SELECT COUNT(*) AS n FROM si").head().getLong(0)
+        == 272)
+    }
+    assert(lake.table("si").count() == 272)
+  }
+
   test("rename-away frees a name for CREATE; a rename's target blocks it") {
     val lake = freshLake()
     lake.createTableAs("a", Seq(1).toDF("x"))
