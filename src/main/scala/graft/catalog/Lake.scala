@@ -554,7 +554,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   def setPartitionedBy(table: String, specs: Seq[(String, String)]): Unit = {
     val snap = meta.currentSnapshot()
     val t = resolve(table, Some(snap.snapshotId))
-    val cols = meta.columnsOf(t.tableId, snap.snapshotId)
+    val cols = columnsAt(t.tableId, snap.snapshotId)
     val fields = specs.map { case (cname, transform) =>
       val ci = cols.find(_.name == cname).getOrElse(
         throw new IllegalArgumentException(s"no column $cname"))
@@ -573,7 +573,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
       (ci.columnId, transform)
     }
-    meta.setPartitionSpec(t.tableId, fields)
+    txn match {
+      case Some(st) =>
+        // buffered (reference partition_rename_in_transaction.test);
+        // guarded like alters: files already staged for this table were
+        // written UNPARTITIONED and would carry no partition values
+        require(st.pendingFiles(t.tableId).isEmpty,
+          s"cannot SET PARTITIONED BY on $table: the transaction " +
+            "already staged writes for it")
+        st.partitionSpecs(t.tableId) =
+          (st.newProvisionalId(), specs)
+      case None => meta.setPartitionSpec(t.tableId, fields): Unit
+    }
   }
 
   /** partition transform as a STRING column (string form doubles as the
@@ -607,9 +618,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case _ => None
     }
     transform match {
-      case "identity" => Some(value match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case other => other.toString
+      case "identity" => Some((value, dt) match {
+        case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        // date/timestamp literals arrive in Catalyst-internal form
+        // (epoch days / micros); render the SAME string the writer's
+        // `cast(col, "string")` produced, or equality pruning compares
+        // "20572" against "2026-04-30" and wrongly prunes every file
+        case (days: Int, DateType) =>
+          java.time.LocalDate.ofEpochDay(days.toLong).toString
+        case (us: Long, TimestampType | TimestampNTZType) =>
+          val d = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+          val base = f"${d.getYear}%04d-${d.getMonthValue}%02d-" +
+            f"${d.getDayOfMonth}%02d ${d.getHour}%02d:" +
+            f"${d.getMinute}%02d:${d.getSecond}%02d"
+          val frac = Math.floorMod(us, 1000000L)
+          if (frac == 0L) base
+          else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+        case (other, _) => other.toString
       })
       case b if b.startsWith("bucket(") =>
         val n = b.stripPrefix("bucket(").stripSuffix(")").trim.toInt
@@ -1128,8 +1154,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           sortSpec.map((sortKey _).tupled): _*)
       else aligned0
 
-    val spec = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
-      .filter(_.fields.nonEmpty) // RESET PARTITIONED BY → empty spec
+    val spec = txn.flatMap(_.partitionSpecs.get(t.tableId)) match {
+      case Some((ppid, specs)) => // buffered in THIS txn (possibly on a
+        // txn-created table): provisional ids, remapped at commit
+        Some(PartitionSpec(ppid, specs.zipWithIndex.map {
+          case ((cn, tr), i) =>
+            val ci = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+              throw new IllegalArgumentException(s"no column $cn"))
+            PartitionField(i.toLong, ci.columnId, tr)
+        }))
+      case None if t.tableId < 0 => None
+      case None => meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+        .filter(_.fields.nonEmpty) // RESET PARTITIONED BY → empty spec
+    }
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
       allCols = allCols)
@@ -1199,6 +1236,11 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // conflict at commit; tables created into them in the same txn work)
     val createdSchemas = scala.collection.mutable.LinkedHashSet
       .empty[String]
+    // SET PARTITIONED BY buffered inside this txn: tableId (provisional
+    // or committed) -> (provisional partition id, column-NAME specs);
+    // resolved to real ids at commit, applied to the txn's own appends
+    val partitionSpecs = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Seq[(String, String)])]
     // COMMITTED tables renamed inside this txn, in statement order:
     // (tableId, schema, oldName, newName). Renames of txn-created tables
     // rebind `created` directly and never appear here (reference
@@ -1259,16 +1301,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val newSchemas = st.createdSchemas.toSeq
     val alterList = st.alters.toSeq
     val renameList = st.renames.toSeq
+    val partitionList = st.partitionSpecs.toSeq.map {
+      case (tid, (ppid, specs)) => (tid, ppid, specs)
+    }
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
         created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
         alterList.nonEmpty || st.macroOps.nonEmpty || st.viewOps.nonEmpty ||
-        renameList.nonEmpty)
+        renameList.nonEmpty || partitionList.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
         created, drops, newSchemas, alterList, st.macroOps.toSeq,
-        st.viewOps.toSeq, renameList)
+        st.viewOps.toSeq, renameList, partitionList)
     txn = None
     st.cleanupScratch()
   }

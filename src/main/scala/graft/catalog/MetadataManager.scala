@@ -1231,10 +1231,13 @@ class MetadataManager(val jdbcUrl: String,
       alters: Seq[(Long, AlterSpec)] = Nil,
       macroOps: Seq[MacroOp] = Nil,
       viewOps: Seq[ViewOp] = Nil,
-      renames: Seq[(Long, String, String, String)] = Nil): Snapshot = {
+      renames: Seq[(Long, String, String, String)] = Nil,
+      partitionOps: Seq[(Long, Long, Seq[(String, String)])] = Nil)
+      : Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
-      inlinedDeletes.map(_._1) ++ alters.map(_._1)).distinct.filter(_ >= 0)
+      inlinedDeletes.map(_._1) ++ alters.map(_._1) ++
+      partitionOps.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" } ++
@@ -1497,6 +1500,21 @@ class MetadataManager(val jdbcUrl: String,
             reopenColumn(c, snap.snapshotId, tid, ci.copy(typeString = nt))
         }
       }
+      // buffered SET PARTITIONED BY, after alters so columns are final
+      // (reference partition_rename_in_transaction.test: spec set on a
+      // txn-created table, partitioned inserts in the SAME txn)
+      val pidMap = scala.collection.mutable.Map.empty[Long, Long]
+      partitionOps.foreach { case (tid0, ppid, specs) =>
+        val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
+        val cols = columnsOf(c, tid, snap.snapshotId)
+        val fields = specs.map { case (cn, tr) =>
+          (cols.find(x => x.parentColumn.isEmpty &&
+              x.name.equalsIgnoreCase(cn))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $cn")).columnId, tr)
+        }
+        pidMap(ppid) = setPartitionSpecIn(c, snap, ids, tid, fields)
+      }
       // buffered macro DDL, in statement order (DROP+CREATE of one name
       // in one transaction nets out correctly)
       macroOps.foreach {
@@ -1516,9 +1534,10 @@ class MetadataManager(val jdbcUrl: String,
         case RenameViewOp(o, n2, s) =>
           renameViewIn(c, snap, o, n2, s)
       }
-      appends.foreach { case (tid0, partitionId, files0) =>
+      appends.foreach { case (tid0, partitionId0, files0) =>
         val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
         def remap(id: Long): Long = if (id < 0) colIdMap(id) else id
+        val partitionId = partitionId0.map(p => if (p < 0) pidMap(p) else p)
         val files = files0.map(f => f.copy(
           columnStats = f.columnStats.map(s =>
             s.copy(columnId = remap(s.columnId))),
@@ -2213,22 +2232,28 @@ class MetadataManager(val jdbcUrl: String,
     var pid = -1L
     commitSnapshot(SnapshotChanges(alteredTables = Seq(tableId)),
       schemaChange = true) { (c, snap, ids) =>
+      pid = setPartitionSpecIn(c, snap, ids, tableId, fields)
+    }
+    pid
+  }
+
+  private def setPartitionSpecIn(c: Connection, snap: Snapshot,
+      ids: TxnIds, tableId: Long, fields: Seq[(Long, String)]): Long = {
+    exec(c,
+      "UPDATE ducklake_partition_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Long.box(snap.snapshotId), Long.box(tableId))
+    val pid = ids.newCatalogId()
+    exec(c,
+      """INSERT INTO ducklake_partition_info (partition_id, table_id,
+        |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
+      Long.box(pid), Long.box(tableId), Long.box(snap.snapshotId))
+    fields.zipWithIndex.foreach { case ((colId, transform), i) =>
       exec(c,
-        "UPDATE ducklake_partition_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
-        Long.box(snap.snapshotId), Long.box(tableId))
-      pid = ids.newCatalogId()
-      exec(c,
-        """INSERT INTO ducklake_partition_info (partition_id, table_id,
-          |begin_snapshot, end_snapshot) VALUES (?, ?, ?, NULL)""".stripMargin,
-        Long.box(pid), Long.box(tableId), Long.box(snap.snapshotId))
-      fields.zipWithIndex.foreach { case ((colId, transform), i) =>
-        exec(c,
-          """INSERT INTO ducklake_partition_column (partition_id, table_id,
-            |partition_key_index, column_id, transform)
-            |VALUES (?, ?, ?, ?, ?)""".stripMargin,
-          Long.box(pid), Long.box(tableId), Long.box(i.toLong),
-          Long.box(colId), transform)
-      }
+        """INSERT INTO ducklake_partition_column (partition_id, table_id,
+          |partition_key_index, column_id, transform)
+          |VALUES (?, ?, ?, ?, ?)""".stripMargin,
+        Long.box(pid), Long.box(tableId), Long.box(i.toLong),
+        Long.box(colId), transform)
     }
     pid
   }

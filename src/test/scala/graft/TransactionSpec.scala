@@ -629,6 +629,46 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("si").count() == 272)
   }
 
+  test("SET PARTITIONED BY on a txn-created table + partitioned insert " +
+      "+ rename, one commit (reference partition_rename_in_transaction)") {
+    val lake = freshLake()
+    lake.createSchema("s")
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.createTable("s.t1", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dt",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType))))
+      lake.setPartitionedBy("s.t1", Seq(("dt", "identity")))
+      lake.append("s.t1", Seq(
+        (java.sql.Date.valueOf("2026-04-30"), 1),
+        (java.sql.Date.valueOf("2026-04-29"), 2)).toDF("dt", "v"))
+      assert(lake.table("s.t1").count() == 2)
+      lake.renameTable("s.t1", "s.auto_probe_after")
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("s.auto_probe_after").count() == 2)
+    // the spec is live under the renamed table with real ids
+    val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+    try {
+      val rs = c.createStatement().executeQuery(
+        """SELECT t.table_name, pc.partition_key_index, pc.transform
+          |FROM ducklake_table t
+          |JOIN ducklake_partition_column pc ON t.table_id = pc.table_id
+          |WHERE t.end_snapshot IS NULL""".stripMargin)
+      assert(rs.next())
+      assert(rs.getString(1) == "auto_probe_after")
+      assert(rs.getLong(2) == 0L && rs.getString(3) == "identity")
+      assert(!rs.next())
+    } finally c.close()
+    // partition pruning works on the committed files
+    assert(lake.table("s.auto_probe_after",
+      Some(col("dt") === java.sql.Date.valueOf("2026-04-30"))).count() == 1)
+    // the partitioned write produced hive-labeled per-partition files
+    assert(lake.listFiles("s.auto_probe_after").count() == 2)
+  }
+
   test("rename-away frees a name for CREATE; a rename's target blocks it") {
     val lake = freshLake()
     lake.createTableAs("a", Seq(1).toDF("x"))
