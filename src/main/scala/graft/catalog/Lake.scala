@@ -1653,8 +1653,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val stagingPrefix = new org.apache.hadoop.fs.Path(
       new java.net.URI(io.absUri(stagingRel))).toUri.getPath
     statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
+      // Path(String), NOT new URI(...): input_file_name() is only
+      // partially URI-escaped — hive partition dirs may contain literal
+      // spaces (timestamp values), which URI rejects while Hadoop's own
+      // parser accepts and keeps byte-for-byte
       val srcPath = new org.apache.hadoop.fs.Path(
-        new java.net.URI(row.getAs[String]("__file")))
+        row.getAs[String]("__file"))
       val rows = row.getAs[Long]("__rows")
       val stats = cols.map { c =>
         val dt = DuckLakeTypes.fromTypeString(c.typeString)
@@ -1682,11 +1686,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             row, s"n${ci.columnId}"))
       }
       // partition dir segments __p{i}=<escaped-value> between staging root
-      // and the part file; rebuild them with readable hive labels
+      // and the part file; rebuild them with readable hive labels.
+      // TWO decode layers: the hive writer escaped special chars (':' →
+      // %3A) and input_file_name URI-escaped the '%' on top (→ %253A) —
+      // while leaving spaces raw, which is why this parses with Path,
+      // not java.net.URI
       val segs = srcPath.toUri.getPath.stripPrefix(stagingPrefix)
         .stripPrefix("/").split("/").toSeq
       val partVals = segs.dropRight(1).zipWithIndex.map { case (seg, i) =>
-        val v = unescapeHive(seg.substring(seg.indexOf('=') + 1))
+        val v = unescapeHive(unescapeHive(
+          seg.substring(seg.indexOf('=') + 1)))
         (i.toLong, v)
       }
       // hive_file_pattern=false → flat layout: partition values live only

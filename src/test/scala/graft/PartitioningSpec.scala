@@ -127,6 +127,29 @@ class PartitioningSpec extends AnyFunSuite {
       lake2.currentSnapshotId()).size)
   }
 
+  test("identity partitioning on DATE/TIMESTAMP: equality filters keep " +
+      "their rows (regression: internal-form literal pruned everything)") {
+    val lake = freshLake()
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2026-04-30"),
+        java.sql.Timestamp.valueOf("2026-04-30 12:30:00")),
+      (2, java.sql.Date.valueOf("2026-04-29"),
+        java.sql.Timestamp.valueOf("2026-04-29 01:02:03"))
+    ).toDF("id", "d", "ts")
+    lake.createTable("dp", df.schema)
+    lake.setPartitionedBy("dp", Seq(("d", "identity")))
+    lake.append("dp", df)
+    assert(lake.table("dp",
+      Some(col("d") === java.sql.Date.valueOf("2026-04-30"))).count() == 1)
+    // timestamp identity partitioning too
+    val lake2 = freshLake()
+    lake2.createTable("tp", df.schema)
+    lake2.setPartitionedBy("tp", Seq(("ts", "identity")))
+    lake2.append("tp", df)
+    assert(lake2.table("tp", Some(col("ts") ===
+      java.sql.Timestamp.valueOf("2026-04-30 12:30:00"))).count() == 1)
+  }
+
   test("compaction merges within partitions and keeps them prunable") {
     val dir = Files.createTempDirectory("graftpc").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
