@@ -150,6 +150,36 @@ class PartitioningSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2026-04-30 12:30:00"))).count() == 1)
   }
 
+  test("transform label vs same-named column " +
+      "(reference partition_key_name_conflict.test)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE t (year INTEGER, ts TIMESTAMP, v VARCHAR)")
+    lake.sql("ALTER TABLE t SET PARTITIONED BY (year(ts), year)")
+    lake.sql("INSERT INTO t VALUES (42, TIMESTAMP '2020-06-15 00:00:00', 'hello')")
+    lake.sql("INSERT INTO t VALUES (99, TIMESTAMP '2021-12-25 00:00:00', 'world')")
+    assert(lake.table("t").count() == 2)
+    assert(lake.table("t", Some(col("year") === 42)).count() == 1)
+    assert(lake.table("t",
+      Some(col("ts") >= lit("2021-01-01").cast("timestamp"))).count() == 1)
+  }
+
+  test("compaction merges NULL-partition files " +
+      "(reference merge_adjacent_null_partition.test)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE t (id INTEGER, tag VARCHAR)")
+    lake.sql("ALTER TABLE t SET PARTITIONED BY (tag)")
+    lake.sql("INSERT INTO t VALUES (1, NULL)")
+    lake.sql("INSERT INTO t VALUES (2, NULL)")
+    lake.sql("INSERT INTO t VALUES (3, 'a')")
+    assert(lake.listFiles("t").count() == 3)
+    lake.mergeAdjacentFiles("t")
+    // the two NULL-partition files merged; the 'a' file is alone
+    assert(lake.listFiles("t").count() == 2)
+    assert(lake.table("t").count() == 3)
+    assert(lake.table("t", Some(col("tag").isNull)).count() == 2)
+    assert(lake.table("t", Some(col("tag") === "a")).count() == 1)
+  }
+
   test("compaction merges within partitions and keeps them prunable") {
     val dir = Files.createTempDirectory("graftpc").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
