@@ -180,6 +180,29 @@ class PartitioningSpec extends AnyFunSuite {
     assert(lake.table("t", Some(col("tag") === "a")).count() == 1)
   }
 
+  test("UPDATE moves rows across partitions, transforms included " +
+      "(reference update_partition_function.test)") {
+    val lake = freshLake()
+    lake.sql("CREATE TABLE t (p VARCHAR, ts TIMESTAMP, v VARCHAR)")
+    lake.sql("ALTER TABLE t SET PARTITIONED BY (p, day(ts))")
+    lake.sql("INSERT INTO t VALUES ('p1', TIMESTAMP '2026-02-05 00:00:00', 'va')")
+    lake.sql("INSERT INTO t VALUES ('p2', TIMESTAMP '2026-03-10 00:00:00', 'vb')")
+    lake.sql("UPDATE t SET p = 'p3' WHERE v = 'va'")
+    assert(lake.table("t", Some(col("p") === "p3")).count() == 1)
+    assert(lake.table("t", Some(col("p") === "p1")).count() == 0)
+    lake.sql("UPDATE t SET v = 'vc' WHERE p = 'p2'")
+    assert(lake.table("t", Some(col("v") === "vc")).count() == 1)
+    // moving the transform input re-partitions the rewritten row
+    lake.sql("UPDATE t SET ts = TIMESTAMP '2026-06-15 00:00:00' WHERE p = 'p3'")
+    assert(lake.table("t",
+      Some(col("ts") >= lit("2026-06-01").cast("timestamp"))).count() == 1)
+    assert(lake.table("t").count() == 2)
+    // the rewritten rows' partition values are re-derived: pruning by
+    // the NEW value finds them, by the OLD value does not
+    assert(lake.table("t", Some(col("p") === "p3" &&
+      col("ts") === lit("2026-06-15").cast("timestamp"))).count() == 1)
+  }
+
   test("compaction merges within partitions and keeps them prunable") {
     val dir = Files.createTempDirectory("graftpc").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
