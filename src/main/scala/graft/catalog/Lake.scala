@@ -153,8 +153,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         st.createdByName(s, t) match {
           case Some(pid) =>
             // dropping a txn-created table cancels the create: staged
-            // appends and their files are discarded
+            // appends, their files, and any buffered partition spec go
             st.created.remove(pid)
+            st.partitionSpecs.remove(pid)
             val (mine, rest) = st.appends.partition(_._1 == pid)
             st.appends.clear(); st.appends ++= rest
             mine.flatMap(_._4.map(_.path)).foreach(p => io.delete(p))
@@ -165,6 +166,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
               .getOrElse(throw new IllegalArgumentException(s"no table $name"))
             val info = meta.tableByName(t0, st.base.snapshotId, s)
               .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+            st.partitionSpecs.remove(info.tableId) // drop wins
             st.dropped(info.tableId) = (s, t)
         }
       case None => meta.dropTable(t, s)
@@ -581,8 +583,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         require(st.pendingFiles(t.tableId).isEmpty,
           s"cannot SET PARTITIONED BY on $table: the transaction " +
             "already staged writes for it")
-        st.partitionSpecs(t.tableId) =
-          (st.newProvisionalId(), specs)
+        st.partitionSpecs(t.tableId) = (st.newProvisionalId(), fields)
       case None => meta.setPartitionSpec(t.tableId, fields): Unit
     }
   }
@@ -629,6 +630,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         case (us: Long, TimestampType | TimestampNTZType) =>
           val d = java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+          // outside 1..9999 Spark's rendering grows a sign/extra digits
+          // (+10000-…) — bail to the row filter rather than risk an
+          // over-prune on a mismatched spelling
+          if (d.getYear < 1 || d.getYear > 9999) return None
           val base = f"${d.getYear}%04d-${d.getMonthValue}%02d-" +
             f"${d.getDayOfMonth}%02d ${d.getHour}%02d:" +
             f"${d.getMinute}%02d:${d.getSecond}%02d"
@@ -1154,19 +1159,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           sortSpec.map((sortKey _).tupled): _*)
       else aligned0
 
-    val spec = txn.flatMap(_.partitionSpecs.get(t.tableId)) match {
-      case Some((ppid, specs)) => // buffered in THIS txn (possibly on a
-        // txn-created table): provisional ids, remapped at commit
-        Some(PartitionSpec(ppid, specs.zipWithIndex.map {
-          case ((cn, tr), i) =>
-            val ci = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
-              throw new IllegalArgumentException(s"no column $cn"))
-            PartitionField(i.toLong, ci.columnId, tr)
-        }))
-      case None if t.tableId < 0 => None
-      case None => meta.currentPartitionSpec(t.tableId, snap.snapshotId)
-        .filter(_.fields.nonEmpty) // RESET PARTITIONED BY → empty spec
-    }
+    val spec = effectivePartitionSpec(t, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
       allCols = allCols)
@@ -1236,11 +1229,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // conflict at commit; tables created into them in the same txn work)
     val createdSchemas = scala.collection.mutable.LinkedHashSet
       .empty[String]
-    // SET PARTITIONED BY buffered inside this txn: tableId (provisional
-    // or committed) -> (provisional partition id, column-NAME specs);
-    // resolved to real ids at commit, applied to the txn's own appends
+    // SET/RESET PARTITIONED BY buffered inside this txn: tableId
+    // (provisional or committed) -> (provisional partition id,
+    // (columnId, transform) specs — COLUMN IDS, so same-txn renames
+    // never orphan the spec; provisional ids remap at commit). An empty
+    // spec list is a buffered RESET.
     val partitionSpecs = scala.collection.mutable.LinkedHashMap
-      .empty[Long, (Long, Seq[(String, String)])]
+      .empty[Long, (Long, Seq[(Long, String)])]
     // COMMITTED tables renamed inside this txn, in statement order:
     // (tableId, schema, oldName, newName). Renames of txn-created tables
     // rebind `created` directly and never appear here (reference
@@ -1408,8 +1403,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   /** ALTER TABLE ... RESET PARTITIONED BY (reference
     * partitioning/reset.test): new writes are unpartitioned. */
-  def resetPartitionedBy(table: String): Unit =
-    meta.setPartitionSpec(resolve(table).tableId, Nil): Unit
+  def resetPartitionedBy(table: String): Unit = {
+    val t = resolve(table)
+    txn match {
+      case Some(st) => // buffered like SET (an empty spec = RESET); a
+        // provisional table id must never reach the committed catalog
+        require(st.pendingFiles(t.tableId).isEmpty,
+          s"cannot RESET PARTITIONED BY on $table: the transaction " +
+            "already staged writes for it")
+        st.partitionSpecs(t.tableId) = (st.newProvisionalId(), Nil)
+      case None => meta.setPartitionSpec(t.tableId, Nil): Unit
+    }
+  }
 
   def setCommitMessage(author: String, message: String,
       extraInfo: Option[String] = None): Unit =
@@ -1538,6 +1543,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     append(name, df)
   }
 
+  /** The partition spec this handle's WRITES must use: the txn's own
+    * buffered SET/RESET (provisional ids, remapped at commit) overlays
+    * the committed spec; empty = unpartitioned. */
+  private def effectivePartitionSpec(t: TableInfo,
+      snapshotId: Long): Option[PartitionSpec] =
+    txn.flatMap(_.partitionSpecs.get(t.tableId)) match {
+      case Some((_, Nil)) => None // buffered RESET
+      case Some((ppid, fields)) =>
+        Some(PartitionSpec(ppid, fields.zipWithIndex.map {
+          case ((cid, tr), i) => PartitionField(i.toLong, cid, tr)
+        }))
+      case None if t.tableId < 0 => None
+      case None => meta.currentPartitionSpec(t.tableId, snapshotId)
+        .filter(_.fields.nonEmpty) // RESET PARTITIONED BY → empty spec
+    }
+
   private def alignColumns(df: DataFrame, cols: Seq[ColumnInfo]): DataFrame = {
     // unknown columns are an error, not a silent drop: a misnamed input
     // would otherwise append default/NULL rows (reference rejects them)
@@ -1581,7 +1602,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       partition: Option[Seq[(String, Column)]] = None,
       maxRowsPerFile: Option[Long] = None,
       allCols: Seq[ColumnInfo] = Nil): Seq[PendingDataFile] = {
-    val stagingRel = s"$table/stage-${UUID.randomUUID()}"
+    val stageMarker = s"stage-${UUID.randomUUID()}"
+    val stagingRel = s"$table/$stageMarker"
     val stagingDir = io.abs(stagingRel)
     // per_thread_output=false → one output file per insert instead of one
     // per task (reference per_thread_output option)
@@ -1649,9 +1671,6 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         statAggs ++ nestedGeoAggs ++ varAggs: _*)
       .collect()
 
-    // staging-dir path prefix (scheme-free) for relativizing written files
-    val stagingPrefix = new org.apache.hadoop.fs.Path(
-      new java.net.URI(io.absUri(stagingRel))).toUri.getPath
     statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
       // Path(String), NOT new URI(...): input_file_name() is only
       // partially URI-escaped — hive partition dirs may contain literal
@@ -1685,13 +1704,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           extraStats = graft.functions.GeoStatsAgg.fromRow(
             row, s"n${ci.columnId}"))
       }
-      // partition dir segments __p{i}=<escaped-value> between staging root
-      // and the part file; rebuild them with readable hive labels.
-      // TWO decode layers: the hive writer escaped special chars (':' →
-      // %3A) and input_file_name URI-escaped the '%' on top (→ %253A) —
-      // while leaving spaces raw, which is why this parses with Path,
-      // not java.net.URI
-      val segs = srcPath.toUri.getPath.stripPrefix(stagingPrefix)
+      // partition dir segments __p{i}=<escaped-value> between staging
+      // root and the part file, located by the stage-UUID marker (pure
+      // hex — never escaped by any layer, so this works even when the
+      // lake ROOT path contains characters input_file_name escapes).
+      // TWO decode layers on the values: the hive writer escaped special
+      // chars (':' → %3A) and input_file_name URI-escaped the '%' on top
+      // (→ %253A) — while leaving spaces raw, which is why the path
+      // parses with Hadoop's Path, not java.net.URI
+      val rawPath = srcPath.toUri.getPath
+      val mIdx = rawPath.indexOf(stageMarker)
+      require(mIdx >= 0, s"staged file outside staging dir: $rawPath")
+      val segs = rawPath.substring(mIdx + stageMarker.length)
         .stripPrefix("/").split("/").toSeq
       val partVals = segs.dropRight(1).zipWithIndex.map { case (seg, i) =>
         val v = unescapeHive(unescapeHive(
@@ -2493,7 +2517,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   }
 
   private def deleteByPosition(name: String, t: TableInfo, snap: Snapshot,
-      newDeletes0: DataFrame, newFiles: Seq[PendingDataFile] = Nil): Long = {
+      newDeletes0: DataFrame, newFiles: Seq[PendingDataFile] = Nil,
+      newFilesPartitionId: Option[Long] = None): Long = {
     // inlined rows delete by ending their validity in the catalog DB
     val inlinedIds = newDeletes0.filter(col("file_path") === InlinedFile)
       .select("pos").collect().map(_.getLong(0)).toSeq
@@ -2599,11 +2624,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         }
         st.deletes(t.tableId) = (m, removed + newlyDeleted)
         if (newFiles.nonEmpty)
-          st.appends += ((t.tableId, name, None, newFiles))
+          st.appends += ((t.tableId, name, newFilesPartitionId, newFiles))
       case None =>
         meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
           format = if (useDv) "roaring" else "parquet",
-          newFiles = newFiles, removedRows = newlyDeleted)
+          newFiles = newFiles, removedRows = newlyDeleted,
+          newFilesPartitionId = newFilesPartitionId)
     }
     newlyDeleted + inlinedIds.size + pendingDeleted
   }
@@ -2765,11 +2791,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       assignments.get(c.name)
         .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
         .getOrElse(col(c.name))): _*)
+    // rewritten rows re-partition under the live spec (reference
+    // update_partitioning.test / update_partition_function.test): files
+    // land in the right hive dirs WITH partition values, so post-UPDATE
+    // queries keep pruning
+    val updSpec = effectivePartitionSpec(t, snap.snapshotId)
     val newFiles = writeAndCollect(name, rewritten, cols,
+      partition = updSpec.map(partitionPlan(_, cols)),
       allCols = updAllCols)
     val positions = matched.select(col("filename").as("file_path"),
       col("file_row_number").as("pos"))
-    val n = deleteByPosition(name, t, snap, positions, newFiles)
+    val n = deleteByPosition(name, t, snap, positions, newFiles,
+      newFilesPartitionId = updSpec.map(_.partitionId))
     // update = delete+insert: net row count unchanged
     if (n != 0) restoreRowCount(t.tableId, n)
     if (n > 0) maybeAutoRefresh(name)
@@ -2862,14 +2895,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case (None, Some(b)) => Some(b.select(cols.map(c => col(c.name)): _*))
       case _ => None
     }
+    val mrgSpec = effectivePartitionSpec(t, snap.snapshotId)
     val newFiles = newRows.map(df =>
       writeAndCollect(name, alignColumns(df, cols), cols,
+        partition = mrgSpec.map(partitionPlan(_, cols)),
         allCols = mrgAllCols)).getOrElse(Nil)
 
     positionsOut match {
-      case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles): Unit
+      case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles,
+        newFilesPartitionId = mrgSpec.map(_.partitionId)): Unit
       case None if newFiles.nonEmpty =>
-        meta.appendFiles(t.tableId, newFiles): Unit
+        meta.appendFiles(t.tableId, newFiles,
+          mrgSpec.map(_.partitionId)): Unit
       case None => ()
     }
     maybeAutoRefresh(name)
@@ -3383,9 +3420,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val cols = columnsAt(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
     val byName = cols.map(c => c.name -> c).toMap
-    val spec =
-      if (t.tableId < 0) None
-      else meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+    val spec = effectivePartitionSpec(t, snap.snapshotId)
     val pending = parquetPaths.map { p =>
       val fileSchema = spark.read.parquet(p).schema
       val resolved: Seq[(String, ColumnInfo)] =
@@ -3460,9 +3495,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         Some(a.name)
       case _ => None
     }
+    // a STRING literal against a date/timestamp column would compare
+    // raw text against the writer's CANONICAL rendering — any castable
+    // but non-canonical spelling ('T' separator, trailing zeros) would
+    // over-prune; bail to the row filter instead (sound)
+    def comparable(ci: ColumnInfo, l: Literal): Boolean =
+      !(l.dataType == org.apache.spark.sql.types.StringType &&
+        Set("date", "timestamp", "timestamptz", "timestamp_s",
+          "timestamp_ms", "timestamp_us", "timestamp_ns")
+          .contains(ci.typeString))
     def eq(a: Expression, l: Literal): Seq[(Long, String)] = for {
       n <- name(a).toSeq
-      ci <- byName.get(n).toSeq
+      ci <- byName.get(n).toSeq if comparable(ci, l)
       f <- ps.fields.filter(_.columnId == ci.columnId)
       v <- transformLiteral(f.transform, l.value, l.dataType).toSeq
     } yield (f.keyIndex, v)

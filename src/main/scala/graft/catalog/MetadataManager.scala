@@ -1170,7 +1170,8 @@ class MetadataManager(val jdbcUrl: String,
       deletes: Seq[(Long, String, Long, Long)], // (dataFileId, path, deleteCount, fileSize)
       format: String = "parquet",
       newFiles: Seq[PendingDataFile] = Nil,
-      removedRows: Long = 0L): Snapshot = {
+      removedRows: Long = 0L,
+      newFilesPartitionId: Option[Long] = None): Snapshot = {
     val touched = deletes.map(_._1).toSet
     commitSnapshot(
       SnapshotChanges(
@@ -1197,7 +1198,8 @@ class MetadataManager(val jdbcUrl: String,
             Long.box(snap.snapshotId), Long.box(dataFileId), path, format,
             Long.box(deleteCount), Long.box(fileSize))
         })
-      if (newFiles.nonEmpty) insertFiles(c, snap, ids, tableId, newFiles, None)
+      if (newFiles.nonEmpty)
+        insertFiles(c, snap, ids, tableId, newFiles, newFilesPartitionId)
       if (removedRows != 0L) {
         exec(c,
           "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
@@ -1232,7 +1234,7 @@ class MetadataManager(val jdbcUrl: String,
       macroOps: Seq[MacroOp] = Nil,
       viewOps: Seq[ViewOp] = Nil,
       renames: Seq[(Long, String, String, String)] = Nil,
-      partitionOps: Seq[(Long, Long, Seq[(String, String)])] = Nil)
+      partitionOps: Seq[(Long, Long, Seq[(Long, String)])] = Nil)
       : Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
@@ -1253,7 +1255,7 @@ class MetadataManager(val jdbcUrl: String,
           (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
       schemaChange = created.nonEmpty || dropped.nonEmpty ||
         createdSchemas.nonEmpty || alters.nonEmpty || macroOps.nonEmpty ||
-        viewOps.nonEmpty,
+        viewOps.nonEmpty || renames.nonEmpty || partitionOps.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
@@ -1370,6 +1372,20 @@ class MetadataManager(val jdbcUrl: String,
               s"table $tid was altered concurrently (schema change since " +
                 s"transaction start at snapshot $baseSnapshot)")
           }
+        }
+        // a concurrent SET/RESET PARTITIONED BY on a table this txn
+        // also re-specs is a write-write conflict (last-writer-wins
+        // would silently end the other session's spec)
+        partitionOps.map(_._1).filter(_ >= 0).distinct.foreach { tid =>
+          val n = query(c,
+            """SELECT COUNT(*) FROM ducklake_partition_info
+              |WHERE table_id = ? AND (begin_snapshot > ?
+              |  OR (end_snapshot IS NOT NULL AND end_snapshot > ?))"""
+              .stripMargin,
+            Long.box(tid), Long.box(baseSnapshot),
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (n > 0) throw new CommitConflictException(
+            s"partition spec of table $tid was changed concurrently")
         }
         if (touched.nonEmpty) {
           deletes.foreach { case (tid, _, _) =>
@@ -1506,12 +1522,17 @@ class MetadataManager(val jdbcUrl: String,
       val pidMap = scala.collection.mutable.Map.empty[Long, Long]
       partitionOps.foreach { case (tid0, ppid, specs) =>
         val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
-        val cols = columnsOf(c, tid, snap.snapshotId)
-        val fields = specs.map { case (cn, tr) =>
-          (cols.find(x => x.parentColumn.isEmpty &&
-              x.name.equalsIgnoreCase(cn))
-            .getOrElse(throw new IllegalArgumentException(
-              s"no column $cn")).columnId, tr)
+        // column IDS survive same-txn renames; provisional ids (spec on
+        // a txn-created table) remap exactly like staged file stats
+        val live = columnsOf(c, tid, snap.snapshotId)
+          .filter(_.parentColumn.isEmpty).map(_.columnId).toSet
+        val fields = specs.map { case (cid0, tr) =>
+          val cid = if (cid0 < 0) colIdMap(cid0) else cid0
+          if (!live.contains(cid))
+            throw new IllegalArgumentException(
+              "cannot partition by a column dropped in the same " +
+                s"transaction (column id $cid)")
+          (cid, tr)
         }
         pidMap(ppid) = setPartitionSpecIn(c, snap, ids, tid, fields)
       }

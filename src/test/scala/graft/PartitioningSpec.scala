@@ -201,6 +201,26 @@ class PartitioningSpec extends AnyFunSuite {
     // the NEW value finds them, by the OLD value does not
     assert(lake.table("t", Some(col("p") === "p3" &&
       col("ts") === lit("2026-06-15").cast("timestamp"))).count() == 1)
+    // and the catalog rows prove it: every LIVE file carries partition
+    // values, including the rewritten ones ('p3', '2026-06-15')
+    val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+    try {
+      // files with LIVE ROWS (not fully delete-covered — update is
+      // delete+insert, so the originals stay as time-travel history)
+      val rs = c.createStatement().executeQuery(
+        """SELECT pv.partition_value FROM ducklake_data_file f
+          |JOIN ducklake_file_partition_value pv
+          |  ON f.data_file_id = pv.data_file_id
+          |WHERE f.end_snapshot IS NULL AND pv.partition_key_index = 0
+          |  AND f.record_count > (
+          |    SELECT COALESCE(SUM(d.delete_count), 0)
+          |    FROM ducklake_delete_file d
+          |    WHERE d.data_file_id = f.data_file_id
+          |      AND d.end_snapshot IS NULL)""".stripMargin)
+      val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) vals += rs.getString(1)
+      assert(vals.sorted == Seq("p2", "p3"), s"live partition values: $vals")
+    } finally c.close()
   }
 
   test("compaction merges within partitions and keeps them prunable") {
