@@ -684,7 +684,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       // virtualcolumns tests): when the query references one, views carry
       // rowid / snapshot_id / filename / file_row_number
       val wantMeta =
-        "(?i)\\b(filename|file_row_number|rowid|snapshot_id)\\b".r
+        "(?i)\\b(filename|file_row_number|file_index|rowid|snapshot_id)\\b".r
           .findFirstIn(q).isDefined
       // Register ONLY referenced relations: building the file list of
       // every table on every statement is O(catalog size) round trips —
@@ -2111,6 +2111,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (withMeta) extra
           .withColumn("filename", lit(InlinedFile))
           .withColumn("file_row_number", col("rowid"))
+          // inlined pseudo-file sits after the committed data files in
+          // the multi-file list (reference ducklake_multi_file_list.cpp:
+          // committed files, then inlined-data tables, then txn-local)
+          .withColumn("file_index", lit(scanFiles.size.toLong))
           .select(df.columns.map(col).toSeq: _*)
         else extra.select(schema.fieldNames.map(col).toSeq: _*)
       df.unionByName(shaped)
@@ -2146,8 +2150,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val shaped =
           if (!withMeta) p0.select(schema.fieldNames.map(col).toSeq: _*)
           else {
-            val info = bufFiles.map(f => (absUri(f.path), f.path))
-              .toDF("__abs", "__rel")
+            // txn-local files index after the committed files and the
+            // committed-inlined pseudo-file slot (reference multi-file
+            // list order: files, inlined tables, transaction-local)
+            val txnBase = scanFiles.size.toLong +
+              (if (inlined.nonEmpty) 1L else 0L)
+            val info = bufFiles.zipWithIndex
+              .map { case (f, i) => (absUri(f.path), f.path, txnBase + i) }
+              .toDF("__abs", "__rel", "__fidx")
             p0.withColumn("__abs", col("_metadata.file_path"))
               .withColumn("__pos", col("_metadata.row_index"))
               .join(broadcast(info), Seq("__abs"))
@@ -2158,7 +2168,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
               .select((schema.fieldNames.map(col).toSeq :+
                 col("rowid") :+ col("snapshot_id") :+
                 col("__rel").as("filename") :+
-                col("__pos").as("file_row_number")): _*)
+                col("__pos").as("file_row_number") :+
+                col("__fidx").as("file_index")): _*)
           }
         full2.unionByName(shaped)
       case _ => full2
@@ -2187,6 +2198,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val full = schema
         .add("rowid", LongType).add("snapshot_id", LongType)
         .add("filename", StringType).add("file_row_number", LongType)
+        .add("file_index", LongType)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         if (withMeta) full else schema)
@@ -2269,10 +2281,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // columns which take precedence over row_id_start + row_index
     // (reference ducklake_multi_file_reader.cpp:574-596); a snapshot can mix
     // both kinds, so scan them as (epoch × materialized) groups and union.
-    val fileInfo = scanFiles.map { f =>
+    val fileInfo = scanFiles.zipWithIndex.map { case (f, i) =>
       (absUri(f.file.path), f.file.path, f.file.rowIdStart,
-        f.file.beginSnapshot)
-    }.toDF("__abs", "__rel", "__start", "__fsnap")
+        f.file.beginSnapshot, i.toLong)
+    }.toDF("__abs", "__rel", "__start", "__fsnap", "__fidx")
 
     def readGroup(group: Seq[ScanFile], materialized: Boolean,
         plan: Option[(StructType, Seq[Column])]) = {
@@ -2345,7 +2357,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           (schema.fieldNames.map(col).toSeq :+
             col("rowid") :+ col("snapshot_id") :+
             col("__rel").as("filename") :+
-            col("__pos").as("file_row_number")): _*)
+            col("__pos").as("file_row_number") :+
+            col("__fidx").as("file_index")): _*)
       else afterDeletes.select(schema.fieldNames.map(col).toSeq: _*)
     out
   }
@@ -2542,12 +2555,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         newDeletes1.write.parquet(io.abs(tmpRel))
         st.scratchDirs += tmpRel
         val mat = spark.read.parquet(io.abs(tmpRel))
-        val hits = mat.filter(col("file_path").isin(pending.toSeq: _*))
-          .groupBy("file_path").agg(collect_list(col("pos")).as("ps"))
-          .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
-          .toMap
+        // driver only ever holds per-file COUNTS (bounded by the number
+        // of staged files); the hit positions themselves stay in the
+        // scratch parquet and are applied with a distributed anti-join —
+        // a txn that inserts 100M rows and deletes them all never funnels
+        // positions through the driver
+        val matPending = mat.filter(col("file_path").isin(pending.toSeq: _*))
+        val hitCounts = matPending
+          .groupBy("file_path").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val removed =
-          if (hits.nonEmpty) rewritePendingFiles(st, t, name, hits) else 0L
+          if (hitCounts.nonEmpty)
+            rewritePendingFiles(st, t, name, hitCounts, matPending)
+          else 0L
         (mat.filter(!col("file_path").isin(pending.toSeq: _*)), removed)
       case _ => (newDeletes1, 0L)
     }
@@ -2742,25 +2762,34 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** DELETE hitting rows staged by the open transaction: rewrite those
     * staged files without the matched positions (all-rows-hit files are
     * simply dropped from the buffer). Returns rows removed. */
+  /** Rewrite staged (uncommitted) files in place after a same-txn delete.
+    * `hitCounts` is driver-side but bounded by the number of staged files;
+    * the matched positions themselves arrive as `hitRows` (a scratch-
+    * parquet DataFrame of (file_path, pos)) and are removed with a
+    * per-file distributed anti-join — no position list ever materializes
+    * on the driver. */
   private def rewritePendingFiles(st: TxnState, t: TableInfo, name: String,
-      hits: Map[String, Set[Long]]): Long = {
+      hitCounts: Map[String, Long], hitRows: DataFrame): Long = {
     var removed = 0L
     val cols = columnsAt(t.tableId, st.base.snapshotId)
       .filter(_.parentColumn.isEmpty)
     st.appends.zipWithIndex.foreach {
       case ((tid, tname, pid, files), bi) =>
-        if (tid == t.tableId && files.exists(f => hits.contains(f.path))) {
+        if (tid == t.tableId &&
+          files.exists(f => hitCounts.contains(f.path))) {
           val kept = files.flatMap { f =>
-            hits.get(f.path) match {
+            hitCounts.get(f.path) match {
               case None => Some(f)
-              case Some(positions) =>
-                removed += positions.size
+              case Some(nHits) =>
+                removed += nHits
                 val replacement =
-                  if (positions.size >= f.recordCount) None
+                  if (nHits >= f.recordCount) None
                   else {
                     val rows = pqRead.parquet(abs(f.path))
                       .withColumn("__pos", col("_metadata.row_index"))
-                      .filter(!col("__pos").isin(positions.toSeq: _*))
+                      .join(hitRows.filter(col("file_path") === f.path)
+                        .select(col("pos").as("__pos")),
+                        Seq("__pos"), "left_anti")
                       .select(cols.map(c => col(c.name)): _*)
                     val rel = writeAndCollectPlain(name, rows.coalesce(1))
                     Some(statsFor(rel, cols).copy(

@@ -768,4 +768,34 @@ class TransactionSpec extends AnyFunSuite {
       Seq("id", "col_a_renamed", "col_b_renamed"))
     assert(lake.table("two").where(col("col_a_renamed").isNull).count() == 3)
   }
+
+  test("mass same-txn delete of staged rows stays off the driver") {
+    import org.apache.spark.sql.types._
+    // insert 120k rows in a txn, then delete most of them in the SAME
+    // txn: matched positions flow scratch-parquet → distributed anti-join
+    // (rewritePendingFiles); the driver only ever holds per-file counts.
+    val lake = freshLake()
+    lake.createTable("big", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    val n = 120000L
+    lake.transaction {
+      lake.append("big",
+        spark.range(n).select(col("id"), (col("id") * 7).as("v"))
+          .repartition(4))
+      // full wipe of two staged files' worth, partial on the rest
+      lake.delete("big", col("id") % 10 =!= 0L)
+      assert(lake.table("big").count() == n / 10)
+      lake.append("big", Seq((n + 1, 1L)).toDF("id", "v"))
+    }
+    assert(lake.table("big").count() == n / 10 + 1)
+    assert(lake.table("big").agg(sum(col("id"))).head().getLong(0) ==
+      (0L until n by 10).sum + n + 1)
+    // delete EVERYTHING staged (files dropped outright, no rewrite)
+    lake.transaction {
+      lake.append("big", spark.range(1000).select(
+        (col("id") + 1000000L).as("id"), lit(0L).as("v")).repartition(3))
+      lake.delete("big", col("id") >= 1000000L)
+    }
+    assert(lake.table("big").count() == n / 10 + 1)
+  }
 }
