@@ -1168,6 +1168,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         st.appends += ((t.tableId, name, spec.map(_.partitionId), files))
         snap
       case None =>
+        Lake.preCommitFault.foreach(_(name)) // test-only crash injection
         val committed =
           try meta.appendFiles(t.tableId, files, spec.map(_.partitionId),
             setOptions = commitOptions, batchGuard = batchGuard)
@@ -3262,14 +3263,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** Delete files on disk that the catalog does not know about (reference
     * ducklake_delete_orphaned_files). */
   def deleteOrphanedFiles(name: String, dryRun: Boolean = false): Seq[String] = {
-    val snap = meta.currentSnapshot()
-    val t = resolve(name, Some(snap.snapshotId))
-    val known = meta.filesForScan(t.tableId, snap.snapshotId)
-      .flatMap(f => f.file.path +: f.deleteFiles.map(_.path)).toSet
+    resolve(name, Some(meta.currentSnapshot().snapshotId)): Unit
+    // known = every path ANY snapshot references (data + delete files,
+    // historical rows included — they serve time travel until expired)
+    // plus files already queued for cleanup_old_files. Only files outside
+    // this set are orphans (reference GetKnownFilesForCleanupQuery:
+    // no snapshot filter, both file tables, scheduled deletions).
+    val known = meta.knownFilePaths()
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    io.list(name).foreach { fname =>
-      val rel = s"$name/$fname"
-      if (fname.endsWith(".parquet") && !known.contains(rel)) {
+    io.listRecursive(name).foreach { rel =>
+      val cleanable = rel.endsWith(".parquet") ||
+        rel.endsWith(".puffin") || rel.endsWith(".bin")
+      if (cleanable && !known.contains(rel)) {
         out += rel
         if (!dryRun) io.delete(rel)
       }
@@ -3945,6 +3950,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 }
 
 object Lake {
+
+  /** Test-only fault injection: when set, invoked after an append's data
+    * files are staged on disk but BEFORE the catalog commit registers
+    * them (and their streaming-ledger marker). Throwing here simulates a
+    * crash at the worst moment for exactly-once: data on disk, nothing
+    * committed. See LakeSinkSpec's crash-replay test. */
+  @volatile private[graft] var preCommitFault: Option[String => Unit] = None
 
   /** Field-metadata key carrying a lake-level type Spark has no native
     * DataType for (currently: geometry). */

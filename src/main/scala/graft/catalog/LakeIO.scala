@@ -117,6 +117,20 @@ final class LakeIO(val root: String) extends Serializable {
     else fs.listStatus(d).toSeq.map(_.getPath.getName)
   }
 
+  /** lake-relative paths of every FILE under `rel`, recursive — covers
+    * hive partition subdirectories (orphan sweep parity with the
+    * reference's `read_blob(DATA_PATH || '**')` glob). */
+  def listRecursive(rel: String): Seq[String] = {
+    val d = p(rel)
+    if (!fs.exists(d)) Nil
+    else {
+      val it = fs.listFiles(d, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += relativize(it.next().getPath.toString)
+      buf.toSeq
+    }
+  }
+
   /** absolute paths of the direct children that are files */
   def listFiles(rel: String): Seq[String] = {
     val d = p(rel)

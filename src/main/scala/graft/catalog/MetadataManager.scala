@@ -1918,6 +1918,21 @@ class MetadataManager(val jdbcUrl: String,
     toDrop
   }
 
+  /** Every file path the catalog references — live AND historical data
+    * files (time travel reads ended rows until expire_snapshots drops
+    * them), delete files, and files already scheduled for deletion
+    * (reference GetKnownFilesForCleanupQuery,
+    * ducklake_metadata_manager.cpp: union over ducklake_data_file,
+    * ducklake_delete_file and ducklake_files_scheduled_for_deletion with
+    * NO snapshot filter). Anything on disk outside this set is an orphan. */
+  def knownFilePaths(): Set[String] = withConn { c =>
+    (query(c, "SELECT path FROM ducklake_data_file")(_.getString(1)) ++
+      query(c, "SELECT path FROM ducklake_delete_file")(_.getString(1)) ++
+      query(c,
+        "SELECT path FROM ducklake_files_scheduled_for_deletion")(
+        _.getString(1))).toSet
+  }
+
   /** Files awaiting physical deletion (reference
     * ducklake_cleanup_files.cpp:66-177); returns and clears entries older
     * than the bound. */

@@ -191,4 +191,45 @@ class LakeSinkSpec extends AnyFunSuite {
           .StreamExecution.QUERY_ID_KEY, null)
     } finally graft.plans.LakeRegistry.unregister("sinkleg")
   }
+
+  test("crash between file write and ledger commit: replay dedupes, " +
+      "orphans are collectable") {
+    val dir = Files.createTempDirectory("graftsinkcrash").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTable("t", StructType(Seq(StructField("id", LongType))))
+    val b0 = Seq(1L, 2L).toDF("id").coalesce(1)
+    val b1 = Seq(3L, 4L).toDF("id").coalesce(1)
+    assert(LakeSink.appendBatch(lake, "t", "qc", 0L, b0))
+    val filesAfterB0 = lake.listFiles("t").count()
+    // simulated kill: data files staged on disk, catalog commit (which
+    // would carry the (query, batchId) ledger marker) never runs
+    Lake.preCommitFault = Some(_ => throw new RuntimeException("KILLED"))
+    try {
+      intercept[RuntimeException] {
+        LakeSink.appendBatch(lake, "t", "qc", 1L, b1)
+      }
+    } finally Lake.preCommitFault = None
+    // nothing committed: ledger still at batch 0, table unchanged,
+    // but the crashed attempt's parquet is orphaned on disk
+    assert(lake.table("t").count() == 2)
+    assert(lake.listFiles("t").count() == filesAfterB0)
+    val orphans = lake.deleteOrphanedFiles("t", dryRun = true)
+    assert(orphans.nonEmpty)
+    // Spark restarts the query from the checkpoint and REPLAYS batch 1 —
+    // it must apply exactly once
+    assert(LakeSink.appendBatch(lake, "t", "qc", 1L, b1))
+    assert(lake.table("t").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // a second replay of the committed batch is a no-op
+    assert(!LakeSink.appendBatch(lake, "t", "qc", 1L, b1))
+    assert(lake.table("t").count() == 4)
+    // orphan cleanup removes the crashed attempt's files and ONLY them
+    val removed = lake.deleteOrphanedFiles("t")
+    assert(removed.toSet == orphans.toSet)
+    assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty)
+    assert(lake.table("t").count() == 4)
+    // time travel to the pre-crash snapshot still reads clean
+    assert(lake.tableAtVersion("t",
+      lake.currentSnapshotId() - 1).count() == 2)
+  }
 }

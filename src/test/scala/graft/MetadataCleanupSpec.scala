@@ -105,4 +105,39 @@ class MetadataCleanupSpec extends AnyFunSuite {
     lake.cleanupOldFiles(Some(System.currentTimeMillis() + 1000000))
     assert(lake.table("c").orderBy("i").as[Int].collect().toSeq == Seq(0, 1))
   }
+
+  test("orphan sweep spares historical files; finds partition-dir orphans") {
+    val dir = Files.createTempDirectory("graftorph").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("g", IntegerType))))
+    lake.append("t", Seq((1, 0), (2, 0)).toDF("id", "g").coalesce(1))
+    lake.append("t", Seq((3, 1), (4, 1)).toDF("id", "g").coalesce(1))
+    val preCompact = lake.currentSnapshotId()
+    // compaction ends the small files in the catalog but time travel
+    // still reads them — the orphan sweep must NOT treat them as orphans
+    // (known set = ALL catalog rows, reference GetKnownFilesForCleanupQuery)
+    lake.mergeAdjacentFiles("t", 512L * 1024 * 1024)
+    assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty)
+    assert(lake.tableAtVersion("t", preCompact).count() == 4)
+    lake.deleteOrphanedFiles("t")
+    assert(lake.tableAtVersion("t", preCompact).count() == 4)
+    assert(lake.table("t").count() == 4)
+    // partitioned table: an orphan parquet dropped into a hive SUBDIR is
+    // found by the recursive sweep; the live partitioned files are kept
+    val pdf = Seq((1, 0), (2, 1)).toDF("id", "g")
+    lake.createTable("p", StructType(Seq(
+      StructField("id", IntegerType), StructField("g", IntegerType))))
+    lake.setPartitionedBy("p", Seq(("g", "identity")))
+    lake.append("p", pdf)
+    val pdir = java.nio.file.Paths.get(s"$dir/data/p")
+    val sub = java.nio.file.Files.list(pdir).filter(Files.isDirectory(_))
+      .findFirst().get()
+    java.nio.file.Files.write(sub.resolve("stray.parquet"),
+      Array[Byte](1, 2, 3))
+    val found = lake.deleteOrphanedFiles("p")
+    assert(found.size == 1 && found.head.endsWith("stray.parquet"))
+    assert(lake.table("p").count() == 2)
+    assert(lake.deleteOrphanedFiles("p", dryRun = true).isEmpty)
+  }
 }
