@@ -2391,13 +2391,21 @@ class MetadataManager(val jdbcUrl: String,
   private def ensureInlinedTable(c: Connection, tableId: Long): Unit = {
     val name = inlinedTableName(tableId)
     if (!tableExists(c, name.toUpperCase)) {
-      Using.resource(c.createStatement())(_.executeUpdate(qualify(
-        s"""CREATE TABLE $name (
-           |  row_id BIGINT NOT NULL, begin_snapshot BIGINT,
-           |  end_snapshot BIGINT, row_json VARCHAR(32000))""".stripMargin)))
-      exec(c,
-        "INSERT INTO ducklake_inlined_data_tables (table_id, table_name, schema_version) VALUES (?, ?, 0)",
-        Long.box(tableId), name)
+      try {
+        Using.resource(c.createStatement())(_.executeUpdate(qualify(
+          s"""CREATE TABLE $name (
+             |  row_id BIGINT NOT NULL, begin_snapshot BIGINT,
+             |  end_snapshot BIGINT, row_json VARCHAR(32000))""".stripMargin)))
+        exec(c,
+          "INSERT INTO ducklake_inlined_data_tables (table_id, table_name, schema_version) VALUES (?, ?, 0)",
+          Long.box(tableId), name)
+      } catch {
+        // check-then-create races across PROCESSES sharing one catalog:
+        // a concurrent writer created the side table (and its registry
+        // row) between our check and our CREATE. Theirs is identical —
+        // proceed; the commit itself still races on the snapshot PK.
+        case e: SQLException if tableExists(c, name.toUpperCase) => ()
+      }
     }
   }
 
