@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_join", "q6_filter",
-    "q_window_rank", "q_date_trunc")
+    "q_window_rank", "q_date_trunc",
+    // join/agg-heavy TPC-H shapes + a window-over-events ClickBench
+    // shape, so the ratio claim covers the expensive plans too
+    "q9_profit", "q18_large_orders", "q21_waiting", "cb_gap_stats")
 
   /** Range-cluster key per table for the ingest step: files get disjoint
     * key ranges (parquet footer min/max then prunes whole files for the
@@ -143,8 +146,31 @@ object Bench {
     // is the right model for the repeated/parameterized queries a lake
     // serves; plan-per-execution latency is reported by the driver's
     // correctness run instead.
-    val dfs = names.map(n => n -> qs(n)(spark, dataDir)).toMap
-    val plans = names.map(n => n -> dfs(n).queryExecution.executedPlan).toMap
+    // Build the prepared execution model for one data dir: analyze/plan
+    // each query once, return per-query executors that re-run the FULL
+    // pipeline per call (ShuffleReset re-registers every shuffle).
+    def prepare(dir: String)
+        : (Map[String, org.apache.spark.sql.DataFrame], String => Unit) = {
+      val dfs = names.map(n => n -> qs(n)(spark, dir)).toMap
+      val plans =
+        names.map(n => n -> dfs(n).queryExecution.executedPlan).toMap
+      val rdds = names.map { n =>
+        n -> plans(n).execute().mapPartitions { it =>
+          var c = 0L
+          while (it.hasNext) { it.next(); c += 1 }
+          Iterator.single(c)
+        }
+      }.toMap
+      val shuffles = rdds.map { case (n, r) =>
+        n -> org.apache.spark.graft.ShuffleReset.shuffleIds(r)
+      }
+      (dfs, { name =>
+        org.apache.spark.graft.ShuffleReset.clearOutputs(shuffles(name))
+        rdds(name).collect(): Unit
+      })
+    }
+
+    val (dfs, exec) = prepare(dataDir)
     // PREPARED execution: the physical RDD graph is built ONCE per query —
     // whole-stage code generated and JIT-compiled once, broadcast hash
     // tables built once — exactly what a prepared statement keeps compiled
@@ -154,21 +180,6 @@ object Bench {
     // scheduler re-runs all scan/join/aggregate stages from parquet — no
     // stage is ever skipped (verified by the SPARK_GRAFT_PHASES stage
     // listener: per-rep task counts match a cold run).
-    val rdds = names.map { n =>
-      n -> plans(n).execute().mapPartitions { it =>
-        var c = 0L
-        while (it.hasNext) { it.next(); c += 1 }
-        Iterator.single(c)
-      }
-    }.toMap
-    val shuffles = rdds.map { case (n, r) =>
-      n -> org.apache.spark.graft.ShuffleReset.shuffleIds(r)
-    }
-    def exec(name: String): Unit = {
-      org.apache.spark.graft.ShuffleReset.clearOutputs(shuffles(name))
-      rdds(name).collect(): Unit
-    }
-
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) names.foreach { n =>
       println(s"=== $n ==="); dfs(n).explain("formatted")
     }
@@ -258,9 +269,117 @@ object Bench {
       s""","baseline":$b""" +
         ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
     }.getOrElse("")
+
+    // SCALE-UP block: the same prepared model at 10× the data (sf0.1 →
+    // sf1), validating that the headline plans hold off the micro-bench
+    // knee — AQE on and shuffle.partitions ≈ cores, the cluster-scale
+    // session shape (LakeSession), instead of the sf0.1 micro-tuning.
+    // Both engines read the SAME multi-file range-clustered layout.
+    val sf1Json =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      else try {
+        val sf1Dir = prepareScaleUp(spark, sfDir, factor = 10)
+        // swept 8/16/32/64 at this sf1 size (52 MB lineitem): 8 is the
+        // knee — the reduce sides are still small enough that partition
+        // count is pure scheduling overhead. On a real cluster at a real
+        // sf this should be ≈ cores (LakeSession defaults).
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "8"))
+        spark.conf.set("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "true"))
+        val (_, exec1) = prepare(sf1Dir)
+        names.foreach(exec1); names.foreach(exec1) // warm-up passes
+        val reps1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "3").toInt
+        val t1 = scala.collection.mutable.Map(
+          names.map(_ -> List.empty[Double]): _*)
+        (1 to reps1).foreach { _ =>
+          names.foreach { name =>
+            val t0 = System.nanoTime()
+            exec1(name)
+            t1(name) ::= (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val res1 = names.map(n => n -> t1(n).min)
+        val tot1 = res1.map(_._2).sum
+        val q1Json = res1.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        val base1 =
+          if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
+          else measureBaseline(sf1Dir, names, reps1)
+        val base1Json = base1.map { b =>
+          val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
+            .map(m => tot1 / m.group(1).toDouble)
+          s""","baseline":$b""" +
+            ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
+        }.getOrElse("")
+        s""","sf1":{"total":${f"$tot1%.3f"},"queries":$q1Json$base1Json}"""
+      } catch {
+        case e: Throwable =>
+          s""","sf1":{"error":${jsonEsc(e.toString.take(200))}}"""
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+        spark.conf.set("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json}""")
     spark.stop()
+  }
+
+  /** sf-scale-up data: `factor`× the given sf dir, derived once and
+    * cached under tmpdir. Fact tables (orders, lineitem, events) are
+    * replicated with consistently SHIFTED join keys — the orders↔lineitem
+    * 1:N structure and per-order fan-out are preserved, dates/users stay
+    * in range so filters select factor× rows and group-bys see factor×
+    * rows per key — while dimensions stay fixed (data growth is fact
+    * growth, TPC-H scales dims sublinearly anyway). Facts land as ~32
+    * range-clustered files (the multi-file layout both engines scan);
+    * dims and the unused corpus tables are copied verbatim from the RAW
+    * sf dir so DuckDB's per-table views all bind. */
+  private def prepareScaleUp(spark: SparkSession, rawDir: String,
+      factor: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    val src = Paths.get(rawDir)
+    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9.]+", "_")
+      .dropWhile(_ == '_')
+    val dst = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-bench-x$factor-$key")
+    val marker = dst.resolve("_READY")
+    if (Files.exists(marker)) return dst.toString
+    Files.createDirectories(dst)
+    val t = Tables(spark, rawDir)
+    val okShift = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val evShift = t.events.agg(max(col("event_id"))).head().getLong(0) + 1
+    def fanOut(df: org.apache.spark.sql.DataFrame,
+        shifted: Seq[(String, Long)], clusterKey: String, name: String)
+        : Unit = {
+      val copies = (0 until factor).map { k =>
+        shifted.foldLeft(df) { case (d, (c, shift)) =>
+          d.withColumn(c, col(c) + lit(k * shift))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .repartitionByRange(32, col(clusterKey))
+        .sortWithinPartitions(clusterKey)
+        .write.mode("overwrite")
+        .parquet(dst.resolve(s"$name.parquet").toString)
+    }
+    fanOut(t.orders, Seq("o_orderkey" -> okShift), "o_orderdate", "orders")
+    fanOut(t.lineitem, Seq("l_orderkey" -> okShift), "l_shipdate",
+      "lineitem")
+    fanOut(t.events, Seq("event_id" -> evShift), "ts", "events")
+    for (name <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings")) {
+      val f = src.resolve(s"$name.parquet")
+      if (Files.exists(f))
+        Files.copy(f, dst.resolve(s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(marker, Array.emptyByteArray)
+    dst.toString
   }
 
   private def jsonEsc(s: String): String =

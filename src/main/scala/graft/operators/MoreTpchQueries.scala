@@ -209,7 +209,11 @@ object MoreTpchQueries extends QueryPack {
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("sum_profit"))
-      .orderBy(col("nation"), col("o_year").desc)
+      // output is nation × year (≤ a few hundred rows at ANY scale):
+      // single-partition sort instead of a range exchange, whose
+      // RangePartitioner sampling job re-executes the upstream agg
+      .coalesce(1)
+      .sortWithinPartitions(col("nation"), col("o_year").desc)
   }
 
   private val q9Sql =

@@ -245,7 +245,9 @@ object RelationalQueries extends QueryPack {
       groupCols = Seq("o_orderpriority"),
       order = Seq(col("o_totalprice").desc, col("o_orderkey")),
       k = 3, rankCol = "rk")
-      .orderBy(col("o_orderpriority"), col("rk"))
+      // 5 groups × k rows: single-partition final sort, no range exchange
+      .coalesce(1)
+      .sortWithinPartitions(col("o_orderpriority"), col("rk"))
   }
 
   private val qWindowTopkSkewSql =

@@ -18,6 +18,7 @@ JSON so the Spark-vs-reference ratio is auditable — both sides measured
 in the same time window on the same host.
 """
 import json
+import os
 import sys
 import time
 
@@ -34,8 +35,11 @@ def main():
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # scale-up dirs hold multi-file tables (<t>.parquet/ directory of
+        # part files) — glob them; raw testdata stays single-file
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     prepared = {}
     for i, (name, sql) in enumerate(oracle.items()):
         stmt = f"q{i}"
