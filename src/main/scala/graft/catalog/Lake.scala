@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   * store; moves assume a rename-capable filesystem (local / HDFS) — on
   * object stores the staging step would write final names directly.
   */
+/** One WHEN MATCHED clause of a MERGE (reference
+  * ducklake_merge_into.cpp action list). Clauses are ORDERED: per
+  * matched row the first clause whose condition passes acts. */
+sealed trait MatchedAction { def condition: Option[Column] }
+/** WHEN MATCHED [AND cond] THEN UPDATE SET ... */
+final case class MatchedUpdate(assignments: Map[String, Column],
+    condition: Option[Column] = None) extends MatchedAction
+/** WHEN MATCHED [AND cond] THEN DELETE */
+final case class MatchedDelete(condition: Option[Column] = None)
+    extends MatchedAction
+
 class Lake(val spark: SparkSession, val meta: MetadataManager,
     val dataPath: String) {
 
@@ -2861,7 +2872,26 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       notMatchedBySourceDelete: Option[Column] = None,
       notMatchedInsertValues: Option[Seq[(String, Column)]] = None): Unit = {
     require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
-      "at most one MATCHED action") // reference test-config constraint
+      "at most one MATCHED action via this signature — use mergeMatched " +
+        "for an ordered action list")
+    val actions =
+      whenMatchedUpdate.map(MatchedUpdate(_, matchedCondition)).toSeq ++
+        (if (whenMatchedDelete) Seq(MatchedDelete(matchedCondition)) else Nil)
+    mergeMatched(name, source, onKey, actions, whenNotMatchedInsert,
+      notMatchedCondition, notMatchedBySourceDelete, notMatchedInsertValues)
+  }
+
+  /** MERGE with an ORDERED list of WHEN MATCHED clauses (reference binder
+    * ducklake_merge_into.cpp:489-634 binds an action list; its test
+    * config exercises one clause, the binder itself does not care). Per
+    * matched row the FIRST clause whose AND-condition passes acts; rows
+    * matching no clause are untouched. One snapshot, one source pass. */
+  def mergeMatched(name: String, source: DataFrame, onKey: String,
+      matchedActions: Seq[MatchedAction],
+      whenNotMatchedInsert: Boolean = true,
+      notMatchedCondition: Option[Column] = None,
+      notMatchedBySourceDelete: Option[Column] = None,
+      notMatchedInsertValues: Option[Seq[(String, Column)]] = None): Unit = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val mrgAllCols = columnsAt(t.tableId, snap.snapshotId)
@@ -2876,13 +2906,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     if (dupes.nonEmpty) throw new IllegalStateException(
       "The same row was updated multiple times") // reference error text
 
-    // WHEN MATCHED AND cond: rows failing the gate take no action
-    val joined = matchedCondition.map(joined0.filter).getOrElse(joined0)
+    // first-match-wins clause selection: one CASE over the ordered
+    // conditions picks each row's action index (-1 = no clause applies)
+    val actIdx = matchedActions.zipWithIndex.foldRight(lit(-1)) {
+      case ((a, i), acc) =>
+        when(a.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+    }
+    val joined = joined0.withColumn("__act", actIdx)
+      .filter(col("__act") >= 0)
 
-    // positions leaving the table: matched rows (when a matched action
-    // rewrites/deletes them) + not-matched-by-source deletes
+    // positions leaving the table: matched rows claimed by ANY clause
+    // (updates rewrite them, deletes remove them) + not-matched-by-source
     val matchedPositions0 =
-      if (whenMatchedUpdate.isDefined || whenMatchedDelete)
+      if (matchedActions.nonEmpty)
         Some(joined.select(col("t.filename").as("file_path"),
           col("t.file_row_number").as("pos")))
       else None
@@ -2911,12 +2947,26 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         }
       } else None
 
-    val rewrittenMatched: Option[DataFrame] = whenMatchedUpdate.map { as =>
-      joined.select(cols.map(c =>
-        as.get(c.name)
-          .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
-          .getOrElse(col(s"t.${c.name}"))): _*)
+    // rows claimed by an UPDATE clause rewrite under THAT clause's
+    // assignments: per column, a CASE keyed on the action index
+    val updates = matchedActions.zipWithIndex.collect {
+      case (u: MatchedUpdate, i) => (u, i)
     }
+    val rewrittenMatched: Option[DataFrame] =
+      if (updates.isEmpty) None
+      else Some {
+        joined.filter(col("__act").isin(updates.map(_._2): _*))
+          .select(cols.map { c =>
+            val dt = DuckLakeTypes.fromTypeString(c.typeString)
+            updates.foldRight(col(s"t.${c.name}")) {
+              case ((u, i), acc) =>
+                u.assignments.get(c.name)
+                  .map(v => when(col("__act") === i, v.cast(dt))
+                    .otherwise(acc))
+                  .getOrElse(acc)
+            }.as(c.name)
+          }: _*)
+      }
 
     val newRows = (rewrittenMatched, inserts) match {
       case (Some(a), Some(b)) => Some(a.unionByName(

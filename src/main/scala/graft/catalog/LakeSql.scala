@@ -501,24 +501,27 @@ private[catalog] object LakeSql {
           """(?is)\ANOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*\z""".r
         val InsertRe =
           """(?is)\ANOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*(.*?)\s*\z""".r
-        var matchedUpdate: Option[Map[String, Column]] = None
-        var matchedDelete = false
-        var matchedCond: Option[Column] = None
+        // WHEN MATCHED clauses collect as an ORDERED list — the binder
+        // accepts any number (reference ducklake_merge_into.cpp action
+        // list); per row the first passing clause acts (mergeMatched)
+        val matchedActions =
+          scala.collection.mutable.ArrayBuffer.empty[MatchedAction]
         var doInsert = false
         var insertCond: Option[Column] = None
         var insertValues: Option[Seq[(String, Column)]] = None
         var bySourceDelete: Option[Column] = None
         splitWhenClauses(whenPart).foreach {
           case UpdateRe(cond, setPart) =>
-            matchedUpdate = Some(splitTop(setPart).map { a =>
-              val i = a.indexOf('=')
-              a.substring(0, i).trim.split("\\.").last ->
-                expr(remap(a.substring(i + 1).trim))
-            }.toMap)
-            Option(cond).foreach(c => matchedCond = Some(expr(remap(c))))
+            matchedActions += MatchedUpdate(
+              splitTop(setPart).map { a =>
+                val i = a.indexOf('=')
+                a.substring(0, i).trim.split("\\.").last ->
+                  expr(remap(a.substring(i + 1).trim))
+              }.toMap,
+              Option(cond).map(c => expr(remap(c))))
           case DeleteRe(cond) =>
-            matchedDelete = true
-            Option(cond).foreach(c => matchedCond = Some(expr(remap(c))))
+            matchedActions += MatchedDelete(
+              Option(cond).map(c => expr(remap(c))))
           case BySourceRe(cond) =>
             bySourceDelete = Some(Option(cond).map(c => expr(remap(c)))
               .getOrElse(org.apache.spark.sql.functions.lit(true)))
@@ -552,14 +555,12 @@ private[catalog] object LakeSql {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause: WHEN $other")
         }
-        require(matchedUpdate.isDefined || matchedDelete ||
+        require(matchedActions.nonEmpty ||
           doInsert || bySourceDelete.isDefined,
           s"unsupported MERGE actions: $whenPart")
-        lake.merge(tbl, source, onKey,
-          whenMatchedUpdate = matchedUpdate,
-          whenMatchedDelete = matchedDelete,
+        lake.mergeMatched(tbl, source, onKey,
+          matchedActions = matchedActions.toSeq,
           whenNotMatchedInsert = doInsert,
-          matchedCondition = matchedCond,
           notMatchedCondition = insertCond,
           notMatchedBySourceDelete = bySourceDelete,
           notMatchedInsertValues = insertValues)

@@ -110,6 +110,34 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("md").as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
+  test("merge: ordered multi-clause WHEN MATCHED, first match wins") {
+    val lake = freshLake()
+    lake.createTableAs("mm",
+      Seq((1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d"))
+        .toDF("id", "n", "v"))
+    val src = Seq((1, 0), (2, 0), (3, 0), (5, 0)).toDF("id", "x")
+    // clause order: DELETE small n; conditioned UPDATE mid n; fallback
+    // UPDATE. Row id=1 (n=10) deletes; id=2 (n=20) takes the mid update;
+    // id=3 (n=30) falls through to the unconditioned clause; id=5
+    // inserts. The mid clause also proves first-match-wins: n=10 < 25
+    // would satisfy it too, but the earlier DELETE claims the row.
+    lake.mergeMatched("mm", src, "id",
+      matchedActions = Seq(
+        MatchedDelete(Some(col("t.n") < 15)),
+        MatchedUpdate(Map("v" -> lit("mid")), Some(col("t.n") < 25)),
+        MatchedUpdate(Map("v" -> lit("big"), "n" -> (col("t.n") + 1)))),
+      whenNotMatchedInsert = true,
+      notMatchedInsertValues =
+        Some(Seq("id" -> col("s.id"), "n" -> lit(99), "v" -> lit("new"))))
+    val got = lake.table("mm").orderBy("id")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((2, 20, "mid"), (3, 31, "big"), (4, 40, "d"),
+      (5, 99, "new")))
+    // time travel still sees the pre-merge state (ONE snapshot for all)
+    assert(lake.tableAtVersion("mm", lake.currentSnapshotId() - 1)
+      .count() == 4)
+  }
+
   test("stats-based file pruning skips non-matching files") {
     val lake = freshLake()
     lake.createTable("p", StructType(Seq(StructField("k", LongType))))

@@ -339,6 +339,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().toSeq == Seq((1L, 10.0), (2L, 99.0)))
   }
 
+  test("MERGE INTO with MULTIPLE WHEN MATCHED clauses in order") {
+    val dir = Files.createTempDirectory("graftsqlmrg3").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("tgt",
+      Seq((1L, 5.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"))
+    lake.createTableAs("src",
+      Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 4.0)).toDF("k", "x"))
+    // first-match-wins: k=1 (x=5) deletes on the first clause even
+    // though the second's condition would also pass; k=2 takes the
+    // conditioned update; k=3 the fallback; k=4 inserts
+    lake.sql(
+      """MERGE INTO tgt USING src s ON tgt.k = s.k
+        |WHEN MATCHED AND tgt.x < 10 THEN DELETE
+        |WHEN MATCHED AND tgt.x < 25 THEN UPDATE SET x = tgt.x + 1
+        |WHEN MATCHED THEN UPDATE SET x = 0
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lake.table("tgt").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 21.0), (3L, 0.0), (4L, 4.0)))
+  }
+
   test("MERGE combines a conditional clause with a later clause") {
     // regression: a lazy whole-statement regex read the UPDATE's AND
     // condition straight through the NOT MATCHED BY SOURCE clause and
