@@ -100,6 +100,46 @@ object LakeQueries extends QueryPack {
       |FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MERGE with an ORDERED multi-clause WHEN MATCHED list — first
+    * passing clause wins per row (reference binder action list,
+    * ducklake_merge_into.cpp:489-634). */
+  private def qMergeMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{MatchedDelete, MatchedUpdate}
+    val lake = freshLake(spark)
+    val orders = Tables(spark, dir).orders
+    lake.createTableAs("t", orders.filter(col("o_orderkey") % 2 === 0))
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    lake.mergeMatched("t", source, "o_orderkey",
+      matchedActions = Seq(
+        MatchedDelete(Some(col("t.o_totalprice") < 50000)),
+        MatchedUpdate(Map("o_totalprice" -> col("s.o_totalprice")),
+          Some(col("t.o_totalprice") < 150000)),
+        MatchedUpdate(Map("o_orderpriority" -> lit("9-MULTI")))),
+      whenNotMatchedInsert = true)
+    detached(lake, lake.table("t")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey")))
+  }
+
+  private val qMergeMultiSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |            AND o_totalprice >= 50000 AND o_totalprice < 150000
+      |       THEN o_totalprice * 2
+      |       WHEN o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+      |       THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |            AND o_totalprice >= 150000
+      |       THEN '9-MULTI' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE (o_orderkey % 2 = 0
+      |       AND NOT (o_orderkey % 3 = 0 AND o_totalprice < 50000))
+      |   OR (o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Time travel AT VERSION (reference AT-clause resolution,
     * ducklake_transaction.cpp:1613-1645). */
   private def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
@@ -872,6 +912,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),
     QueryDef("lake_update", qUpdate, Some(qUpdateSql)),
     QueryDef("lake_merge", qMerge, Some(qMergeSql)),
+    QueryDef("lake_merge_multi", qMergeMulti, Some(qMergeMultiSql)),
     QueryDef("lake_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     QueryDef("lake_cdc_insertions", qCdcInsertions, Some(qCdcInsertionsSql)),
     QueryDef("lake_cdc_deletions", qCdcDeletions, Some(qCdcDeletionsSql)),
