@@ -140,4 +140,36 @@ class MetadataCleanupSpec extends AnyFunSuite {
     assert(lake.table("p").count() == 2)
     assert(lake.deleteOrphanedFiles("p", dryRun = true).isEmpty)
   }
+
+  test("active files are not orphans after expire (reference " +
+      "orphan_after_expire.test sequence)") {
+    val dir = Files.createTempDirectory("graftoae").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.sql("CREATE TABLE t1 (id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t1 VALUES (1, 'Hello'), (2, 'World')")
+    lake.flushInlinedData("t1")
+    lake.sql("CREATE TABLE t2 (id INTEGER, val VARCHAR)")
+    lake.sql("INSERT INTO t2 VALUES (1, 'Foo'), (2, 'Bar')")
+    lake.flushInlinedData("t2")
+    lake.sql("UPDATE t1 SET val = 'DuckLake' WHERE id = 2")
+    lake.sql("ALTER TABLE t1 ADD COLUMN name VARCHAR")
+    lake.sql("INSERT INTO t1 VALUES (3, 'Test', 'Test')")
+    lake.flushInlinedData("t1")
+    lake.mergeAdjacentFiles("t1", 512L * 1024 * 1024)
+    lake.rewriteDataFiles("t1", 0.0)
+    lake.expireSnapshots(Some(System.currentTimeMillis() + 1000))
+    // every file still serving the live snapshot must NOT be an orphan
+    // (expired files sit in scheduled_for_deletion, also not orphans)
+    assert(lake.deleteOrphanedFiles("t1", dryRun = true).isEmpty)
+    assert(lake.deleteOrphanedFiles("t2", dryRun = true).isEmpty)
+    assert(lake.table("t1").orderBy("id").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "Hello"), (2, "DuckLake"), (3, "Test")))
+    assert(lake.table("t2").count() == 2)
+    // physical cleanup of the expired files leaves live reads intact
+    lake.cleanupOldFiles(Some(System.currentTimeMillis() + 1000))
+    assert(lake.deleteOrphanedFiles("t1", dryRun = true).isEmpty)
+    assert(lake.table("t1").count() == 3)
+  }
 }
