@@ -323,9 +323,69 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       }
 
+    // LAKE-PATH block: the same headline queries read through the LAKE
+    // scan (catalog multi-file list, bare-scan fast path) instead of raw
+    // parquet — Tables resolves the `lake:` pseudo-dir through an
+    // attached lake. The reference's own TPC-H bench does exactly this
+    // (COPY into ducklake, then query the lake). The delta vs the raw
+    // block is the lake read path's own overhead.
+    val lakeJson =
+      if (sys.env.get("SPARK_GRAFT_LAKE").contains("0")) ""
+      else try {
+        val lakeDir = prepareLake(spark, dataDir)
+        val (_, execL) = prepare(lakeDir)
+        names.foreach(execL); names.foreach(execL) // warm-up
+        val repsL = sys.env.getOrElse("SPARK_GRAFT_LAKE_REPS", "7").toInt
+        val tl = scala.collection.mutable.Map(
+          names.map(_ -> List.empty[Double]): _*)
+        (1 to repsL).foreach { _ =>
+          names.foreach { name =>
+            val t0 = System.nanoTime()
+            execL(name)
+            tl(name) ::= (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val resL = names.map(n => n -> tl(n).min)
+        val totL = resL.map(_._2).sum
+        val qLJson = resL.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        s""","lake":{"total":${f"$totL%.3f"},"queries":$qLJson,"vs_raw":${f"${totL / total}%.2f"}}"""
+      } catch {
+        case e: Throwable =>
+          s""","lake":{"error":${jsonEsc(e.toString.take(200))}}"""
+      }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$lakeJson}""")
     spark.stop()
+  }
+
+  /** Lake-ingested copy of the prepared tables (cached in tmpdir): the
+    * `lake:` pseudo-dir the lake block times. Ingest mirrors the
+    * reference bench's COPY-into-ducklake load phase. */
+  private def prepareLake(spark: SparkSession, dataDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = Paths.get(dataDir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-bench-lake-$key")
+    val lakeDir = s"lake:${root.resolve("cat")}|${root.resolve("data")}"
+    val marker = root.resolve("_READY")
+    if (Files.exists(marker)) return lakeDir
+    if (Files.exists(root)) { // partial previous attempt: wipe
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val lake = graft.catalog.Lake.attach(spark,
+      root.resolve("cat").toString, root.resolve("data").toString)
+    val src = Tables(spark, dataDir)
+    val all = Seq("region" -> src.region, "nation" -> src.nation,
+      "customer" -> src.customer, "supplier" -> src.supplier,
+      "part" -> src.part, "orders" -> src.orders,
+      "lineitem" -> src.lineitem, "events" -> src.events,
+      "documents" -> src.documents, "embeddings" -> src.embeddings)
+    all.foreach { case (n, df) => lake.createTableAs(n, df) }
+    Files.write(marker, Array.emptyByteArray)
+    lakeDir
   }
 
   /** sf-scale-up data: `factor`× the given sf dir, derived once and

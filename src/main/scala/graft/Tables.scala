@@ -8,7 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * documents embeddings — one parquet file per table under the sf dir.
   */
 final case class Tables(spark: SparkSession, sfDir: String) {
+  /** `lake:<catalogUrl>|<dataPath>` dirs read through an attached lake's
+    * scan path (multi-file list from the catalog, delete application,
+    * schema-epoch mapping) instead of raw parquet — the SAME query
+    * definitions then measure/verify the lake read path end to end. */
+  private def lakeMode: Boolean = sfDir.startsWith("lake:")
+
   private def t(name: String): DataFrame = {
+    if (lakeMode) return Tables.lakeFor(spark, sfDir).table(name)
     val path = s"$sfDir/$name.parquet"
     // Parquet schema inference runs a listing+footer job per read; cache the
     // schema per path so repeated query invocations skip it entirely.
@@ -31,6 +38,9 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     * written against (DuckDB reads the same column as TIMESTAMP and
     * `epoch_us` agrees bit-for-bit). */
   def events: DataFrame = {
+    // lake tables were ingested from the forced-schema read, so ts is
+    // already a proper TIMESTAMP column there
+    if (lakeMode) return t("events")
     val path = s"$sfDir/events.parquet"
     val inferred = Tables.schemaCache.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
@@ -42,10 +52,49 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Filesystem path of the events data for FILE-based streaming sources
+    * (readStream.parquet needs a directory of files, not a scan). Raw
+    * mode: the testdata file itself. `lake:` mode: the lake table is
+    * materialized ONCE per pseudo-dir to a temp parquet dir — the
+    * streaming queries' semantics (file landing zone → lake) are
+    * unchanged, only the landing zone's origin is. */
+  def eventsRawPath: String =
+    if (!lakeMode) s"$sfDir/events.parquet"
+    else Tables.rawEventsCache.computeIfAbsent(sfDir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-events-raw")
+        .resolve("events.parquet")
+      events.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      // a single FILE path, exactly like the raw testdata layout — the
+      // streaming queries symlink it into their landing dirs
+      java.nio.file.Files.list(out)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get().toString
+    })
 }
 
 object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.types.StructType]()
+
+  private val lakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.catalog.Lake]()
+
+  private val rawEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Attach (once per JVM) the lake behind a `lake:<catalogUrl>|<dataPath>`
+    * pseudo-dir. `<catalogUrl>` is anything Lake.attach accepts (a Derby
+    * dir, a jdbc: url, an http:// catalog service). */
+  private[graft] def lakeFor(spark: SparkSession,
+      lakeDir: String): graft.catalog.Lake =
+    lakeCache.computeIfAbsent(lakeDir, { _ =>
+      val spec = lakeDir.stripPrefix("lake:")
+      val i = spec.lastIndexOf('|')
+      require(i > 0, s"expected lake:<catalogUrl>|<dataPath>, got $lakeDir")
+      graft.catalog.Lake.attach(spark,
+        spec.substring(0, i), spec.substring(i + 1))
+    })
 }

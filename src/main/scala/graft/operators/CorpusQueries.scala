@@ -479,7 +479,7 @@ object CorpusQueries extends QueryPack {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath))
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
     // huge watermark delay: no-data batches then never fire event-time
     // timeouts, so output is EXACTLY the gap-closed sessions ("all but
@@ -557,7 +557,7 @@ object CorpusQueries extends QueryPack {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sdd")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val src = java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath)
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("replay1.parquet"), src)
     java.nio.file.Files.createSymbolicLink(

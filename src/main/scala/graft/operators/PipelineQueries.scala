@@ -511,7 +511,7 @@ object PipelineQueries extends QueryPack {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath))
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
     val agg = stream
@@ -556,7 +556,7 @@ object PipelineQueries extends QueryPack {
       val d = java.nio.file.Files.createTempDirectory("graft-sjoin")
       java.nio.file.Files.createSymbolicLink(
         d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath))
       spark.readStream.schema(schema).parquet(d.toString)
     }
     val clicks = src().filter(col("event_type") === "click")
@@ -603,7 +603,7 @@ object PipelineQueries extends QueryPack {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath))
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
     val work = java.nio.file.Files.createTempDirectory("graft-ingest")
     val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
@@ -642,7 +642,7 @@ object PipelineQueries extends QueryPack {
     // re-chunk the source into 4 ts-ranged files and feed them one per
     // micro-batch, so the cross-batch newer-than merge gate is exercised
     val srcDir = java.nio.file.Files.createTempDirectory("graft-upsert-src")
-    spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    spark.read.schema(schema).parquet(Tables(spark, dir).eventsRawPath)
       .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(srcDir.toString)
     val stream = spark.readStream.schema(schema)
