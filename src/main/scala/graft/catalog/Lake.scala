@@ -1447,6 +1447,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           .filter(_.parentColumn.isEmpty).map(_.name)
         validateNoInlinedSystemColumns(names, tableName = t)
       }
+    // writer-option values validate at SET time, like the reference's
+    // set_option (ducklake_set_option.cpp "Unsupported ..." errors)
+    if (key == "parquet_compression" &&
+      !Set("snappy", "zstd", "gzip", "lz4", "lz4raw", "brotli",
+        "uncompressed", "none").contains(value.toLowerCase))
+      throw new IllegalArgumentException(
+        s"Unsupported parquet_compression '$value'")
+    if (key == "parquet_version" && !Set("1", "2").contains(value))
+      throw new IllegalArgumentException(
+        s"Unsupported parquet_version '$value' (expected 1 or 2)")
     table match {
       case Some(t) =>
         meta.setOption(key, value, Some("table"), Some(resolve(t).tableId))
@@ -1483,6 +1493,13 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .foreach(v => m += "parquet.compression.codec.zstd.level" -> v)
     optionFor(table, "parquet_row_group_size_bytes")
       .foreach(v => m += "parquet.block.size" -> v)
+    // row-COUNT row-group cap + format version (reference
+    // parquet_compression.test: parquet_row_group_size, parquet_version)
+    optionFor(table, "parquet_row_group_size")
+      .foreach(v => m += "parquet.block.row.count.limit" -> v)
+    optionFor(table, "parquet_version").foreach(v =>
+      m += "parquet.writer.version" ->
+        (if (v == "2") "PARQUET_2_0" else "PARQUET_1_0"))
     // parquet bloom filters for equality-heavy columns (Spark-native
     // extra beyond the reference's option set): point lookups skip row
     // groups whose bloom misses — at 100 TB the difference between a

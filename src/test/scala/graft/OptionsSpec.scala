@@ -61,6 +61,49 @@ class OptionsSpec extends AnyFunSuite {
     assert(lake.table("small").count() == 40000)
   }
 
+  test("parquet_version and row-count row groups (reference " +
+      "parquet_compression.test)") {
+    val dir = Files.createTempDirectory("graftoptv").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.setOption("parquet_compression", "zstd")
+    lake.setOption("parquet_version", "2")
+    lake.setOption("parquet_row_group_size", "64000")
+    lake.createTableAs("tbl",
+      (0 until 100000).map(i => (i.toLong, s"hello world$i")).toDF("i", "str")
+        .coalesce(1))
+    // footer: zstd everywhere, >= 2 row groups (100k rows / 64k cap)
+    val file = Files.walk(java.nio.file.Paths.get(s"$dir/data/tbl"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val blocks = r.getFooter.getBlocks
+      assert(blocks.size >= 2, s"expected >=2 row groups, got ${blocks.size}")
+      import scala.jdk.CollectionConverters._
+      val codecs = blocks.asScala.flatMap(_.getColumns.asScala)
+        .map(_.getCodec.toString).toSet
+      assert(codecs == Set("ZSTD"))
+      // v2: data pages use v2 encodings (DELTA_*) instead of PLAIN
+      val encodings = blocks.asScala.flatMap(_.getColumns.asScala)
+        .flatMap(_.getEncodings.asScala.map(_.toString)).toSet
+      assert(encodings.exists(_.startsWith("DELTA")),
+        s"expected v2 DELTA encodings, got $encodings")
+    } finally r.close()
+    // settings persist in the catalog across re-attach
+    val lake2 = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    assert(lake2.options().toMap.get("parquet_version").contains("2"))
+    assert(lake2.table("tbl").count() == 100000)
+    // unsupported values error at SET time, like the reference
+    intercept[IllegalArgumentException] {
+      lake.setOption("parquet_compression", "zstdx")
+    }
+    intercept[IllegalArgumentException] {
+      lake.setOption("parquet_version", "3")
+    }
+  }
+
   test("parquet_bloom_filter_columns writes real bloom filters") {
     val dir = Files.createTempDirectory("graftbloom").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
