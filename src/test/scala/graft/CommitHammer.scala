@@ -36,6 +36,26 @@ object CommitHammer {
           .filter(_._3.contains(s""""writer":$writerId"""))
         mine.foreach(r => meta.endInlinedRows(t.tableId, Seq(r._1)))
         println(s"HAMMER-DONE $writerId ${mine.size}")
+      case dataPath if dataPath.startsWith("spark-append:") =>
+        // full write path from a separate PROCESS: its own SparkSession
+        // writes real parquet through the lake append (stats pass,
+        // row_id_start allocation, optimistic commit) against the shared
+        // HTTP catalog — the deployment shape of N independent Spark
+        // jobs feeding one lake
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .appName(s"hammer-$writerId").getOrCreate()
+        import spark.implicits._
+        val lake = graft.catalog.Lake.attach(spark, url,
+          dataPath.stripPrefix("spark-append:"))
+        (0 until m).foreach { i =>
+          lake.append(table,
+            Seq((writerId.toLong, i.toLong)).toDF("writer", "seq"))
+        }
+        println(s"HAMMER-DONE $writerId $m")
+        spark.stop()
     }
   }
 }

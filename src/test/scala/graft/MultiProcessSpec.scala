@@ -73,4 +73,46 @@ class MultiProcessSpec extends AnyFunSuite {
       assert(lake.tableAtVersion("t", snap1).count() == writers * perWriter)
     } finally server.stop()
   }
+
+  test("two child SPARK processes append real parquet to one lake") {
+    val perWriter = 4
+    val dir = Files.createTempDirectory("graftmps").toString
+    val server = new HttpCatalogServer(
+      MetadataManager.derbyUrl(s"$dir/cat")).start()
+    try {
+      val lake = Lake.attach(spark, server.url, s"$dir/data")
+      lake.createTable("pq", StructType(Seq(
+        StructField("writer", LongType), StructField("seq", LongType))))
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      // child JVMs boot their own SparkSession → need the JDK17 opens
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val procs = (1 to 2).map { w =>
+        Process(Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.CommitHammer", server.url, "pq", w.toString,
+          perWriter.toString, s"spark-append:$dir/data")).run(
+          ProcessLogger(line => info(s"[s$w] $line"),
+            line => info(s"[s$w!] $line")))
+      }
+      val codes = procs.map(_.exitValue())
+      assert(codes.forall(_ == 0), s"spark child exit codes: $codes")
+      val rows = lake.table("pq")
+        .select("writer", "seq").as[(Long, Long)].collect().toSet
+      assert(rows == (for {
+        w <- 1 to 2; i <- 0 until perWriter
+      } yield (w.toLong, i.toLong)).toSet)
+      // rowids allocated across processes never collide (row_id_start is
+      // re-read inside each retried commit body)
+      assert(lake.tableWithRowId("pq").select("rowid").distinct()
+        .count() == 2L * perWriter)
+    } finally server.stop()
+  }
 }
