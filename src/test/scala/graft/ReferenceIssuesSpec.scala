@@ -202,4 +202,30 @@ class ReferenceIssuesSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](lake.view("v"))
   }
+
+  test("mixed inlined and file deletes keep time travel exact " +
+      "(issue_1074)") {
+    val dir = Files.createTempDirectory("graft1074").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.createTableAs("t", (0 until 100).map(i => i).toDF("id")
+      .coalesce(1))
+    val v1 = lake.currentSnapshotId()
+    // delete 1: inlining ON → the delete lands as catalog rows
+    lake.setOption("data_inlining_row_limit", "100")
+    lake.delete("t", col("id") === 0)
+    val v2 = lake.currentSnapshotId()
+    // deletes 2+3: inlining OFF → positional delete files, which must
+    // ABSORB the earlier inlined delete without double-counting
+    lake.setOption("data_inlining_row_limit", "0")
+    lake.delete("t", col("id") === 1)
+    val v3 = lake.currentSnapshotId()
+    lake.delete("t", col("id") === 2)
+    val v4 = lake.currentSnapshotId()
+    assert(lake.tableAtVersion("t", v1).count() == 100)
+    assert(lake.tableAtVersion("t", v2).count() == 99)
+    assert(lake.tableAtVersion("t", v3).count() == 98)
+    assert(lake.tableAtVersion("t", v4).count() == 97)
+    assert(lake.table("t").count() == 97)
+    assert(lake.table("t").agg(min(col("id"))).head().getInt(0) == 3)
+  }
 }
