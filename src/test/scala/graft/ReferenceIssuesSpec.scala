@@ -228,4 +228,28 @@ class ReferenceIssuesSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 97)
     assert(lake.table("t").agg(min(col("id"))).head().getInt(0) == 3)
   }
+
+  test("a corrupted catalog never blocks other lakes; reads of the " +
+      "corrupt table fail cleanly (corrupted_catalog_fault_isolation)") {
+    val dir = Files.createTempDirectory("graftcorr").toString
+    val bad = Lake.attach(spark, s"$dir/badcat", s"$dir/baddata")
+    bad.createTableAs("t1", Seq((1, "hello")).toDF("id", "name"))
+    // corrupt the metadata directly: invalid column type string
+    val c = java.sql.DriverManager.getConnection(
+      MetadataManager.derbyUrl(s"$dir/badcat"))
+    try c.createStatement().executeUpdate(
+      "UPDATE ducklake_column SET column_type = 'int32varcharvarchar' " +
+        "WHERE column_name = 'id'")
+    finally c.close()
+    // a SECOND lake attaches and works, despite the corrupted sibling
+    val good = Lake.attach(spark, s"$dir/goodcat", s"$dir/gooddata")
+    good.createTableAs("t2", Seq(Tuple1(42)).toDF("v"))
+    assert(good.table("t2").head().getInt(0) == 42)
+    // reattach of the corrupt catalog succeeds (lazy loading); only the
+    // corrupt TABLE read errors, with the bad type named
+    val bad2 = Lake.attach(spark, s"$dir/badcat", s"$dir/baddata")
+    val e = intercept[Exception](bad2.table("t1").collect())
+    assert(e.getMessage.contains("int32varcharvarchar"))
+    assert(good.table("t2").count() == 1) // sibling still fine
+  }
 }
