@@ -68,9 +68,10 @@ final case class Tables(spark: SparkSession, sfDir: String) {
       events.coalesce(1).write.mode("overwrite").parquet(out.toString)
       // a single FILE path, exactly like the raw testdata layout — the
       // streaming queries symlink it into their landing dirs
-      java.nio.file.Files.list(out)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      val ls = java.nio.file.Files.list(out)
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
         .findFirst().get().toString
+      finally ls.close()
     })
 }
 
