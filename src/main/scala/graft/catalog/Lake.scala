@@ -167,6 +167,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             // appends, their files, and any buffered partition spec go
             st.created.remove(pid)
             st.partitionSpecs.remove(pid)
+            st.sortSpecs.remove(pid)
             val (mine, rest) = st.appends.partition(_._1 == pid)
             st.appends.clear(); st.appends ++= rest
             mine.flatMap(_._4.map(_.path)).foreach(p => io.delete(p))
@@ -178,6 +179,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             val info = meta.tableByName(t0, st.base.snapshotId, s)
               .getOrElse(throw new IllegalArgumentException(s"no table $name"))
             st.partitionSpecs.remove(info.tableId) // drop wins
+            st.sortSpecs.remove(info.tableId)
             st.dropped(info.tableId) = (s, t)
         }
       case None => meta.dropTable(t, s)
@@ -257,7 +259,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // dropped — RESET SORTED BY / RESET PARTITIONED BY first.
     val t = resolve(table)
     val sid = meta.currentSnapshot().snapshotId
-    if (meta.currentSortSpec(t.tableId, sid)
+    if (effectiveSortSpec(t.tableId, sid)
         .exists(s => SqlIdent.refs(s._1).contains(column.toLowerCase)))
       throw new IllegalArgumentException(
         s"cannot drop column $column of $table: the table is sorted by " +
@@ -604,10 +606,14 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private def transformCol(transform: String, c: Column): Column =
     transform match {
       case "identity" => c.cast("string")
+      // plain year()/month()/day()/hour() numbers — the values DuckDB's
+      // BuildPartitionFilter compares with `month(col) = v` (reference
+      // ducklake_partition_data.cpp GetPartitionSQLExpression), so a
+      // foreign DuckDB reading this catalog prunes correctly
       case "year" => year(c).cast("string")
-      case "month" => date_format(c, "yyyy-MM")
-      case "day" => date_format(c, "yyyy-MM-dd")
-      case "hour" => date_format(c, "yyyy-MM-dd-HH")
+      case "month" => month(c).cast("string")
+      case "day" => dayofmonth(c).cast("string")
+      case "hour" => hour(c).cast("string")
       case b if b.startsWith("bucket(") =>
         val n = b.stripPrefix("bucket(").stripSuffix(")").trim.toInt
         graft.functions.Murmur3Functions.bucket(n, c).cast("string")
@@ -658,11 +664,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         scala.util.Try(graft.functions.Murmur3.hashAny(value, dt)).toOption
           .map(h => ((h & Int.MaxValue) % n).toString)
       case "year" => utc.map(_.getYear.toString)
-      case "month" => utc.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
-      case "day" => utc.map(d =>
-        f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d")
-      case "hour" => utc.map(d =>
-        f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-${d.getHour}%02d")
+      case "month" => utc.map(_.getMonthValue.toString)
+      case "day" => utc.map(_.getDayOfMonth.toString)
+      case "hour" => utc.map(_.getHour.toString)
       case _ => None
     }
   }
@@ -1159,8 +1163,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
 
     // sort-on-insert: inject the table's sort spec below the write
-    // (reference ducklake_insert.cpp:768-846)
-    val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
+    // (reference ducklake_insert.cpp:768-846); a SET/RESET SORTED BY
+    // buffered in this txn overlays the committed spec
+    val sortSpec = effectiveSortSpec(t.tableId, snap.snapshotId)
     val sortOn = optionFor(name, "sort_on_insert").forall(_ == "true")
     val aligned =
       if (sortSpec.nonEmpty && sortOn)
@@ -1248,6 +1253,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // spec list is a buffered RESET.
     val partitionSpecs = scala.collection.mutable.LinkedHashMap
       .empty[Long, (Long, Seq[(Long, String)])]
+    // SET/RESET SORTED BY buffered inside this txn (reference
+    // set_sorted_by_rollback_basic.test: ROLLBACK leaves no sort info,
+    // no snapshot): tableId (provisional or committed) → (expr, order,
+    // null_order) keys; empty list = buffered RESET. The txn's own
+    // inserts/flushes sort under the buffered spec.
+    val sortSpecs = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Seq[(String, String, String)]]
+    // flush_inlined_data buffered inside this txn (reference
+    // data_inlining_flush.test inside BEGIN: read-your-writes, the flush
+    // lands with the txn's single commit, ROLLBACK removes the file):
+    // tableId → (flushed committed-inlined rowids, parquet file with
+    // materialized rowid/snapshot columns)
+    val flushes = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Seq[Long], PendingDataFile)]
     // COMMITTED tables renamed inside this txn, in statement order:
     // (tableId, schema, oldName, newName). Renames of txn-created tables
     // rebind `created` directly and never appear here (reference
@@ -1311,16 +1330,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val partitionList = st.partitionSpecs.toSeq.map {
       case (tid, (ppid, specs)) => (tid, ppid, specs)
     }
+    val sortList = st.sortSpecs.toSeq
+    val flushList = st.flushes.toSeq.map { case (tid, (ids, pf)) =>
+      (tid, ids, pf)
+    }
     // txn is cleared only AFTER the catalog commit succeeds: on a
     // CommitConflictException (or any failure) the staged state stays so
     // the caller can rollback() (removing staged files) or retry commit()
     if (appends.nonEmpty || dels.nonEmpty || inlinedDels.nonEmpty ||
         created.nonEmpty || drops.nonEmpty || newSchemas.nonEmpty ||
         alterList.nonEmpty || st.macroOps.nonEmpty || st.viewOps.nonEmpty ||
-        renameList.nonEmpty || partitionList.nonEmpty)
+        renameList.nonEmpty || partitionList.nonEmpty || sortList.nonEmpty ||
+        flushList.nonEmpty)
       meta.commitTransaction(st.base.snapshotId, appends, dels, inlinedDels,
         created, drops, newSchemas, alterList, st.macroOps.toSeq,
-        st.viewOps.toSeq, renameList, partitionList)
+        st.viewOps.toSeq, renameList, partitionList, sortList, flushList)
     txn = None
     st.cleanupScratch()
   }
@@ -1333,7 +1357,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // not leak onto the next commit (audit/test_base_audit.test ROLLBACK)
     meta.clearPendingCommitMessage()
     (st.appends.flatMap(_._4.map(_.path)) ++
-      st.deletes.values.flatMap(_._1.values.map(_._1)))
+      st.deletes.values.flatMap(_._1.values.map(_._1)) ++
+      st.flushes.values.map(_._2.path))
       .foreach(p => io.delete(p))
     // txn-created tables never reached the catalog; their staged files are
     // covered by the appends cleanup above. The table DIR is left in place:
@@ -1404,14 +1429,25 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             s"invalid sort expression '$e' for $table: ${ex.getMessage}")
       }
     }
-    meta.setSortSpec(t.tableId, exprs)
+    txn match {
+      // buffered: the txn's own inserts sort under it, ROLLBACK discards
+      // it without a snapshot (set_sorted_by_rollback_basic.test), the
+      // last SET in the txn wins (insert_sorted_transaction.test)
+      case Some(st) => st.sortSpecs(t.tableId) = exprs
+      case None => meta.setSortSpec(t.tableId, exprs)
+    }
   }
 
   /** ALTER TABLE ... RESET SORTED BY: subsequent inserts / compactions no
     * longer sort (reference reset_sorted family — an empty spec entry,
     * not a deleted one, so time travel sees the change). */
-  def resetSortedBy(table: String): Unit =
-    meta.setSortSpec(resolve(table).tableId, Nil)
+  def resetSortedBy(table: String): Unit = {
+    val t = resolve(table)
+    txn match {
+      case Some(st) => st.sortSpecs(t.tableId) = Nil
+      case None => meta.setSortSpec(t.tableId, Nil)
+    }
+  }
 
   /** ALTER TABLE ... RESET PARTITIONED BY (reference
     * partitioning/reset.test): new writes are unpartitioned. */
@@ -1528,16 +1564,43 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val t = resolve(name, Some(snap.snapshotId))
     val flAllCols = meta.columnsOf(t.tableId, snap.snapshotId)
     val cols = flAllCols.filter(_.parentColumn.isEmpty)
-    val inlined = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    val inlined0 = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    // rows already flushed by this open txn are no longer flushable
+    val inlined = txn.flatMap(_.flushes.get(t.tableId)) match {
+      case Some((ids, _)) => inlined0.filterNot(r => ids.contains(r._1))
+      case None => inlined0
+    }
     if (inlined.isEmpty) return 0L
     val rows = inlinedDf(inlined, toStruct(cols))
       .select((cols.map(c => col(c.name)) :+
         col("rowid").as(RowIdCol) :+ col("snapshot_id").as(SnapCol)): _*)
-    val rel = writeAndCollectPlain(name, rows.coalesce(1))
+    // a sorted table flushes in sort order (reference
+    // data_inlining_flush_sorted_basic.test), incl. a spec buffered in
+    // the open transaction (…_flush_sorted_transaction_renamed.test)
+    val sortSpec = effectiveSortSpec(t.tableId, snap.snapshotId)
+    val one = rows.coalesce(1)
+    val shaped =
+      if (sortSpec.isEmpty) one
+      else one.sortWithinPartitions(sortSpec.map((sortKey _).tupled): _*)
+    val rel = writeAndCollectPlain(name, shaped)
     val pending = statsFor(rel, cols, allCols = flAllCols)
       .copy(hasRowIds = true)
-    meta.endInlinedRows(t.tableId, inlined.map(_._1), Seq(pending),
-      isFlush = true, explicitRowIdStart = Some(inlined.map(_._1).min))
+    txn match {
+      case Some(st) => // buffered: the txn's own reads serve the file in
+        // place of the inlined rows; ONE snapshot at commit
+        require(t.tableId >= 0,
+          "flush_inlined_data inside a transaction only applies to " +
+            "committed tables (a txn-created table's rows flush at commit)")
+        require(!st.flushes.contains(t.tableId),
+          s"inlined data of $name was already flushed in this transaction")
+        require(!st.inlinedDeletes.contains(t.tableId),
+          s"cannot flush inlined data of $name after deleting inlined " +
+            "rows in the same transaction")
+        st.flushes(t.tableId) = (inlined.map(_._1), pending)
+      case None =>
+        meta.endInlinedRows(t.tableId, inlined.map(_._1), Seq(pending),
+          isFlush = true, explicitRowIdStart = Some(inlined.map(_._1).min))
+    }
     inlined.size.toLong
   }
 
@@ -1571,6 +1634,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     createTable(name, df.schema)
     append(name, df)
   }
+
+  /** The sort spec this handle's WRITES must use: a SET/RESET SORTED BY
+    * buffered in the open transaction overlays the committed spec
+    * (reference insert_sorted_transaction.test). */
+  private def effectiveSortSpec(tableId: Long,
+      snapshotId: Long): Seq[(String, String, String)] =
+    txn.flatMap(_.sortSpecs.get(tableId)).getOrElse(
+      if (tableId < 0) Nil
+      else meta.currentSortSpec(tableId, snapshotId))
 
   /** The partition spec this handle's WRITES must use: the txn's own
     * buffered SET/RESET (provisional ids, remapped at commit) overlays
@@ -2124,16 +2196,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // inlined-data pseudo-files: rows living in the catalog DB join the
     // scan (reference ducklake_multi_file_list.cpp:360-374)
     val inlined0 = meta.liveInlinedRows(t.tableId, snap.snapshotId)
+    // a flush buffered in the open txn serves its rows from the written
+    // file instead of the catalog rows (read-your-writes)
+    val txnFlush = txn.filter(st => snap.snapshotId >= st.base.snapshotId)
+      .flatMap(_.flushes.get(t.tableId))
+    val flushedIds = txnFlush.map(_._1.toSet).getOrElse(Set.empty[Long])
     // read-your-writes: inlined rows deleted inside the open transaction
     // disappear from its own reads before commit
-    val inlined = txn match {
+    val inlined = (txn match {
       case Some(st) if snap.snapshotId >= st.base.snapshotId =>
         st.inlinedDeletes.get(t.tableId) match {
           case Some(dead) => inlined0.filterNot(r => dead.contains(r._1))
           case None => inlined0
         }
       case _ => inlined0
-    }
+    }).filterNot(r => flushedIds.contains(r._1))
     val full = if (inlined.isEmpty) df else {
       val extra = inlinedDf(inlined, schema)
       val shaped =
@@ -2203,7 +2280,30 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         full2.unionByName(shaped)
       case _ => full2
     }
-    filter.map(withTxn.filter).getOrElse(withTxn)
+    // the txn-buffered flushed file: materialized rowid/snapshot columns
+    // take the place of the served inlined rows (reference
+    // data_inlining_flush.test inside BEGIN)
+    val withFlush = txnFlush match {
+      case Some((_, pf)) =>
+        val raw = pqRead.parquet(abs(pf.path))
+        val shaped =
+          if (!withMeta) raw.select(schema.fieldNames.map(col).toSeq: _*)
+          else {
+            val txnCount = txn.map(_.pendingFiles(t.tableId).size)
+              .getOrElse(0)
+            raw
+              .withColumn("rowid", col(RowIdCol))
+              .withColumn("snapshot_id", col(SnapCol))
+              .withColumn("filename", lit(pf.path))
+              .withColumn("file_row_number", col("_metadata.row_index"))
+              .withColumn("file_index", lit(scanFiles.size.toLong +
+                (if (inlined.nonEmpty) 1L else 0L) + txnCount))
+              .select(withTxn.columns.map(col).toSeq: _*)
+          }
+        withTxn.unionByName(shaped)
+      case None => withTxn
+    }
+    filter.map(withFlush.filter).getOrElse(withFlush)
   }
 
   /** Assemble the multi-file scan: parquet reader over the pruned file
@@ -2255,20 +2355,48 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     // foreign files registered via add_data_files read under their own
     // parquet column names (ducklake_name_mapping), projected to the
-    // current schema by column_id — same shape as the epoch mapping
+    // current schema by column_id — same shape as the epoch mapping.
+    // is_partition entries are served from the file path's hive segments
+    // (reference ducklake_multi_file_reader.cpp:449-467)
+    val mappingCache =
+      scala.collection.mutable.Map.empty[Long, Seq[(String, Long, Boolean)]]
+    def mappingOf(mid: Long) =
+      mappingCache.getOrElseUpdate(mid, meta.nameMapping(mid))
+    def hiveSigFor(mid: Long, path: String): String = {
+      val hiveKeys = mappingOf(mid).collect { case (s, _, true) => s }
+      if (hiveKeys.isEmpty) ""
+      else {
+        val hive = parseHiveSegments(path)
+        hiveKeys.sorted
+          .map(k => s"$k=${hive.getOrElse(k.toLowerCase, "")}")
+          .mkString("/")
+      }
+    }
     def nameMappedPlan(mid: Long,
         sample: DataFileEntry): (StructType, Seq[Column]) = {
-      val srcById = meta.nameMapping(mid)
-        .map { case (s, cid) => cid -> s }.toMap
+      val entries = mappingOf(mid)
+      val srcById = entries.map { case (s, cid, hp) => cid -> (s, hp) }.toMap
       val fileSchema = readSchemaOf(sample.path)
-      val readFields = cols.flatMap(cc => srcById.get(cc.columnId).map { s =>
-        fileSchema.fields.find(_.name == s)
+      val hive = parseHiveSegments(sample.path)
+      val readFields = cols.flatMap(cc => srcById.get(cc.columnId).collect {
+        case (s, false) => fileSchema.fields.find(_.name == s)
           .getOrElse(StructField(s, DuckLakeTypes.fromTypeString(cc.typeString)))
       })
       val projs = cols.map { cc =>
         val dt = DuckLakeTypes.fromTypeString(cc.typeString)
         srcById.get(cc.columnId) match {
-          case Some(s) => col(s).cast(dt).as(cc.name)
+          case Some((s, true)) =>
+            val raw = hive.getOrElse(s.toLowerCase,
+              throw new IllegalArgumentException(
+                s"""Column "$s" should have been read from hive """ +
+                  "partitions - but it was not found in filename " +
+                  s""""${sample.path}""""))
+            val v = if (raw == HiveNullPartition) null else raw
+            lit(v).cast(dt).as(cc.name)
+          case Some((s, false)) =>
+            fileSchema.fields.find(_.name == s)
+              .map(ff => conformValue(col(s), ff.dataType, dt))
+              .getOrElse(col(s).cast(dt)).as(cc.name)
           case None => lit(cc.initialDefault.orNull).cast(dt).as(cc.name)
         }
       }
@@ -2276,9 +2404,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     val epochGroups: Seq[(Option[(StructType, Seq[Column])], Seq[ScanFile])] =
       scanFiles.groupBy(f => f.file.mappingId match {
-        case Some(mid) => (1L, mid)
-        case None => (0L, versionAt(f.file.beginSnapshot)._1)
-      }).toSeq.sortBy(_._1).map { case ((kind, id), fs) =>
+        case Some(mid) => (1L, mid, hiveSigFor(mid, f.file.path))
+        case None => (0L, versionAt(f.file.beginSnapshot)._1, "")
+      }).toSeq.sortBy(_._1).map { case ((kind, id, _), fs) =>
         val plan =
           if (kind == 1L) Some(nameMappedPlan(id, fs.head.file))
           else epochPlanOf(fs.head.file)
@@ -2498,6 +2626,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case c => c.toString
     }
 
+  /** hive partition-dir sentinel for NULL keys (Spark/Hive convention,
+    * reference ducklake_partition_data.cpp:125-128) */
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** All deleted (file_path, pos) rows of a set of delete-file entries,
     * reading positional parquet and expanding roaring DVs (DV blobs are
     * small; at scale they'd broadcast as bitmaps rather than expand, but
@@ -2572,6 +2704,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case None => meta.endInlinedRows(t.tableId, inlinedIds)
     }
     val newDeletes1 = newDeletes0.filter(col("file_path") =!= InlinedFile)
+    // rows flushed from inlined data earlier in this txn live in a file
+    // the catalog does not know yet — a positional delete against it
+    // cannot be registered; fail loudly instead of dropping the delete
+    txn.foreach { st =>
+      st.flushes.get(t.tableId).foreach { case (_, pf) =>
+        if (newDeletes1.filter(col("file_path") === pf.path)
+            .limit(1).count() > 0)
+          throw new UnsupportedOperationException(
+            "cannot DELETE rows flushed from inlined data in the same " +
+              "transaction — commit the flush first")
+      }
+    }
     // deletes hitting rows inserted by the SAME transaction rewrite the
     // staged (uncommitted) files in place — no delete file needed, the
     // rows simply never commit (reference transaction-local delete).
@@ -3144,7 +3288,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // sorted tables re-sort on compaction: the merged file restores the
     // table's sort order even when inputs interleave (reference
     // merge_adjacent_sorted family). Inlined deletes apply like the scan.
-    val sortSpec = meta.currentSortSpec(t.tableId, snap.snapshotId)
+    val sortSpec = effectiveSortSpec(t.tableId, snap.snapshotId)
     val limited = maxCompactedFiles match {
       case Some(m) => groups.take(m)
       case None => groups
@@ -3238,10 +3382,24 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * stats. */
   private def statsFor(relPath: String, cols: Seq[ColumnInfo],
       srcNames: Map[Long, String] = Map.empty,
-      allCols: Seq[ColumnInfo] = Nil): PendingDataFile = {
-    val df0 = pqRead.parquet(abs(relPath))
+      allCols: Seq[ColumnInfo] = Nil,
+      hiveConsts: Seq[(Long, Option[String])] = Nil): PendingDataFile = {
+    // hive-served columns (add_data_files hive_partitioning) are a
+    // per-file constant: aggregate over an injected literal column so
+    // their min=max=value stats ride the same single pass (reference
+    // MapColumnStats hive loop, ducklake_add_data_files.cpp:1119-1146)
+    val hiveById = hiveConsts.toMap
+    val dfH = hiveConsts.foldLeft(pqRead.parquet(abs(relPath))) {
+      case (d, (cid, v)) =>
+        val ci = cols.find(_.columnId == cid).get
+        d.withColumn(s"__hive_$cid",
+          lit(v.orNull).cast(DuckLakeTypes.fromTypeString(ci.typeString)))
+    }
+    val df0 = dfH
     def srcOf(c: ColumnInfo): Option[String] =
-      if (srcNames.isEmpty) Some(c.name) else srcNames.get(c.columnId)
+      if (hiveById.contains(c.columnId)) Some(s"__hive_${c.columnId}")
+      else if (srcNames.isEmpty) Some(c.name)
+      else srcNames.get(c.columnId)
     def isGeo(c: ColumnInfo): Boolean = c.typeString == "geometry"
     // geometry columns: parse each WKB once into an extent struct, then
     // plain min/max aggregates over its fields (reference
@@ -3497,20 +3655,251 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
   // -------------------------------------------------- foreign file import
 
+  /** `key=value` directory segments of a file path, lowercased key → raw
+    * (unescaped) value; `__HIVE_DEFAULT_PARTITION__` stands for NULL.
+    * Later segments win on duplicate keys like DuckDB's
+    * HivePartitioning::Parse. */
+  private def parseHiveSegments(path: String): Map[String, String] = {
+    val segs = new org.apache.hadoop.fs.Path(path).toUri.getPath.split('/')
+    segs.dropRight(1).iterator.filter(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i).toLowerCase -> unescapeHive(seg.substring(i + 1))
+    }.toMap
+  }
+
+  /** Driver-side try-cast of a hive partition string; None = not castable
+    * (reference MapHiveColumn's DefaultTryCastAs check). */
+  private def tryCastHive(v: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val c = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType),
+      dt, zone, EvalMode.TRY)
+    Option(c.eval(null))
+  }
+
+  /** Hive key name a non-identity partition transform publishes (reference
+    * DuckLakePartitionUtils::GetPartitionKeyName): bare `year`/`month`/…,
+    * falling back to `year_<col>` (then `_2`, `_3`…) on collisions. */
+  private def partitionKeyName(transform: String, fieldName: String,
+      used: Set[String]): String = {
+    val prefix = transform.takeWhile(_ != '(')
+    if (!used(prefix)) prefix
+    else {
+      val base = s"${prefix}_$fieldName"
+      if (!used(base)) base
+      else Iterator.from(2).map(i => s"${base}_$i").find(!used(_)).get
+    }
+  }
+
+  private def intRank(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 99
+  }
+
+  /** Type compatibility of a foreign parquet column against the table
+    * column (reference DuckLakeParquetTypeChecker,
+    * ducklake_add_data_files.cpp:718-886): signed/unsigned integer and
+    * float widening, decimal precision/scale widening, exact match for
+    * everything else; nested types recurse with missing/extra-field
+    * handling. Unsigned and timestamp flavors compare in Spark's promoted
+    * space (parquet signedness/unit is lost through Spark's reader).
+    * Throws reference-shaped errors on mismatch. */
+  private def checkAddType(colPath: String, fdt: DataType, tdt: DataType,
+      flavor: Option[String], p: String, tableName: String,
+      allowMissing: Boolean, ignoreExtra: Boolean): Unit = {
+    def fail(expected: String): Nothing = throw new IllegalArgumentException(
+      s"""Failed to map column "$colPath" from file "$p" to the column """ +
+        s"""in table "$tableName"""" +
+        s"\n* Expected $expected but found type ${fdt.sql}")
+    def okScalar(f: DataType, t: DataType): Boolean = flavor match {
+      case Some("int8") => f == ByteType
+      case Some("int16") => intRank(f) <= 2
+      case Some("int32") => intRank(f) <= 3
+      case Some("int64") => intRank(f) <= 4
+      case Some("uint8") => f == ShortType
+      case Some("uint16") => f == ShortType || f == IntegerType
+      case Some("uint32") => intRank(f) >= 2 && intRank(f) <= 4
+      case Some("uint64") =>
+        (intRank(f) >= 2 && intRank(f) <= 4) || f == DecimalType(20, 0)
+      case Some("float32") => f == FloatType
+      case Some("float64") => f == FloatType || f == DoubleType
+      case Some("timestamptz") => f == TimestampType
+      case Some(ts) if ts.startsWith("timestamp") => f == TimestampNTZType
+      case _ => t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          intRank(f) <= intRank(t)
+        case DoubleType => f == FloatType || f == DoubleType
+        case FloatType => f == FloatType
+        case dec: DecimalType => f match {
+          case fd: DecimalType =>
+            fd.precision <= dec.precision && fd.scale <= dec.scale
+          case _ => false
+        }
+        case _ => f == t
+      }
+    }
+    (fdt, tdt) match {
+      case (f: StructType, t: StructType) =>
+        val byLower = f.fields.map(x => x.name.toLowerCase -> x).toMap
+        t.fields.foreach { tf =>
+          byLower.get(tf.name.toLowerCase) match {
+            case Some(ff) => checkAddType(s"$colPath.${tf.name}",
+              ff.dataType, tf.dataType, None, p, tableName,
+              allowMissing, ignoreExtra)
+            case None if allowMissing => ()
+            case None => throw new IllegalArgumentException(
+              s"""Column "$colPath.${tf.name}" exists in table """ +
+                s""""$tableName" but was not found in file "$p"""" +
+                "\n* Set allow_missing => true to allow missing fields " +
+                "and columns")
+          }
+        }
+        val known = t.fields.map(_.name.toLowerCase).toSet
+        f.fields.filterNot(ff => known(ff.name.toLowerCase)).foreach { ff =>
+          if (!ignoreExtra) throw new IllegalArgumentException(
+            s"""Column "$colPath.${ff.name}" exists in file "$p" but """ +
+              s"""was not found in table "$tableName"""" +
+              "\n* Set ignore_extra_columns => true to add the file anyway")
+        }
+      case (f: ArrayType, t: ArrayType) =>
+        checkAddType(s"$colPath.element", f.elementType, t.elementType,
+          None, p, tableName, allowMissing, ignoreExtra)
+      case (f: MapType, t: MapType) =>
+        checkAddType(s"$colPath.key", f.keyType, t.keyType, None, p,
+          tableName, allowMissing, ignoreExtra)
+        checkAddType(s"$colPath.value", f.valueType, t.valueType, None, p,
+          tableName, allowMissing, ignoreExtra)
+      case (f, t) =>
+        if (!okScalar(f, t)) fail(
+          s"""type "${flavor.map(_.toUpperCase).getOrElse(t.sql)}"""")
+    }
+  }
+
+  /** Read a foreign file's (possibly narrower / field-incomplete) value
+    * as the table's type: nested struct children map case-insensitively
+    * BY NAME, absent nested fields read NULL (reference MapColumns
+    * recursion + allow_missing), leaves cast. When shapes already agree
+    * this is a plain cast, which whole-stage codegen elides. */
+  private def conformValue(src: Column, fdt: DataType, tdt: DataType): Column =
+    (fdt, tdt) match {
+      case (f, t) if sameShape(f, t) => src.cast(t)
+      case (f: StructType, t: StructType) =>
+        val byLower = f.fields.map(x => x.name.toLowerCase -> x).toMap
+        val rebuilt = struct(t.fields.toSeq.map { tf =>
+          byLower.get(tf.name.toLowerCase) match {
+            case Some(ff) => conformValue(src.getField(ff.name),
+              ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(src.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (f: ArrayType, t: ArrayType) =>
+        transform(src, x => conformValue(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        transform_values(
+          transform_keys(src,
+            (k, _) => conformValue(k, f.keyType, t.keyType)),
+          (_, v) => conformValue(v, f.valueType, t.valueType))
+      case (_, t) => src.cast(t)
+    }
+
+  /** same field names and arity all the way down → plain cast suffices */
+  private def sameShape(f: DataType, t: DataType): Boolean = (f, t) match {
+    case (a: StructType, b: StructType) =>
+      a.fields.length == b.fields.length &&
+        a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name == y.name && sameShape(x.dataType, y.dataType)
+        }
+    case (a: ArrayType, b: ArrayType) =>
+      sameShape(a.elementType, b.elementType)
+    case (a: MapType, b: MapType) =>
+      sameShape(a.keyType, b.keyType) && sameShape(a.valueType, b.valueType)
+    case _ => true
+  }
+
+  private def hasGlob(p: String): Boolean =
+    p.exists(c => "*?[{".indexOf(c.toInt) >= 0)
+
+  /** `*`/`**`/`?`/`[…]` glob → regex over the scheme-less path */
+  private def globToRegex(g: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' if i + 1 < g.length && g.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 2
+        case '*' => sb.append("[^/]*"); i += 1
+        case '?' => sb.append("[^/]"); i += 1
+        case '[' =>
+          val j = g.indexOf(']', i)
+          if (j < 0) { sb.append("\\["); i += 1 }
+          else { sb.append(g.substring(i, j + 1)); i = j + 1 }
+        case c =>
+          sb.append(java.util.regex.Pattern.quote(c.toString)); i += 1
+      }
+    }
+    sb.result()
+  }
+
+  /** Expand glob patterns (incl. `**`) against the filesystem and
+    * deduplicate equivalent spellings of the same path (reference
+    * add_files_overlapping_globs + add_files_equivalent_path_duplicate:
+    * `dir/./f.parquet` and `dir/f.parquet` register once). */
+  private def expandForeignPaths(paths: Seq[String]): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val expanded = paths.flatMap { p =>
+      if (!hasGlob(p)) Seq(p)
+      else {
+        import org.apache.hadoop.fs.Path
+        val gi = p.indexWhere(c => "*?[{".indexOf(c.toInt) >= 0)
+        val slash = p.lastIndexOf('/', gi)
+        val base = new Path(if (slash <= 0) "." else p.substring(0, slash))
+        val fs = base.getFileSystem(conf)
+        val re = java.util.regex.Pattern.compile(
+          globToRegex(new Path(p).toUri.getPath))
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(base, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (re.matcher(st.getPath.toUri.getPath).matches())
+            out += st.getPath.toString
+        }
+        out.toSeq.sorted
+      }
+    }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    expanded.foreach { p =>
+      val u = new org.apache.hadoop.fs.Path(p).toUri.normalize()
+      seen += new org.apache.hadoop.fs.Path(u).toString
+    }
+    seen.toSeq
+  }
+
   /** Register pre-existing Parquet files without rewriting them (reference
-    * ducklake_add_data_files.cpp:44-69): schema-checked, stats collected
-    * per file. Foreign column names resolve through `columnMapping`
-    * (file name → table name) and are recorded as a ducklake_name_mapping
-    * so scans read the file under its own names (reference
-    * ducklake_name_map.cpp); `allowMissing` lets files omit table columns
-    * (read back as initial_default/NULL), `ignoreExtraColumns` skips
-    * unknown file columns, `hivePartitions` infers partition values from
-    * key=value segments of the source path. */
+    * ducklake_add_data_files.cpp:44-69): per-column type check with the
+    * reference's widening lattice, stats collected per file. Foreign
+    * column names resolve through `columnMapping` (file name → table
+    * name) and are recorded as a ducklake_name_mapping so scans read the
+    * file under its own names (reference ducklake_name_map.cpp).
+    * `allowMissing` lets files omit table columns or nested fields (read
+    * back NULL), `ignoreExtraColumns` skips unknown file columns.
+    * `hivePartitions=true` (the reference's AUTOMATIC default) serves
+    * table columns named by `key=value` path segments from the PATH —
+    * they take precedence over same-named file columns, fill identity
+    * partition values, and `year=`/`month=`/`day=`/`hour=`/`bucket=`
+    * keys fill transform partition values; a partitioned table rejects
+    * files whose path does not pin every partition key (reference
+    * add_file_partitioned.test). Paths may be globs (`**` supported);
+    * equivalent spellings dedupe. */
   def addDataFiles(name: String, parquetPaths: Seq[String],
       columnMapping: Map[String, String] = Map.empty,
       allowMissing: Boolean = false,
       ignoreExtraColumns: Boolean = false,
-      hivePartitions: Boolean = false): Snapshot = {
+      hivePartitions: Boolean = true): Snapshot = {
     require(cryptoOpts.isEmpty,
       "add_data_files into an encrypted lake is not supported " +
         "(foreign files are plaintext)") // parity: reference rejects too
@@ -3520,30 +3909,124 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // sees buffered alters (add_files_transaction_local.test)
     val cols = columnsAt(t.tableId, snap.snapshotId)
       .filter(_.parentColumn.isEmpty)
-    val byName = cols.map(c => c.name -> c).toMap
+    val byLower = cols.map(c => c.name.toLowerCase -> c).toMap
+    val mapLower = columnMapping.map { case (k, v) => k.toLowerCase -> v }
     val spec = effectivePartitionSpec(t, snap.snapshotId)
-    val pending = parquetPaths.map { p =>
+    val specFields = spec.toSeq.flatMap(_.fields)
+    val paths = expandForeignPaths(parquetPaths)
+    val pending = paths.map { p =>
       val fileSchema = spark.read.parquet(p).schema
+      val hive =
+        if (hivePartitions) parseHiveSegments(p)
+        else Map.empty[String, String]
+      // table columns named by hive path segments are served from the
+      // PATH and take precedence over same-named file columns (reference
+      // MapColumns → MapHiveColumn); value cast-checked at add time
+      val hiveServed: Seq[(ColumnInfo, Option[String])] = cols.flatMap { ci =>
+        hive.get(ci.name.toLowerCase).map { raw =>
+          val dt = DuckLakeTypes.fromTypeString(ci.typeString)
+          dt match {
+            case _: StructType | _: ArrayType | _: MapType =>
+              throw new IllegalArgumentException(
+                s"""Type "${ci.typeString}" is not supported for hive """ +
+                  "partitioning")
+            case _ => ()
+          }
+          val v = if (raw == HiveNullPartition) None else Some(raw)
+          v.foreach { s =>
+            if (tryCastHive(s, dt).isEmpty)
+              throw new IllegalArgumentException(
+                s"""Column "${ci.name}" exists as a hive partition with """ +
+                  s"""value "$s", but this value cannot be cast to the """ +
+                  s"""column type "${ci.typeString}"""")
+          }
+          (ci, v)
+        }
+      }
+      val hiveIds = hiveServed.map(_._1.columnId).toSet
       val resolved: Seq[(String, ColumnInfo)] =
         fileSchema.fields.toSeq.flatMap { f =>
-          byName.get(columnMapping.getOrElse(f.name, f.name)) match {
-            case Some(ci) => Some(f.name -> ci)
+          byLower.get(
+            mapLower.getOrElse(f.name.toLowerCase, f.name).toLowerCase)
+          match {
+            case Some(ci) if hiveIds.contains(ci.columnId) => None // path wins
+            case Some(ci) =>
+              checkAddType(f.name, f.dataType,
+                DuckLakeTypes.fromTypeString(ci.typeString),
+                Some(ci.typeString), p, name, allowMissing,
+                ignoreExtraColumns)
+              Some(f.name -> ci)
             case None if ignoreExtraColumns => None
             case None => throw new IllegalArgumentException(
-              s"file $p has unknown column ${f.name} " +
-                "(set ignoreExtraColumns or map it)")
+              s"""Column "${f.name}" exists in file "$p" but was not """ +
+                s"""found in table "$name"""" +
+                "\n* Set ignore_extra_columns => true to add the file " +
+                "anyway")
           }
         }
-      val matchedIds = resolved.map(_._2.columnId).toSet
+      val matchedIds = resolved.map(_._2.columnId).toSet ++ hiveIds
       val missing = cols.filterNot(c => matchedIds.contains(c.columnId))
       if (missing.nonEmpty && !allowMissing)
         throw new IllegalArgumentException(
-          s"file $p is missing columns ${missing.map(_.name).mkString(", ")}" +
-            " (set allowMissing)")
-      val identity = missing.isEmpty && resolved.forall { case (sn, ci) =>
-        sn == ci.name && fileSchema(sn).dataType ==
-          DuckLakeTypes.fromTypeString(ci.typeString)
+          s"""Column "${missing.head.name}" exists in table "$name" but """ +
+            s"""was not found in file "$p"""" +
+            "\n* Set allow_missing => true to allow missing fields and " +
+            "columns")
+      // partition values: identity keys from hive-served columns;
+      // year=/month=/day=/hour=/bucket= keys fill transform fields. A
+      // partitioned table demands every key pinned exactly once and
+      // nothing stray (reference AddFileToTable validation)
+      val identityIdx = specFields
+        .filter(_.transform == "identity").map(f => f.columnId -> f).toMap
+      val hiveVals: Seq[(Option[Long], Option[String])] =
+        hiveServed.map { case (ci, v) =>
+          (identityIdx.get(ci.columnId).map(_.keyIndex), v)
+        }
+      var transformOk = true
+      val usedNames = scala.collection.mutable.Set.empty[String]
+      val transformVals: Seq[(Option[Long], Option[String])] =
+        specFields.filter(_.transform != "identity").map { f =>
+          val fieldName = cols.find(_.columnId == f.columnId)
+            .map(_.name).getOrElse("")
+          val keyName = partitionKeyName(f.transform, fieldName,
+            usedNames.toSet)
+          usedNames += keyName
+          hive.get(keyName.toLowerCase) match {
+            case Some(raw) if raw == HiveNullPartition =>
+              (Some(f.keyIndex), None)
+            case Some(raw) =>
+              val parsed = scala.util.Try(raw.trim.toLong).toOption
+              val bucketN =
+                if (f.transform.startsWith("bucket"))
+                  scala.util.Try(f.transform
+                    .dropWhile(_ != '(').drop(1).takeWhile(_ != ')')
+                    .trim.toLong).toOption
+                else None
+              if (parsed.isEmpty ||
+                bucketN.exists(n => parsed.exists(v => v < 0 || v >= n)))
+                transformOk = false
+              (Some(f.keyIndex), Some(raw))
+            case None => (None, None) // key absent → invalid below
+          }
+        }
+      spec.foreach { ps =>
+        val all = hiveVals ++ transformVals
+        val keyIdx = all.flatMap(_._1)
+        val valid = transformOk && all.size == ps.fields.size &&
+          keyIdx.size == all.size &&
+          keyIdx.distinct.size == ps.fields.size
+        if (!valid) throw new IllegalArgumentException(
+          s"""File "$p" contains an invalid partition value for the """ +
+            "table configuration.")
       }
+      val partVals = (hiveVals ++ transformVals).collect {
+        case (Some(ki), v) => (ki, v.getOrElse(HiveNullPartition))
+      }
+      val identity = hiveServed.isEmpty && missing.isEmpty &&
+        resolved.forall { case (sn, ci) =>
+          sn == ci.name && fileSchema(sn).dataType ==
+            DuckLakeTypes.fromTypeString(ci.typeString)
+        }
       val mappingId =
         if (identity) None
         else if (t.tableId < 0) throw new IllegalArgumentException(
@@ -3551,37 +4034,32 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             "requires files matching the table schema exactly " +
             "(column ids for a name mapping are not allocated yet)")
         else Some(meta.createNameMapping(t.tableId,
-          resolved.map { case (sn, ci) => (sn, ci.columnId) }))
-      // hive-style partition inference from the source path
-      val kv = p.split('/').iterator
-        .filter(_.contains("=")).map { seg =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) -> unescapeHive(seg.substring(i + 1))
-        }.toMap
-      val partVals =
-        if (!hivePartitions) Nil
-        else spec.toSeq.flatMap(_.fields.flatMap { pf =>
-          cols.find(_.columnId == pf.columnId)
-            .filter(_ => pf.transform == "identity")
-            .flatMap(ci => kv.get(ci.name))
-            .map(v => (pf.keyIndex, v)).toSeq
-        })
+          resolved.map { case (sn, ci) => (sn, ci.columnId, false) } ++
+            hiveServed.map { case (ci, _) => (ci.name, ci.columnId, true) }))
+      // the copied-in path keeps the hive `key=value` segments that serve
+      // columns so scans re-derive their values from the path (reference
+      // ducklake_multi_file_reader.cpp:449-467 re-parses the file path)
+      val hiveDirs = hiveServed.map { case (ci, v) =>
+        s"${ci.name}=${v.map(escapeHive).getOrElse(HiveNullPartition)}"
+      }.mkString("/")
       val finalName = s"ducklake-${UUID.randomUUID()}.parquet"
-      io.copyIn(p, s"$name/$finalName")
-      statsFor(s"$name/$finalName", cols,
-        resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap)
+      val rel =
+        if (hiveDirs.isEmpty) s"$name/$finalName"
+        else s"$name/$hiveDirs/$finalName"
+      io.copyIn(p, rel)
+      statsFor(rel, cols,
+        resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap,
+        hiveConsts = hiveServed.map { case (ci, v) => ci.columnId -> v })
         .copy(mappingId = mappingId, partitionValues = partVals)
     }
     txn match {
       case Some(st) => // buffer with the txn's appends: visible to the
         // txn's own reads, ONE commit snapshot, rollback removes the
         // copied files (add_files_transaction_local / add_rollback)
-        st.appends += ((t.tableId, name,
-          spec.filter(_ => hivePartitions).map(_.partitionId), pending))
+        st.appends += ((t.tableId, name, spec.map(_.partitionId), pending))
         snap
       case None =>
-        meta.appendFiles(t.tableId, pending,
-          spec.filter(_ => hivePartitions).map(_.partitionId))
+        meta.appendFiles(t.tableId, pending, spec.map(_.partitionId))
     }
   }
 

@@ -243,7 +243,37 @@ private[catalog] object LakeSql {
             lake.setCommitMessage(nv(args(0)), nv(args(1)), extra)
             count(0L)
           case "add_data_files" =>
-            lake.addDataFiles(args(0), args.drop(1)); count(0L)
+            // CALL add_data_files(tbl, 'file' | ['f1','f2'] | 'glob/**',
+            //   allow_missing => true, ignore_extra_columns => true,
+            //   hive_partitioning => false) — reference
+            // ducklake_add_data_files.cpp:69-84 named parameters
+            val raw = splitTop(rawArgs).map(_.trim).filter(_.nonEmpty)
+            val (named0, positional) = raw.partition(_.matches(
+              "(?is)^[a-z_]+\\s*=>.*"))
+            val named = named0.map { a =>
+              val i = a.indexOf("=>")
+              (a.substring(0, i).trim.toLowerCase(Locale.ROOT),
+                stripQuotes(a.substring(i + 2).trim))
+            }.toMap
+            named.keys.find(k => k != "allow_missing" &&
+              k != "ignore_extra_columns" && k != "hive_partitioning")
+              .foreach(k => throw new IllegalArgumentException(
+                s"unknown named parameter \"$k\" for add_data_files"))
+            def flag(k: String, dflt: Boolean): Boolean =
+              named.get(k).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
+            // file list: bare strings or a ['a','b'] list literal
+            val files = positional.drop(1).flatMap { a =>
+              if (a.startsWith("[") && a.endsWith("]"))
+                a.substring(1, a.length - 1).split(',').toSeq
+                  .map(_.trim).filter(_.nonEmpty).map(stripQuotes)
+              else Seq(stripQuotes(a))
+            }
+            lake.addDataFiles(stripQuotes(positional.head), files,
+              allowMissing = flag("allow_missing", dflt = false),
+              ignoreExtraColumns =
+                flag("ignore_extra_columns", dflt = false),
+              hivePartitions = flag("hive_partitioning", dflt = true))
+            count(0L)
           // CALL enable_logging(['DuckLakeMetadata']) — reference
           // ducklake_metadata_logging.test; the optional logger-name arg
           // is accepted and ignored (there is only the metadata logger)

@@ -1234,12 +1234,14 @@ class MetadataManager(val jdbcUrl: String,
       macroOps: Seq[MacroOp] = Nil,
       viewOps: Seq[ViewOp] = Nil,
       renames: Seq[(Long, String, String, String)] = Nil,
-      partitionOps: Seq[(Long, Long, Seq[(Long, String)])] = Nil)
+      partitionOps: Seq[(Long, Long, Seq[(Long, String)])] = Nil,
+      sortOps: Seq[(Long, Seq[(String, String, String)])] = Nil,
+      flushOps: Seq[(Long, Seq[Long], PendingDataFile)] = Nil)
       : Snapshot = {
     val touched = deletes.flatMap(_._2.map(_._1)).toSet
     val tables = (appends.map(_._1) ++ deletes.map(_._1) ++
       inlinedDeletes.map(_._1) ++ alters.map(_._1) ++
-      partitionOps.map(_._1)).distinct.filter(_ >= 0)
+      partitionOps.map(_._1) ++ sortOps.map(_._1)).distinct.filter(_ >= 0)
     commitSnapshot(
       SnapshotChanges(
         createdTables = created.map { case (_, s, n, _, _) => s"$s.$n" } ++
@@ -1252,10 +1254,12 @@ class MetadataManager(val jdbcUrl: String,
           viewOps.collect { case DropViewOp(n, _, _) => s"view:$n" },
         insertedIntoTables = appends.map(_._1).filter(_ >= 0),
         deletedFromTables =
-          (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct),
+          (deletes.map(_._1) ++ inlinedDeletes.map(_._1)).distinct,
+        compactedTables = flushOps.map(_._1).distinct),
       schemaChange = created.nonEmpty || dropped.nonEmpty ||
         createdSchemas.nonEmpty || alters.nonEmpty || macroOps.nonEmpty ||
-        viewOps.nonEmpty || renames.nonEmpty || partitionOps.nonEmpty,
+        viewOps.nonEmpty || renames.nonEmpty || partitionOps.nonEmpty ||
+        sortOps.nonEmpty,
       conflictCheck = (c, _) => {
         // txn-created tables conflict only with a same-name concurrent
         // create (reference create_conflict.test); different names never
@@ -1386,6 +1390,30 @@ class MetadataManager(val jdbcUrl: String,
             Long.box(baseSnapshot))(_.getLong(1)).head
           if (n > 0) throw new CommitConflictException(
             s"partition spec of table $tid was changed concurrently")
+        }
+        // same write-write rule for a buffered SET/RESET SORTED BY
+        sortOps.map(_._1).filter(_ >= 0).distinct.foreach { tid =>
+          val n = query(c,
+            """SELECT COUNT(*) FROM ducklake_sort_info
+              |WHERE table_id = ? AND (begin_snapshot > ?
+              |  OR (end_snapshot IS NOT NULL AND end_snapshot > ?))"""
+              .stripMargin,
+            Long.box(tid), Long.box(baseSnapshot),
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (n > 0) throw new CommitConflictException(
+            s"sort spec of table $tid was changed concurrently")
+        }
+        // a buffered flush conflicts when anyone else ended inlined rows
+        // of the table since our base (concurrent flush or delete)
+        flushOps.foreach { case (tid, _, _) =>
+          val n = query(c,
+            s"""SELECT COUNT(*) FROM ${inlinedTableName(tid)}
+               |WHERE end_snapshot IS NOT NULL AND end_snapshot > ?"""
+              .stripMargin,
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (n > 0) throw new CommitConflictException(
+            s"inlined rows of table $tid were flushed or deleted " +
+              "concurrently")
         }
         if (touched.nonEmpty) {
           deletes.foreach { case (tid, _, _) =>
@@ -1535,6 +1563,31 @@ class MetadataManager(val jdbcUrl: String,
           (cid, tr)
         }
         pidMap(ppid) = setPartitionSpecIn(c, snap, ids, tid, fields)
+      }
+      // buffered SET/RESET SORTED BY, after alters/renames so the stored
+      // expressions bind against the table's final columns; a sort key
+      // no longer resolvable (e.g. its column renamed later in the SAME
+      // txn) fails the commit loudly rather than landing a broken spec
+      sortOps.foreach { case (tid0, exprs) =>
+        val tid = if (tid0 < 0) tableIdMap(tid0) else tid0
+        val live = columnsOf(c, tid, snap.snapshotId)
+          .filter(_.parentColumn.isEmpty).map(_.name.toLowerCase).toSet
+        exprs.foreach { case (e, _, _) =>
+          val refs = SqlIdent.refs(e)
+          if (refs.nonEmpty && !refs.forall(live.contains))
+            throw new IllegalArgumentException(
+              s"sort expression '$e' references a column missing from " +
+                s"table $tid at commit (renamed or dropped in the same " +
+                "transaction?)")
+        }
+        writeSortSpecIn(c, snap.snapshotId, ids, tid, exprs)
+      }
+      // buffered flush_inlined_data: rowid-preserving, lands in the SAME
+      // snapshot as the rest of the transaction (reference
+      // data_inlining_flush.test inside BEGIN)
+      flushOps.foreach { case (tid, rowIds, pf) =>
+        endInlinedRowsIn(c, snap, ids, tid, rowIds, Seq(pf),
+          isFlush = true, explicitRowIdStart = Some(rowIds.min))
       }
       // buffered macro DDL, in statement order (DROP+CREATE of one name
       // in one transaction nets out correctly)
@@ -2453,34 +2506,41 @@ class MetadataManager(val jdbcUrl: String,
       deletedFromTables = if (isFlush) Nil else Seq(tableId),
       compactedTables = if (isFlush) Seq(tableId) else Nil)) {
       (c, snap, ids) =>
-        rowIds.foreach { rid =>
-          exec(c,
-            s"""UPDATE ${inlinedTableName(tableId)} SET end_snapshot = ?
-               |WHERE row_id = ? AND end_snapshot IS NULL""".stripMargin,
-            Long.box(snap.snapshotId), Long.box(rid))
-        }
-        newFiles.foreach { f =>
-          val fid = ids.newFileId()
-          // flushed files materialize rowid/snapshot columns
-          exec(c,
-            """INSERT INTO ducklake_data_file (data_file_id, table_id,
-              |begin_snapshot, end_snapshot, file_order, path,
-              |path_is_relative, file_format, record_count, file_size_bytes,
-              |footer_size, row_id_start, partition_id, has_row_ids)
-              |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL, ?)""".stripMargin,
-            Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
-            f.path, Long.box(f.recordCount), Long.box(f.fileSizeBytes),
-            Long.box(explicitRowIdStart.getOrElse(0L)),
-            Boolean.box(f.hasRowIds))
-          f.columnStats.foreach(s => insertColStats(c, fid, tableId,
-            f.recordCount, s))
-        }
-        if (!isFlush && rowIds.nonEmpty) {
-          exec(c,
-            "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
-            Long.box(rowIds.size.toLong), Long.box(tableId))
-        }
+        endInlinedRowsIn(c, snap, ids, tableId, rowIds, newFiles, isFlush,
+          explicitRowIdStart)
     }
+
+  private def endInlinedRowsIn(c: Connection, snap: Snapshot, ids: TxnIds,
+      tableId: Long, rowIds: Seq[Long], newFiles: Seq[PendingDataFile],
+      isFlush: Boolean, explicitRowIdStart: Option[Long]): Unit = {
+    rowIds.foreach { rid =>
+      exec(c,
+        s"""UPDATE ${inlinedTableName(tableId)} SET end_snapshot = ?
+           |WHERE row_id = ? AND end_snapshot IS NULL""".stripMargin,
+        Long.box(snap.snapshotId), Long.box(rid))
+    }
+    newFiles.foreach { f =>
+      val fid = ids.newFileId()
+      // flushed files materialize rowid/snapshot columns
+      exec(c,
+        """INSERT INTO ducklake_data_file (data_file_id, table_id,
+          |begin_snapshot, end_snapshot, file_order, path,
+          |path_is_relative, file_format, record_count, file_size_bytes,
+          |footer_size, row_id_start, partition_id, has_row_ids)
+          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, NULL, ?)""".stripMargin,
+        Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
+        f.path, Long.box(f.recordCount), Long.box(f.fileSizeBytes),
+        Long.box(explicitRowIdStart.getOrElse(0L)),
+        Boolean.box(f.hasRowIds))
+      f.columnStats.foreach(s => insertColStats(c, fid, tableId,
+        f.recordCount, s))
+    }
+    if (!isFlush && rowIds.nonEmpty) {
+      exec(c,
+        "UPDATE ducklake_table_stats SET record_count = record_count - ? WHERE table_id = ?",
+        Long.box(rowIds.size.toLong), Long.box(tableId))
+    }
+  }
 
   // -------------------------------------------------------- inlined deletes
 
@@ -2925,30 +2985,36 @@ class MetadataManager(val jdbcUrl: String,
     * (ducklake_add_data_files; reference ducklake_name_map.cpp +
     * WriteNewColumnMappings, ducklake_metadata_manager.cpp:4192-4216). */
   def createNameMapping(tableId: Long,
-      entries: Seq[(String, Long)]): Long = withConn { c =>
+      entries: Seq[(String, Long, Boolean)]): Long = withConn { c =>
     val mid = qLong(c,
       "SELECT MAX(mapping_id) FROM ducklake_column_mapping")
       .getOrElse(0L) + 1
     exec(c,
       "INSERT INTO ducklake_column_mapping (mapping_id, table_id, type) VALUES (?, ?, 'map_by_name')",
       Long.box(mid), Long.box(tableId))
-    entries.foreach { case (src, columnId) =>
+    entries.foreach { case (src, columnId, isPartition) =>
       exec(c,
         """INSERT INTO ducklake_name_mapping (mapping_id, column_id,
           |source_name, target_field_id, parent_column, is_partition)
-          |VALUES (?, ?, ?, ?, NULL, false)""".stripMargin,
-        Long.box(mid), Long.box(columnId), src, Long.box(columnId))
+          |VALUES (?, ?, ?, ?, NULL, ?)""".stripMargin,
+        Long.box(mid), Long.box(columnId), src, Long.box(columnId),
+        Boolean.box(isPartition))
     }
     mid
   }
 
-  /** (source_name, column_id) pairs of a mapping */
-  def nameMapping(mappingId: Long): Seq[(String, Long)] = withConn { c =>
-    query(c,
-      """SELECT source_name, column_id FROM ducklake_name_mapping
-        |WHERE mapping_id = ?""".stripMargin,
-      Long.box(mappingId))(rs => (rs.getString(1), rs.getLong(2)))
-  }
+  /** (source_name, column_id, is_partition) rows of a mapping;
+    * is_partition entries are served from the file path's hive segments
+    * at scan time (reference ducklake_multi_file_reader.cpp:449-467). */
+  def nameMapping(mappingId: Long): Seq[(String, Long, Boolean)] =
+    withConn { c =>
+      query(c,
+        """SELECT source_name, column_id, is_partition
+          |FROM ducklake_name_mapping
+          |WHERE mapping_id = ?""".stripMargin,
+        Long.box(mappingId))(rs =>
+        (rs.getString(1), rs.getLong(2), rs.getBoolean(3)))
+    }
 
   def setOption(key: String, value: String, scope: Option[String] = None,
       scopeId: Option[Long] = None): Unit = withConn { c =>

@@ -905,8 +905,32 @@ object LakeQueries extends QueryPack {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** ducklake_add_data_files: the driver's supplier parquet registers
+    * in place (no rewrite) into a table that WIDENS s_nationkey
+    * int32→BIGINT and carries a column the file lacks — exercising the
+    * reference's type-check lattice, the name-mapping scan path and
+    * allow_missing (reference ducklake_add_data_files.cpp,
+    * add_files_type_check_integer.test, add_files_missing_columns.test). */
+  private def qAddFiles(spark: SparkSession, dir: String): DataFrame = {
+    val lake = freshLake(spark)
+    lake.sql("CREATE TABLE sup(s_suppkey BIGINT, s_name VARCHAR, " +
+      "s_nationkey BIGINT, s_acctbal DOUBLE, extra VARCHAR)")
+    lake.addDataFiles("sup", Seq(s"$dir/supplier.parquet"),
+      allowMissing = true)
+    detached(lake, lake.table("sup")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("extra"))
+      .orderBy(col("s_suppkey")))
+  }
+
+  private val qAddFilesSql =
+    """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |  CAST(NULL AS VARCHAR) AS extra
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
+    QueryDef("lake_add_files", qAddFiles, Some(qAddFilesSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
     QueryDef("lake_delete", qDelete, Some(qDeleteSql)),
     QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),

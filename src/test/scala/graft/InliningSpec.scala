@@ -65,6 +65,58 @@ class InliningSpec extends AnyFunSuite {
     assert(lake.flushInlinedData("t") == 0)
   }
 
+  test("flush inside a transaction: read-your-writes, ONE commit " +
+      "snapshot, ROLLBACK removes the file (data_inlining_flush.test)") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    lake.append("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val rowids = lake.tableWithRowId("t").select("rowid")
+      .as[Long].collect().sorted.toSeq
+
+    // ROLLBACK: catalog untouched, no file survives
+    val before = lake.currentSnapshotId()
+    lake.begin()
+    assert(lake.flushInlinedData("t") == 3L)
+    assert(lake.table("t").count() == 3) // reads serve the flushed file
+    assert(lake.tableWithRowId("t").select("rowid")
+      .as[Long].collect().sorted.toSeq == rowids) // rowids preserved
+    lake.rollback()
+    assert(lake.currentSnapshotId() == before)
+    assert(lake.listFiles("t").count() == 0) // rows back in the catalog
+    assert(lake.table("t").count() == 3)
+    assert(lake.deleteOrphanedFiles("t", dryRun = true).isEmpty)
+
+    // COMMIT: one snapshot; rowids stable; second flush in-txn is a no-op
+    lake.transaction {
+      assert(lake.flushInlinedData("t") == 3L)
+      assert(lake.flushInlinedData("t") == 0L)
+      assert(lake.table("t").count() == 3)
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.listFiles("t").count() == 1)
+    assert(lake.table("t").count() == 3)
+    assert(lake.tableWithRowId("t").select("rowid")
+      .as[Long].collect().sorted.toSeq == rowids)
+  }
+
+  test("flush buffered in a txn conflicts with a concurrent flush " +
+      "of the same rows") {
+    val dir = Files.createTempDirectory("graftinl2").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    val lake2 = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    lake.append("t", Seq(1, 2).toDF("id"))
+    lake.begin()
+    lake.flushInlinedData("t")
+    lake2.flushInlinedData("t") // second writer flushes first
+    intercept[CommitConflictException](lake.commit())
+    lake.rollback()
+    assert(lake.table("t").count() == 2)
+  }
+
   test("sort-on-insert orders rows within written files") {
     val lake = freshLake()
     lake.createTable("s", StructType(Seq(StructField("id", IntegerType))))

@@ -73,6 +73,62 @@ class SortedAlterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sorted by this column"))
   }
 
+  test("SET SORTED BY inside a transaction: ROLLBACK leaves no sort " +
+      "info and no snapshot (set_sorted_by_rollback_basic.test)") {
+    val lake = freshLake()
+    lake.createTable("t", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    val before = lake.currentSnapshotId()
+    lake.begin()
+    lake.setSortedBy("t", Seq(("a", "asc")))
+    lake.setSortedBy("t", Seq(("b", "desc"))) // re-SET inside the txn
+    lake.rollback()
+    assert(lake.currentSnapshotId() == before)
+    assert(lake.meta.currentSortSpec(
+      lake.meta.tableByName("t", before).get.tableId, before).isEmpty)
+  }
+
+  test("SET SORTED BY + insert in one transaction: the txn's own insert " +
+      "sorts, ONE commit snapshot (insert_sorted_transaction.test)") {
+    val lake = freshLake()
+    lake.createTable("t", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.setSortedBy("t", Seq(("a", "asc")))
+      lake.append("t", Seq((3, "c"), (1, "a"), (2, "b")).toDF("a", "b")
+        .coalesce(1))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    // the committed file is physically sorted by a
+    val rows = spark.read.parquet(
+      lake.listFiles("t").select("data_file").as[String].collect()
+        .map(p => s"${lake.dataPath}/$p"): _*)
+      .select("a").as[Int].collect().toSeq
+    assert(rows == Seq(1, 2, 3))
+    // and the spec is live for later writers
+    val tid = lake.meta.tableByName("t", before + 1).get.tableId
+    assert(lake.meta.currentSortSpec(tid, before + 1).nonEmpty)
+  }
+
+  test("flush of inlined data writes in sort order " +
+      "(data_inlining_flush_sorted_basic.test)") {
+    val lake = freshLake()
+    lake.createTable("t", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    lake.setOption("data_inlining_row_limit", "10", Some("t"))
+    lake.append("t", Seq((5, "e"), (2, "b"), (9, "i")).toDF("a", "b"))
+    lake.setSortedBy("t", Seq(("a", "asc")))
+    assert(lake.flushInlinedData("t") == 3L)
+    val rows = spark.read.parquet(
+      lake.listFiles("t").select("data_file").as[String].collect()
+        .map(p => s"${lake.dataPath}/$p"): _*)
+      .select("a").as[Int].collect().toSeq
+    assert(rows == Seq(2, 5, 9))
+    // flushed rowids stay stable through the re-sort
+    assert(lake.tableWithRowId("t").select("rowid").distinct().count() == 3)
+  }
+
   test("SET DEFAULT and unrelated rename preserve the sort key") {
     val lake = freshLake()
     lake.createTable("t", StructType(Seq(
