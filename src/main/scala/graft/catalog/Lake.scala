@@ -1766,10 +1766,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       Seq(min(g).as(s"vmin_$i"), max(g).as(s"vmax_$i"),
         count(g).as(s"vcnt_$i"))
     }
+    // nested scalar leaves (struct fields, list elements, map keys/values)
+    // get per-file min/max in the same pass — struct-path filters prune
+    // files off them like the reference's per-leaf stats
+    val nestedLeaves = nestedLeafSpecs(allCols)
+    val leafAggs = nestedLeaves.flatMap((nestedLeafAggs _).tupled)
     val statRows = written
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"),
-        statAggs ++ nestedGeoAggs ++ varAggs: _*)
+        statAggs ++ nestedGeoAggs ++ varAggs ++ leafAggs: _*)
       .collect()
 
     statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
@@ -1804,6 +1809,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           rows - row.getAs[Long](s"ncnt_${ci.columnId}"),
           extraStats = graft.functions.GeoStatsAgg.fromRow(
             row, s"n${ci.columnId}"))
+      }
+      val leafStats = nestedLeaves.map { case (ci, _, _) =>
+        nestedLeafStats(row, rows, ci)
       }
       // partition dir segments __p{i}=<escaped-value> between staging
       // root and the part file, located by the stage-UUID marker (pure
@@ -1847,7 +1855,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         .getOrElse(s"$table/$finalName")
       io.move(srcPath.toString, relPath)
       PendingDataFile(relPath, rows, io.size(relPath),
-        stats ++ nestedGeoStats,
+        stats ++ nestedGeoStats ++ leafStats,
         partitionValues = partVals.toSeq, variantStats = varStats)
     }.tapEach(_ => ()).toSeq match {
       case done0 =>
@@ -2142,7 +2150,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val filterExpr = filter.map(f =>
       normalizeOps(ColumnBridge.toCatalyst(f)))
     val statsFilters = filterExpr.toSeq.flatMap(e =>
-      extractStatsFilters(e, cols))
+      extractStatsFilters(e, allCols))
     val partSpec =
       if (filterExpr.isEmpty && extraPartEq.isEmpty) None
       else meta.currentPartitionSpec(t.tableId, snap.snapshotId)
@@ -3137,18 +3145,21 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       case _ => None
     }
     val mrgSpec = effectivePartitionSpec(t, snap.snapshotId)
-    val newFiles = newRows.map(df =>
-      writeAndCollect(name, alignColumns(df, cols), cols,
-        partition = mrgSpec.map(partitionPlan(_, cols)),
-        allCols = mrgAllCols)).getOrElse(Nil)
-
     positionsOut match {
-      case Some(pos) => deleteByPosition(name, t, snap, pos, newFiles,
-        newFilesPartitionId = mrgSpec.map(_.partitionId)): Unit
-      case None if newFiles.nonEmpty =>
-        meta.appendFiles(t.tableId, newFiles,
-          mrgSpec.map(_.partitionId)): Unit
-      case None => ()
+      case Some(pos) =>
+        val newFiles = newRows.map(df =>
+          writeAndCollect(name, alignColumns(df, cols), cols,
+            partition = mrgSpec.map(partitionPlan(_, cols)),
+            allCols = mrgAllCols)).getOrElse(Nil)
+        deleteByPosition(name, t, snap, pos, newFiles,
+          newFilesPartitionId = mrgSpec.map(_.partitionId)): Unit
+      case None =>
+        // insert-only MERGE is a plain append: small batches inline
+        // below data_inlining_row_limit instead of writing parquet
+        // (reference data_inlining_merge_insert_only.test) and
+        // sort-on-insert applies
+        newRows.foreach(df => append(name, df.select(
+          cols.map(c => col(c.name)): _*)): Unit)
     }
     maybeAutoRefresh(name)
   }
@@ -3405,10 +3416,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // plain min/max aggregates over its fields (reference
     // DuckLakeColumnGeoStats collection at write)
     val geoCols = cols.filter(c => isGeo(c) && srcOf(c).isDefined)
-    // nested geometry stats only for same-named layouts (name-mapped
+    // nested geometry/leaf stats only for same-named layouts (name-mapped
     // foreign files would need per-field path mapping)
     val nestedGeo =
       if (srcNames.isEmpty) nestedGeoSpecs(allCols) else Nil
+    val nestedLeaves =
+      if (srcNames.isEmpty) nestedLeafSpecs(allCols) else Nil
     val df1 = geoCols.foldLeft(df0)((d, c) =>
       d.withColumn(s"__geo_${c.columnId}",
         graft.functions.GeoFunctions.geoExtent(col(srcOf(c).get))))
@@ -3419,7 +3432,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       graft.functions.GeoStatsAgg.aggs(
         col(s"__ngeo_${ci.columnId}"), s"n${ci.columnId}") :+
         count(col(s"__ngeo_${ci.columnId}")).as(s"ncnt_${ci.columnId}")
-    }
+    } ++ nestedLeaves.flatMap((nestedLeafAggs _).tupled)
     val aggs = (count(lit(1)).as("__rows") +: nestedAggs) ++
       cols.flatMap { c =>
       val dt = DuckLakeTypes.fromTypeString(c.typeString)
@@ -3463,7 +3476,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         rows - r.getAs[Long](s"ncnt_${ci.columnId}"),
         extraStats = graft.functions.GeoStatsAgg.fromRow(
           r, s"n${ci.columnId}"))
-    }
+    } ++ nestedLeaves.map { case (ci, _, _) => nestedLeafStats(r, rows, ci) }
     PendingDataFile(relPath, rows, io.size(relPath), stats ++ nestedStats)
   }
 
@@ -4196,6 +4209,68 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * deeper hops, `flatten` for list-of-list), map hops take keys/values.
     * Feeds the same single stats pass as top-level columns (reference
     * nested geo stats, ducklake_geo_stats.cpp + the shredding model). */
+  /** Scalar nested leaves with per-row read expressions for the single
+    * write-stats pass (the reference stores min/max for EVERY leaf field
+    * id — nested struct/list/map included — and prunes files on struct-
+    * path filters; min_max_nested_leaf_rewrite_corruption.test shows the
+    * stats surviving rewrites). Boolean = the expression yields a per-row
+    * ARRAY of leaf values (list elements, map keys/values). */
+  private def nestedLeafSpecs(
+      allCols: Seq[ColumnInfo]): Seq[(ColumnInfo, Column, Boolean)] = {
+    val kids = allCols.filter(_.parentColumn.isDefined)
+      .groupBy(_.parentColumn.get)
+    def walk(ci: ColumnInfo, cur: Column,
+        inArray: Boolean): Seq[(ColumnInfo, Column, Boolean)] = {
+      val ts = ci.typeString
+      if (ts == "geometry") Nil // extents handled by nestedGeoSpecs
+      else if (DuckLakeTypes.isStruct(ts))
+        kids.getOrElse(ci.columnId, Nil).flatMap { ch =>
+          val next = if (inArray) transform(cur, x => x.getField(ch.name))
+            else cur.getField(ch.name)
+          walk(ch, next, inArray)
+        }
+      else if (DuckLakeTypes.isList(ts))
+        kids.getOrElse(ci.columnId, Nil).flatMap(el =>
+          walk(el, if (inArray) flatten(cur) else cur, inArray = true))
+      else if (DuckLakeTypes.isMap(ts) && !inArray)
+        kids.getOrElse(ci.columnId, Nil).flatMap { ch =>
+          val base =
+            if (ch.name == "key") map_keys(cur) else map_values(cur)
+          walk(ch, base, inArray = true)
+        }
+      else if (ci.parentColumn.isDefined && StatsCodec.statsSupported(
+        DuckLakeTypes.fromTypeString(ts)))
+        Seq((ci, cur, inArray))
+      else Nil
+    }
+    allCols.filter(c => c.parentColumn.isEmpty &&
+      (DuckLakeTypes.isStruct(c.typeString) ||
+        DuckLakeTypes.isList(c.typeString) ||
+        DuckLakeTypes.isMap(c.typeString)))
+      .flatMap(c => walk(c, col(c.name), inArray = false))
+  }
+
+  /** min/max/count aggregate triple for one nested leaf */
+  private def nestedLeafAggs(ci: ColumnInfo, ex: Column,
+      isArray: Boolean): Seq[Column] = {
+    val (mn, mx) =
+      if (isArray) (array_min(ex), array_max(ex)) else (ex, ex)
+    Seq(min(mn).as(s"min_nl${ci.columnId}"),
+      max(mx).as(s"max_nl${ci.columnId}"),
+      count(ex).as(s"cnt_nl${ci.columnId}"))
+  }
+
+  /** stats row for one nested leaf from an aggregated result row */
+  private def nestedLeafStats(r: org.apache.spark.sql.Row, rows: Long,
+      ci: ColumnInfo): FileColumnStats = {
+    val dt = DuckLakeTypes.fromTypeString(ci.typeString)
+    FileColumnStats(ci.columnId,
+      StatsCodec.encode(r.getAs[Any](s"min_nl${ci.columnId}"), dt),
+      StatsCodec.encode(r.getAs[Any](s"max_nl${ci.columnId}"), dt),
+      rows - r.getAs[Long](s"cnt_nl${ci.columnId}"),
+      numeric = StatsCodec.isNumeric(dt))
+  }
+
   private def nestedGeoSpecs(
       allCols: Seq[ColumnInfo]): Seq[(ColumnInfo, Column)] = {
     val kids = allCols.filter(_.parentColumn.isDefined)
@@ -4290,16 +4365,40 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** Convert a Spark filter expression into catalog stats filters (only
     * conjuncts of col-op-literal survive; everything else stays Spark-side). */
   private def extractStatsFilters(e: Expression,
-      cols: Seq[ColumnInfo]): Seq[StatsFilter] = {
+      allCols: Seq[ColumnInfo]): Seq[StatsFilter] = {
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val byName = cols.map(c => c.name -> c).toMap
-    def colId(ex: Expression): Option[(ColumnInfo, DataType)] = ex match {
-      case a: UnresolvedAttribute => byName.get(a.name).map(ci =>
-        (ci, DuckLakeTypes.fromTypeString(ci.typeString)))
+    val kidsOf = allCols.filter(_.parentColumn.isDefined)
+      .groupBy(_.parentColumn.get)
+    // struct-path filters (`s.a < 51`) resolve to the LEAF's column id —
+    // per-file leaf stats prune exactly like top-level stats (reference
+    // nested min/max model, min_max_nested_leaf_rewrite_corruption.test)
+    def resolvePath(parts: Seq[String]): Option[ColumnInfo] =
+      byName.get(parts.head).flatMap { top =>
+        parts.tail.foldLeft(Option(top)) { (cur, seg) =>
+          cur.flatMap(ci => kidsOf.getOrElse(ci.columnId, Nil)
+            .find(_.name.equalsIgnoreCase(seg)))
+        }
+      }
+    def pathOf(ex: Expression): Option[Seq[String]] = ex match {
+      case a: UnresolvedAttribute => Some(a.nameParts)
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        byName.get(a.name).map(ci =>
-          (ci, DuckLakeTypes.fromTypeString(ci.typeString)))
+        Some(Seq(a.name))
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        pathOf(g.child).map(_ :+ g.extractFieldName)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
+        u.extraction match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            StringType) => pathOf(u.child).map(_ :+ s.toString)
+          case _ => None
+        }
       case _ => None
     }
+    def colId(ex: Expression): Option[(ColumnInfo, DataType)] =
+      pathOf(ex).flatMap {
+        case Seq(one) => byName.get(one)
+        case parts => resolvePath(parts)
+      }.map(ci => (ci, DuckLakeTypes.fromTypeString(ci.typeString)))
     def mk(ci: ColumnInfo, dt: DataType, op: String,
         lit: Literal): Seq[StatsFilter] =
       StatsCodec.encode(lit.value, lit.dataType).map { enc =>
@@ -4441,7 +4540,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     e1 match {
       case And(l, r) =>
-        extractStatsFilters(l, cols) ++ extractStatsFilters(r, cols)
+        extractStatsFilters(l, allCols) ++ extractStatsFilters(r, allCols)
       // disjunction envelope (reference prunes ORs through its zone maps
       // the same way): when both branches constrain the SAME column, the
       // union of their ranges still prunes files outside [min, max]

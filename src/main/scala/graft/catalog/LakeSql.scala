@@ -222,10 +222,36 @@ private[catalog] object LakeSql {
               args.headOption.map(_.toLong)).size.toLong)
           case "delete_orphaned_files" =>
             count(lake.deleteOrphanedFiles(args(0)).size.toLong)
-          case "flush_inlined_data" =>
-            count(lake.flushInlinedData(args(0)))
-          case "flush_inlined_deletes" =>
-            count(lake.flushInlinedDeletes(args(0)))
+          // bare CALL flush_inlined_data() sweeps every table (reference
+          // ducklake_flush_inlined_data('catalog')); table_name => '…'
+          // names one (data_inlining_flush.test)
+          case "flush_inlined_data" | "flush_inlined_deletes" =>
+            val f: String => Long =
+              if (fn.equalsIgnoreCase("flush_inlined_data"))
+                lake.flushInlinedData
+              else lake.flushInlinedDeletes
+            def namedArg(k: String): Option[String] =
+              splitTop(rawArgs).map(_.trim)
+                .find(_.matches(s"(?is)^$k\\s*=>.*"))
+                .map(a => stripQuotes(
+                  a.replaceFirst(s"(?is)^$k\\s*=>", "").trim))
+            def sweep(schemas: Seq[String]): Long = {
+              val sid = lake.currentSnapshotId()
+              schemas.flatMap { sc =>
+                lake.meta.listTables(sid, sc).map { t =>
+                  f(if (sc == "main") t.name else s"$sc.${t.name}")
+                }
+              }.sum
+            }
+            namedArg("table_name").orElse(args.headOption) match {
+              case Some(tbl) => count(f(tbl))
+              case None => namedArg("schema_name") match {
+                // flush one schema's tables (data_inlining_flush_schema)
+                case Some(sc) => count(sweep(Seq(sc)))
+                case None =>
+                  count(sweep(lake.meta.listSchemas().map(_.name)))
+              }
+            }
           case "checkpoint" => lake.checkpoint(args(0)); count(0L)
           case "set_option" =>
             lake.setOption(args(0), args(1), args.lift(2)); count(0L)

@@ -117,6 +117,24 @@ class InliningSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 2)
   }
 
+  test("insert-only MERGE below the limit inlines instead of writing " +
+      "parquet (data_inlining_merge_insert_only.test)") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    lake.merge("t", Seq((2, "merge-insert")).toDF("id", "v"), "id")
+    assert(lake.table("t").as[(Int, String)].collect().toSeq ==
+      Seq((2, "merge-insert")))
+    assert(lake.listFiles("t").count() == 0) // inlined, no parquet
+    // a second merge matching the row routes through the delete path
+    // and still nets out correctly
+    lake.merge("t", Seq((2, "upd"), (3, "new")).toDF("id", "v"), "id",
+      whenMatchedUpdate = Some(Map("v" -> lit("upd"))))
+    assert(lake.table("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((2, "upd"), (3, "new")))
+  }
+
   test("sort-on-insert orders rows within written files") {
     val lake = freshLake()
     lake.createTable("s", StructType(Seq(StructField("id", IntegerType))))

@@ -305,6 +305,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lake.sql("SELECT COUNT(*) AS n FROM tv").head().getLong(0) == 8)
   }
 
+  test("bare CALL flush_inlined_data() sweeps every table; " +
+      "table_name => names one (data_inlining_flush.test)") {
+    val dir = Files.createTempDirectory("graftflushall").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.setOption("data_inlining_row_limit", "10")
+    lake.createTable("a", Seq((1, "x")).toDF("id", "v").schema)
+    lake.createTable("b", Seq((1, "x")).toDF("id", "v").schema)
+    lake.append("a", Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    lake.append("b", Seq((3, "z")).toDF("id", "v"))
+    assert(lake.listFiles("a").count() == 0)
+    assert(lake.sql("CALL flush_inlined_data(table_name => 'a')")
+      .head().getLong(0) == 2L)
+    assert(lake.listFiles("a").count() == 1)
+    assert(lake.listFiles("b").count() == 0)
+    // bare call sweeps the rest
+    assert(lake.sql("CALL flush_inlined_data()").head().getLong(0) == 1L)
+    assert(lake.listFiles("b").count() == 1)
+    assert(lake.table("a").count() == 2 && lake.table("b").count() == 1)
+  }
+
   test("MERGE INTO statement (update + insert)") {
     val dir = Files.createTempDirectory("graftsqlmrg").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
