@@ -4060,10 +4060,78 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         if (hiveDirs.isEmpty) s"$name/$finalName"
         else s"$name/$hiveDirs/$finalName"
       io.copyIn(p, rel)
-      statsFor(rel, cols,
-        resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap,
-        hiveConsts = hiveServed.map { case (ci, v) => ci.columnId -> v })
-        .copy(mappingId = mappingId, partitionValues = partVals)
+      // stats come from the parquet FOOTER, never a row scan — the
+      // reference registers files from metadata alone
+      // (ducklake_add_data_files.cpp ReadParquetFullMetadata); at 100 TB
+      // ingest-in-place this is N footer reads, not N full scans.
+      // Geometry columns still need the WKB scan pass (parquet footers
+      // carry no extents), so those tables fall back to it.
+      val allCols2 = columnsAt(t.tableId, snap.snapshotId)
+      if (allCols2.exists(_.typeString == "geometry"))
+        statsFor(rel, cols,
+          resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap,
+          hiveConsts = hiveServed.map { case (ci, v) => ci.columnId -> v })
+          .copy(mappingId = mappingId, partitionValues = partVals)
+      else {
+        val footer = FooterStats.read(abs(rel),
+          spark.sessionState.newHadoopConf())
+        val srcByCol = resolved.map { case (sn, ci) =>
+          ci.columnId -> sn
+        }.toMap
+        val hiveByCol = hiveServed.map { case (ci, v) =>
+          ci.columnId -> v
+        }.toMap
+        // untrusted/unmapped footer stats → NO stats row at all: pruning
+        // and the count fast paths treat the column as "cannot prove"
+        // and keep the file; a fabricated null_count could lie to both
+        def fromFooter(ci: ColumnInfo,
+            path: String): Option[FileColumnStats] = {
+          val dt = DuckLakeTypes.fromTypeString(ci.typeString)
+          footer.leaves.get(path).flatMap(FooterStats.convert(_, dt))
+            .map(ls => FileColumnStats(ci.columnId,
+              Option(ls.min), Option(ls.max), ls.nullCount,
+              numeric = StatsCodec.isNumeric(dt)))
+        }
+        val topStats = cols.flatMap { c =>
+          val dt = DuckLakeTypes.fromTypeString(c.typeString)
+          hiveByCol.get(c.columnId) match {
+            case Some(v) => // per-file constant from the path
+              val enc = v.flatMap(s => tryCastHive(s, dt))
+                .flatMap(iv => StatsCodec.encode(iv, dt))
+              Seq(FileColumnStats(c.columnId, enc, enc,
+                if (v.isEmpty) footer.rowCount else 0L,
+                numeric = StatsCodec.isNumeric(dt)))
+            case None => srcByCol.get(c.columnId) match {
+              case None => // allow_missing column: reads all-NULL
+                Seq(FileColumnStats(c.columnId, None, None,
+                  footer.rowCount))
+              case Some(sn) => fromFooter(c, sn.toLowerCase).toSeq
+            }
+          }
+        }
+        // nested leaves keep their dotted footer paths under the
+        // (possibly renamed) top-level source name
+        val kidsOf2 = allCols2.filter(_.parentColumn.isDefined)
+          .groupBy(_.parentColumn.get)
+        def leafPaths(ci: ColumnInfo,
+            prefix: String): Seq[(ColumnInfo, String)] = {
+          val children = kidsOf2.getOrElse(ci.columnId, Nil)
+          if (children.nonEmpty)
+            children.flatMap(ch =>
+              leafPaths(ch, s"$prefix.${ch.name.toLowerCase}"))
+          else if (ci.parentColumn.isDefined && StatsCodec.statsSupported(
+            DuckLakeTypes.fromTypeString(ci.typeString)))
+            Seq((ci, prefix))
+          else Nil
+        }
+        val leafStats = resolved.flatMap { case (sn, topCi) =>
+          leafPaths(topCi, sn.toLowerCase).filter(_._1 != topCi)
+            .flatMap { case (ci, path) => fromFooter(ci, path) }
+        }
+        PendingDataFile(rel, footer.rowCount, io.size(rel),
+          topStats ++ leafStats, partitionValues = partVals,
+          mappingId = mappingId, rowGroupCount = Some(footer.rowGroups))
+      }
     }
     txn match {
       case Some(st) => // buffer with the txn's appends: visible to the

@@ -120,6 +120,14 @@ class AddFilesParitySpec extends AnyFunSuite {
     // catalog pruning sees [7, 9] and skips the file for v = 100
     assert(lake.table("tw", Some(col("v") === 100L)).count() == 1)
     assert(lake.table("tw", Some(col("v") === 8L)).count() == 0)
+    // the stats came from the parquet FOOTER (no row scan at add time)
+    // and still prune: v = 100 reads only the natively-written file
+    val q = lake.table("tw", Some(col("v") === 100L))
+    val nFiles = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    assert(nFiles == 1,
+      s"footer-derived stats must prune the foreign file, scanned $nFiles")
   }
 
   // --------------------------------------------- path dedup and globs
