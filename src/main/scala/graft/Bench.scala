@@ -279,12 +279,14 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
       else try {
         val sf1Dir = prepareScaleUp(spark, sfDir, factor = 10)
-        // swept 8/16/32/64 at this sf1 size (52 MB lineitem): 8 is the
-        // knee — the reduce sides are still small enough that partition
-        // count is pure scheduling overhead. On a real cluster at a real
-        // sf this should be ≈ cores (LakeSession defaults).
+        // swept 8/16/32 at this sf1 size (52 MB lineitem): 16 is the
+        // knee — q18's 1.5M-group aggregation exchange wants the extra
+        // reduce parallelism (0.51s @8 → 0.41s @16) while the small
+        // reduce sides only pay marginal scheduling; 32 regresses the
+        // window/top-k rows. On a real cluster at a real sf this should
+        // be ≈ cores (LakeSession defaults).
         spark.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "8"))
+          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "16"))
         spark.conf.set("spark.sql.adaptive.enabled",
           sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "true"))
         val (_, exec1) = prepare(sf1Dir)
