@@ -2475,7 +2475,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         .withColumn("rowid",
           if (materialized) col(RowIdCol) else col("__start") + col("__pos"))
         .withColumn("snapshot_id",
-          if (materialized) col(SnapCol) else col("__fsnap"))
+          // update-rewritten files store NULL snapshot ids — the row
+          // version was created at the file's own commit snapshot
+          if (materialized) coalesce(col(SnapCol), col("__fsnap"))
+          else col("__fsnap"))
         .drop(RowIdCol, SnapCol)
     }
     // materialized-vs-raw split comes from the catalog flag recorded at
@@ -2997,10 +3000,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val updAllCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = updAllCols.filter(_.parentColumn.isEmpty)
     val matched = scan(name, snap, None, withMeta = true).filter(cond)
-    val rewritten = matched.select(cols.map(c =>
+    // updated rows KEEP their row ids (reference ducklake_row_id_update
+    // .test; DuckLakeUpdate materializes row_id into the insert,
+    // ducklake_update.cpp:158-163): the rewrite file carries the
+    // materialized rowid column, snapshot_id NULL → the scan serves the
+    // file's own begin snapshot. Inside a transaction rowids of staged
+    // rows are provisional, so the txn path keeps fresh ids.
+    val preserveIds = txn.isEmpty
+    val baseCols = cols.map(c =>
       assignments.get(c.name)
         .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
-        .getOrElse(col(c.name))): _*)
+        .getOrElse(col(c.name)))
+    val rewrittenCols: Seq[Column] =
+      if (preserveIds) baseCols :+ col("rowid").as(RowIdCol) :+
+        lit(null).cast(LongType).as(SnapCol)
+      else baseCols
+    val rewritten = matched.select(rewrittenCols: _*)
     // rewritten rows re-partition under the live spec (reference
     // update_partitioning.test / update_partition_function.test): files
     // land in the right hive dirs WITH partition values, so post-UPDATE
@@ -3008,7 +3023,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val updSpec = effectivePartitionSpec(t, snap.snapshotId)
     val newFiles = writeAndCollect(name, rewritten, cols,
       partition = updSpec.map(partitionPlan(_, cols)),
-      allCols = updAllCols)
+      allCols = updAllCols).map(f => f.copy(hasRowIds = preserveIds))
     val positions = matched.select(col("filename").as("file_path"),
       col("file_row_number").as("pos"))
     val n = deleteByPosition(name, t, snap, positions, newFiles,
@@ -3060,7 +3075,20 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       whenNotMatchedInsert: Boolean = true,
       notMatchedCondition: Option[Column] = None,
       notMatchedBySourceDelete: Option[Column] = None,
-      notMatchedInsertValues: Option[Seq[(String, Column)]] = None): Unit = {
+      notMatchedInsertValues: Option[Seq[(String, Column)]] = None): Unit =
+    mergeOn(name, source, Seq(onKey), matchedActions, whenNotMatchedInsert,
+      notMatchedCondition, notMatchedBySourceDelete, notMatchedInsertValues)
+
+  /** MERGE joined on a MULTI-column key (reference MERGE binds an
+    * arbitrary ON condition; compound upsert keys are the
+    * test_rewrite_partitioning.test shape). */
+  def mergeOn(name: String, source: DataFrame, onKeys: Seq[String],
+      matchedActions: Seq[MatchedAction],
+      whenNotMatchedInsert: Boolean,
+      notMatchedCondition: Option[Column],
+      notMatchedBySourceDelete: Option[Column],
+      notMatchedInsertValues: Option[Seq[(String, Column)]]): Unit = {
+    require(onKeys.nonEmpty, "MERGE needs at least one ON key")
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val mrgAllCols = columnsAt(t.tableId, snap.snapshotId)
@@ -3068,7 +3096,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val target = scan(name, snap, None, withMeta = true)
     val src = source.alias("s")
     val tgt = target.alias("t")
-    val joined0 = tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "inner")
+    def onCond = onKeys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val joined0 = tgt.join(src, onCond, "inner")
 
     val dupes = joined0.groupBy(col("t.rowid")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
@@ -3093,7 +3123,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       else None
     // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
     val bySourceDeletes = notMatchedBySourceDelete.map { cond =>
-      tgt.join(src, col(s"t.$onKey") === col(s"s.$onKey"), "left_anti")
+      tgt.join(src, onCond, "left_anti")
         .filter(cond)
         .select(col("t.filename").as("file_path"),
           col("t.file_row_number").as("pos"))
@@ -3103,8 +3133,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
 
     val inserts: Option[DataFrame] =
       if (whenNotMatchedInsert) Some {
-        val anti =
-          src.join(tgt, col(s"s.$onKey") === col(s"t.$onKey"), "left_anti")
+        val anti = src.join(tgt, onCond, "left_anti")
         val gated = notMatchedCondition.map(anti.filter).getOrElse(anti)
         // INSERT (a, b) VALUES (…): explicit per-column values; columns
         // absent from the list read their table default (reference
@@ -3121,44 +3150,55 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val updates = matchedActions.zipWithIndex.collect {
       case (u: MatchedUpdate, i) => (u, i)
     }
+    // MERGE-updated rows keep their row ids like UPDATE (reference
+    // ducklake_row_id_update.test exercises exactly this merged-update
+    // shape); txn-staged rows have provisional ids, so keep fresh ones
+    val preserveIds = txn.isEmpty
     val rewrittenMatched: Option[DataFrame] =
       if (updates.isEmpty) None
       else Some {
+        val baseCols = cols.map { c =>
+          val dt = DuckLakeTypes.fromTypeString(c.typeString)
+          updates.foldRight(col(s"t.${c.name}")) {
+            case ((u, i), acc) =>
+              u.assignments.get(c.name)
+                .map(v => when(col("__act") === i, v.cast(dt))
+                  .otherwise(acc))
+                .getOrElse(acc)
+          }.as(c.name)
+        }
+        val outCols: Seq[Column] =
+          if (preserveIds) baseCols :+ col("t.rowid").as(RowIdCol) :+
+            lit(null).cast(LongType).as(SnapCol)
+          else baseCols
         joined.filter(col("__act").isin(updates.map(_._2): _*))
-          .select(cols.map { c =>
-            val dt = DuckLakeTypes.fromTypeString(c.typeString)
-            updates.foldRight(col(s"t.${c.name}")) {
-              case ((u, i), acc) =>
-                u.assignments.get(c.name)
-                  .map(v => when(col("__act") === i, v.cast(dt))
-                    .otherwise(acc))
-                  .getOrElse(acc)
-            }.as(c.name)
-          }: _*)
+          .select(outCols: _*)
       }
 
-    val newRows = (rewrittenMatched, inserts) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(
-        b.select(cols.map(c => col(c.name)): _*), allowMissingColumns = false))
-      case (Some(a), None) => Some(a)
-      case (None, Some(b)) => Some(b.select(cols.map(c => col(c.name)): _*))
-      case _ => None
-    }
     val mrgSpec = effectivePartitionSpec(t, snap.snapshotId)
     positionsOut match {
       case Some(pos) =>
-        val newFiles = newRows.map(df =>
-          writeAndCollect(name, alignColumns(df, cols), cols,
+        // rewritten (rowid-materialized) and inserted (fresh-id) rows go
+        // to SEPARATE files: one carries the materialized columns, the
+        // other draws from row_id_start
+        val updFiles = rewrittenMatched.map(df =>
+          writeAndCollect(name, df, cols,
             partition = mrgSpec.map(partitionPlan(_, cols)),
+            allCols = mrgAllCols).map(_.copy(hasRowIds = preserveIds)))
+          .getOrElse(Nil)
+        val insFiles = inserts.map(b =>
+          writeAndCollect(name,
+            alignColumns(b.select(cols.map(c => col(c.name)): _*), cols),
+            cols, partition = mrgSpec.map(partitionPlan(_, cols)),
             allCols = mrgAllCols)).getOrElse(Nil)
-        deleteByPosition(name, t, snap, pos, newFiles,
+        deleteByPosition(name, t, snap, pos, updFiles ++ insFiles,
           newFilesPartitionId = mrgSpec.map(_.partitionId)): Unit
       case None =>
         // insert-only MERGE is a plain append: small batches inline
         // below data_inlining_row_limit instead of writing parquet
         // (reference data_inlining_merge_insert_only.test) and
         // sort-on-insert applies
-        newRows.foreach(df => append(name, df.select(
+        inserts.foreach(df => append(name, df.select(
           cols.map(c => col(c.name)): _*)): Unit)
     }
     maybeAutoRefresh(name)
@@ -3330,7 +3370,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   /** Rewrite files whose deleted fraction ≥ threshold, dropping dead rows
     * (reference rewrite_data_files, default 0.95,
     * ducklake_compaction_functions.cpp:769-783). */
-  def rewriteDataFiles(name: String, deleteThreshold: Double = 0.95): Int = {
+  def rewriteDataFiles(name: String, deleteThreshold: Double = 0.95,
+      maxCompactedFiles: Option[Int] = None): Int = {
     val snap = meta.currentSnapshot()
     val t = resolve(name, Some(snap.snapshotId))
     val allCols = meta.columnsOf(t.tableId, snap.snapshotId)
@@ -3342,9 +3383,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     def deletedOf(f: ScanFile): Long =
       f.deleteFiles.map(_.deleteCount).max0 +
         inlByFile.getOrElse(f.file.dataFileId, 0L)
-    val candidates = files.filter { f =>
+    // max_compacted_files bounds the work of one call (reference
+    // test_rewrite_max_files.test: remaining candidates wait for the
+    // next invocation)
+    val candidates0 = files.filter { f =>
       f.file.recordCount > 0 &&
         deletedOf(f).toDouble / f.file.recordCount >= deleteThreshold
+    }
+    val candidates = maxCompactedFiles match {
+      case Some(m) => candidates0.take(m)
+      case None => candidates0
     }
     val (fullyDead, partial) = candidates.partition { f =>
       deletedOf(f) >= f.file.recordCount

@@ -212,8 +212,29 @@ private[catalog] object LakeSql {
                 .getOrElse(512L * 1024 * 1024),
               named.get("max_compacted_files").map(_.toInt)).toLong)
           case "rewrite_data_files" =>
-            count(lake.rewriteDataFiles(args(0),
-              args.lift(1).map(_.toDouble).getOrElse(0.95)).toLong)
+            // named args like the reference: delete_threshold,
+            // max_compacted_files (test_rewrite_max_files.test)
+            val raw2 = splitTop(rawArgs).map(_.trim).filter(_.nonEmpty)
+            val (named2, pos2) = raw2.partition(_.matches(
+              "(?is)^[a-z_]+\\s*=>.*"))
+            val nm = named2.map { a =>
+              val i = a.indexOf("=>")
+              (a.substring(0, i).trim.toLowerCase(Locale.ROOT),
+                stripQuotes(a.substring(i + 2).trim))
+            }.toMap
+            nm.keys.find(k => k != "table_name" && k != "delete_threshold"
+              && k != "max_compacted_files")
+              .foreach(k => throw new IllegalArgumentException(
+                s"unknown named parameter \"$k\" for rewrite_data_files"))
+            val tbl2 = nm.get("table_name")
+              .orElse(pos2.headOption.map(stripQuotes))
+              .getOrElse(throw new IllegalArgumentException(
+                "rewrite_data_files requires a table argument"))
+            count(lake.rewriteDataFiles(tbl2,
+              nm.get("delete_threshold").map(_.toDouble)
+                .orElse(pos2.lift(1).map(p => stripQuotes(p).toDouble))
+                .getOrElse(0.95),
+              nm.get("max_compacted_files").map(_.toInt)).toLong)
           case "expire_snapshots" =>
             count(lake.expireSnapshots(
               args.headOption.map(_.toLong)).size.toLong)
@@ -535,7 +556,7 @@ private[catalog] object LakeSql {
 
       case Merge(tbl, tgtAliasOpt, usingPart, onPart, whenPart) => Some {
         val (source, srcAlias) = parseUsing(usingPart, runQuery)
-        val onKey = parseOnKey(onPart)
+        val onKeys = parseOnKeys(onPart)
         // remap the statement's aliases onto the merge API's fixed t/s
         def remap(e: String): String = {
           var out = e
@@ -614,7 +635,7 @@ private[catalog] object LakeSql {
         require(matchedActions.nonEmpty ||
           doInsert || bySourceDelete.isDefined,
           s"unsupported MERGE actions: $whenPart")
-        lake.mergeMatched(tbl, source, onKey,
+        lake.mergeOn(tbl, source, onKeys,
           matchedActions = matchedActions.toSeq,
           whenNotMatchedInsert = doInsert,
           notMatchedCondition = insertCond,
@@ -644,15 +665,19 @@ private[catalog] object LakeSql {
     }
   }
 
-  /** `a.k = b.k` (same column name both sides) or bare `k` → k */
-  private def parseOnKey(onPart: String): String = {
+  /** AND-ed `a.k = b.k` equalities (same column name both sides) or bare
+    * `k` → key list. Compound upsert keys are the reference's
+    * test_rewrite_partitioning.test MERGE shape. */
+  private def parseOnKeys(onPart: String): Seq[String] = {
     val Eq = """(?is)^\s*(?:[\w$]+\.)?([\w$]+)\s*=\s*(?:[\w$]+\.)?([\w$]+)\s*$""".r
-    onPart.trim match {
-      case Eq(a, b) if a.equalsIgnoreCase(b) => a
-      case bare if bare.matches("[\\w$]+") => bare
-      case other => throw new IllegalArgumentException(
-        s"MERGE ON must be an equality on one shared key column, got: $other")
-    }
+    onPart.trim.stripPrefix("(").stripSuffix(")")
+      .split("(?i)\\s+AND\\s+").toSeq.map(_.trim).map {
+        case Eq(a, b) if a.equalsIgnoreCase(b) => a
+        case bare if bare.matches("[\\w$]+") => bare
+        case other => throw new IllegalArgumentException(
+          "MERGE ON must be AND-ed equalities on shared key columns, " +
+            s"got: $other")
+      }
   }
 
   /** `name TYPE [NOT NULL] [DEFAULT v]` → (field, default) */

@@ -84,6 +84,34 @@ class LakeSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 5).select("d").as[Double].head() == 7.5)
   }
 
+  test("UPDATE and MERGE-update preserve row ids " +
+      "(reference ducklake_row_id_update.test)") {
+    val lake = freshLake()
+    lake.createTableAs("ru",
+      Seq((1, 5), (2, 5)).toDF("i", "j").coalesce(1))
+    lake.setPartitionedBy("ru", Seq(("i", "identity")))
+    val before = lake.tableWithRowId("ru").select("rowid", "i")
+      .as[(Long, Int)].collect().toMap
+    // merged-update rewrites row i=2 to i=1 (moves partitions) — rowid
+    // sticks with the logical row
+    lake.merge("ru", Seq((1, 5)).toDF("i", "j"), "j",
+      whenMatchedUpdate = Some(Map("i" -> lit(1))),
+      whenNotMatchedInsert = false)
+    val after = lake.tableWithRowId("ru").select("rowid", "i")
+      .as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(after.map(_._1) == before.keys.toSeq.sorted) // same rowids
+    assert(after.forall(_._2 == 1))
+    // plain UPDATE preserves too, and snapshot_id reflects the update
+    val s0 = lake.currentSnapshotId()
+    lake.update("ru", Map("j" -> lit(9)), col("rowid") === after.head._1)
+    val row = lake.tableWithRowId("ru")
+      .filter(col("rowid") === after.head._1)
+      .select("rowid", "snapshot_id", "j").head()
+    assert(row.getLong(0) == after.head._1)
+    assert(row.getLong(1) == s0 + 1) // row version born at the update
+    assert(row.getInt(2) == 9)
+  }
+
   test("merge: matched update + not matched insert; multi-match errors") {
     val lake = freshLake()
     lake.createTableAs("m",

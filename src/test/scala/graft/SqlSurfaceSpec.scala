@@ -325,6 +325,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lake.table("a").count() == 2 && lake.table("b").count() == 1)
   }
 
+  test("MERGE with a compound ON key (test_rewrite_partitioning.test " +
+      "upsert shape) and rewrite_data_files max_compacted_files") {
+    val dir = Files.createTempDirectory("graftmergec").toString
+    val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    lake.createTableAs("p",
+      Seq((1, 1, 10), (1, 2, 20), (2, 1, 100), (2, 2, 200))
+        .toDF("part_key", "id", "value"))
+    lake.sql("""MERGE INTO p AS target
+      |USING (SELECT 1 AS part_key, 1 AS id, 15 AS value
+      |       UNION ALL SELECT 1, 3, 30
+      |       UNION ALL SELECT 2, 1, 150
+      |       UNION ALL SELECT 2, 3, 300) AS source
+      |ON (target.part_key = source.part_key AND target.id = source.id)
+      |WHEN MATCHED THEN UPDATE SET value = source.value
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lake.table("p").orderBy("part_key", "id")
+      .as[(Int, Int, Int)].collect().toSeq ==
+      Seq((1, 1, 15), (1, 2, 20), (1, 3, 30),
+        (2, 1, 150), (2, 2, 200), (2, 3, 300)))
+    // rewrite with max_compacted_files handles candidates incrementally
+    // (reference test_rewrite_max_files.test): two fully-dead files,
+    // capped call processes one, next call takes the rest
+    lake.createTableAs("r", Seq(1).toDF("k").coalesce(1))
+    lake.append("r", Seq(2).toDF("k").coalesce(1))
+    lake.sql("DELETE FROM r")
+    assert(lake.sql(
+      "CALL rewrite_data_files('r', delete_threshold => 0.99, " +
+        "max_compacted_files => 1)").head().getLong(0) == 1L)
+    assert(lake.sql(
+      "CALL rewrite_data_files('r', delete_threshold => 0.99)")
+      .head().getLong(0) == 1L)
+    assert(lake.table("r").count() == 0)
+    assert(lake.table("p").count() == 6)
+  }
+
   test("MERGE INTO statement (update + insert)") {
     val dir = Files.createTempDirectory("graftsqlmrg").toString
     val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
