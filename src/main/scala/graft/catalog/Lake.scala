@@ -2645,6 +2645,46 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * reading positional parquet and expanding roaring DVs (DV blobs are
     * small; at scale they'd broadcast as bitmaps rather than expand, but
     * the anti-join form keeps one code path). */
+  /** deleted (file_path, pos, del_snap) rows of delete-file entries —
+    * like [[deleteRowsDf]] but carrying each position's DELETION
+    * snapshot (the delete file's begin snapshot) for CDC. */
+  private def deleteRowsWithSnap(entries: Seq[DeleteFileEntry],
+      relById: Map[Long, String]): Option[DataFrame] = {
+    import spark.implicits._
+    val (roaring, parquetE) = entries.partition(_.format == "roaring")
+    val pq =
+      if (parquetE.isEmpty) None
+      else {
+        val snapByAbs = parquetE
+          .map(e => absUri(e.path) -> e.beginSnapshot).toDF("__src", "del_snap")
+        Some(pqRead
+          .schema(StructType(Seq(StructField("file_path", StringType),
+            StructField("pos", LongType))))
+          .parquet(parquetE.map(e => abs(e.path)).distinct: _*)
+          .withColumn("__src", col("_metadata.file_path"))
+          .join(broadcast(snapByAbs), Seq("__src"))
+          .drop("__src"))
+      }
+    val rr =
+      if (roaring.isEmpty) None
+      else {
+        val lakeIo = io
+        val blobs = roaring.map(e =>
+          (e.path, relById(e.dataFileId), e.beginSnapshot))
+        val rows = spark.sparkContext
+          .parallelize(blobs, math.min(blobs.size, 32).max(1))
+          .flatMap { case (dvPath, dataRel, snapId) =>
+            DeletionVectors.positions(lakeIo.readAllBytes(dvPath))
+              .map(p => (dataRel, p, snapId))
+          }
+        Some(rows.toDF("file_path", "pos", "del_snap"))
+      }
+    (pq, rr) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
   private def deleteRowsDf(entries: Seq[DeleteFileEntry],
       relById: Map[Long, String]): Option[DataFrame] = {
     import spark.implicits._
@@ -3011,6 +3051,37 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       assignments.get(c.name)
         .map(_.cast(DuckLakeTypes.fromTypeString(c.typeString)).as(c.name))
         .getOrElse(col(c.name)))
+    // small updates stay in the catalog: old versions become inlined
+    // deletes, rewritten rows re-inline WITH their row ids — one
+    // snapshot, no new parquet (reference
+    // data_inlining_update_inline_verification.test)
+    val updInlineLimit = optionFor(name, "data_inlining_row_limit")
+      .map(_.toInt).getOrElse(0)
+    if (txn.isEmpty && updInlineLimit > 0) {
+      val sample = matched.select(
+        to_json(struct(baseCols: _*)).as("j"), col("rowid"),
+        col("filename"), col("file_row_number"))
+        .limit(updInlineLimit + 1).collect()
+      if (sample.length <= updInlineLimit) {
+        if (sample.isEmpty) return 0L
+        val (inl, fileRows) = sample.toSeq
+          .partition(_.getAs[String]("filename") == InlinedFile)
+        val byPath = meta.filesForScan(t.tableId, snap.snapshotId)
+          .map(f => f.file.path -> f.file.dataFileId).toMap
+        val dels = fileRows.map { r =>
+          val p = r.getAs[String]("filename")
+          (byPath.getOrElse(p, throw new IllegalStateException(
+            s"matched row from unknown file $p")),
+            r.getAs[Long]("file_row_number"))
+        }
+        meta.inlineUpdate(t.tableId, snap.snapshotId, dels,
+          inl.map(_.getAs[Long]("rowid")),
+          sample.toSeq.map(r =>
+            (r.getAs[Long]("rowid"), r.getAs[String]("j"))))
+        maybeAutoRefresh(name)
+        return sample.length.toLong
+      }
+    }
     val rewrittenCols: Seq[Column] =
       if (preserveIds) baseCols :+ col("rowid").as(RowIdCol) :+
         lit(null).cast(LongType).as(SnapCol)
@@ -3212,10 +3283,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       endVersion: Long): DataFrame = {
     val t = resolve(name, Some(endVersion))
     val allCols = meta.columnsOf(t.tableId, endVersion)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
+    // only snapshots whose changes recorded an INSERT count: files born
+    // in flush/compaction snapshots are rewrites of existing rows, not
+    // new data (reference table_changes; data_inlining_flush.test —
+    // "flushing inlined data has no changes")
+    val insSnaps = meta.changeSnapshots(t.tableId, startVersion,
+      endVersion, "tables_inserted_into")
     val files = meta.filesInsertedIn(t.tableId, startVersion, endVersion)
+      .filter(f => insSnaps.contains(f.beginSnapshot))
       .map(f => ScanFile(f, Nil))
-    buildScan(t, allCols,
+    val fromFiles = buildScan(t, allCols,
       files, Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+    // inlined rows created by insert/update snapshots join the feed
+    val inl = meta.inlinedRowsCreatedIn(t.tableId, startVersion, endVersion)
+      .filter { case (_, begin, _) => insSnaps.contains(begin) }
+    if (inl.isEmpty) fromFiles
+    else fromFiles.unionByName(
+      inlinedDf(inl, toStruct(cols))
+        .withColumn("filename", lit(InlinedFile))
+        .withColumn("file_row_number", col("rowid"))
+        .withColumn("file_index", lit(-1L))
+        .select(fromFiles.columns.map(col).toSeq: _*))
   }
 
   /** Rows deleted in (startVersion, endVersion] — reads the delete files
@@ -3223,8 +3312,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * ducklake_multi_file_list.cpp:396-421). */
   def tableDeletions(name: String, startVersion: Long,
       endVersion: Long): DataFrame = {
+    import spark.implicits._
     val t = resolve(name, Some(endVersion))
     val allCols = meta.columnsOf(t.tableId, endVersion)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
     val created = meta.deleteFilesCreatedIn(t.tableId, startVersion, endVersion)
     // inlined deletes created in range surface exactly like delete files
     // (flush-absorbed rows keep their ORIGINAL begin_snapshot, so a flush
@@ -3232,9 +3323,26 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // subtracted below as already-deleted-at-start or dup of range rows)
     val inlCreated =
       meta.inlinedDeletesCreatedIn(t.tableId, startVersion, endVersion)
+    // inlined-DATA row versions ended by a deleting snapshot (a flush
+    // ends rows too, but records no data change — excluded)
+    val delSnaps = meta.changeSnapshots(t.tableId, startVersion,
+      endVersion, "tables_deleted_from")
+    val endedInl = meta.inlinedRowsEndedIn(t.tableId, startVersion,
+      endVersion).filter { case (_, endSnap, _) => delSnaps.contains(endSnap) }
+    val emptyOut = buildScan(t, allCols, Nil,
+      Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+    // ended inlined rows render from their stored json; snapshot_id is
+    // the DELETION snapshot (reference table_changes timestamps deletes
+    // at the deleting snapshot)
+    val endedDf =
+      if (endedInl.isEmpty) None
+      else Some(inlinedDf(endedInl, toStruct(cols))
+        .withColumn("filename", lit(InlinedFile))
+        .withColumn("file_row_number", col("rowid"))
+        .withColumn("file_index", lit(-1L))
+        .select(emptyOut.columns.map(col).toSeq: _*))
     if (created.isEmpty && inlCreated.isEmpty)
-      return buildScan(t, allCols, Nil,
-        Snapshot(endVersion, 0, 0, 0, 0), withMeta = true)
+      return endedDf.fold(emptyOut)(emptyOut.unionByName)
 
     // rows deleted in range = positions in new delete files/inlined rows
     // MINUS positions already deleted at startVersion (delta of the union)
@@ -3246,15 +3354,16 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val relById = dataFiles.map(f => f.dataFileId -> f.path).toMap
     val inlRowsDf =
       if (inlCreated.isEmpty) None
-      else {
-        import spark.implicits._
-        Some(inlCreated.map { case (fid, pos) => (relById(fid), pos) }
-          .toDF("file_path", "pos"))
-      }
+      else Some(inlCreated.map { case (fid, pos, snapId) =>
+        (relById(fid), pos, snapId)
+      }.toDF("file_path", "pos", "del_snap"))
+    // each position's deletion snapshot = the EARLIEST range delete
+    // file containing it (later files absorb earlier ones)
     val delRows =
-      (deleteRowsDf(created.map(_._1), relById).toSeq ++ inlRowsDf)
+      (deleteRowsWithSnap(created.map(_._1), relById).toSeq ++ inlRowsDf)
         .reduce(_ unionByName _)
-        .select(col("file_path"), col("pos")).distinct()
+        .groupBy(col("file_path"), col("pos"))
+        .agg(min(col("del_snap")).as("del_snap"))
     val prevIds = dataFiles.map(_.dataFileId).toSet
     val prevDeletes = meta.liveDeleteFiles(t.tableId, startVersion, prevIds)
     val prevInl = meta.liveInlinedDeletes(t.tableId, startVersion)
@@ -3263,29 +3372,47 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       }
     val prevInlDf =
       if (prevInl.isEmpty) None
-      else {
-        import spark.implicits._
-        Some(prevInl.toDF("file_path", "pos"))
-      }
+      else Some(prevInl.toDF("file_path", "pos"))
     val prevRows =
       (deleteRowsDf(prevDeletes.values.toSeq, relById).toSeq ++ prevInlDf)
         .reduceOption(_ unionByName _)
         .map(_.select(col("file_path"), col("pos")))
-    val delta = prevRows.map(delRows.except).getOrElse(delRows)
-    rows.join(delta,
+    val delta = prevRows
+      .map(p => delRows.join(p,
+        delRows("file_path") === p("file_path") &&
+          delRows("pos") === p("pos"), "left_anti"))
+      .getOrElse(delRows)
+    val joined = rows.join(delta,
       rows("filename") === delta("file_path") &&
-        rows("file_row_number") === delta("pos"), "left_semi")
+        rows("file_row_number") === delta("pos"), "inner")
+      .withColumn("snapshot_id", col("del_snap"))
+      .select(rows.columns.map(col).toSeq: _*)
+    endedDf.fold(joined)(joined.unionByName)
   }
 
   /** Union CDC feed with change_type + rowid + snapshot_id (reference
-    * ducklake_table_changes, docs/README.md:86-96). */
+    * ducklake_table_changes, docs/README.md:86-96). A row deleted AND
+    * re-inserted by the same snapshot is an UPDATE: the pair reports as
+    * update_preimage / update_postimage like the reference (row ids are
+    * preserved through UPDATE/MERGE, so the pairing is exact). */
   def tableChanges(name: String, startVersion: Long,
-      endVersion: Long): DataFrame =
-    tableInsertions(name, startVersion, endVersion)
+      endVersion: Long): DataFrame = {
+    val all = tableInsertions(name, startVersion, endVersion)
       .withColumn("change_type", lit("insert"))
       .unionByName(
         tableDeletions(name, startVersion, endVersion)
           .withColumn("change_type", lit("delete")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rowid"), col("snapshot_id"))
+    all
+      .withColumn("__pair", count(lit(1)).over(w))
+      .withColumn("change_type",
+        when(col("__pair") > 1,
+          when(col("change_type") === "insert", lit("update_postimage"))
+            .otherwise(lit("update_preimage")))
+          .otherwise(col("change_type")))
+      .drop("__pair")
+  }
 
   // ----------------------------------------------------------- maintenance
 

@@ -2652,6 +2652,59 @@ class MetadataManager(val jdbcUrl: String,
         Long.box(removedRows), Long.box(tableId))
     }
 
+  /** Small UPDATE entirely in the catalog (reference
+    * data_inlining_update_inline_verification.test): end the old row
+    * versions as inlined deletes and insert the rewritten rows into the
+    * inlined-data table WITH THEIR ORIGINAL row ids — one snapshot, no
+    * new parquet file. Conflicts like any delete on the touched files. */
+  def inlineUpdate(tableId: Long, baseSnapshot: Long,
+      deletes: Seq[(Long, Long)], // old rows in files: (dataFileId, pos)
+      endInlinedIds: Seq[Long], // old rows already inlined: row ids
+      reinserts: Seq[(Long, String)]): Snapshot = // (rowId, json)
+    commitSnapshot(
+      SnapshotChanges(deletedFromTables = Seq(tableId),
+        insertedIntoTables = Seq(tableId)),
+      conflictCheck = (c, _) => {
+        checkDeleteConflicts(c, tableId, baseSnapshot,
+          deletes.map(_._1).toSet)
+        // inlined victims flushed/deleted concurrently → conflict
+        if (endInlinedIds.nonEmpty) {
+          val n = query(c,
+            s"""SELECT COUNT(*) FROM ${inlinedTableName(tableId)}
+               |WHERE end_snapshot IS NOT NULL AND end_snapshot > ?"""
+              .stripMargin,
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (n > 0) throw new CommitConflictException(
+            s"inlined rows of table $tableId were changed concurrently")
+        }
+      }) { (c, snap, _) =>
+      if (deletes.nonEmpty) {
+        ensureInlinedDeleteTable(c, tableId)
+        execBatch(c,
+          s"""INSERT INTO ${inlinedDeleteTableName(tableId)}
+             |(data_file_id, row_pos, begin_snapshot, end_snapshot)
+             |VALUES (?, ?, ?, NULL)""".stripMargin,
+          deletes.map { case (fid, pos) =>
+            Seq(Long.box(fid), Long.box(pos), Long.box(snap.snapshotId))
+          })
+      }
+      endInlinedIds.foreach { rid =>
+        exec(c,
+          s"""UPDATE ${inlinedTableName(tableId)} SET end_snapshot = ?
+             |WHERE row_id = ? AND end_snapshot IS NULL""".stripMargin,
+          Long.box(snap.snapshotId), Long.box(rid))
+      }
+      ensureInlinedTable(c, tableId)
+      execBatch(c,
+        s"""INSERT INTO ${inlinedTableName(tableId)}
+           |(row_id, begin_snapshot, end_snapshot, row_json)
+           |VALUES (?, ?, NULL, ?)""".stripMargin,
+        reinserts.map { case (rid, j) =>
+          Seq(Long.box(rid), Long.box(snap.snapshotId), j)
+        })
+      // delete -n, reinsert +n: record_count and next_row_id unchanged
+    }
+
   /** live inlined deletes at a snapshot: (data_file_id, position) */
   def liveInlinedDeletes(tableId: Long,
       snapshotId: Long): Seq[(Long, Long)] = withConn { c =>
@@ -2665,17 +2718,69 @@ class MetadataManager(val jdbcUrl: String,
       (rs.getLong(1), rs.getLong(2)))
   }
 
-  /** inlined deletes created in (start, end] — CDC deletions source */
+  /** inlined deletes created in (start, end] — CDC deletions source:
+    * (data_file_id, position, deletion snapshot) */
   def inlinedDeletesCreatedIn(tableId: Long, startSnap: Long,
-      endSnap: Long): Seq[(Long, Long)] = withConn { c =>
+      endSnap: Long): Seq[(Long, Long, Long)] = withConn { c =>
     val name = inlinedDeleteTableName(tableId)
     if (!tableExists(c, name.toUpperCase)) Nil
     else query(c,
-      s"""SELECT data_file_id, row_pos FROM $name
+      s"""SELECT data_file_id, row_pos, begin_snapshot FROM $name
          |WHERE begin_snapshot > ? AND begin_snapshot <= ?
          |ORDER BY data_file_id, row_pos""".stripMargin,
       Long.box(startSnap), Long.box(endSnap))(rs =>
-      (rs.getLong(1), rs.getLong(2)))
+      (rs.getLong(1), rs.getLong(2), rs.getLong(3)))
+  }
+
+  /** inlined-data rows CREATED in (start, end]: (row_id, begin, json) */
+  def inlinedRowsCreatedIn(tableId: Long, startSnap: Long,
+      endSnap: Long): Seq[(Long, Long, String)] = withConn { c =>
+    val name = inlinedTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) Nil
+    else query(c,
+      s"""SELECT row_id, begin_snapshot, row_json FROM $name
+         |WHERE begin_snapshot > ? AND begin_snapshot <= ?
+         |ORDER BY row_id""".stripMargin,
+      Long.box(startSnap), Long.box(endSnap))(rs =>
+      (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+  }
+
+  /** inlined-data row versions ENDED in (start, end]: (row_id,
+    * end snapshot, json). Flush-ended rows are NOT deletions — callers
+    * filter by the end snapshot's change kinds. */
+  def inlinedRowsEndedIn(tableId: Long, startSnap: Long,
+      endSnap: Long): Seq[(Long, Long, String)] = withConn { c =>
+    val name = inlinedTableName(tableId)
+    if (!tableExists(c, name.toUpperCase)) Nil
+    else query(c,
+      s"""SELECT row_id, end_snapshot, row_json FROM $name
+         |WHERE end_snapshot IS NOT NULL
+         |  AND end_snapshot > ? AND end_snapshot <= ?
+         |ORDER BY row_id""".stripMargin,
+      Long.box(startSnap), Long.box(endSnap))(rs =>
+      (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+  }
+
+  /** snapshot ids in (start, end] whose recorded changes contain
+    * `<kind>=[… tableId …]` — e.g. kind = "tables_inserted_into" /
+    * "tables_deleted_from". CDC uses this to tell data changes apart
+    * from flush/compaction rewrites (reference table_changes; a flush
+    * snapshot reports NO changes, data_inlining_flush.test). */
+  def changeSnapshots(tableId: Long, startSnap: Long, endSnap: Long,
+      kind: String): Set[Long] = withConn { c =>
+    query(c,
+      """SELECT snapshot_id, changes_made FROM ducklake_snapshot_changes
+        |WHERE snapshot_id > ? AND snapshot_id <= ?""".stripMargin,
+      Long.box(startSnap), Long.box(endSnap))(rs =>
+      (rs.getLong(1), Option(rs.getString(2))))
+      .collect { case (sid, Some(ch)) if {
+        val i = ch.indexOf(kind + "=[")
+        i >= 0 && {
+          val j = ch.indexOf(']', i)
+          j > i && ch.substring(i + kind.length + 2, j)
+            .split(',').map(_.trim).contains(tableId.toString)
+        }
+      } => sid }.toSet
   }
 
   /** data files by id regardless of liveness (CDC needs entries for files

@@ -115,7 +115,10 @@ object IncrementalView {
       mvName: String, groupCols: Seq[String],
       sums: Seq[(String, Column)], extrema: Extrema,
       changes: DataFrame, to: Long): Unit = {
-    val isIns = col("change_type") === "insert"
+    // update pairs fold as their two halves: postimage adds, preimage
+    // retracts (tableChanges classifies same-snapshot delete+insert of
+    // one rowid as an update, reference change_type values)
+    val isIns = col("change_type").isin("insert", "update_postimage")
     val sign = when(isIns, 1L).otherwise(-1L)
     val aggExprs =
       Seq(sum(sign).cast("long").as("d_n"),
@@ -193,7 +196,9 @@ object IncrementalView {
     * carries O(touched groups) rows. */
   def applyDelta(lake: Lake, mvName: String, groupCols: Seq[String],
       sums: Seq[(String, Column)], changes: DataFrame): Unit = {
-    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val sign = when(
+      col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
     // one row per touched group — partial aggregation happens map-side,
     // so the shuffle ahead of the MERGE is O(changed groups)
     val delta0 = changes.groupBy(groupCols.map(col): _*)

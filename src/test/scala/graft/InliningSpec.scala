@@ -117,6 +117,38 @@ class InliningSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 2)
   }
 
+  test("small UPDATE stays in the catalog with row ids preserved " +
+      "(data_inlining_update_inline_verification.test)") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "5")
+    // 20 rows → a parquet file (above the limit)
+    lake.createTableAs("t",
+      (0 until 20).map(i => (i, s"val_$i")).toDF("i", "j").coalesce(1))
+    assert(lake.listFiles("t").count() == 1)
+    assert(lake.update("t", Map("j" -> lit("updated")), col("i") === 5) == 1)
+    // still exactly one file: the rewrite lives in the catalog
+    assert(lake.listFiles("t").count() == 1)
+    val r = lake.tableWithRowId("t").filter(col("i") === 5)
+      .select("rowid", "j").head()
+    assert(r.getLong(0) == 5L && r.getString(1) == "updated")
+    assert(lake.table("t").count() == 20)
+    // a second update of the SAME row hits the inlined version
+    assert(lake.update("t", Map("j" -> lit("changed")), col("i") === 5) == 1)
+    assert(lake.listFiles("t").count() == 1)
+    val r2 = lake.tableWithRowId("t").filter(col("i") === 5)
+      .select("rowid", "j").head()
+    assert(r2.getLong(0) == 5L && r2.getString(1) == "changed")
+    assert(lake.table("t").count() == 20)
+    // time travel still sees the original value
+    val v0 = lake.meta.currentSnapshot().snapshotId - 2
+    assert(lake.tableAtVersion("t", v0).filter(col("i") === 5)
+      .select("j").as[String].head() == "val_5")
+    // an update ABOVE the limit writes files as before
+    assert(lake.update("t", Map("j" -> lit("bulk")), col("i") < 10) == 10)
+    assert(lake.listFiles("t").count() > 1)
+    assert(lake.table("t").filter(col("j") === "bulk").count() == 10)
+  }
+
   test("insert-only MERGE below the limit inlines instead of writing " +
       "parquet (data_inlining_merge_insert_only.test)") {
     val lake = freshLake()
