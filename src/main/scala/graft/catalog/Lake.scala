@@ -1620,11 +1620,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private def partitionPlan(ps: PartitionSpec,
       cols: Seq[ColumnInfo]): Seq[(String, Column)] = {
     val byId = cols.map(c => c.columnId -> c).toMap
+    // hive dir labels follow the reference's GetPartitionKeyName: bare
+    // `year=`/`month=`/… for transforms (identity keeps the column
+    // name), `year_<col>` on collisions — so a lake's own layout
+    // round-trips through add_data_files' hive key lookup
+    val used = scala.collection.mutable.Set.empty[String]
     ps.fields.map { f =>
       val ci = byId(f.columnId)
-      val label =
-        if (f.transform == "identity") ci.name
-        else s"${ci.name}_${f.transform.takeWhile(_ != '(')}"
+      val label = partitionKeyName(f.transform, ci.name, used.toSet)
+      used += label
       (label, transformCol(f.transform, col(ci.name)))
     }
   }
@@ -3871,7 +3875,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * falling back to `year_<col>` (then `_2`, `_3`…) on collisions. */
   private def partitionKeyName(transform: String, fieldName: String,
       used: Set[String]): String = {
-    val prefix = transform.takeWhile(_ != '(')
+    val prefix =
+      if (transform == "identity") fieldName
+      else transform.takeWhile(_ != '(')
     if (!used(prefix)) prefix
     else {
       val base = s"${prefix}_$fieldName"

@@ -275,6 +275,32 @@ class AddFilesParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("invalid partition value"))
   }
 
+  test("a lake's own partitioned layout round-trips through " +
+      "add_data_files (write labels = reference GetPartitionKeyName)") {
+    val (lakeA, _) = freshLake()
+    lakeA.createTable("p", StructType(Seq(
+      StructField("id", IntegerType), StructField("dt", DateType))))
+    lakeA.setPartitionedBy("p", Seq(("dt", "year")))
+    lakeA.append("p", Seq(
+      (1, java.sql.Date.valueOf("2023-03-01")),
+      (2, java.sql.Date.valueOf("2024-05-01"))).toDF("id", "dt"))
+    val files = lakeA.listFiles("p").select("data_file").as[String]
+      .collect().map(p => s"${lakeA.dataPath}/$p").toSeq
+    assert(files.forall(_.contains("year=")),
+      s"write labels must use the reference key names, got $files")
+
+    val (lakeB, _) = freshLake()
+    lakeB.createTable("p", StructType(Seq(
+      StructField("id", IntegerType), StructField("dt", DateType))))
+    lakeB.setPartitionedBy("p", Seq(("dt", "year")))
+    lakeB.addDataFiles("p", files)
+    assert(lakeB.table("p").count() == 2)
+    // transform partition values flowed → year-eq pruning works
+    val q = lakeB.table("p",
+      Some(col("dt") === java.sql.Date.valueOf("2024-05-01")))
+    assert(q.count() == 1)
+  }
+
   // ------------------------------------------------ nested missing
 
   test("missing nested struct field: reference error, then NULL with " +

@@ -116,11 +116,11 @@ class HilbertSortSpec extends AnyFunSuite {
     lake.sql("ALTER TABLE pb SET PARTITIONED BY (bucket(4, user_id))")
     lake.sql("INSERT INTO pb VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     val files = lake.listFiles("pb").collect().map(_.getString(0))
-    assert(files.forall(_.contains("user_id_bucket=")))
+    assert(files.forall(_.contains("bucket=")))
     lake.sql("ALTER TABLE pb RESET PARTITIONED BY")
     lake.sql("INSERT INTO pb VALUES (9, 'z')")
     val after = lake.listFiles("pb").collect().map(_.getString(0))
-    assert(after.exists(!_.contains("user_id_bucket=")))
+    assert(after.exists(!_.contains("bucket=")))
     assert(lake.table("pb").count() == 4)
     // reference rejects malformed bucket widths at ALTER time
     intercept[IllegalArgumentException](

@@ -102,8 +102,8 @@ class PartitioningSpec extends AnyFunSuite {
     lake.setPartitionedBy("yt", Seq(("ts", "year")))
     lake.append("yt", df)
     val files = lake.listFiles("yt").collect().map(_.getString(0))
-    assert(files.exists(_.contains("ts_year=1995")))
-    assert(files.exists(_.contains("ts_year=1996")))
+    assert(files.exists(_.contains("year=1995")))
+    assert(files.exists(_.contains("year=1996")))
     // eq filter on ts prunes by year partition
     val t = lake.meta.tableByName("yt", lake.currentSnapshotId()).get
     val pruned = lake.meta.filesForScan(t.tableId, lake.currentSnapshotId(),
