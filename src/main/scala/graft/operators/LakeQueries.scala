@@ -915,8 +915,22 @@ object LakeQueries extends QueryPack {
     val lake = freshLake(spark)
     lake.sql("CREATE TABLE sup(s_suppkey BIGINT, s_name VARCHAR, " +
       "s_nationkey BIGINT, s_acctbal DOUBLE, extra VARCHAR)")
-    lake.addDataFiles("sup", Seq(s"$dir/supplier.parquet"),
-      allowMissing = true)
+    // lake: pseudo-dirs have no raw file to register — materialize the
+    // supplier table to a plain parquet file once (same pattern as
+    // Tables.eventsRawPath)
+    val foreign =
+      if (!dir.startsWith("lake:")) s"$dir/supplier.parquet"
+      else {
+        val out = Files.createTempDirectory("graft-addfiles")
+          .resolve("supplier.parquet")
+        Tables(spark, dir).supplier.coalesce(1)
+          .write.mode("overwrite").parquet(out.toString)
+        val ls = Files.list(out)
+        try ls.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get().toString
+        finally ls.close()
+      }
+    lake.addDataFiles("sup", Seq(foreign), allowMissing = true)
     detached(lake, lake.table("sup")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         col("extra"))
