@@ -2748,16 +2748,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
   private def deleteByPosition(name: String, t: TableInfo, snap: Snapshot,
       newDeletes0: DataFrame, newFiles: Seq[PendingDataFile] = Nil,
       newFilesPartitionId: Option[Long] = None): Long = {
-    // inlined rows delete by ending their validity in the catalog DB
+    // inlined rows delete by ending their validity in the catalog DB —
+    // in the SAME snapshot as the statement's file deletes / new files
+    // (a DELETE spanning inlined + file rows is ONE commit like the
+    // reference), so they thread into whichever commit happens below
     val inlinedIds = newDeletes0.filter(col("file_path") === InlinedFile)
       .select("pos").collect().map(_.getLong(0)).toSeq
-    if (inlinedIds.nonEmpty) txn match {
+    if (inlinedIds.nonEmpty) txn.foreach { st =>
       // buffered: validity ends in the SAME catalog txn as the commit
       // (conflict-checked there); reads overlay the buffered ids
-      case Some(st) => st.inlinedDeletes.getOrElseUpdate(t.tableId,
+      st.inlinedDeletes.getOrElseUpdate(t.tableId,
         scala.collection.mutable.LinkedHashSet.empty[Long]) ++= inlinedIds
-      case None => meta.endInlinedRows(t.tableId, inlinedIds)
     }
+    val endIds = if (txn.isEmpty) inlinedIds else Nil
     val newDeletes1 = newDeletes0.filter(col("file_path") =!= InlinedFile)
     // rows flushed from inlined data earlier in this txn live in a file
     // the catalog does not know yet — a positional delete against it
@@ -2801,12 +2804,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     val perFile = newDeletes.groupBy("file_path").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFile.isEmpty && newFiles.isEmpty)
+    if (perFile.isEmpty && newFiles.isEmpty) {
+      if (endIds.nonEmpty) meta.endInlinedRows(t.tableId, endIds): Unit
       return inlinedIds.size.toLong + pendingDeleted
+    }
     if (perFile.isEmpty) {
       txn match {
         case Some(st) => st.appends += ((t.tableId, name, None, newFiles))
-        case None => meta.appendFiles(t.tableId, newFiles)
+        case None => meta.appendFiles(t.tableId, newFiles,
+          endInlinedRowIds = endIds): Unit
       }
       return inlinedIds.size.toLong + pendingDeleted
     }
@@ -2826,7 +2832,7 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       val rows = newDeletes.select(col("file_path"), col("pos")).collect()
         .map(r => (byRel(r.getString(0)).dataFileId, r.getLong(1))).toSeq
       meta.appendInlinedDeletes(t.tableId, snap.snapshotId, rows,
-        newlyDeleted)
+        newlyDeleted, endInlinedRowIds = endIds)
       return newlyDeleted + inlinedIds.size + pendingDeleted
     }
 
@@ -2877,7 +2883,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         meta.commitDeletes(t.tableId, snap.snapshotId, deletes,
           format = if (useDv) "roaring" else "parquet",
           newFiles = newFiles, removedRows = newlyDeleted,
-          newFilesPartitionId = newFilesPartitionId)
+          newFilesPartitionId = newFilesPartitionId,
+          endInlinedRowIds = endIds)
     }
     newlyDeleted + inlinedIds.size + pendingDeleted
   }

@@ -912,8 +912,11 @@ class MetadataManager(val jdbcUrl: String,
   def appendFiles(tableId: Long, files: Seq[PendingDataFile],
       partitionId: Option[Long] = None,
       setOptions: Seq[(String, String)] = Nil,
-      batchGuard: Option[(String, Long)] = None): Snapshot =
-    commitSnapshot(SnapshotChanges(insertedIntoTables = Seq(tableId)),
+      batchGuard: Option[(String, Long)] = None,
+      endInlinedRowIds: Seq[Long] = Nil): Snapshot =
+    commitSnapshot(SnapshotChanges(insertedIntoTables = Seq(tableId),
+      deletedFromTables =
+        if (endInlinedRowIds.isEmpty) Nil else Seq(tableId)),
       conflictCheck = (c, _) => {
         val cur = currentSnapshot(c)
         val live = query(c,
@@ -931,6 +934,12 @@ class MetadataManager(val jdbcUrl: String,
         }
       }) { (c, snap, ids) =>
       insertFiles(c, snap, ids, tableId, files, partitionId)
+      // inlined victims of the same statement (e.g. an UPDATE rewriting
+      // inlined + file rows) end in THIS snapshot — one commit like the
+      // reference, never a separate deletion snapshot
+      if (endInlinedRowIds.nonEmpty)
+        endInlinedRowsIn(c, snap, ids, tableId, endInlinedRowIds, Nil,
+          isFlush = false, explicitRowIdStart = None)
       setOptions.foreach { case (k, v) =>
         exec(c,
           "DELETE FROM ducklake_metadata WHERE mkey = ? AND scope IS NULL", k)
@@ -1171,15 +1180,29 @@ class MetadataManager(val jdbcUrl: String,
       format: String = "parquet",
       newFiles: Seq[PendingDataFile] = Nil,
       removedRows: Long = 0L,
-      newFilesPartitionId: Option[Long] = None): Snapshot = {
+      newFilesPartitionId: Option[Long] = None,
+      endInlinedRowIds: Seq[Long] = Nil): Snapshot = {
     val touched = deletes.map(_._1).toSet
     commitSnapshot(
       SnapshotChanges(
         deletedFromTables = Seq(tableId),
         insertedIntoTables = if (newFiles.nonEmpty) Seq(tableId) else Nil),
-      conflictCheck = (c, _) =>
-        checkDeleteConflicts(c, tableId, baseSnapshot, touched)) {
+      conflictCheck = (c, _) => {
+        checkDeleteConflicts(c, tableId, baseSnapshot, touched)
+        if (endInlinedRowIds.nonEmpty) {
+          val n = query(c,
+            s"""SELECT COUNT(*) FROM ${inlinedTableName(tableId)}
+               |WHERE end_snapshot IS NOT NULL AND end_snapshot > ?"""
+              .stripMargin,
+            Long.box(baseSnapshot))(_.getLong(1)).head
+          if (n > 0) throw new CommitConflictException(
+            s"inlined rows of table $tableId were changed concurrently")
+        }
+      }) {
       (c, snap, ids) =>
+      if (endInlinedRowIds.nonEmpty)
+        endInlinedRowsIn(c, snap, ids, tableId, endInlinedRowIds, Nil,
+          isFlush = false, explicitRowIdStart = None)
       // staged-commit batching: one round trip per statement kind, not
       // per affected data file (a wide DELETE touches thousands of files)
       execBatch(c,
@@ -2634,11 +2657,15 @@ class MetadataManager(val jdbcUrl: String,
   /** Commit a small delete as inlined catalog rows — no file written. */
   def appendInlinedDeletes(tableId: Long, baseSnapshot: Long,
       deletes: Seq[(Long, Long)], // (dataFileId, position)
-      removedRows: Long): Snapshot =
+      removedRows: Long,
+      endInlinedRowIds: Seq[Long] = Nil): Snapshot =
     commitSnapshot(
       SnapshotChanges(deletedFromTables = Seq(tableId)),
       conflictCheck = (c, _) => checkDeleteConflicts(c, tableId,
-        baseSnapshot, deletes.map(_._1).toSet)) { (c, snap, _) =>
+        baseSnapshot, deletes.map(_._1).toSet)) { (c, snap, ids) =>
+      if (endInlinedRowIds.nonEmpty)
+        endInlinedRowsIn(c, snap, ids, tableId, endInlinedRowIds, Nil,
+          isFlush = false, explicitRowIdStart = None)
       ensureInlinedDeleteTable(c, tableId)
       execBatch(c,
         s"""INSERT INTO ${inlinedDeleteTableName(tableId)}

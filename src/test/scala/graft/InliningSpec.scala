@@ -117,6 +117,30 @@ class InliningSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 2)
   }
 
+  test("a DELETE spanning inlined and file rows commits ONE snapshot") {
+    val lake = freshLake()
+    lake.setOption("data_inlining_row_limit", "5")
+    lake.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    lake.append("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    lake.append("t", (10 to 40).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(lake.listFiles("t").count() > 0)
+    val before = lake.currentSnapshotId()
+    // hits inlined rows (1..3 are odd/even mix) AND file rows
+    assert(lake.delete("t", col("id") % 2 === 1) == 17L)
+    assert(lake.currentSnapshotId() == before + 1,
+      "inlined + file victims must land in one snapshot")
+    assert(lake.table("t").count() == 34 - 17)
+    // time travel to just before still sees everything
+    assert(lake.tableAtVersion("t", before).count() == 34)
+    // the same shape through UPDATE: mixed victims rewrite in ONE snapshot
+    val b2 = lake.currentSnapshotId()
+    assert(lake.update("t", Map("v" -> lit("upd")),
+      col("id") % 2 === 0) == 17L)
+    assert(lake.currentSnapshotId() == b2 + 1)
+    assert(lake.table("t").filter(col("v") === "upd").count() == 17)
+  }
+
   test("small UPDATE stays in the catalog with row ids preserved " +
       "(data_inlining_update_inline_verification.test)") {
     val lake = freshLake()
