@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench holds every prepared plan + broadcast hash table for three
+  // blocks (sf0.1, sf1, lake) at once; 8g left the sf1 block GC-bound
+  // (in-suite rows ran ~25% over the same plans standalone). The host has
+  // 128 GiB; 32g is a cap, not a reservation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

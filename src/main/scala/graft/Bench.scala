@@ -134,7 +134,12 @@ object Bench {
     val dataDir = if (ingest) prepareData(spark, sfDir) else sfDir
 
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_ONLY="q18_large_orders,cb_gap_stats" — subset for
+    // local profiling sweeps; unset = full headline set (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
     // PREPARED-STATEMENT model, symmetric with the DuckDB baseline
     // (which PREPAREs each query once and times EXECUTE+fetchall per
     // rep): each query is analyzed/optimized/planned ONCE; every rep
@@ -211,6 +216,7 @@ object Bench {
     // min isn't a JIT lottery
     names.foreach(exec)
     names.foreach(exec)
+    System.gc() // settle warm-up garbage outside the timed window
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "13").toInt
     // reps are INTERLEAVED round-robin across queries: a transient
     // host-level slowdown (VM neighbor, thermal throttle) then inflates
@@ -279,19 +285,32 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
       else try {
         val sf1Dir = prepareScaleUp(spark, sfDir, factor = 10)
-        // swept 8/16/32 at this sf1 size (52 MB lineitem): 16 is the
-        // knee — q18's 1.5M-group aggregation exchange wants the extra
-        // reduce parallelism (0.51s @8 → 0.41s @16) while the small
-        // reduce sides only pay marginal scheduling; 32 regresses the
-        // window/top-k rows. On a real cluster at a real sf this should
-        // be ≈ cores (LakeSession defaults).
+        // swept 8/10/12/14/16/32 at this sf1 size (52 MB lineitem): 12
+        // is the knee — q18's aggregation exchange wants reduce
+        // parallelism while the small reduce sides only pay scheduling
+        // (totals: 1.47 @8, 1.40-1.54 @12, 1.61 @16, 2.18 @32). AQE off
+        // for the same reason it is off at sf0.1: its per-query-stage
+        // materialization barriers add ~2 scheduling rounds per query,
+        // +0.15-0.35s over the 10-query block at this scale, and its
+        // runtime re-planning changes nothing here (the static plans
+        // already broadcast the dims and pick the right join sides). On
+        // a real cluster at a real sf both revert to the LakeSession
+        // defaults (partitions ≈ cores, AQE on).
         spark.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "16"))
+          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "12"))
         spark.conf.set("spark.sql.adaptive.enabled",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "true"))
+          sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "false"))
         val (_, exec1) = prepare(sf1Dir)
-        names.foreach(exec1); names.foreach(exec1) // warm-up passes
-        val reps1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "3").toInt
+        // sf1 plans are fresh codegen classes (the sf0.1 passes warmed
+        // DIFFERENT generated code), and C2 convergence on the 6M-row agg
+        // loop takes ~4 executions (measured: rep1 1.34s → rep4 0.51s on
+        // identical code/data) — 4 warm-up passes + 7 reps so the min
+        // reflects steady-state throughput, not the JIT ramp. Protocol
+        // matches the sf0.1 block's; evidence committed in SCALE.md §7.
+        val warm1 = sys.env.getOrElse("SPARK_GRAFT_SF1_WARMUPS", "4").toInt
+        (1 to warm1).foreach(_ => names.foreach(exec1))
+        System.gc() // drop sf0.1-block garbage before the timed reps
+        val reps1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "7").toInt
         val t1 = scala.collection.mutable.Map(
           names.map(_ -> List.empty[Double]): _*)
         (1 to reps1).foreach { _ =>
@@ -430,7 +449,14 @@ object Bench {
         .parquet(dst.resolve(s"$name.parquet").toString)
     }
     fanOut(t.orders, Seq("o_orderkey" -> okShift), "o_orderdate", "orders")
-    fanOut(t.lineitem, Seq("l_orderkey" -> okShift), "l_shipdate",
+    // lineitem clusters by l_orderkey — the reference generator's natural
+    // order (dbgen emits lineitem sorted by orderkey, so the reference's
+    // COPY-based TPC-H load scans exactly this layout). Orderkey
+    // clustering makes map-side partial aggregation on l_orderkey
+    // actually reduce (each task sees whole orders): q18's aggregation
+    // exchange carries |orders| rows instead of |lineitem|. Both engines
+    // read the same files, so the layout choice is symmetric.
+    fanOut(t.lineitem, Seq("l_orderkey" -> okShift), "l_orderkey",
       "lineitem")
     fanOut(t.events, Seq("event_id" -> evShift), "ts", "events")
     for (name <- Seq("region", "nation", "customer", "supplier", "part",

@@ -12,6 +12,7 @@ object SparkEntry {
   /** All query packs. Order is presentation-only. */
   def packs: Seq[QueryPack] = Seq(
     operators.RelationalQueries,
+    operators.SubqueryQueries,
     operators.MoreTpchQueries,
     operators.EventQueries,
     operators.LakeQueries,

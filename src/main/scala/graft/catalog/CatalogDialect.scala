@@ -36,6 +36,10 @@ sealed trait CatalogDialect {
     * server-side consolidated conflict check). Postgres/SQLite allow a
     * FROM-less SELECT; Derby needs its dummy table. */
   def dualFrom: String = ""
+
+  /** top-1 clause: ANSI `FETCH FIRST` on Derby/Postgres; SQLite only
+    * speaks `LIMIT` (reference sqlite manager generates LIMIT SQL). */
+  def limit1: String = "FETCH FIRST 1 ROWS ONLY"
 }
 
 case object DerbyDialect extends CatalogDialect {
@@ -69,6 +73,7 @@ case object SqliteDialect extends CatalogDialect {
   def isConflictState(st: String): Boolean =
     st.startsWith("23") || st == "40001" || st == "5" || st == "6"
   val maxIdentifierLength = 255
+  override def limit1: String = "LIMIT 1"
 }
 
 object CatalogDialect {

@@ -45,6 +45,20 @@ class MetadataManager(val jdbcUrl: String,
       // quack-style transport: catalog SQL ships to the service
       // ([[HttpCatalogServer]]); same transactions + SQLSTATE semantics
       HttpCatalogClient.connect(jdbcUrl)
+    else if (jdbcUrl.startsWith("jdbc:sqlite:"))
+      // a real sqlite JDBC driver on the classpath wins; without one,
+      // bridge to the host's sqlite3 engine ([[SqliteCliCatalog]]) so the
+      // SQLite dialect runs against an actual SQLite, not just Derby
+      try {
+        val c = DriverManager.getConnection(jdbcUrl)
+        c.setAutoCommit(false)
+        c
+      } catch {
+        case e: SQLException if e.getMessage != null &&
+            e.getMessage.contains("No suitable driver") &&
+            SqliteCliCatalog.available =>
+          SqliteCliCatalog.connect(jdbcUrl.stripPrefix("jdbc:sqlite:"))
+      }
     else {
       val c = DriverManager.getConnection(jdbcUrl)
       c.setAutoCommit(false)
@@ -65,6 +79,12 @@ class MetadataManager(val jdbcUrl: String,
         case _: SQLException => ()
       }
     }
+
+  /** Raw backend connection for tests/tools that inspect catalog rows
+    * directly — routes through the same backend resolution as every
+    * manager operation (Derby/PG driver, HTTP transport, sqlite3 CLI
+    * bridge). Caller closes. */
+  private[graft] def openConnection(): Connection = connect()
 
   protected def withConn[A](f: Connection => A): A =
     Using.resource(connect()) { c =>
@@ -486,9 +506,9 @@ class MetadataManager(val jdbcUrl: String,
 
   protected def currentSnapshot(c: Connection): Snapshot =
     pinnedSnapshot.getOrElse(query(c,
-      """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
+      s"""SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
         |next_file_id FROM ducklake_snapshot
-        |ORDER BY snapshot_id DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)(
+        |ORDER BY snapshot_id DESC ${dialect.limit1}""".stripMargin)(
       readSnapshot).head)
 
   private def readSnapshot(rs: ResultSet): Snapshot =
@@ -507,9 +527,9 @@ class MetadataManager(val jdbcUrl: String,
     * src/storage/ducklake_transaction.cpp:1613-1645 AT TIMESTAMP bound). */
   def snapshotAtTime(tsMs: Long): Option[Snapshot] = withConn { c =>
     query(c,
-      """SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
+      s"""SELECT snapshot_id, snapshot_time, schema_version, next_catalog_id,
         |next_file_id FROM ducklake_snapshot WHERE snapshot_time <= ?
-        |ORDER BY snapshot_id DESC FETCH FIRST 1 ROWS ONLY""".stripMargin,
+        |ORDER BY snapshot_id DESC ${dialect.limit1}""".stripMargin,
       Long.box(tsMs))(readSnapshot).headOption
   }
 

@@ -71,26 +71,38 @@ object EventQueries extends QueryPack {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
-  /** sessionization-lite: per-user event-to-event gap stats via lag
-    * window (analytic function over big partition count). */
+  /** sessionization-lite: per-user event-to-event gap stats.
+    *
+    * Formulated as ONE aggregation instead of a lag-window feeding an
+    * aggregate: the window partition key (user_id) IS the final group
+    * key, so `sort_array(collect_list(ts))` + an array gap pass computes
+    * the same result with no WindowExec and no 100k-row partition sort —
+    * the multiset of consecutive sorted-ts differences is invariant to
+    * how ties are ordered, so this matches the reference's
+    * `LAG OVER (ORDER BY ts, event_id)` semantics exactly. Plan: scan →
+    * partial collect_list (map-side: rows become per-user array chunks,
+    * shuffle rows drop from |events| to |users|×|tasks|) → one user_id
+    * exchange → merge + per-user sort + gap fold. At 100 TB the per-user
+    * arrays are session-bounded (same memory envelope the window's
+    * per-partition sort buffer had), and the shuffle carries 8 B/event
+    * payload with far fewer row headers than the row-per-event window
+    * shuffle did. */
   private def gapStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t.events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .filter(col("prev_ts").isNotNull)
-      .withColumn("gap_s",
-        expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 1000000"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("total_gap_s"),
-        max(col("gap_s")).as("max_gap_s"))
-      .filter(col("n_gaps") >= 5)
+      .agg(sort_array(collect_list(col("ts_us"))).as("tss"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 6) // n_gaps = n-1 >= 5
+      .withColumn("gaps", expr(
+        "transform(sequence(1, size(tss)-1), i -> (tss[i] - tss[i-1]) DIV 1000000)"))
+      .select(col("user_id"), (col("n") - 1).as("n_gaps"),
+        expr("aggregate(gaps, 0L, (a, x) -> a + x)").as("total_gap_s"),
+        expr("array_max(gaps)").as("max_gap_s"))
       // no final sort: row order is not part of the operator's semantics
       // (the oracle compare hashes sorted rows) and a per-user report at
-      // corpus scale is consumed by key, not scanned in order — the
-      // window and the aggregate above share ONE user_id exchange, so
-      // this is a two-stage plan end to end
+      // corpus scale is consumed by key, not scanned in order
   }
 
   private val gapStatsSql =
@@ -268,25 +280,44 @@ object EventQueries extends QueryPack {
 
   /** Conversion funnel view → click → purchase: per user the FIRST view,
     * the first click strictly after it, the first purchase strictly
-    * after that; counts per stage. Each stage is one conditional-min
-    * aggregation + a broadcast-size join on user_id (shrinking stage
-    * populations), the standard large-scale funnel shape. */
+    * after that; counts per stage.
+    *
+    * ONE Spark job, one user_id exchange, one scan of events: per user
+    * collect the (ts, stage) pairs (map-side partial collect_list), fold
+    * the time-sorted list through the stage machine, then count users
+    * per reached stage. Replaces the previous three driver `count()`
+    * actions (which scanned events ~6× across 3 jobs) — at corpus scale
+    * the funnel is a single wide stage plus two one-row reduces. Tie
+    * semantics ("strictly after") are order-independent: the fold uses
+    * strict `>` against the previous stage time, so equal-timestamp
+    * events can never advance the funnel regardless of sort tie order. */
   private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
-    val c = e.filter(col("event_type") === "click").as("e")
-      .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
-        col("e.ts") > col("v.tv"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tc"))
-    val p = e.filter(col("event_type") === "purchase").as("e")
-      .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
-        col("e.ts") > col("c.tc"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tp"))
-    val spark2 = spark; import spark2.implicits._
-    Seq(("1_view", v.count()), ("2_view_click", c.count()),
-      ("3_full_funnel", p.count()))
-      .toDF("stage", "n_users").orderBy(col("stage"))
+    e.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1)
+            .when(col("event_type") === "purchase", 2).as("et")).as("ev"))
+      .filter(col("ev.et").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(expr(
+        """aggregate(evs,
+          |  named_struct('tv', CAST(NULL AS BIGINT),
+          |               'tc', CAST(NULL AS BIGINT),
+          |               'tp', CAST(NULL AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    'tv', coalesce(a.tv, CASE WHEN x.et = 0 THEN x.ts END),
+          |    'tc', coalesce(a.tc, CASE WHEN x.et = 1 AND x.ts > a.tv THEN x.ts END),
+          |    'tp', coalesce(a.tp, CASE WHEN x.et = 2 AND x.ts > a.tc THEN x.ts END)))""".stripMargin)
+        .as("s"))
+      .agg(count(col("s.tv")).as("nv"), count(col("s.tc")).as("nc"),
+        count(col("s.tp")).as("np"))
+      .selectExpr("stack(3, '1_view', nv, '2_view_click', nc, " +
+        "'3_full_funnel', np) AS (stage, n_users)")
+      // the 3 stage rows sit in the global aggregate's single partition; a
+      // global orderBy would add a RangePartitioning sample job for nothing
+      .sortWithinPartitions(col("stage"))
   }
 
   private val qFunnelSql =

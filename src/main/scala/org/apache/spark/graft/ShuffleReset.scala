@@ -49,4 +49,9 @@ object ShuffleReset {
       case _ =>
     }
   }
+
+  /** Drain the async listener bus (private[spark]) — lets specs that count
+    * jobs/stages via a SparkListener read a settled counter. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

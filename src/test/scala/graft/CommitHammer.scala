@@ -56,6 +56,40 @@ object CommitHammer {
         }
         println(s"HAMMER-DONE $writerId $m")
         spark.stop()
+      case spec if spec.startsWith("pinned-read:") =>
+        // cross-process READER pinned at an old snapshot while the owner
+        // process checkpoints (flush → expire → compact → cleanup): the
+        // physical-delete deferral (delete_older_than retention,
+        // reference ducklake_cleanup_files.cpp:66-177 older_than guard)
+        // must keep this snapshot's files readable. Protocol: hash once,
+        // print it, wait for <dataPath>/../go, re-hash, compare.
+        val Array(dataPath, snapStr) = spec.stripPrefix("pinned-read:")
+          .split('|')
+        val snap = snapStr.toLong
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .appName(s"pinned-$writerId").getOrCreate()
+        val lake = graft.catalog.Lake.attach(spark, url, dataPath,
+          readOnly = true, snapshotVersion = Some(snap))
+        def contentHash(): String = {
+          val rows = lake.table(table).collect()
+            .map(_.toString).sorted.mkString("\n")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(rows.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        }
+        val h0 = contentHash()
+        println(s"PIN-HASH0 $h0")
+        val go = java.nio.file.Paths.get(dataPath).getParent.resolve("go")
+        val deadline = System.currentTimeMillis() + 120000
+        while (!java.nio.file.Files.exists(go) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        require(java.nio.file.Files.exists(go), "parent never signalled go")
+        val h1 = contentHash()
+        println(s"PIN-HASH1 $h1")
+        spark.stop()
+        if (h0 != h1) sys.error(s"pinned read changed: $h0 -> $h1")
     }
   }
 }

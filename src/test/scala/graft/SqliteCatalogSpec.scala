@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.catalog._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live SQLite catalog backend (reference
+  * src/include/metadata_manager/sqlite_metadata_manager.hpp:15-29 +
+  * test/configs/sqlite.json): the SQLite-dialect SQL executes on a REAL
+  * SQLite engine — the host `sqlite3` binary behind
+  * [[SqliteCliCatalog]]'s Connection facade — not just generation-level
+  * checks. Covers DDL spelling (LIMIT vs FETCH FIRST), full lake DML
+  * round trips, transactions, time travel, and the cross-connection
+  * write-write race (SQLITE_BUSY → SQLSTATE "5" → commit retried). */
+class SqliteCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def assume3(): Unit =
+    assume(SqliteCliCatalog.available, "no sqlite3 binary on this host")
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graftsqlite").toString
+    Lake.attach(spark, s"jdbc:sqlite:$dir/cat.db", s"$dir/data")
+  }
+
+  test("attach routes jdbc:sqlite: to the SQLite dialect and engine") {
+    assume3()
+    val lake = freshLake()
+    assert(lake.meta.dialect == SqliteDialect)
+    assert(lake.currentSnapshotId() == 0L)
+  }
+
+  test("full DML round trip on a SQLite catalog") {
+    assume3()
+    val lake = freshLake()
+    lake.createTableAs("t",
+      (1L to 30L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    lake.append("t", Seq((31L, "v31", 46.5)).toDF("id", "v", "x"))
+    lake.delete("t", col("id") % 5 === 0L)
+    lake.update("t", Map("v" -> lit("ONE")), col("id") === 1L)
+    val rows = lake.table("t").select("id", "v").as[(Long, String)]
+      .collect().toMap
+    assert(rows.size == 25) // 31 - 6 deleted
+    assert(rows(1L) == "ONE")
+    assert(!rows.contains(10L))
+    // snapshots + time travel come back through SQLite's LIMIT path
+    val snaps = lake.snapshots().select("snapshot_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(snaps.head == 0L && snaps.size >= 5 &&
+      snaps.last == lake.currentSnapshotId(), snaps)
+    // time travel: right after the post-CTAS append, all 31 rows live
+    assert(lake.tableAtVersion("t", snaps.last - 2).count() == 31)
+    // stats-driven file pruning reads min/max back from SQLite
+    assert(lake.table("t").filter(col("id") === 31L).count() == 1)
+  }
+
+  test("multi-statement transaction commits as ONE snapshot; " +
+    "rollback discards") {
+    assume3()
+    val lake = freshLake()
+    lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
+    val before = lake.currentSnapshotId()
+    lake.transaction {
+      lake.append("t", Seq((2L, "b")).toDF("id", "v"))
+      lake.append("t", Seq((3L, "c")).toDF("id", "v"))
+    }
+    assert(lake.currentSnapshotId() == before + 1)
+    assert(lake.table("t").count() == 3)
+    intercept[RuntimeException](lake.transaction {
+      lake.append("t", Seq((4L, "d")).toDF("id", "v"))
+      throw new RuntimeException("boom")
+    })
+    assert(lake.table("t").count() == 3) // rolled back
+  }
+
+  test("concurrent commits from two connections: BUSY surfaces as a " +
+    "retryable state and no update is lost") {
+    assume3()
+    val dir = Files.createTempDirectory("graftsqlitec").toString
+    val url = s"jdbc:sqlite:$dir/cat.db"
+    val lake = Lake.attach(spark, url, s"$dir/data")
+    lake.createTableAs("t", Seq((0L, 0L)).toDF("w", "i"))
+    // two writers, each its own MetadataManager (own sqlite3 process),
+    // inlined appends — every commit races on the snapshot-id PK
+    val writers = 2
+    val per = 8
+    val pool = Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val snap0 = lake.currentSnapshotId()
+    val fs = (1 to writers).map { w =>
+      Future {
+        val m = new MetadataManager(url)
+        val t = m.tableByName("t", m.currentSnapshot().snapshotId).get
+        (0 until per).foreach { i =>
+          m.appendInlined(t.tableId, Seq(s"""{"w":$w,"i":$i}"""))
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(lake.currentSnapshotId() == snap0 + writers * per)
+    assert(lake.table("t").count() == 1 + writers * per)
+  }
+
+  test("sqlite catalog file is genuinely SQLite (CLI can read it back)") {
+    assume3()
+    val dir = Files.createTempDirectory("graftsqlitef").toString
+    val lake = Lake.attach(spark, s"jdbc:sqlite:$dir/cat.db", s"$dir/data")
+    lake.createTableAs("t", Seq((1L, "a")).toDF("id", "v"))
+    // independent evidence the backend is the real engine: a fresh
+    // sqlite3 process reads the catalog tables this lake just wrote
+    val out = new ProcessBuilder("sqlite3", s"$dir/cat.db",
+      "SELECT COUNT(*) FROM ducklake_snapshot").start()
+    val txt = new String(out.getInputStream.readAllBytes()).trim
+    assert(out.waitFor() == 0)
+    assert(txt.toInt >= 2, s"snapshots in sqlite file: $txt")
+  }
+}

@@ -13,9 +13,13 @@ class TransactionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** catalog URL for a fresh lake — overridden by the SQLite variant so
+    * the whole transaction matrix re-runs on a second live backend */
+  protected def catalogUrl(dir: String): String = s"$dir/cat"
+
   private def freshLake(): Lake = {
     val dir = Files.createTempDirectory("grafttx").toString
-    Lake.attach(spark, s"$dir/cat", s"$dir/data")
+    Lake.attach(spark, catalogUrl(dir), s"$dir/data")
   }
 
   test("multiple statements commit as one snapshot") {
@@ -650,7 +654,7 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.currentSnapshotId() == before + 1)
     assert(lake.table("s.auto_probe_after").count() == 2)
     // the spec is live under the renamed table with real ids
-    val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+    val c = lake.meta.openConnection()
     try {
       val rs = c.createStatement().executeQuery(
         """SELECT t.table_name, pc.partition_key_index, pc.transform
@@ -661,7 +665,7 @@ class TransactionSpec extends AnyFunSuite {
       assert(rs.getString(1) == "auto_probe_after")
       assert(rs.getLong(2) == 0L && rs.getString(3) == "identity")
       assert(!rs.next())
-    } finally c.close()
+    } finally { c.rollback(); c.close() }
     // partition pruning works on the committed files
     assert(lake.table("s.auto_probe_after",
       Some(col("dt") === java.sql.Date.valueOf("2026-04-30"))).count() == 1)
@@ -688,14 +692,14 @@ class TransactionSpec extends AnyFunSuite {
     assert(lake.table("a").head().getInt(0) == 9)
     assert(lake.table("b").head().getInt(0) == 1)
     // exactly one live row per name
-    val c = java.sql.DriverManager.getConnection(lake.meta.jdbcUrl)
+    val c = lake.meta.openConnection()
     try {
       val rs = c.createStatement().executeQuery(
         "SELECT table_name, COUNT(*) FROM ducklake_table " +
           "WHERE end_snapshot IS NULL GROUP BY table_name")
       while (rs.next()) assert(rs.getLong(2) == 1L,
         s"duplicate live rows for ${rs.getString(1)}")
-    } finally c.close()
+    } finally { c.rollback(); c.close() }
   }
 
   test("duplicate SET DEFAULT on one column in one transaction " +
@@ -797,5 +801,18 @@ class TransactionSpec extends AnyFunSuite {
       lake.delete("big", col("id") >= 1000000L)
     }
     assert(lake.table("big").count() == n / 10 + 1)
+  }
+}
+
+/** The ENTIRE transaction matrix re-run against a live SQLite catalog
+  * (reference test/configs/sqlite.json runs its transaction suites per
+  * backend): same buffered-commit, conflict, rename/DDL and rollback
+  * semantics must hold when the metadata engine is the host's real
+  * SQLite behind [[graft.catalog.SqliteCliCatalog]]. */
+class SqliteTransactionSpec extends TransactionSpec {
+  override protected def catalogUrl(dir: String): String = {
+    assume(graft.catalog.SqliteCliCatalog.available,
+      "no sqlite3 binary on this host")
+    s"jdbc:sqlite:$dir/cat.db"
   }
 }
