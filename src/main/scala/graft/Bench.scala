@@ -281,6 +281,7 @@ object Bench {
     // knee — AQE on and shuffle.partitions ≈ cores, the cluster-scale
     // session shape (LakeSession), instead of the sf0.1 micro-tuning.
     // Both engines read the SAME multi-file range-clustered layout.
+    var sf1State: Option[(String, Double)] = None // (dir, total) for lake_sf1
     val sf1Json =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
       else try {
@@ -322,6 +323,7 @@ object Bench {
         }
         val res1 = names.map(n => n -> t1(n).min)
         val tot1 = res1.map(_._2).sum
+        sf1State = Some((sf1Dir, tot1))
         val q1Json = res1.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
         val base1 =
@@ -376,8 +378,53 @@ object Bench {
           s""","lake":{"error":${jsonEsc(e.toString.take(200))}}"""
       }
 
+    // LAKE-AT-SCALE block: the lake read path (catalog file list +
+    // delete-filter assembly) over the sf1 layout — shows catalog
+    // overhead stays flat as file counts grow 10× (32 files/fact vs the
+    // sf0.1 lake block's handful). vs_raw compares against the raw-sf1
+    // total from the scale-up block: the delta IS the lake path's cost.
+    val lakeSf1Json = sf1State match {
+      case Some((sf1Dir, tot1))
+          if !sys.env.get("SPARK_GRAFT_LAKE").contains("0") &&
+            !sys.env.get("SPARK_GRAFT_LAKE_SF1").contains("0") =>
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "12"))
+          spark.conf.set("spark.sql.adaptive.enabled",
+            sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "false"))
+          val lakeDir = prepareLake(spark, sf1Dir)
+          val (_, execL1) = prepare(lakeDir)
+          (1 to 3).foreach(_ => names.foreach(execL1)) // warm-up
+          System.gc()
+          val repsL1 = sys.env.getOrElse("SPARK_GRAFT_LAKE_SF1_REPS", "5").toInt
+          val tl = scala.collection.mutable.Map(
+            names.map(_ -> List.empty[Double]): _*)
+          (1 to repsL1).foreach { _ =>
+            names.foreach { name =>
+              val t0 = System.nanoTime()
+              execL1(name)
+              tl(name) ::= (System.nanoTime() - t0) / 1e9
+            }
+          }
+          val resL = names.map(n => n -> tl(n).min)
+          val totL = resL.map(_._2).sum
+          val qLJson = resL.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+            .mkString("{", ",", "}")
+          s""","lake_sf1":{"total":${f"$totL%.3f"},"queries":$qLJson,"vs_raw":${f"${totL / tot1}%.2f"}}"""
+        } catch {
+          case e: Throwable =>
+            s""","lake_sf1":{"error":${jsonEsc(e.toString.take(200))}}"""
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+          spark.conf.set("spark.sql.adaptive.enabled",
+            sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        }
+      case _ => ""
+    }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$lakeJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$lakeJson$lakeSf1Json}""")
     spark.stop()
   }
 

@@ -21,15 +21,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val t0 = System.currentTimeMillis()
+    val perQueryMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val q0 = System.currentTimeMillis()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        perQueryMs(name) = System.currentTimeMillis() - q0
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // provenance: timestamp + git SHA + per-query wall — distinguishes a
+    // real re-run from a stale copy of an earlier round's artifact
+    val sha = try scala.sys.process.Process(
+      Seq("git", "rev-parse", "HEAD"), new java.io.File(".")).!!.trim
+    catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/run_info.json"),
+      s"""{"run_at_ms":$t0,"finished_at_ms":${System.currentTimeMillis()},""" +
+        s""""git_sha":"$sha","sf_dir":"$sfDir","queries_run":${perQueryMs.size},""" +
+        perQueryMs.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""""query_wall_ms":{""", ",", "}}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -59,6 +59,20 @@ class MetadataManager(val jdbcUrl: String,
             SqliteCliCatalog.available =>
           SqliteCliCatalog.connect(jdbcUrl.stripPrefix("jdbc:sqlite:"))
       }
+    else if (jdbcUrl.startsWith("jdbc:postgresql:"))
+      // same fallback story for Postgres: pgjdbc on the classpath wins;
+      // without it, run the Postgres-dialect SQL through a real server
+      // via the psql CLI ([[PostgresCliCatalog]])
+      try {
+        val c = DriverManager.getConnection(jdbcUrl)
+        c.setAutoCommit(false)
+        c
+      } catch {
+        case e: SQLException if e.getMessage != null &&
+            e.getMessage.contains("No suitable driver") &&
+            PostgresCliCatalog.available =>
+          PostgresCliCatalog.connect(jdbcUrl)
+      }
     else {
       val c = DriverManager.getConnection(jdbcUrl)
       c.setAutoCommit(false)

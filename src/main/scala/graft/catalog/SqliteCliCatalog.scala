@@ -1,9 +1,9 @@
 package graft.catalog
 
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
-import java.lang.reflect.{InvocationHandler, Method, Proxy}
+
 import java.nio.charset.StandardCharsets.UTF_8
-import java.sql.{Connection, DatabaseMetaData, PreparedStatement, ResultSet, SQLException, Statement}
+import java.sql.{Connection, DatabaseMetaData, SQLException, Statement}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -55,12 +55,17 @@ object SqliteCliCatalog {
     private val out = new BufferedReader(
       new InputStreamReader(proc.getInputStream, UTF_8))
     private var n = 0L
-    // .mode json makes every result machine-parseable; busy_timeout=0
-    // surfaces SQLITE_BUSY immediately so the manager's optimistic-commit
-    // retry (not the engine) owns the backoff, like the reference's
-    // sqlite manager
+    // .mode json makes every result machine-parseable. busy_timeout gives
+    // the engine a bounded in-lock wait: with 0, a COMMIT (needs the
+    // EXCLUSIVE lock) starves whenever competing writers keep opening
+    // SHARED read transactions — each instant-BUSY burns one of the
+    // manager's retries and two hot writers can exhaust all of them.
+    // With a wait, the lock usually clears inside the engine; a still-
+    // stuck lock surfaces SQLITE_BUSY → SQLSTATE "5" and the manager's
+    // optimistic-commit retry (the reference sqlite manager's BUSY-retry
+    // discipline) takes over.
     in.write(".mode json\n"); in.flush()
-    exec("PRAGMA busy_timeout=0"): Unit
+    exec("PRAGMA busy_timeout=2000"): Unit
 
     /** run one statement; returns result rows as (lowercased column →
       * value) maps in column order. */
@@ -134,33 +139,21 @@ object SqliteCliCatalog {
       val out = ArrayBuffer.empty[java.util.LinkedHashMap[String, Object]]
       arr.forEach { m =>
         val lower = new java.util.LinkedHashMap[String, Object]()
-        m.forEach((k, v) => lower.put(k.toLowerCase, v))
+        var j = 0
+        m.forEach { (k, v) =>
+          // duplicate column names must not collapse (see the psql
+          // bridge's header uniquification) — keep every value in order
+          val key = k.toLowerCase
+          lower.put(if (lower.containsKey(key)) s"$key#$j" else key, v)
+          j += 1
+        }
         out += lower
       }
       out.toSeq
     }
   }
 
-  // -------------------------------------------------------- SQL rendering
-
-  /** substitute `?` placeholders (outside string literals) with SQLite
-    * literals — the CLI has no bind API. */
-  private def render(sql: String, params: Seq[Any]): String = {
-    val sb = new java.lang.StringBuilder(sql.length + 64)
-    var inStr = false
-    var p = 0
-    var i = 0
-    while (i < sql.length) {
-      val ch = sql.charAt(i)
-      if (ch == '\'') { inStr = !inStr; sb.append(ch) }
-      else if (ch == '?' && !inStr) {
-        sb.append(literal(if (p < params.length) params(p) else null))
-        p += 1
-      } else sb.append(ch)
-      i += 1
-    }
-    sb.toString
-  }
+  // ---------------------------------------------------------- literals
 
   private def literal(v: Any): String = v match {
     case null => "NULL"
@@ -180,80 +173,6 @@ object SqliteCliCatalog {
     case other => literal(String.valueOf(other))
   }
 
-  // ------------------------------------------------------------ JDBC facade
-
-  private def proxy[A](iface: Class[A])(
-      pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): A =
-    Proxy.newProxyInstance(iface.getClassLoader, Array(iface),
-      new InvocationHandler {
-        override def invoke(p: Any, m: Method,
-            args: Array[AnyRef]): AnyRef = {
-          val a = if (args == null) Array.empty[AnyRef] else args
-          m.getName match {
-            case "toString" => s"sqlite-cli:${iface.getSimpleName}"
-            case "hashCode" => Int.box(System.identityHashCode(p))
-            case "equals" => Boolean.box(p.asInstanceOf[AnyRef] eq a(0))
-            case name if pf.isDefinedAt((name, a)) => pf((name, a))
-            case name => throw new UnsupportedOperationException(
-              s"${iface.getSimpleName}.$name not supported by the " +
-                "sqlite3 CLI bridge")
-          }
-        }
-      }).asInstanceOf[A]
-
-  private def resultSet(
-      rows: Seq[java.util.LinkedHashMap[String, Object]]): ResultSet = {
-    var cursor = -1
-    var lastNull = false
-    def cell(a: AnyRef): Any = {
-      val row = rows(cursor)
-      val v = a match {
-        case i: Integer =>
-          val it = row.values().iterator()
-          var k = 1; var r: Object = null
-          while (it.hasNext && k <= i.intValue()) { r = it.next(); k += 1 }
-          if (k <= i.intValue()) null else r
-        case s: String => row.get(s.toLowerCase)
-        case other => throw new SQLException(s"bad column ref $other")
-      }
-      lastNull = v == null
-      v
-    }
-    proxy(classOf[ResultSet]) {
-      case ("next", _) => cursor += 1; Boolean.box(cursor < rows.size)
-      case ("getLong", a) => cell(a(0)) match {
-        case null => Long.box(0L)
-        case n: java.lang.Number => Long.box(n.longValue())
-        case v => Long.box(String.valueOf(v).toLong)
-      }
-      case ("getInt", a) => cell(a(0)) match {
-        case null => Int.box(0)
-        case n: java.lang.Number => Int.box(n.intValue())
-        case v => Int.box(String.valueOf(v).toInt)
-      }
-      case ("getDouble", a) => cell(a(0)) match {
-        case null => Double.box(0.0)
-        case n: java.lang.Number => Double.box(n.doubleValue())
-        case v => Double.box(String.valueOf(v).toDouble)
-      }
-      case ("getString", a) => cell(a(0)) match {
-        case null => null
-        case v => String.valueOf(v)
-      }
-      case ("getBoolean", a) => cell(a(0)) match {
-        case null => Boolean.box(false)
-        case b: java.lang.Boolean => b
-        case n: java.lang.Number => Boolean.box(n.longValue() != 0)
-        case v => Boolean.box(String.valueOf(v) == "1" ||
-          String.valueOf(v).equalsIgnoreCase("true"))
-      }
-      case ("getObject", a) => cell(a(0)).asInstanceOf[AnyRef]
-      case ("wasNull", _) => Boolean.box(lastNull)
-      case ("close", _) => null
-      case ("isClosed", _) => Boolean.box(false)
-    }
-  }
-
   private final class Conn(dbPath: String) {
     private val cli = new Cli(dbPath)
     private var inTxn = false
@@ -267,60 +186,37 @@ object SqliteCliCatalog {
       cli.exec(sql)
     }
 
-    private def prepared(sql: String): PreparedStatement = {
-      val params = ArrayBuffer.empty[Any]
-      val batches = ArrayBuffer.empty[Seq[Any]]
-      proxy(classOf[PreparedStatement]) {
-        case ("setObject", a) =>
-          val i = a(0).asInstanceOf[Integer].intValue()
-          while (params.size < i) params += null
-          params(i - 1) = a(1)
-          null
-        case ("setNull", a) =>
-          val i = a(0).asInstanceOf[Integer].intValue()
-          while (params.size < i) params += null
-          params(i - 1) = null
-          null
-        case ("executeQuery", _) => resultSet(run(render(sql, params.toSeq)))
-        case ("executeUpdate", _) =>
-          run(render(sql, params.toSeq)); Int.box(0)
-        case ("addBatch", _) => batches += params.toSeq; null
-        case ("executeBatch", _) =>
-          batches.foreach(b => run(render(sql, b)))
-          val r = Array.fill(batches.size)(1)
-          batches.clear()
-          r
-        case ("clearParameters", _) => params.clear(); null
-        case ("close", _) => null
-        case ("isClosed", _) => Boolean.box(false)
+    private def metaData: DatabaseMetaData =
+      CliJdbc.proxy(classOf[DatabaseMetaData], "sqlite-cli") {
+        case ("getTables", a) =>
+          CliJdbc.resultSet(run(CliJdbc.render(
+            "SELECT name FROM sqlite_master WHERE type IN ('table','view') " +
+              "AND lower(name) = lower(?)", Seq(a(2)), literal)),
+            "sqlite-cli")
+        case ("getColumns", a) =>
+          val table = String.valueOf(a(2))
+          require(table.matches("[A-Za-z0-9_]+"), s"bad table name $table")
+          val col = String.valueOf(a(3)).toLowerCase
+          val cols = run(s"PRAGMA table_info($table)")
+            .filter(m => String.valueOf(m.get("name")).toLowerCase == col)
+          CliJdbc.resultSet(cols, "sqlite-cli")
       }
-    }
 
-    private def metaData: DatabaseMetaData = proxy(classOf[DatabaseMetaData]) {
-      case ("getTables", a) =>
-        resultSet(run(render(
-          "SELECT name FROM sqlite_master WHERE type IN ('table','view') " +
-            "AND lower(name) = lower(?)", Seq(a(2)))))
-      case ("getColumns", a) =>
-        val table = String.valueOf(a(2))
-        require(table.matches("[A-Za-z0-9_]+"), s"bad table name $table")
-        val col = String.valueOf(a(3)).toLowerCase
-        val cols = run(s"PRAGMA table_info($table)")
-          .filter(m => String.valueOf(m.get("name")).toLowerCase == col)
-        resultSet(cols)
-    }
-
-    val connection: Connection = proxy(classOf[Connection]) {
+    val connection: Connection = CliJdbc.proxy(classOf[Connection],
+      "sqlite-cli") {
       case ("setAutoCommit", _) => null // bridge is always manual-commit
       case ("getAutoCommit", _) => Boolean.box(false)
-      case ("prepareStatement", a) => prepared(a(0).asInstanceOf[String])
-      case ("createStatement", _) => proxy(classOf[Statement]) {
-        case ("executeUpdate", a) =>
-          run(a(0).asInstanceOf[String]); Int.box(0)
-        case ("executeQuery", a) =>
-          resultSet(run(a(0).asInstanceOf[String]))
-        case ("close", _) => null
-      }
+      case ("prepareStatement", a) =>
+        CliJdbc.preparedStatement(a(0).asInstanceOf[String], "sqlite-cli",
+          literal, run)
+      case ("createStatement", _) =>
+        CliJdbc.proxy(classOf[Statement], "sqlite-cli") {
+          case ("executeUpdate", a) =>
+            run(a(0).asInstanceOf[String]); Int.box(0)
+          case ("executeQuery", a) =>
+            CliJdbc.resultSet(run(a(0).asInstanceOf[String]), "sqlite-cli")
+          case ("close", _) => null
+        }
       case ("getMetaData", _) => metaData
       case ("commit", _) =>
         if (inTxn) {

@@ -109,6 +109,34 @@ class SqliteCatalogSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 1 + writers * per)
   }
 
+  test("two child JVMs commit against one sqlite catalog FILE: " +
+    "real cross-process locking, no lost updates") {
+    assume3()
+    val writers = 2
+    val per = 6
+    val dir = Files.createTempDirectory("graftsqlitemp").toString
+    val url = s"jdbc:sqlite:$dir/cat.db"
+    val lake = Lake.attach(spark, url, s"$dir/data")
+    lake.createTableAs("t", Seq((0L, 0L)).toDF("w", "i"))
+    val snap0 = lake.currentSnapshotId()
+    // children attach the sqlite FILE directly (no shared server): the
+    // only coordination is SQLite's own file locking — the deployment
+    // shape of the reference's sqlite backend (sqlite_metadata_manager
+    // + test/sql/concurrent over a file catalog)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to writers).map { w =>
+      scala.sys.process.Process(Seq(javaBin, "-cp", cp,
+        "graft.CommitHammer", url, "t", w.toString, per.toString)).run(
+        scala.sys.process.ProcessLogger(line => info(s"[w$w] $line"),
+          line => info(s"[w$w!] $line")))
+    }
+    val codes = procs.map(_.exitValue())
+    assert(codes.forall(_ == 0), s"child exit codes: $codes")
+    assert(lake.currentSnapshotId() == snap0 + writers * per)
+    assert(lake.table("t").count() == 1 + writers * per)
+  }
+
   test("sqlite catalog file is genuinely SQLite (CLI can read it back)") {
     assume3()
     val dir = Files.createTempDirectory("graftsqlitef").toString

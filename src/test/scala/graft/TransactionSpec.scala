@@ -816,3 +816,15 @@ class SqliteTransactionSpec extends TransactionSpec {
     s"jdbc:sqlite:$dir/cat.db"
   }
 }
+
+/** The transaction matrix against a live PostgreSQL server (reference
+  * test/configs/postgres.json): every buffered-commit / conflict /
+  * rename / rollback behavior re-validated on the backend the reference
+  * recommends for shared multi-writer catalogs. */
+class PgTransactionSpec extends TransactionSpec {
+  override protected def catalogUrl(dir: String): String = {
+    val url = PgTestServer.freshDbUrl(dir.takeRight(12))
+    assume(url.isDefined, "no bootable PostgreSQL server on this host")
+    url.get
+  }
+}
