@@ -13,6 +13,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     operators.RelationalQueries,
     operators.SubqueryQueries,
+    operators.EngineSurfaceQueries,
     operators.MoreTpchQueries,
     operators.EventQueries,
     operators.LakeQueries,

@@ -257,6 +257,53 @@ object LakeQueries extends QueryPack {
       |SELECT p_partkey + 10000000, 'new' AS flag FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Struct-field access THROUGH schema evolution: a nested ADD FIELD +
+    * RENAME FIELD later, files written under the old shape must still
+    * resolve every field by id — pre-evolution rows read the new field
+    * as NULL, renamed fields keep their data (reference
+    * ducklake_field_data.cpp field-id trees + evolution tests
+    * test/sql/alter/add_field*.test). The scan projects through the
+    * struct (`info.segment`, `info.score`), so the epoch-mapped reader
+    * must line up nested field ids across three file generations. */
+  private def qNestedEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val lake = freshLake(spark)
+    val cust = Tables(spark, dir).customer
+    lake.createTableAs("c", cust
+      .select(col("c_custkey"),
+        struct(col("c_mktsegment").as("segment")).as("info")))
+    // generation 2: nested ADD FIELD info.score; old rows read NULL
+    lake.addField("c", "info",
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType))
+    lake.append("c", cust.select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      struct(col("c_mktsegment").as("segment"),
+        (col("c_custkey") % 7).as("score")).as("info")))
+    // generation 3: RENAME FIELD segment→seg (metadata-only), then one
+    // more append under the new name
+    lake.renameField("c", "info.segment", "seg")
+    lake.append("c", cust.select(
+      (col("c_custkey") + 2000000L).as("c_custkey"),
+      struct(col("c_mktsegment").as("seg"),
+        lit(99L).as("score")).as("info")))
+    detached(lake, lake.table("c")
+      .select(col("c_custkey"), col("info.seg").as("seg"),
+        col("info.score").as("score"))
+      .orderBy(col("c_custkey")))
+  }
+
+  private val qNestedEvolutionSql =
+    """SELECT c_custkey, c_mktsegment AS seg, CAST(NULL AS BIGINT) AS score
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_mktsegment AS seg,
+      |  c_custkey % 7 AS score FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 2000000, c_mktsegment AS seg, 99 AS score
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** RENAME (top-level and nested) is metadata-only: files written under
     * the old names must still read their data via the column_id mapping
     * (reference ducklake_multi_file_reader.cpp field-id resolution). */
@@ -959,6 +1006,8 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_schema_evolution", qSchemaEvolution,
       Some(qSchemaEvolutionSql)),
     QueryDef("lake_rename_mapping", qRenameMapping, Some(qRenameMappingSql)),
+    QueryDef("lake_nested_evolution", qNestedEvolution,
+      Some(qNestedEvolutionSql)),
     QueryDef("lake_sql_dml", qSqlDml, Some(qSqlDmlSql)),
     QueryDef("lake_fast_count", qFastCount, Some(qFastCountSql)),
     QueryDef("lake_fast_extrema", qFastExtrema, Some(qFastExtremaSql)),

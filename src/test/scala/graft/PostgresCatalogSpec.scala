@@ -105,6 +105,30 @@ class PostgresCatalogSpec extends AnyFunSuite {
     assert(lake.table("t").count() == 1 + writers * per)
   }
 
+  test("two child JVMs commit against one Postgres database: the " +
+    "reference's shared multi-writer deployment shape, no lost updates") {
+    val url = PgTestServer.freshDbUrl("mp")
+    assume(url.isDefined, "no bootable PostgreSQL server on this host")
+    val writers = 2
+    val per = 6
+    val dir = java.nio.file.Files.createTempDirectory("graftpgmp").toString
+    val lake = Lake.attach(spark, url.get, s"$dir/data")
+    lake.createTableAs("t", Seq((0L, 0L)).toDF("w", "i"))
+    val snap0 = lake.currentSnapshotId()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to writers).map { w =>
+      scala.sys.process.Process(Seq(javaBin, "-cp", cp,
+        "graft.CommitHammer", url.get, "t", w.toString, per.toString)).run(
+        scala.sys.process.ProcessLogger(line => info(s"[w$w] $line"),
+          line => info(s"[w$w!] $line")))
+    }
+    val codes = procs.map(_.exitValue())
+    assert(codes.forall(_ == 0), s"child exit codes: $codes")
+    assert(lake.currentSnapshotId() == snap0 + writers * per)
+    assert(lake.table("t").count() == 1 + writers * per)
+  }
+
   test("identifier limit: 63-char NAMEDATALEN enforced before the server " +
     "would silently truncate") {
     val lake = freshLake()
