@@ -4965,6 +4965,24 @@ object Lake {
       dataPath: String): Lake =
     attach(spark, catalogDir, dataPath, metadataSchema = None)
 
+  /** Throwaway-lake attach for oracle/verify runs, honoring the
+    * `SPARK_GRAFT_CATALOG` backend override: unset → embedded Derby under
+    * `workDir/cat`; `sqlite` → the live SQLite backend (one catalog file
+    * per lake); a `jdbc:` URL → that shared server with one
+    * METADATA_SCHEMA per lake (the reference's transaction_schema
+    * sharing shape). Lets the FULL lake oracle sweep hash-check any
+    * backend end to end without touching query code. */
+  def attachEphemeral(spark: SparkSession, workDir: String): Lake =
+    sys.env.get("SPARK_GRAFT_CATALOG") match {
+      case Some("sqlite") =>
+        attach(spark, s"jdbc:sqlite:$workDir/cat.db", s"$workDir/data")
+      case Some(url) if url.startsWith("jdbc:") =>
+        val schema = "g" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(16)
+        attach(spark, url, s"$workDir/data", metadataSchema = Some(schema))
+      case _ => attach(spark, s"$workDir/cat", s"$workDir/data")
+    }
+
 
   /** `metadataSchema` mirrors the reference's METADATA_SCHEMA attach
     * option (transaction_schema.test): several lakes share ONE metadata

@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object LakeQueries extends QueryPack {
 
-  private def freshLake(spark: SparkSession): Lake = {
-    val dir = Files.createTempDirectory("graft-lakeq").toString
-    Lake.attach(spark, s"$dir/catalog", s"$dir/data")
-  }
+  /** Catalog backend for the throwaway oracle lakes. Default embedded
+    * Derby; `SPARK_GRAFT_CATALOG=sqlite` swaps every oracle lake onto the
+    * live SQLite backend, and `SPARK_GRAFT_CATALOG=jdbc:postgresql://…`
+    * onto a shared PostgreSQL server (one METADATA_SCHEMA per lake, the
+    * reference's transaction_schema sharing shape) — the FULL lake oracle
+    * sweep (DVs, CDC, compaction, add_files, evolution …) then
+    * hash-checks a non-Derby backend end to end. */
+  private[operators] def freshLake(spark: SparkSession): Lake =
+    Lake.attachEphemeral(spark,
+      Files.createTempDirectory("graft-lakeq").toString)
 
   /** Shut the throwaway lake's embedded catalog down before handing the
     * result back: scan plans resolve their file lists (and inlined rows)

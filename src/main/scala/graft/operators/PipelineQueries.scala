@@ -606,7 +606,7 @@ object PipelineQueries extends QueryPack {
       java.nio.file.Paths.get(Tables(spark, dir).eventsRawPath))
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
     val work = java.nio.file.Files.createTempDirectory("graft-ingest")
-    val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
+    val lake = graft.catalog.Lake.attachEphemeral(spark, work.toString)
     lake.createTable("ev", stream.schema)
     graft.streaming.LakeSink.ingestAvailable(lake, "ev", stream,
       s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}",
@@ -649,7 +649,7 @@ object PipelineQueries extends QueryPack {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
     val work = java.nio.file.Files.createTempDirectory("graft-upsert")
-    val lake = graft.catalog.Lake.attach(spark, s"$work/cat", s"$work/data")
+    val lake = graft.catalog.Lake.attachEphemeral(spark, work.toString)
     lake.createTable("last_ev", StructType(Seq(
       StructField("user_id", LongType), StructField("last_ts", TimestampType),
       StructField("last_event_id", LongType),
