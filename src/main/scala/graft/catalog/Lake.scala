@@ -4973,7 +4973,8 @@ object Lake {
     * sharing shape). Lets the FULL lake oracle sweep hash-check any
     * backend end to end without touching query code. */
   def attachEphemeral(spark: SparkSession, workDir: String): Lake =
-    sys.env.get("SPARK_GRAFT_CATALOG") match {
+    sys.props.get("graft.catalog").orElse(
+      sys.env.get("SPARK_GRAFT_CATALOG")) match {
       case Some("sqlite") =>
         attach(spark, s"jdbc:sqlite:$workDir/cat.db", s"$workDir/data")
       case Some(url) if url.startsWith("jdbc:") =>

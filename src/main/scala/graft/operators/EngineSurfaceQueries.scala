@@ -214,8 +214,44 @@ object EngineSurfaceQueries extends QueryPack {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Bitwise aggregates over integer keys — order-independent, exact. */
+  private def qBitAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_partkey")).as("pk_and"),
+        bit_or(col("l_partkey")).as("pk_or"),
+        bit_xor(col("l_partkey")).as("pk_xor"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qBitAggSql =
+    """SELECT l_returnflag, BIT_AND(l_partkey) AS pk_and,
+      |  BIT_OR(l_partkey) AS pk_or, BIT_XOR(l_partkey) AS pk_xor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Boolean aggregates + count_if (predicate push into aggregation). */
+  private def qBoolAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val qBoolAggSql =
+    """SELECT o_orderstatus,
+      |  BOOL_AND(o_totalprice > 1000.0) AS all_over_1k,
+      |  BOOL_OR(o_totalprice > 400000.0) AS any_over_400k,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q_window_nav", qWindowNav, Some(qWindowNavSql)),
+    QueryDef("q_bit_agg", qBitAgg, Some(qBitAggSql)),
+    QueryDef("q_bool_agg", qBoolAgg, Some(qBoolAggSql)),
     QueryDef("q_lateral_topn", qLateralTopn, Some(qLateralTopnSql)),
     QueryDef("q_grouping_id", qGroupingId, Some(qGroupingIdSql)),
     QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
