@@ -259,8 +259,11 @@ object Bench {
       }
     }
     val coldResults = names.map(name => name -> coldTimed(name).min)
+    // 2 decimals: cold-plan numbers are a secondary diagnostic, and the
+    // round driver keeps only a 2000-char log tail — the one metric line
+    // must stay comfortably inside it
     val coldJson = coldResults
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val coldTotal = coldResults.map(_._2).sum
     // DuckDB reference measured in the SAME run with the SAME min-of-N
