@@ -104,7 +104,11 @@ private[catalog] object CliJdbc {
       val ch = sql.charAt(i)
       if (ch == '\'') { inStr = !inStr; sb.append(ch) }
       else if (ch == '?' && !inStr) {
-        sb.append(literal(if (p < params.length) params(p) else null))
+        if (p >= params.length) // NULL-for-missing would silently change
+          throw new SQLException( // the statement's meaning
+            s"parameter ${p + 1} not bound (only ${params.length} set): $sql",
+            "07001")
+        sb.append(literal(params(p)))
         p += 1
       } else sb.append(ch)
       i += 1
@@ -133,11 +137,16 @@ private[catalog] object CliJdbc {
       case ("executeQuery", _) =>
         resultSet(run(render(sql, params.toSeq, literal)), label)
       case ("executeUpdate", _) =>
-        run(render(sql, params.toSeq, literal)); Int.box(0)
+        // the CLI protocol doesn't surface affected-row counts; returning
+        // a fabricated 0 or 1 would let a future `updated == 0` optimistic
+        // check silently pass/fail — SUCCESS_NO_INFO says "executed, count
+        // unknown" so such a dependency misbehaves loudly instead
+        run(render(sql, params.toSeq, literal))
+        Int.box(Statement.SUCCESS_NO_INFO)
       case ("addBatch", _) => batches += params.toSeq; null
       case ("executeBatch", _) =>
         batches.foreach(b => run(render(sql, b, literal)))
-        val r = Array.fill(batches.size)(1)
+        val r = Array.fill(batches.size)(Statement.SUCCESS_NO_INFO)
         batches.clear()
         r
       case ("clearParameters", _) => params.clear(); null

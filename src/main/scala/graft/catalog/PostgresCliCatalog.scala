@@ -37,8 +37,14 @@ object PostgresCliCatalog {
       p.waitFor() == 0
     } catch { case _: Exception => false }
 
-  /** jdbc:postgresql://host:port/db[?user=u] → psql args. */
-  private[catalog] def psqlArgs(jdbcUrl: String): Seq[String] = {
+  /** jdbc:postgresql://host:port/db[?user=u&password=p] → psql argv +
+    * process environment. `password` travels via PGPASSWORD (psql has no
+    * password argv flag, and argv is world-readable in /proc anyway); any
+    * OTHER URL option is rejected loudly — silently dropping e.g. `ssl=
+    * true` or `options=` would connect with different semantics than the
+    * URL promises. */
+  private[catalog] def psqlArgs(
+      jdbcUrl: String): (Seq[String], Map[String, String]) = {
     val rest = jdbcUrl.stripPrefix("jdbc:postgresql://")
     val (hostPortDb, query) = rest.indexOf('?') match {
       case -1 => (rest, "")
@@ -52,10 +58,15 @@ object PostgresCliCatalog {
       case -1 => (hostPort, "5432")
       case i => (hostPort.take(i), hostPort.drop(i + 1))
     }
-    val user = query.split('&').map(_.split("=", 2))
-      .collectFirst { case Array("user", u) => u }
-    Seq("psql", "-X", "-q", "-h", host, "-p", port, "-d", db) ++
-      user.toSeq.flatMap(u => Seq("-U", u))
+    val opts = query.split('&').filter(_.nonEmpty).map(_.split("=", 2))
+      .map { case Array(k, v) => k -> v; case Array(k) => k -> "" }.toMap
+    val unsupported = opts.keySet -- Set("user", "password")
+    require(unsupported.isEmpty,
+      s"unsupported jdbc:postgresql option(s) ${unsupported.mkString(",")}" +
+        " on the psql bridge (only user/password)")
+    val argv = Seq("psql", "-X", "-q", "-h", host, "-p", port, "-d", db) ++
+      opts.get("user").toSeq.flatMap(u => Seq("-U", u))
+    (argv, opts.get("password").map("PGPASSWORD" -> _).toMap)
   }
 
   def connect(jdbcUrl: String): Connection = new Conn(jdbcUrl).connection
@@ -64,7 +75,9 @@ object PostgresCliCatalog {
 
   private final class Cli(jdbcUrl: String) {
     private val proc = {
-      val pb = new ProcessBuilder(psqlArgs(jdbcUrl): _*)
+      val (argv, env) = psqlArgs(jdbcUrl)
+      val pb = new ProcessBuilder(argv: _*)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(true)
       pb.start()
     }
@@ -77,6 +90,17 @@ object PostgresCliCatalog {
     in.write("\\pset format csv\n")
     in.write(s"\\pset null $NullMark\n")
     in.flush()
+
+    /** stderr is folded into stdout, so server chatter that is NOT an
+      * error (NOTICE from a DDL, WARNING from a config change) would land
+      * in the CSV buffer and parse as a phantom row. Two defenses:
+      * suppress NOTICE at the source, and skip any leftover
+      * message-prefixed lines while reading. */
+    private def isChatter(line: String): Boolean =
+      line.startsWith("NOTICE:") || line.startsWith("WARNING:") ||
+        line.startsWith("DETAIL:") || line.startsWith("HINT:") ||
+        line.startsWith("CONTEXT:") || line.startsWith("LINE ")
+    exec("SET client_min_messages = warning"): Unit
 
     def exec(sql: String): Seq[java.util.LinkedHashMap[String, Object]] =
       synchronized {
@@ -101,6 +125,7 @@ object PostgresCliCatalog {
           else if (errs.nonEmpty ||
             line.startsWith("ERROR:") || line.startsWith("FATAL:"))
             errs += line // detail/hint lines ride along after the ERROR
+          else if (isChatter(line)) () // non-error server message
           else { csv.append(line); csv.append('\n') }
         }
         if (errs.nonEmpty) {
@@ -161,7 +186,11 @@ object PostgresCliCatalog {
         if (seen.add(h)) h else s"$h#$j"
       }
     }
-    records.drop(1).filter(_.nonEmpty).map { rec =>
+    // a stray blank line parses as [""] (one empty field), not [] —
+    // drop those too, or it becomes a phantom all-default row
+    records.drop(1)
+      .filter(rec => rec.nonEmpty && !(rec.size == 1 && rec.head.isEmpty))
+      .map { rec =>
       val m = new java.util.LinkedHashMap[String, Object]()
       header.zipWithIndex.foreach { case (h, j) =>
         val raw = if (j < rec.size) rec(j) else NullMark
@@ -171,7 +200,7 @@ object PostgresCliCatalog {
     }.toSeq
   }
 
-  private def literal(v: Any): String = v match {
+  private[catalog] def literal(v: Any): String = v match {
     case null => "NULL"
     case None => "NULL"
     case Some(x) => literal(x)
@@ -184,6 +213,8 @@ object PostgresCliCatalog {
       } else d.toString
     case f: java.lang.Float => literal(Double.box(f.toDouble))
     case n: java.lang.Number => n.toString
+    case b: Array[Byte] => // mirror the sqlite bridge's X'…' branch
+      b.map(x => f"$x%02x").mkString("'\\x", "", "'::bytea")
     case t: java.sql.Timestamp => "'" + t.toString + "'"
     case other => literal(String.valueOf(other))
   }
@@ -251,7 +282,8 @@ object PostgresCliCatalog {
       case ("createStatement", _) =>
         CliJdbc.proxy(classOf[Statement], "psql-cli") {
           case ("executeUpdate", a) =>
-            run(a(0).asInstanceOf[String]); Int.box(0)
+            run(a(0).asInstanceOf[String])
+            Int.box(Statement.SUCCESS_NO_INFO) // count unknown, not "0"
           case ("executeQuery", a) =>
             CliJdbc.resultSet(run(a(0).asInstanceOf[String]), "psql-cli")
           case ("close", _) => null

@@ -129,26 +129,49 @@ object SqliteCliCatalog {
     }
   }
 
-  private def parseRows(
+  private[catalog] def parseRows(
       text: String): Seq[java.util.LinkedHashMap[String, Object]] = {
     val t = text.trim
     if (t.isEmpty) Seq.empty
     else {
-      val arr = HttpCatalogCodec.mapper.readValue(t,
-        classOf[java.util.List[java.util.LinkedHashMap[String, Object]]])
+      // sqlite3 .mode json emits duplicate keys inside ONE object for
+      // duplicate result columns (`SELECT 1 AS a, 2 AS a` →
+      // `[{"a":1,"a":2}]`), and Jackson's map binding keeps only the last
+      // value — so duplicates must be uniquified at the TOKEN level,
+      // before any map exists (see the psql bridge's header
+      // uniquification; by-name access resolves the first occurrence,
+      // by-index access walks all values in order).
+      import com.fasterxml.jackson.core.JsonToken._
       val out = ArrayBuffer.empty[java.util.LinkedHashMap[String, Object]]
-      arr.forEach { m =>
-        val lower = new java.util.LinkedHashMap[String, Object]()
-        var j = 0
-        m.forEach { (k, v) =>
-          // duplicate column names must not collapse (see the psql
-          // bridge's header uniquification) — keep every value in order
-          val key = k.toLowerCase
-          lower.put(if (lower.containsKey(key)) s"$key#$j" else key, v)
-          j += 1
+      val p = HttpCatalogCodec.mapper.getFactory.createParser(t)
+      try {
+        if (p.nextToken() != START_ARRAY)
+          throw new SQLException(s"sqlite json: expected array in: $t",
+            "S1000")
+        var tok = p.nextToken()
+        while (tok == START_OBJECT) {
+          val row = new java.util.LinkedHashMap[String, Object]()
+          var j = 0
+          while (p.nextToken() == FIELD_NAME) {
+            val k = p.currentName().toLowerCase
+            val v: Object = p.nextToken() match {
+              case VALUE_NULL => null
+              case VALUE_STRING => p.getText
+              case VALUE_NUMBER_INT => Long.box(p.getLongValue)
+              case VALUE_NUMBER_FLOAT => Double.box(p.getDoubleValue)
+              case VALUE_TRUE => java.lang.Boolean.TRUE
+              case VALUE_FALSE => java.lang.Boolean.FALSE
+              case other =>
+                throw new SQLException(s"sqlite json: unexpected $other",
+                  "S1000")
+            }
+            row.put(if (row.containsKey(k)) s"$k#$j" else k, v)
+            j += 1
+          }
+          out += row
+          tok = p.nextToken()
         }
-        out += lower
-      }
+      } finally p.close()
       out.toSeq
     }
   }
@@ -212,7 +235,8 @@ object SqliteCliCatalog {
       case ("createStatement", _) =>
         CliJdbc.proxy(classOf[Statement], "sqlite-cli") {
           case ("executeUpdate", a) =>
-            run(a(0).asInstanceOf[String]); Int.box(0)
+            run(a(0).asInstanceOf[String])
+            Int.box(Statement.SUCCESS_NO_INFO) // count unknown, not "0"
           case ("executeQuery", a) =>
             CliJdbc.resultSet(run(a(0).asInstanceOf[String]), "sqlite-cli")
           case ("close", _) => null

@@ -151,8 +151,15 @@ object MoreTpchQueries extends QueryPack {
     val big = t.lineitem.groupBy(col("l_orderkey"))
       .agg(lsum(sl2(col("l_quantity")), 100.0).as("sum_qty"))
       .filter(col("sum_qty") > 300.0)
-    t.orders
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+    // The HAVING survivors are a few hundred rows at any SF (sum_qty > 300
+    // keeps ~0.01% of orders), but with AQE off the static planner cannot
+    // size an aggregate output, so both joins would shuffle. Broadcast the
+    // survivors into the orders scan, then broadcast the (now tiny)
+    // filtered orders into the customer scan: zero shuffles after the one
+    // lineitem aggregation exchange.
+    val bigOrders = t.orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    broadcast(bigOrders)
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
