@@ -114,6 +114,13 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // collect_list-style ObjectHashAggregates fall back to SORT-based
+      // aggregation after 128 distinct groups per task — a safety default
+      // for huge opaque buffers. The skew-guarded event plans bound every
+      // buffer by (user, time-bucket) construction, so hash all the way:
+      // the fallback would re-sort the full input per task, twice.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "10000000"))
       // planning-cost knobs: constraint propagation is quadratic in plan
       // width and buys nothing on these shapes; no partitioned sources →
       // dynamic partition pruning only adds optimizer passes

@@ -89,17 +89,54 @@ object EventQueries extends QueryPack {
     * shuffle did. */
   private def gapStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // SKEW GUARD: aggregate per (user, day bucket) FIRST, then merge the
+    // per-bucket summaries per user. No single collect_list buffer grows
+    // with a user's lifetime — only with one user-DAY — so a hot key
+    // (bot traffic: millions of events on one user) bounds memory by
+    // bucket. Semantics are EXACTLY preserved: buckets partition time,
+    // so concatenating the per-bucket sorted arrays in bucket order IS
+    // the globally sorted array, and the gap multiset decomposes into
+    // bucket-internal gaps plus one boundary gap per adjacent bucket
+    // pair (prev bucket's max → next bucket's min). Two exchanges — one
+    // on (user_id, bkt) carrying map-side partial arrays, one on user_id
+    // carrying ~40 B bucket summaries — still ONE job (JobCountSpec);
+    // the second shuffle's volume is |users|×|active days|, negligible
+    // against the first. (A single user_id-only exchange was measured
+    // too: it loses map-side partial aggregation and costs 2× at sf0.1.)
+    val bucketUs = 8L * 86400L * 1000000L
     t.events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .groupBy(col("user_id"))
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${bucketUs}L").as("bkt"))
       .agg(sort_array(collect_list(col("ts_us"))).as("tss"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("cnt"), struct(
+        col("bkt"),
+        element_at(col("tss"), 1).as("min_ts"),
+        element_at(col("tss"), -1).as("max_ts"),
+        expr("CASE WHEN size(tss) > 1 THEN aggregate(" +
+          "transform(sequence(1, size(tss)-1)," +
+          " i -> (tss[i] - tss[i-1]) DIV 1000000), 0L, (a, x) -> a + x)" +
+          " ELSE 0L END").as("gsum"),
+        expr("CASE WHEN size(tss) > 1 THEN array_max(" +
+          "transform(sequence(1, size(tss)-1)," +
+          " i -> (tss[i] - tss[i-1]) DIV 1000000))" +
+          " ELSE CAST(NULL AS BIGINT) END").as("gmax")).as("b"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("b"))).as("bs"),
+        sum(col("cnt")).as("n"))
       .filter(col("n") >= 6) // n_gaps = n-1 >= 5
-      .withColumn("gaps", expr(
-        "transform(sequence(1, size(tss)-1), i -> (tss[i] - tss[i-1]) DIV 1000000)"))
+      .withColumn("s", expr(
+        """aggregate(bs,
+          |  named_struct('pm', CAST(NULL AS BIGINT), 'tot', 0L,
+          |               'mx', CAST(NULL AS BIGINT)),
+          |  (a, b) -> named_struct(
+          |    'pm', b.max_ts,
+          |    'tot', a.tot + b.gsum +
+          |           coalesce((b.min_ts - a.pm) DIV 1000000, 0L),
+          |    'mx', greatest(a.mx, b.gmax,
+          |                   (b.min_ts - a.pm) DIV 1000000)))""".stripMargin))
       .select(col("user_id"), (col("n") - 1).as("n_gaps"),
-        expr("aggregate(gaps, 0L, (a, x) -> a + x)").as("total_gap_s"),
-        expr("array_max(gaps)").as("max_gap_s"))
+        col("s.tot").as("total_gap_s"), col("s.mx").as("max_gap_s"))
       // no final sort: row order is not part of the operator's semantics
       // (the oracle compare hashes sorted rows) and a per-user report at
       // corpus scale is consumed by key, not scanned in order
@@ -293,15 +330,32 @@ object EventQueries extends QueryPack {
     * events can never advance the funnel regardless of sort tie order. */
   private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
+    // SKEW GUARD (same scheme as gapStats): fold per (user, day bucket)
+    // first, merge bucket summaries per user second, so no collect_list
+    // buffer grows with a user's lifetime. The per-bucket summary is the
+    // funnel's TRANSITION FUNCTION restricted to this bucket: because
+    // buckets partition time and are merged in order, any funnel time
+    // entering a bucket is strictly earlier than every event inside it,
+    // so the bucket's effect depends only on WHICH stages are already
+    // reached — three cases, each computable bucket-locally:
+    //   nothing reached → run the machine from scratch   (n_tv/n_tc/n_tp)
+    //   view reached    → first click; first purchase after it (v_tc/v_tp)
+    //   view+click      → first purchase                 (c_tp)
+    // Tie semantics are unchanged: strict `>` applies within a bucket
+    // (same expression as before) and across buckets strictness is
+    // automatic (disjoint time ranges). Exchanges: (user_id, bkt) with
+    // map-side partial arrays, then user_id with tiny bucket summaries —
+    // still one job.
+    val bucketUs = 8L * 86400L * 1000000L
     e.select(col("user_id"),
         struct(unix_micros(col("ts")).as("ts"),
           when(col("event_type") === "view", 0)
             .when(col("event_type") === "click", 1)
             .when(col("event_type") === "purchase", 2).as("et")).as("ev"))
       .filter(col("ev.et").isNotNull)
-      .groupBy(col("user_id"))
+      .groupBy(col("user_id"), expr(s"ev.ts DIV ${bucketUs}L").as("bkt"))
       .agg(sort_array(collect_list(col("ev"))).as("evs"))
-      .select(expr(
+      .withColumn("m", expr(
         """aggregate(evs,
           |  named_struct('tv', CAST(NULL AS BIGINT),
           |               'tc', CAST(NULL AS BIGINT),
@@ -309,7 +363,32 @@ object EventQueries extends QueryPack {
           |  (a, x) -> named_struct(
           |    'tv', coalesce(a.tv, CASE WHEN x.et = 0 THEN x.ts END),
           |    'tc', coalesce(a.tc, CASE WHEN x.et = 1 AND x.ts > a.tv THEN x.ts END),
-          |    'tp', coalesce(a.tp, CASE WHEN x.et = 2 AND x.ts > a.tc THEN x.ts END)))""".stripMargin)
+          |    'tp', coalesce(a.tp, CASE WHEN x.et = 2 AND x.ts > a.tc THEN x.ts END)))""".stripMargin))
+      .withColumn("v_tc",
+        expr("array_min(transform(filter(evs, x -> x.et = 1), x -> x.ts))"))
+      .withColumn("v_tp", expr(
+        "array_min(transform(filter(evs, x -> x.et = 2 AND x.ts > v_tc), x -> x.ts))"))
+      .withColumn("c_tp",
+        expr("array_min(transform(filter(evs, x -> x.et = 2), x -> x.ts))"))
+      .select(col("user_id"), struct(col("bkt"),
+        col("m.tv").as("n_tv"), col("m.tc").as("n_tc"),
+        col("m.tp").as("n_tp"),
+        col("v_tc"), col("v_tp"), col("c_tp")).as("b"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+      .select(expr(
+        """aggregate(bs,
+          |  named_struct('tv', CAST(NULL AS BIGINT),
+          |               'tc', CAST(NULL AS BIGINT),
+          |               'tp', CAST(NULL AS BIGINT)),
+          |  (a, b) -> named_struct(
+          |    'tv', coalesce(a.tv, b.n_tv),
+          |    'tc', coalesce(a.tc,
+          |      CASE WHEN a.tv IS NULL THEN b.n_tc ELSE b.v_tc END),
+          |    'tp', coalesce(a.tp,
+          |      CASE WHEN a.tv IS NULL THEN b.n_tp
+          |           WHEN a.tc IS NULL THEN b.v_tp
+          |           ELSE b.c_tp END)))""".stripMargin)
         .as("s"))
       .agg(count(col("s.tv")).as("nv"), count(col("s.tc")).as("nc"),
         count(col("s.tp")).as("np"))

@@ -1,8 +1,9 @@
 package graft.sources
 
+import java.io.FileNotFoundException
 import java.net.URI
 
-import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
 import org.apache.hadoop.util.Progressable
 
 /** A second Hadoop FileSystem scheme (`graftfs:///`) with object-store
@@ -41,4 +42,32 @@ final class GraftFileSystem extends RawLocalFileSystem {
       progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream =
     throw new UnsupportedOperationException(
       "graftfs:// does not support append (object-store semantics)")
+
+  // RawLocalFileSystem's DeprecatedRawLocalFileStatus lazily loads
+  // permissions with `new java.io.File(path.toUri)`, which only accepts
+  // the "file" scheme — under graftfs:// that blows up the moment anyone
+  // reads permissions (e.g. FileSystem.listFiles wrapping statuses into
+  // LocatedFileStatus). Build plain, fully-materialized FileStatus
+  // objects instead; an object store has no POSIX permissions anyway.
+
+  private def status(f: java.io.File, p: Path): FileStatus =
+    new FileStatus(f.length, f.isDirectory, 1, getDefaultBlockSize(p),
+      f.lastModified, makeQualified(p))
+
+  override def getFileStatus(p: Path): FileStatus = {
+    val f = pathToFile(p)
+    if (!f.exists) throw new FileNotFoundException(s"$p not found")
+    status(f, p)
+  }
+
+  override def listStatus(p: Path): Array[FileStatus] = {
+    val f = pathToFile(p)
+    if (!f.exists) throw new FileNotFoundException(s"$p not found")
+    if (f.isFile) Array(status(f, p))
+    else {
+      val kids = f.listFiles()
+      if (kids == null) throw new java.io.IOException(s"cannot list $p")
+      kids.sortBy(_.getName).map(c => status(c, new Path(p, c.getName)))
+    }
+  }
 }
