@@ -17,6 +17,7 @@ object SparkEntry {
     operators.MoreTpchQueries,
     operators.EventQueries,
     operators.LakeQueries,
+    operators.TypeSurfaceQueries,
     operators.PipelineQueries,
     operators.TrainingPipeline,
     operators.CorpusQueries,
