@@ -3500,7 +3500,10 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         statsFiles, group.head.file.rowIdStart,
         removedRows = 0L, // physically-dropped rows were already counted
                           // out of record_count when their delete committed
-        partitionId = pid)
+        partitionId = pid,
+        // deletes landing on the inputs since planning must conflict,
+        // or installing the merged file would resurrect their rows
+        baseSnapshot = Some(snap.snapshotId))
     }
     limited.size
   }
@@ -3552,7 +3555,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       meta.commitCompaction(t.tableId, Seq(f.file.dataFileId), stats,
         f.file.rowIdStart,
         removedRows = 0L, // table row count already reflects the deletes
-        partitionId = f.file.partitionId)
+        partitionId = f.file.partitionId,
+        baseSnapshot = Some(snap.snapshotId))
     }
     candidates.size
   }

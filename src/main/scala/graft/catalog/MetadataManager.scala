@@ -2077,7 +2077,8 @@ class MetadataManager(val jdbcUrl: String,
   def commitCompaction(tableId: Long, inputFileIds: Seq[Long],
       merged: PendingDataFile, mergedRowIdStart: Long,
       removedRows: Long = 0L,
-      partitionId: Option[Long] = None): Snapshot =
+      partitionId: Option[Long] = None,
+      baseSnapshot: Option[Long] = None): Snapshot =
     commitSnapshot(SnapshotChanges(compactedTables = Seq(tableId)),
       conflictCheck = (c, _) => {
         val stillLive = query(c,
@@ -2086,6 +2087,14 @@ class MetadataManager(val jdbcUrl: String,
             .stripMargin.format(inputFileIds.mkString(",")))(_.getLong(1)).head
         if (stillLive != inputFileIds.size) throw new CommitConflictException(
           "compaction inputs were rewritten concurrently")
+        // compaction-vs-DELETE: the merged file MATERIALIZED the rows the
+        // compaction saw at its planning snapshot — a delete (file or
+        // inlined) that landed on an input since then would be silently
+        // resurrected by installing the merged file, so it must conflict
+        // instead (reference CheckForConflicts,
+        // ducklake_transaction_state.cpp:142-243)
+        baseSnapshot.foreach(base =>
+          checkDeleteConflicts(c, tableId, base, inputFileIds.toSet))
       }) { (c, snap, ids) =>
       inputFileIds.foreach { fid =>
         exec(c,

@@ -56,6 +56,36 @@ object CommitHammer {
         }
         println(s"HAMMER-DONE $writerId $m")
         spark.stop()
+      case spec if spec.startsWith("spark-compact:") =>
+        // maintenance process racing a writer: merge_adjacent_files /
+        // rewrite_data_files loop against a shared catalog while the
+        // parent process deletes rows. A compaction that loses the race
+        // (a delete landed on its inputs since planning) must surface
+        // CommitConflictException — never install a merged file that
+        // resurrects the deleted rows (reference CheckForConflicts,
+        // ducklake_transaction_state.cpp:142-243). This process treats
+        // conflicts as expected outcomes and retries with a fresh plan.
+        val dataPath = spec.stripPrefix("spark-compact:")
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .appName(s"compactor-$writerId").getOrCreate()
+        val lake = graft.catalog.Lake.attach(spark, url, dataPath)
+        var ok = 0
+        var conflicts = 0
+        (0 until m).foreach { _ =>
+          try {
+            lake.mergeAdjacentFiles(table): Unit
+            lake.rewriteDataFiles(table, 0.4): Unit
+            ok += 1
+          } catch {
+            case _: graft.catalog.CommitConflictException => conflicts += 1
+          }
+          Thread.sleep(30)
+        }
+        println(s"HAMMER-DONE $writerId $ok $conflicts")
+        spark.stop()
       case spec if spec.startsWith("pinned-read:") =>
         // cross-process READER pinned at an old snapshot while the owner
         // process checkpoints (flush → expire → compact → cleanup): the

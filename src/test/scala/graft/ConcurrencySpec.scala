@@ -133,6 +133,33 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     assert(lake.table("t").count() == 2)
   }
+
+  test("compaction-vs-delete conflicts (the reverse direction): a delete " +
+    "landing on the inputs since planning fails the compaction commit") {
+    val lake = freshLake()
+    lake.createTable("t", StructType(Seq(StructField("id", LongType))))
+    (0 until 2).foreach(k =>
+      lake.append("t", (k * 10L until (k + 1) * 10L).toDF("id").coalesce(1)))
+    val base = lake.meta.currentSnapshot().snapshotId
+    val t = lake.meta.tableByName("t", base).get
+    val files = lake.meta.filesForScan(t.tableId, base)
+    // a compaction planned at `base` would materialize all 20 rows; this
+    // delete commits AFTER that plan — installing the merged file would
+    // resurrect id=3, so the compaction commit must conflict instead
+    lake.delete("t", col("id") === 3L)
+    val e = intercept[CommitConflictException] {
+      lake.meta.commitCompaction(t.tableId, files.map(_.file.dataFileId),
+        PendingDataFile("t/fake_merged.parquet", 20L, 100L, Nil,
+          hasRowIds = true),
+        files.head.file.rowIdStart, baseSnapshot = Some(base))
+    }
+    assert(e.getMessage.contains("concurrent delete"), e.getMessage)
+    // the real API replans and succeeds: the merged file then CARRIES the
+    // delete (19 rows), nothing resurrects
+    assert(lake.mergeAdjacentFiles("t") == 1)
+    assert(lake.table("t").count() == 19)
+    assert(lake.table("t").filter(col("id") === 3L).count() == 0)
+  }
 }
 
 /** All-types round-trip (FIXTURES.md §2: DuckDB test_all_types() minus the
@@ -198,5 +225,6 @@ class AllTypesSpec extends AnyFunSuite {
     assert(got.filter(org.apache.spark.sql.functions.col("b").isNull)
       .count() == 1)
   }
+
 
 }

@@ -136,4 +136,57 @@ class PostgresCatalogSpec extends AnyFunSuite {
       lake.meta.dialect.checkIdentifier("t" * 64))
     lake.meta.dialect.checkIdentifier("t" * 63)
   }
+
+  test("compaction child JVM races the parent's deletes on live " +
+    "Postgres: losers conflict-and-retry, nothing resurrects") {
+    val url = PgTestServer.freshDbUrl("race")
+    assume(url.isDefined, "no bootable PostgreSQL server on this host")
+    val dir = java.nio.file.Files.createTempDirectory("graftpgrace").toString
+    val lake = Lake.attach(spark, url.get, s"$dir/data")
+    lake.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    (0 until 12).foreach(k =>
+      lake.append("t", (k * 10L until (k + 1) * 10L).toDF("id").coalesce(1)))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val child = scala.sys.process.Process(
+      Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.CommitHammer", url.get, "t", "1", "12",
+        s"spark-compact:$dir/data")).run(
+      scala.sys.process.ProcessLogger(line => info(s"[compactor] $line"),
+        line => info(s"[compactor!] $line")))
+    // parent deletes one key at a time while the child compacts; a delete
+    // whose file was compacted away since planning conflicts → replan
+    var parentConflicts = 0
+    (0L until 60L).foreach { k =>
+      var done = false
+      var attempts = 0
+      while (!done) {
+        try { lake.delete("t", col("id") === k); done = true }
+        catch {
+          case _: CommitConflictException if attempts < 20 =>
+            parentConflicts += 1; attempts += 1; Thread.sleep(50)
+        }
+      }
+    }
+    assert(child.exitValue() == 0, "compactor child failed")
+    info(s"parent saw $parentConflicts delete conflicts")
+    // every delete landed exactly once, none resurrected by a compaction
+    assert(lake.table("t").count() == 60)
+    assert(lake.table("t").agg(sum(col("id"))).head().getLong(0) ==
+      (60L until 120L).sum)
+    // losers' abandoned merged files are orphans the sweep can remove
+    lake.deleteOrphanedFiles("t"): Unit
+    assert(lake.table("t").count() == 60)
+  }
 }
