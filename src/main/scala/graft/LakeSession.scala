@@ -31,6 +31,14 @@ object LakeSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // collect_list-style ObjectHashAggregates sort-fall-back after 128
+      // groups per task by default — tuned for unbounded opaque buffers.
+      // The engine's event plans bound every such buffer by construction
+      // (per-(key, time-bucket) pre-folds, EventQueries), so the fallback
+      // would only re-sort full inputs; 64k keeps the hash path while
+      // still capping truly pathological group counts.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")

@@ -150,4 +150,21 @@ class SqliteCatalogSpec extends AnyFunSuite {
     assert(out.waitFor() == 0)
     assert(txt.toInt >= 2, s"snapshots in sqlite file: $txt")
   }
+
+  test("duplicate result columns survive the live bridge " +
+    "(SELECT 1 AS a, 2 AS a)") {
+    assume3()
+    val dir = Files.createTempDirectory("graftsqdup").toString
+    val c = SqliteCliCatalog.connect(s"$dir/dup.db")
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT 1 AS a, 2 AS a, 3 AS b")
+      assert(rs.next())
+      // by-index walks every value in order (nothing collapsed) …
+      assert(rs.getLong(1) == 1L && rs.getLong(2) == 2L &&
+        rs.getLong(3) == 3L)
+      // … and by-name resolves the FIRST occurrence (JDBC semantics)
+      assert(rs.getLong("a") == 1L && rs.getLong("b") == 3L)
+    } finally c.close()
+  }
 }
