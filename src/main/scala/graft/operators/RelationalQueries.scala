@@ -232,7 +232,10 @@ object RelationalQueries extends QueryPack {
     // 2× the configured shuffle width: unlike the tiny-group hash
     // aggregates (whose reduce side is a handful of rows), the window's
     // per-task cost is the O(rows log rows) in-partition sort — doubling
-    // the partition count genuinely halves each task's sort at any scale
+    // the partition count genuinely halves each task's sort at any scale.
+    // (An aggregation formulation — slice(sort_array(collect_list)) per
+    // customer — was A/B-measured and loses: per-group object arrays cost
+    // more than the codegen'd partition sort saves.)
     val n = 2 * spark.sessionState.conf.numShufflePartitions
     t.orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
