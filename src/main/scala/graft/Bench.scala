@@ -345,19 +345,19 @@ object Bench {
         // whether the row's cost is work or per-stage scheduling constant.
         env("PROOF").foreach { csv =>
           val proofNames = csv.split(",").map(_.trim).filter(names.contains)
-          spark.sparkContext.addSparkListener(
-            new org.apache.spark.scheduler.SparkListener {
-              override def onStageCompleted(
-                  sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-                  : Unit = {
-                val si = sc.stageInfo
-                val dur = for {
-                  a <- si.completionTime; b <- si.submissionTime
-                } yield a - b
-                println(s"${T}STAGE ${si.stageId} tasks=${si.numTasks} " +
-                  s"time=${dur.getOrElse(-1L)}ms ${si.name.take(60)}")
-              }
-            })
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+                : Unit = {
+              val si = sc.stageInfo
+              val dur = for {
+                a <- si.completionTime; b <- si.submissionTime
+              } yield a - b
+              println(s"${T}STAGE ${si.stageId} tasks=${si.numTasks} " +
+                s"time=${dur.getOrElse(-1L)}ms ${si.name.take(60)}")
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
           proofNames.foreach { n =>
             println(s"=== $T PROOF $n ===")
             dfsX(n).explain("formatted")
@@ -369,6 +369,9 @@ object Bench {
                 f"${T}PROOF $n rep$i exec=${(System.nanoTime() - t0) / 1e6}%.1f ms")
             }
           }
+          // detach before the block's timed reps: a synchronous println
+          // per stage would perturb every later measurement in this run
+          spark.sparkContext.removeSparkListener(listener)
         }
         val warmX = env("WARMUPS").getOrElse("4").toInt
         (1 to warmX).foreach(_ => names.foreach(execX))

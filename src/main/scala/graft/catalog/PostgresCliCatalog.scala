@@ -78,30 +78,32 @@ object PostgresCliCatalog {
       val (argv, env) = psqlArgs(jdbcUrl)
       val pb = new ProcessBuilder(argv: _*)
       env.foreach { case (k, v) => pb.environment().put(k, v) }
-      pb.redirectErrorStream(true)
+      // stderr stays SEPARATE: folding it into stdout would interleave
+      // server messages (NOTICE/WARNING/ERROR, all written to stderr)
+      // with the CSV stream, where a data value that merely LOOKS like a
+      // message prefix — or a message splitting a quoted multi-line
+      // field — would corrupt parsing. With two streams, stdout is pure
+      // CSV + sentinel and stderr is pure diagnostics.
+      pb.redirectErrorStream(false)
       pb.start()
     }
     private val in = new BufferedWriter(
       new OutputStreamWriter(proc.getOutputStream, UTF_8))
     private val out = new BufferedReader(
       new InputStreamReader(proc.getInputStream, UTF_8))
+    private val err = new BufferedReader(
+      new InputStreamReader(proc.getErrorStream, UTF_8))
     private var n = 0L
     in.write("\\set VERBOSITY verbose\n")
     in.write("\\pset format csv\n")
     in.write(s"\\pset null $NullMark\n")
     in.flush()
 
-    /** stderr is folded into stdout, so server chatter that is NOT an
-      * error (NOTICE from a DDL, WARNING from a config change) would land
-      * in the CSV buffer and parse as a phantom row. Two defenses:
-      * suppress NOTICE at the source, and skip any leftover
-      * message-prefixed lines while reading. */
-    private def isChatter(line: String): Boolean =
-      line.startsWith("NOTICE:") || line.startsWith("WARNING:") ||
-        line.startsWith("DETAIL:") || line.startsWith("HINT:") ||
-        line.startsWith("CONTEXT:") || line.startsWith("LINE ")
-    exec("SET client_min_messages = warning"): Unit
-
+    /** Each statement is bracketed by TWO sentinels: `\echo` on stdout
+      * (end of CSV) and `\warn` on stderr (end of diagnostics) — psql
+      * meta-commands that cannot fail server-side. Reading stderr up to
+      * its own sentinel makes error collection race-free without
+      * guessing which stdout lines are messages. */
     def exec(sql: String): Seq[java.util.LinkedHashMap[String, Object]] =
       synchronized {
         n += 1
@@ -112,23 +114,29 @@ object PostgresCliCatalog {
         }
         in.write(stmt); in.write("\n")
         in.write(s"\\echo $tag\n")
+        in.write(s"\\warn $tag\n")
         in.flush()
         val csv = new java.lang.StringBuilder
-        val errs = ArrayBuffer.empty[String]
         var done = false
         while (!done) {
           val line = out.readLine()
           if (line == null)
-            throw new SQLException(
-              s"psql process died (${errs.mkString("; ")})", "08006")
+            throw new SQLException("psql process died", "08006")
           if (line == tag) done = true
-          else if (errs.nonEmpty ||
-            line.startsWith("ERROR:") || line.startsWith("FATAL:"))
-            errs += line // detail/hint lines ride along after the ERROR
-          else if (isChatter(line)) () // non-error server message
           else { csv.append(line); csv.append('\n') }
         }
-        if (errs.nonEmpty) {
+        val errs = ArrayBuffer.empty[String]
+        done = false
+        while (!done) {
+          val line = err.readLine()
+          if (line == null) done = true // stderr closed: process dying
+          else if (line == tag) done = true
+          else errs += line
+        }
+        // ERROR:/FATAL: (verbose verbosity → SQLSTATE-prefixed) fail the
+        // statement; NOTICE/WARNING/DETAIL/… are server chatter, ignored
+        if (errs.exists(l => l.startsWith("ERROR:") ||
+            l.startsWith("FATAL:"))) {
           val msg = errs.mkString("; ")
           val state = "(?:ERROR|FATAL):\\s+([0-9A-Z]{5}):".r
             .findFirstMatchIn(msg).map(_.group(1)).getOrElse("S1000")
@@ -186,10 +194,14 @@ object PostgresCliCatalog {
         if (seen.add(h)) h else s"$h#$j"
       }
     }
-    // a stray blank line parses as [""] (one empty field), not [] —
-    // drop those too, or it becomes a phantom all-default row
+    // A blank line parses as [""] (one empty field). For a ONE-column
+    // result that is a legitimate empty-string row (psql prints '' as a
+    // blank line) and must be kept; for a wider result no valid CSV row
+    // is ever blank (every row carries header.size-1 commas), so it can
+    // only be stray noise — drop it rather than fabricate a phantom row.
     records.drop(1)
-      .filter(rec => rec.nonEmpty && !(rec.size == 1 && rec.head.isEmpty))
+      .filter(rec => rec.nonEmpty &&
+        !(header.size > 1 && rec.size == 1 && rec.head.isEmpty))
       .map { rec =>
       val m = new java.util.LinkedHashMap[String, Object]()
       header.zipWithIndex.foreach { case (h, j) =>

@@ -34,7 +34,7 @@ object LakeQueries extends QueryPack {
     * leaving each Derby instance booted exhausts the process fd limit
     * (same lifecycle the HTTP-catalog query demonstrates by stopping its
     * server before returning). */
-  private def detached(lake: Lake, df: => DataFrame): DataFrame = {
+  private[operators] def detached(lake: Lake, df: => DataFrame): DataFrame = {
     val out = df
     lake.detach()
     out

@@ -15,14 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TypeSurfaceQueries extends QueryPack {
 
-  import LakeQueries.freshLake
-
-  private def detached(lake: graft.catalog.Lake,
-      df: => DataFrame): DataFrame = {
-    val out = df
-    lake.detach()
-    out
-  }
+  import LakeQueries.{detached, freshLake}
 
   /** DECIMAL(38,10) extremes: near-max positive and negative values with
     * a per-row component, stored and stat-tracked at full precision.

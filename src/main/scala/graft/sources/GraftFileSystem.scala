@@ -33,9 +33,13 @@ final class GraftFileSystem extends RawLocalFileSystem {
 
   override def getUri: URI = URI.create("graftfs:///")
 
-  /** no silent overwrite: HDFS/object-store rename contract */
+  /** No silent overwrite: HDFS/object-store rename contract — renaming
+    * onto an existing FILE fails. Renaming into an existing DIRECTORY
+    * (src moves inside it) is part of the standard contract both HDFS
+    * and S3A honor, so it delegates. */
   override def rename(src: Path, dst: Path): Boolean =
-    if (exists(dst)) false else super.rename(src, dst)
+    if (exists(dst) && getFileStatus(dst).isFile) false
+    else super.rename(src, dst)
 
   /** object stores cannot append */
   override def append(f: Path, bufferSize: Int,

@@ -43,10 +43,13 @@ class CliBridgeUnitSpec extends AnyFunSuite {
 
   // ------------------------------------------------ postgres CSV parsing
 
-  test("pg csv: blank lines and single-empty-field records are dropped") {
-    val rows = PostgresCliCatalog.parseCsv("a,b\n1,2\n\n3,4\n")
-    assert(rows.map(r => (r.get("a"), r.get("b"))) ==
+  test("pg csv: stray blank records drop in wide results; a blank line " +
+    "in a ONE-column result is a legitimate empty-string row") {
+    val wide = PostgresCliCatalog.parseCsv("a,b\n1,2\n\n3,4\n")
+    assert(wide.map(r => (r.get("a"), r.get("b"))) ==
       Seq(("1", "2"), ("3", "4")))
+    val narrow = PostgresCliCatalog.parseCsv("v\nx\n\ny\n")
+    assert(narrow.map(_.get("v")) == Seq("x", "", "y"))
   }
 
   test("pg csv: duplicate header columns are uniquified in order") {
