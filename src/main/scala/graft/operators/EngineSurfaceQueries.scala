@@ -248,7 +248,95 @@ object EngineSurfaceQueries extends QueryPack {
       |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** FILTER-clause conditional aggregation (SQL:2003; DuckDB supports it
+    * natively, Spark's codegen'd equivalent is count-of-CASE — identical
+    * semantics, no extra pass over the data). */
+  private def qFilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("l_quantity") > 25, 1)).as("n_big"),
+        count(when(col("l_discount") === 0.0, 1)).as("n_nodisc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qFilterAggSql =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** arg_max/arg_min (DuckDB) = max_by/min_by (Spark): the ordering key
+    * is a fixed-width `price|orderkey` string, so lexicographic order
+    * equals (price, orderkey) numeric order and ties are impossible —
+    * both engines' arg functions are tie-nondeterministic otherwise. */
+  private def qArgMax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val key = format_string("%018.2f|%010d",
+      col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), key).as("best_order"),
+        min_by(col("o_orderkey"), key).as("worst_order"),
+        max(col("o_totalprice")).as("best_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qArgMaxSql =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, printf('%018.2f|%010d', o_totalprice, o_orderkey)) AS best_order,
+      |  arg_min(o_orderkey, printf('%018.2f|%010d', o_totalprice, o_orderkey)) AS worst_order,
+      |  MAX(o_totalprice) AS best_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** array function family over split strings: sort, distinct, contains
+    * (DuckDB list_* = Spark array_*). Output flattened to scalars so the
+    * compare is representation-independent. */
+  private def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val words = split(col("p_name"), " ")
+    t.part.filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        array_join(array_sort(words), "|").as("sorted_words"),
+        size(array_distinct(words)).cast("long").as("n_uniq"),
+        array_contains(words, "green").as("has_green"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qArrayFuncsSql =
+    """SELECT p_partkey,
+      |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+      |  CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_uniq,
+      |  list_contains(string_split(p_name, ' '), 'green') AS has_green
+      |FROM part WHERE p_partkey <= 200 ORDER BY 1""".stripMargin
+
+  /** greatest/least variadic comparisons with NULL-skipping semantics
+    * (both engines return the extreme NON-NULL argument). */
+  private def qGreatestLeast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+        least(col("o_orderkey").cast("double"), col("o_totalprice"),
+          lit(50000.0)).as("l"),
+        greatest(col("o_totalprice"),
+          lit(null).cast("double")).as("gn"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qGreatestLeastSql =
+    """SELECT o_orderkey, greatest(o_totalprice, 100000.0) AS g,
+      |  least(CAST(o_orderkey AS DOUBLE), o_totalprice, 50000.0) AS l,
+      |  greatest(o_totalprice, CAST(NULL AS DOUBLE)) AS gn
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_filter_agg", qFilterAgg, Some(qFilterAggSql)),
+    QueryDef("q_arg_max", qArgMax, Some(qArgMaxSql)),
+    QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
+    QueryDef("q_greatest_least", qGreatestLeast, Some(qGreatestLeastSql)),
     QueryDef("q_window_nav", qWindowNav, Some(qWindowNavSql)),
     QueryDef("q_bit_agg", qBitAgg, Some(qBitAggSql)),
     QueryDef("q_bool_agg", qBoolAgg, Some(qBoolAggSql)),
