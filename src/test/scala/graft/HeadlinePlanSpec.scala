@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL plan shape of the headline bench queries under the
+  * bench regime (AQE off, file-size broadcasts) so a perf regression
+  * fails a test instead of only showing up in the next round's
+  * BENCH_r{N}.json: the broadcast decisions, the shuffle counts, and the
+  * parquet filter pushdown are exactly what SCALE.md par.4/par.9 argue
+  * from. Shapes are scale-free (they depend on which side broadcasts and
+  * where exchanges sit, not on row counts), so sf0.001 is enough.
+  */
+class HeadlinePlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planned(name: String): SparkPlan = {
+    // bench regime: static planner, generous file-size broadcast bar
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def count(p: SparkPlan)(f: SparkPlan => Boolean): Int =
+    p.collectWithSubqueries { case n if f(n) => 1 }.sum
+
+  private def shuffles(p: SparkPlan): Int =
+    count(p)(_.isInstanceOf[ShuffleExchangeExec])
+
+  private def nonBroadcastJoins(p: SparkPlan): Int =
+    count(p)(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec])
+
+  test("q5_join: every join side broadcasts, ONE fact exchange (the " +
+    "5-row nation aggregate)") {
+    val p = planned("q5_join")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 1, p.toString.take(2000))
+    assert(count(p)(_.isInstanceOf[BroadcastExchangeExec]) >= 2)
+  }
+
+  test("q18: HAVING survivors broadcast — one exchange total (the " +
+    "lineitem aggregation), orders and customer never shuffle") {
+    val p = planned("q18_large_orders")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 1, p.toString.take(2000))
+  }
+
+  test("q_date_trunc: two-phase aggregate, exactly one exchange, no sort " +
+    "exchange for the bounded output") {
+    val p = planned("q_date_trunc")
+    assert(shuffles(p) == 1, p.toString.take(2000))
+  }
+
+  test("cb_gap_stats (skew-guarded): exactly two exchanges — " +
+    "(user, bucket) partials then user summaries") {
+    val p = planned("cb_gap_stats")
+    assert(shuffles(p) == 2, p.toString.take(2000))
+  }
+
+  test("q6_filter: predicates reach the parquet scan and the plan has " +
+    "zero shuffles before the scalar aggregate") {
+    val p = planned("q6_filter")
+    assert(shuffles(p) == 1, p.toString.take(2000)) // the 1-row final agg
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("PushedFilters").exists(f =>
+      f.contains("l_shipdate") || f.contains("l_discount")),
+      scans.head.metadata.get("PushedFilters").toString)
+  }
+
+  test("q1_agg: scan -> partial agg -> one exchange -> final agg") {
+    val p = planned("q1_agg")
+    assert(shuffles(p) == 1, p.toString.take(2000))
+  }
+}
