@@ -14,6 +14,7 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.SubqueryQueries,
     operators.EngineSurfaceQueries,
+    operators.StatsSurfaceQueries,
     operators.MoreTpchQueries,
     operators.EventQueries,
     operators.LakeQueries,
