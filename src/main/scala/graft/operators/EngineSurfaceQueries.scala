@@ -332,7 +332,90 @@ object EngineSurfaceQueries extends QueryPack {
       |  greatest(o_totalprice, CAST(NULL AS DOUBLE)) AS gn
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY 1""".stripMargin
 
+  /** Higher-order lambda functions over arrays (DuckDB list_transform /
+    * list_filter / list_reduce ↔ Spark transform / filter / aggregate) —
+    * all three stay inside whole-stage codegen, no UDFs. list_reduce has
+    * no init value (seeds with the first element); Spark's aggregate
+    * seeds with lit(0), identical for non-empty word lists (+). */
+  private def qLambdaFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val words = split(col("p_name"), " ")
+    t.part.filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        array_join(transform(words, w => upper(w)), "|").as("up_words"),
+        array_join(filter(words, w => length(w) > 4), "|")
+          .as("long_words"),
+        aggregate(transform(words, w => length(w)), lit(0),
+          (a, b) => a + b).cast("long").as("tot_len"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qLambdaFuncsSql =
+    """SELECT p_partkey,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |    w -> upper(w)), '|') AS up_words,
+      |  COALESCE(array_to_string(list_filter(string_split(p_name, ' '),
+      |    w -> len(w) > 4), '|'), '') AS long_words,
+      |  CAST(list_reduce(list_transform(string_split(p_name, ' '),
+      |    w -> len(w)), (a, b) -> a + b) AS BIGINT) AS tot_len
+      |FROM part WHERE p_partkey <= 200 ORDER BY 1""".stripMargin
+
+  /** printf-style formatting + pad/translate/split_part/repeat/left/
+    * right/strpos — the string-function breadth beyond q_string_funcs. */
+  private def qStringFuncs2(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.filter(col("s_suppkey") <= 100)
+      .select(col("s_suppkey"),
+        format_string("%s-%03d", col("s_name"), col("s_nationkey"))
+          .as("tagged"),
+        lpad(col("s_nationkey").cast("string"), 4, "0").as("padded"),
+        translate(col("s_name"), "#0", "_x").as("xlated"),
+        expr("split_part(s_name, '#', 2)").as("num_part"),
+        repeat(expr("left(s_name, 2)"), 2).as("rep2"),
+        expr("right(s_name, 3)").as("last3"),
+        instr(col("s_name"), "#").cast("long").as("pos_hash"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val qStringFuncs2Sql =
+    """SELECT s_suppkey,
+      |  printf('%s-%03d', s_name, s_nationkey) AS tagged,
+      |  lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS padded,
+      |  translate(s_name, '#0', '_x') AS xlated,
+      |  split_part(s_name, '#', 2) AS num_part,
+      |  repeat(left(s_name, 2), 2) AS rep2,
+      |  right(s_name, 3) AS last3,
+      |  CAST(strpos(s_name, '#') AS BIGINT) AS pos_hash
+      |FROM supplier WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin
+
+  /** Frame EXCLUDE CURRENT ROW (DuckDB window extension; Spark has no
+    * EXCLUDE clause — whole-partition sum minus the current row's value
+    * is the exact same quantity, in scaled-long cents so the subtraction
+    * is exact). */
+  private def qWindowExclude(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders.filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(sl2(col("o_totalprice"))).over(w) - sl2(col("o_totalprice")))
+          .as("others_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val qWindowExcludeSql =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(SUM(${oSl2("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       |    EXCLUDE CURRENT ROW) AS BIGINT) AS others_cents
+       |FROM orders WHERE o_custkey <= 200
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_lambda_funcs", qLambdaFuncs, Some(qLambdaFuncsSql)),
+    QueryDef("q_string_funcs2", qStringFuncs2, Some(qStringFuncs2Sql)),
+    QueryDef("q_window_exclude", qWindowExclude, Some(qWindowExcludeSql)),
     QueryDef("q_filter_agg", qFilterAgg, Some(qFilterAggSql)),
     QueryDef("q_arg_max", qArgMax, Some(qArgMaxSql)),
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
