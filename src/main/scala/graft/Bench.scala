@@ -420,6 +420,12 @@ object Bench {
     val sf3Json =
       if (!sys.env.get("SPARK_GRAFT_SF3").contains("1")) ""
       else scaleBlock("sf3", 30, defWidth = "16")
+    // Fourth scale point (opt-in, factor 100 ≈ sf10, ~1.2 GB of parquet):
+    // extends the amortization trend one more decade — width = cores,
+    // the cluster-scale session shape.
+    val sf10Json =
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) ""
+      else scaleBlock("sf10", 100, defWidth = "32")
 
     // LAKE-PATH block: the same headline queries read through the LAKE
     // scan (catalog multi-file list, bare-scan fast path) instead of raw
@@ -499,7 +505,7 @@ object Bench {
     }
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$lakeJson$lakeSf1Json}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json}""")
     spark.stop()
   }
 

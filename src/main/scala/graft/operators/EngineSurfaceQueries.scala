@@ -412,7 +412,89 @@ object EngineSurfaceQueries extends QueryPack {
        |FROM orders WHERE o_custkey <= 200
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** lead/lag with IGNORE NULLS: the previous PURCHASE event id carried
+    * across intervening non-purchase rows. */
+  private def qLagIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t.events.filter(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"),
+        lag(when(col("event_type") === "purchase", col("event_id")),
+          1, null, ignoreNulls = true).over(w).as("prev_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qLagIgnoreNullsSql =
+    """SELECT user_id, event_id,
+      |  lag(CASE WHEN event_type = 'purchase' THEN event_id END
+      |      IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id) AS prev_purchase
+      |FROM events WHERE user_id <= 20 ORDER BY user_id, event_id""".stripMargin
+
+  /** Multi-column COUNT(DISTINCT a, b) — distinct pairs, not a distinct
+    * concatenation (both columns are NOT NULL here, where the two
+    * engines' null-tuple conventions agree). */
+  private def qCountDistinctMulti(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("uniq_ps"),
+        countDistinct(col("l_suppkey")).as("uniq_s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qCountDistinctMultiSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS uniq_ps,
+      |  COUNT(DISTINCT l_suppkey) AS uniq_s, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Global regexp_replace with a capture-group backreference. Spark
+    * replaces ALL matches and spells backrefs `$1`; DuckDB needs the
+    * explicit 'g' option and spells them `\1` — same semantics. */
+  private def qRegexpReplace(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.filter(col("s_suppkey") <= 100)
+      .select(col("s_suppkey"),
+        regexp_replace(col("s_name"), "0+([1-9][0-9]*)$", "$1")
+          .as("trimmed"),
+        regexp_replace(col("s_name"), "[0-9]", "#").as("masked"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val qRegexpReplaceSql =
+    """SELECT s_suppkey,
+      |  regexp_replace(s_name, '0+([1-9][0-9]*)$', '\1', 'g') AS trimmed,
+      |  regexp_replace(s_name, '[0-9]', '#', 'g') AS masked
+      |FROM supplier WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin
+
+  /** Struct construction + field extraction (DuckDB struct literal /
+    * struct_extract ↔ Spark struct/getField), flattened back to scalars
+    * for the compare. */
+  private def qStructFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val s = struct(col("n_name").as("name"), col("n_regionkey").as("region"))
+    t.nation
+      .select(col("n_nationkey"), s.getField("name").as("sname"),
+        s.getField("region").cast("long").as("sregion"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val qStructFuncsSql =
+    """SELECT n_nationkey,
+      |  struct_extract({'name': n_name, 'region': n_regionkey}, 'name')
+      |    AS sname,
+      |  CAST(struct_extract({'name': n_name, 'region': n_regionkey},
+      |    'region') AS BIGINT) AS sregion
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_lag_ignore_nulls", qLagIgnoreNulls, Some(qLagIgnoreNullsSql)),
+    QueryDef("q_count_distinct_multi", qCountDistinctMulti,
+      Some(qCountDistinctMultiSql)),
+    QueryDef("q_regexp_replace", qRegexpReplace, Some(qRegexpReplaceSql)),
+    QueryDef("q_struct_funcs", qStructFuncs, Some(qStructFuncsSql)),
     QueryDef("q_lambda_funcs", qLambdaFuncs, Some(qLambdaFuncsSql)),
     QueryDef("q_string_funcs2", qStringFuncs2, Some(qStringFuncs2Sql)),
     QueryDef("q_window_exclude", qWindowExclude, Some(qWindowExcludeSql)),

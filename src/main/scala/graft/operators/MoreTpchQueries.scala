@@ -285,6 +285,17 @@ object MoreTpchQueries extends QueryPack {
     * order (EXISTS + NOT EXISTS pair). */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Anti-join formulation, kept after a losing A/B: "no OTHER supplier
+    // on the same order" also collapses into one grouped aggregation
+    // (min(l_suppkey)=max(l_suppkey) + a conditional count), which
+    // shuffles ~one row per order instead of the fact table twice — but
+    // measured at sf0.1/sf1/sf10 the aggregate LOSES at every scale
+    // (0.141/0.229/2.65 s vs 0.046/0.077/2.4 s): hash-aggregating
+    // millions of per-order groups costs more than the sort-merge anti
+    // join, which streams over the orderkey-clustered layout with no
+    // hash table at all. On an unclustered layout the aggregate
+    // formulation would win; with sort-on-insert the join is the plan
+    // you want.
     val l1 = t.lineitem.filter(col("l_quantity") >= 45)
       .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
     val others = t.lineitem
