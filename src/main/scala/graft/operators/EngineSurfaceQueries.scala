@@ -489,7 +489,65 @@ object EngineSurfaceQueries extends QueryPack {
       |    'region') AS BIGINT) AS sregion
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** QUALIFY (DuckDB post-window filter clause): top-2 suppliers per
+    * nation by balance. Spark-native: the same window + a plain filter —
+    * QUALIFY is sugar over exactly this plan. */
+  private def qQualify(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t.supplier
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        col("rn"))
+      .orderBy(col("s_nationkey"), col("rn"))
+  }
+
+  private val qQualifySql =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      |  FROM supplier QUALIFY rn <= 2)
+      |ORDER BY s_nationkey, rn""".stripMargin
+
+  /** DISTINCT ON (DuckDB/Postgres): first row per key under the query's
+    * ORDER BY. Spark-native: rank-1 window over the same total order. */
+  private def qDistinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t.supplier
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("s_nationkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val qDistinctOnSql =
+    """SELECT DISTINCT ON (s_nationkey) s_nationkey, s_name, s_acctbal
+      |FROM supplier
+      |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin
+
+  /** LIMIT/OFFSET pagination under a unique total order — deterministic
+    * page on both engines. */
+  private def qOffsetLimit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.orderBy(col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .offset(100).limit(25)
+  }
+
+  private val qOffsetLimitSql =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_qualify", qQualify, Some(qQualifySql)),
+    QueryDef("q_distinct_on", qDistinctOn, Some(qDistinctOnSql)),
+    QueryDef("q_offset_limit", qOffsetLimit, Some(qOffsetLimitSql)),
     QueryDef("q_lag_ignore_nulls", qLagIgnoreNulls, Some(qLagIgnoreNullsSql)),
     QueryDef("q_count_distinct_multi", qCountDistinctMulti,
       Some(qCountDistinctMultiSql)),
