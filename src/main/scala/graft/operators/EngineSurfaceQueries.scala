@@ -389,16 +389,19 @@ object EngineSurfaceQueries extends QueryPack {
       |FROM supplier WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin
 
   /** Frame EXCLUDE CURRENT ROW (DuckDB window extension; Spark has no
-    * EXCLUDE clause — whole-partition sum minus the current row's value
-    * is the exact same quantity, in scaled-long cents so the subtraction
-    * is exact). */
+    * EXCLUDE clause — whole-partition sum minus the current row's value,
+    * in scaled-long cents so the subtraction is exact). One semantic
+    * wrinkle: a single-row partition gives DuckDB an EMPTY frame, whose
+    * SUM is NULL — not 0 — so the subtraction is guarded by the
+    * partition count. */
   private def qWindowExclude(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t.orders.filter(col("o_custkey") <= 200)
       .select(col("o_custkey"), col("o_orderkey"),
-        (sum(sl2(col("o_totalprice"))).over(w) - sl2(col("o_totalprice")))
+        when(count(lit(1)).over(w) > 1,
+          sum(sl2(col("o_totalprice"))).over(w) - sl2(col("o_totalprice")))
           .as("others_cents"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }

@@ -17,16 +17,19 @@ class ParameterizedSqlSpec extends AnyFunSuite {
 
   test("named + positional parameter binds against a DSv2 lake table") {
     val base = SparkTestSession.spark // ensure shared context exists
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.catalog.graftp", "graft.sources.GraftTableCatalog")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // session construction sits INSIDE the try: if it throws, the finally
+    // still restores the cleared default/active session for later suites
     try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.catalog.graftp",
+          "graft.sources.GraftTableCatalog")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
       import spark.implicits._
       val dir = Files.createTempDirectory("graftpsql").toString
       val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
