@@ -547,7 +547,48 @@ object EngineSurfaceQueries extends QueryPack {
     """SELECT o_orderkey, o_custkey FROM orders
       |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin
 
+  /** time_bucket (DuckDB interval bucketing ↔ Spark's tumbling window):
+    * both align sub-day buckets to the unix epoch, so the 15-minute
+    * bucket starts agree exactly. */
+  private def qTimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .select(col("window.start").as("bucket"), col("n"), col("users"))
+      .orderBy(col("bucket"))
+      .limit(200)
+  }
+
+  private val qTimeBucketSql =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+      |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin
+
+  /** NULLIF / COALESCE / IFNULL composition — the null-handling scalar
+    * trio, nested the way real queries chain them. */
+  private def qNullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri_or_null"),
+        coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")),
+          lit("DEFAULT")).as("pri_def"),
+        ifnull(nullif(col("o_custkey").cast("long"), lit(0L)), lit(-1L))
+          .as("cust_or_neg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qNullFuncsSql =
+    """SELECT o_orderkey,
+      |  NULLIF(o_orderpriority, '3-MEDIUM') AS pri_or_null,
+      |  COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS pri_def,
+      |  IFNULL(NULLIF(CAST(o_custkey AS BIGINT), 0), -1) AS cust_or_neg
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_time_bucket", qTimeBucket, Some(qTimeBucketSql)),
+    QueryDef("q_null_funcs", qNullFuncs, Some(qNullFuncsSql)),
     QueryDef("q_qualify", qQualify, Some(qQualifySql)),
     QueryDef("q_distinct_on", qDistinctOn, Some(qDistinctOnSql)),
     QueryDef("q_offset_limit", qOffsetLimit, Some(qOffsetLimitSql)),
