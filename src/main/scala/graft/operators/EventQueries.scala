@@ -89,9 +89,10 @@ object EventQueries extends QueryPack {
     * shuffle did. */
   private def gapStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // SKEW GUARD: aggregate per (user, day bucket) FIRST, then merge the
-    // per-bucket summaries per user. No single collect_list buffer grows
-    // with a user's lifetime — only with one user-DAY — so a hot key
+    // SKEW GUARD: aggregate per (user, 8-day bucket) FIRST, then merge
+    // the per-bucket summaries per user. No single collect_list buffer
+    // grows with a user's lifetime — only with one user-BUCKET — so a
+    // hot key
     // (bot traffic: millions of events on one user) bounds memory by
     // bucket. Semantics are EXACTLY preserved: buckets partition time,
     // so concatenating the per-bucket sorted arrays in bucket order IS

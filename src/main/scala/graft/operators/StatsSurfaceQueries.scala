@@ -24,28 +24,65 @@ object StatsSurfaceQueries extends QueryPack {
 
   import LakeQueries.{detached, freshLake}
 
-  /** Variance family + correlation (DuckDB stddev_samp/var_pop/corr):
-    * rounded to 4 dp — summation-order noise is ~1e-10 relative, four
-    * decimals is ~6 orders of magnitude of headroom. */
+  /** Variance family + correlation (DuckDB stddev_samp/var_pop/corr).
+    * The hash-compared values come from EXACT integer power sums
+    * (l_quantity is integral; l_extendedprice has exactly 2 dp so ×100 is
+    * an exact integer; price sums go through DECIMAL(38,0)/HUGEINT so no
+    * long overflow at any SF), then one identical IEEE expression tree —
+    * sqrt/div/mul only, all correctly rounded — on both sides. The
+    * engines' native streaming aggregates (order-dependent accumulation)
+    * never reach the hash: they are asserted against the exact value
+    * within 1e-9 relative as booleans (the qSkewKurt pattern). */
   private def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_pop(col("l_quantity")), 4).as("vp_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("corr_qp"),
-        count(lit(1)).as("n"))
+    val q = col("l_quantity").cast("long")
+    val pc = round(col("l_extendedprice") * lit(100), 0).cast("long")
+    val g = t.lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(q).as("s1"),
+      sum(q * q).as("s2"),
+      sum(pc.cast("decimal(38,0)")).as("p1"),
+      sum((pc * pc).cast("decimal(38,0)")).as("p2"),
+      sum((q * pc).cast("decimal(38,0)")).as("pq"),
+      stddev_samp(col("l_quantity")).as("sd_nat"),
+      var_pop(col("l_quantity")).as("vp_nat"),
+      corr(col("l_quantity"), col("l_extendedprice")).as("corr_nat"))
+    val nd = col("n").cast("double")
+    val Seq(s1, s2, p1, p2, pq) =
+      Seq("s1", "s2", "p1", "p2", "pq").map(c => col(c).cast("double"))
+    val m2q = s2 - s1 * s1 / nd
+    val sd = sqrt(m2q / (nd - lit(1.0)))
+    val vp = m2q / nd
+    // corr is scale-invariant, so computing it on exact cents matches the
+    // native corr on dollars (within the boolean tolerance)
+    val cr = (pq - s1 * p1 / nd) /
+      sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd))
+    def ok(nat: Column, exact: Column): Column =
+      abs(nat - exact) <= lit(1e-9) * (abs(exact) + lit(1.0))
+    g.select(col("l_returnflag"), sd.as("sd_qty"), vp.as("vp_qty"),
+        cr.as("corr_qp"), col("n"),
+        ok(col("sd_nat"), sd).as("sd_ok"), ok(col("vp_nat"), vp).as("vp_ok"),
+        ok(col("corr_nat"), cr).as("corr_ok"))
       .orderBy(col("l_returnflag"))
   }
 
   private val qStatsAggSql =
-    """SELECT l_returnflag,
-      |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
-      |  ROUND(VAR_POP(l_quantity), 4) AS vp_qty,
-      |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
-      |  COUNT(*) AS n
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS p1,
+      |    CAST(SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS p2,
+      |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS pq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  SQRT((s2 - s1*s1/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1.0)) AS sd_qty,
+      |  (s2 - s1*s1/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) AS vp_qty,
+      |  (pq - s1*p1/CAST(n AS DOUBLE))
+      |    / SQRT((s2 - s1*s1/CAST(n AS DOUBLE))*(p2 - p1*p1/CAST(n AS DOUBLE)))
+      |    AS corr_qp,
+      |  n, TRUE AS sd_ok, TRUE AS vp_ok, TRUE AS corr_ok
+      |FROM g ORDER BY l_returnflag""".stripMargin
 
   /** Higher moments. The hash-compared skew/kurt values come from EXACT
     * integer power sums (l_quantity is integral 1..50, so q, q², q³, q⁴
@@ -175,7 +212,13 @@ object StatsSurfaceQueries extends QueryPack {
 
   /** Shannon entropy (DuckDB `entropy(x)`, log-2). Spark has no entropy
     * aggregate; H = log2(T) − Σ c·log2(c)/T over the per-key counts is
-    * the exact same statistic from one extra (tiny) aggregation. */
+    * the same statistic. log2 is NOT correctly rounded across libms (same
+    * caveat as pow), so H itself can never be hash-exact cross-engine —
+    * instead the hash compares the EXACT sufficient statistic (the sorted
+    * per-type count multiset as a string, plus n), and DuckDB's native
+    * ENTROPY is asserted against the formula within 1e-9 relative as a
+    * boolean on ITS side; Spark's boolean pins H into the information-
+    * theoretic bound [0, log2(k)] of the same exact counts. */
   private def qEntropy(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val counts = t.events
@@ -183,22 +226,44 @@ object StatsSurfaceQueries extends QueryPack {
       .agg(count(lit(1)).as("c"))
     counts.groupBy(col("bucket"))
       .agg(sum(col("c")).as("tot"),
-        sum(col("c").cast("double") * log(2.0, col("c"))).as("clog"))
-      .select(col("bucket"),
-        round(log(2.0, col("tot")) - col("clog") / col("tot").cast("double"),
-          6).as("h"),
-        col("tot").as("n"))
+        sum(col("c").cast("double") * log(2.0, col("c"))).as("clog"),
+        count(lit(1)).as("k"),
+        array_join(sort_array(collect_list(col("c"))), ",").as("counts"))
+      .select(col("bucket"), col("counts"), col("tot").as("n"), col("k"),
+        (log(2.0, col("tot")) - col("clog") / col("tot").cast("double"))
+          .as("h"))
+      .select(col("bucket"), col("counts"), col("n"),
+        (col("h") >= lit(-1e-9) &&
+          col("h") <= log(2.0, col("k").cast("double")) + lit(1e-9))
+          .as("h_ok"))
       .orderBy(col("bucket"))
   }
 
   private val qEntropySql =
-    """SELECT user_id % 50 AS bucket, ROUND(ENTROPY(event_type), 6) AS h,
-      |  COUNT(*) AS n
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH c AS (
+      |  SELECT user_id % 50 AS bucket, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT bucket, STRING_AGG(CAST(c AS VARCHAR), ',' ORDER BY c) AS counts,
+      |    SUM(c) AS n,
+      |    LOG2(CAST(SUM(c) AS DOUBLE))
+      |      - SUM(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE)))
+      |        / CAST(SUM(c) AS DOUBLE) AS h_formula
+      |  FROM c GROUP BY bucket),
+      |e AS (
+      |  SELECT user_id % 50 AS bucket, ENTROPY(event_type) AS h_nat
+      |  FROM events GROUP BY 1)
+      |SELECT s.bucket, s.counts, CAST(s.n AS BIGINT) AS n,
+      |  ABS(e.h_nat - s.h_formula) <= 1e-9 * (ABS(s.h_formula) + 1.0) AS h_ok
+      |FROM s JOIN e ON s.bucket = e.bucket ORDER BY s.bucket""".stripMargin
 
   /** Discrete percentile: smallest value whose cumulative distribution
     * reaches the fraction (DuckDB quantile_disc; SQL-standard
-    * percentile_disc WITHIN GROUP in Spark). Exact — no interpolation. */
+    * percentile_disc WITHIN GROUP in Spark). Exact — no interpolation.
+    * Convention pin: both sides return the element at sorted index
+    * ceil(p*n) (1-based), i.e. the smallest value with cume_dist >= p.
+    * DuckDB 1.0.0's QUANTILE_DISC matches; if a future oracle-engine bump
+    * changes quantile_disc's index convention, THIS row is the canary. */
   private def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.orders

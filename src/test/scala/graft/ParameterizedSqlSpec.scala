@@ -19,6 +19,8 @@ class ParameterizedSqlSpec extends AnyFunSuite {
     val base = SparkTestSession.spark // ensure shared context exists
     // session construction sits INSIDE the try: if it throws, the finally
     // still restores the cleared default/active session for later suites
+    var lake: Lake = null
+    var dir: String = null
     try {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -31,8 +33,8 @@ class ParameterizedSqlSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       import spark.implicits._
-      val dir = Files.createTempDirectory("graftpsql").toString
-      val lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
+      dir = Files.createTempDirectory("graftpsql").toString
+      lake = Lake.attach(spark, s"$dir/cat", s"$dir/data")
       LakeRegistry.register("graftp", lake)
       lake.createTableAs("t",
         (1L to 100L).map(i => (i, s"v$i", i % 7L)).toDF("id", "v", "k"))
@@ -68,6 +70,11 @@ class ParameterizedSqlSpec extends AnyFunSuite {
         "SELECT COUNT(*) AS n FROM t_at_v1 WHERE id > :lo",
         Map("lo" -> 50L)).head().getLong(0) == 50L)
     } finally {
+      // close the embedded catalog before unregistering — leaving lakes
+      // booted leaks fds across the full-suite JVM (LakeQueries.detached)
+      if (lake != null) lake.detach()
+      if (dir != null)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       LakeRegistry.unregister("graftp")
       // do NOT stop(): the SparkContext is shared with the other suites
       SparkSession.clearActiveSession()
