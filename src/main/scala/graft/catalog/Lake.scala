@@ -37,6 +37,15 @@ final case class MatchedUpdate(assignments: Map[String, Column],
 final case class MatchedDelete(condition: Option[Column] = None)
     extends MatchedAction
 
+/** Bucket-keyed file groups for the DSv2 storage-partitioned read path:
+  * (bucket id → that bucket's (absolute file URI, size) list) under the
+  * current snapshot. */
+final case class SpjScanInfo(
+    schema: org.apache.spark.sql.types.StructType,
+    bucketColumn: String,
+    width: Int,
+    groups: Seq[(Int, Seq[(String, Long)])])
+
 class Lake(val spark: SparkSession, val meta: MetadataManager,
     val dataPath: String) {
 
@@ -566,6 +575,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * ducklake_table_entry.cpp:626): (column, transform) pairs, transform in
     * identity|year|month|day|hour|bucket(n) (Iceberg-compatible bucket via
     * murmur3, reference ducklake_partition_data.cpp:54-140). */
+  /** Current partition spec as (column name, transform) pairs — the
+    * getter mirror of [[setPartitionedBy]]; empty when unpartitioned. */
+  def partitionedBy(table: String): Seq[(String, String)] = {
+    val snap = meta.currentSnapshot()
+    val t = resolve(table, Some(snap.snapshotId))
+    val cols = columnsAt(t.tableId, snap.snapshotId)
+    meta.currentPartitionSpec(t.tableId, snap.snapshotId).toSeq
+      .flatMap(_.fields).flatMap(f =>
+        cols.find(_.columnId == f.columnId).map(c => (c.name, f.transform)))
+  }
+
   def setPartitionedBy(table: String, specs: Seq[(String, String)]): Unit = {
     val snap = meta.currentSnapshot()
     val t = resolve(table, Some(snap.snapshotId))
@@ -2142,6 +2162,96 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     if (r.isNullAt(0)) table(name).filter(lit(false))
     else table(name,
       Some(col(keyCol).between(lit(r.get(0)), lit(r.get(1)))))
+  }
+
+  /** File groups for the DSv2 storage-partitioned read
+    * ([[graft.sources.GraftBucketedScan]]): the current snapshot's file
+    * list keyed by the table's bucket-transform partition value, so the
+    * scan can report `KeyGroupedPartitioning(bucket(n, col))` and two
+    * co-bucketed tables join with ZERO exchange — the cluster idiom of
+    * the reference's single-node locality (bucket transform, reference
+    * src/storage/ducklake_partition_data.cpp:54-140).
+    *
+    * This is deliberately the CLEAN-LAYOUT fast path: every selected file
+    * must be bucket-placed under the current spec, current schema epoch,
+    * delete-free, and catalog-native — anything else (pending deletes,
+    * epoch-mapped or name-mapped files, inlined rows, open transaction)
+    * throws, and the caller falls back to [[table]], whose generic plan
+    * handles all of it. Maintenance restores eligibility:
+    * `rewrite_data_files` folds deletes in, and newly written files are
+    * always current-epoch + bucket-placed. */
+  private[graft] def spjScanInfo(name: String,
+      filter: Option[Column]): SpjScanInfo = {
+    def unfit(reason: String): Nothing =
+      throw new IllegalStateException(
+        s"storage-partitioned scan of $name unavailable: $reason " +
+          "(read via lake.table / the graft SQL surface instead)")
+    if (txn.isDefined) unfit("open transaction")
+    val snap = meta.currentSnapshot()
+    val t = resolve(name, Some(snap.snapshotId))
+    val allCols = columnsAt(t.tableId, snap.snapshotId)
+    val cols = allCols.filter(_.parentColumn.isEmpty)
+    val schema = toStruct(cols)
+    val ps = meta.currentPartitionSpec(t.tableId, snap.snapshotId)
+      .getOrElse(unfit("table is not partitioned"))
+    val bucketField = ps.fields match {
+      case Seq(f) if f.transform.startsWith("bucket(") => f
+      case _ => unfit("partition spec is not a single bucket transform")
+    }
+    val width = bucketField.transform.stripPrefix("bucket(")
+      .stripSuffix(")").trim.toInt
+    val bucketCol = cols.find(_.columnId == bucketField.columnId)
+      .getOrElse(unfit("bucket column dropped"))
+    val filterExpr = filter.map(f => normalizeOps(ColumnBridge.toCatalyst(f)))
+    val statsFilters = filterExpr.toSeq.flatMap(e =>
+      extractStatsFilters(e, allCols))
+    val partEq = filterExpr.toSeq.flatMap(e =>
+      extractPartitionEq(e, cols, ps))
+    val scanFiles = meta.filesForScan(t.tableId, snap.snapshotId,
+      statsFilters, partEq, Nil, partitionSpecId = Some(ps.partitionId))
+    if (meta.liveInlinedRows(t.tableId, snap.snapshotId).nonEmpty)
+      unfit("inlined rows pending (flush_inlined_data first)")
+    val inlDel = meta.liveInlinedDeletes(t.tableId, snap.snapshotId)
+      .map(_._1).toSet
+    // schema-epoch check mirrors buildScan: a file from an older epoch is
+    // eligible iff its epoch's projection to the current schema is the
+    // identity (the version history is lake-global, so unrelated DDL on
+    // OTHER tables bumps it without changing this table's shape)
+    val vers = meta.schemaVersions()
+    def versionAt(s: Long): (Long, Long) = {
+      val i = vers.lastIndexWhere(_._1 <= s)
+      val e = vers(if (i < 0) 0 else i)
+      (e._2, e._1)
+    }
+    val curVer = versionAt(snap.snapshotId)._1
+    val identityCache = scala.collection.mutable.Map.empty[Long, Boolean]
+    def identityEpoch(file: DataFileEntry): Boolean = {
+      val (ver, repr) = versionAt(file.beginSnapshot)
+      identityCache.getOrElseUpdate(ver, ver == curVer ||
+        epochProjection(allCols, meta.columnsOf(t.tableId, repr)).isEmpty)
+    }
+    scanFiles.foreach { sf =>
+      if (sf.deleteFiles.exists(_.beginSnapshot <= snap.snapshotId) ||
+        inlDel.contains(sf.file.dataFileId))
+        unfit(s"deletes pending on ${sf.file.path} (rewrite_data_files " +
+          "folds them in)")
+      if (sf.file.mappingId.isDefined)
+        unfit(s"name-mapped foreign file ${sf.file.path}")
+      if (!identityEpoch(sf.file))
+        unfit(s"file ${sf.file.path} predates the current schema epoch")
+      if (!sf.file.partitionId.contains(ps.partitionId))
+        unfit(s"file ${sf.file.path} predates the current partition spec")
+    }
+    val pv = meta.filePartitionValues(t.tableId)
+    val groups = scanFiles.groupBy { sf =>
+      pv.getOrElse(sf.file.dataFileId, Nil)
+        .find(_._1 == bucketField.keyIndex)
+        .getOrElse(unfit(s"no bucket value recorded for ${sf.file.path}"))
+        ._2.toInt
+    }.toSeq.sortBy(_._1).map { case (b, fs) =>
+      (b, fs.map(sf => (absUri(sf.file.path), sf.file.fileSizeBytes)))
+    }
+    SpjScanInfo(schema, bucketCol.name, width, groups)
   }
 
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],

@@ -8,7 +8,7 @@ import graft.catalog.Lake
 import graft.plans.LakeRegistry
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
@@ -34,17 +34,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the catalog's own name, so `LakeRegistry.register("graft", lake)` wires
   * both surfaces at once. */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
+  /** LakeRegistry key — defaults to the catalog name; the `alias` option
+    * lets a second catalog registration (e.g. the `spj = true` bucketed
+    * read surface) share a lake already registered under another name. */
+  private var lakeAlias: String = _
+  /** `spark.sql.catalog.<name>.spj = true` → loadTable returns
+    * read-capable tables whose scans report KeyGroupedPartitioning
+    * ([[GraftBucketedScan]]). Off by default: the general read surface
+    * stays on the Catalyst-extension path (catalog pruning + deletes +
+    * schema evolution), and this flag opts a catalog name into the
+    * clean-bucketed-layout fast path. */
+  private var spjReads: Boolean = false
 
-  private def lake: Lake = LakeRegistry.get(catalogName).getOrElse(
+  private def lake: Lake = LakeRegistry.get(lakeAlias).getOrElse(
     throw new IllegalStateException(
       s"no lake registered for catalog $catalogName " +
         "(call LakeRegistry.register first)"))
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    lakeAlias = Option(options.get("alias")).getOrElse(name)
+    spjReads = options.getBoolean("spj", false)
+  }
 
   override def name(): String = catalogName
 
@@ -71,7 +86,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       try lake.schemaOf(tbl)
       catch { case _: IllegalArgumentException =>
         throw new NoSuchTableException(ident) }
-    new GraftTable(lake, tbl, schema)
+    if (spjReads) new GraftReadableTable(lake, tbl, schema)
+    else new GraftTable(lake, tbl, schema)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -153,6 +169,22 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
+  // ------------------------------------------------------- functions
+
+  /** The bucket transform as a V2 catalog function, so the planner's
+    * storage-partitioned-join machinery (V2ExpressionUtils) can resolve
+    * the `bucket(n, col)` keys a [[GraftBucketedScan]] reports — and
+    * evaluate them when it shuffles one join side toward the other's
+    * layout. */
+  override def loadFunction(ident: Identifier): org.apache.spark.sql
+      .connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
   // ------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
@@ -190,12 +222,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
 /** V2 table handle: schema + V1-fallback batch write (append/truncate).
   * No V2 read capability on purpose — reads resolve through the
-  * placeholder rule so catalog file pruning sees the pushed predicates. */
+  * placeholder rule so catalog file pruning sees the pushed predicates.
+  * (The `spj = true` catalog option swaps in [[GraftReadableTable]],
+  * which adds the storage-partitioned V2 read.) */
 class GraftTable(lake: Lake, tbl: String, tableSchema: StructType)
     extends Table with SupportsWrite {
 
   override def name(): String = tbl
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[
+      org.apache.spark.sql.connector.expressions.Transform] =
+    lake.partitionedBy(tbl).map { case (c, t) =>
+      t match {
+        case "identity" => Expressions.identity(c)
+        case "year" => Expressions.years(c)
+        case "month" => Expressions.months(c)
+        case "day" => Expressions.days(c)
+        case "hour" => Expressions.hours(c)
+        case b if b.startsWith("bucket(") =>
+          Expressions.bucket(
+            b.stripPrefix("bucket(").stripSuffix(")").trim.toInt, c)
+        case other => throw new IllegalArgumentException(
+          s"unknown transform $other")
+      }
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
@@ -215,4 +265,22 @@ class GraftTable(lake: Lake, tbl: String, tableSchema: StructType)
           }
       }
     }
+}
+
+/** [[GraftTable]] + the storage-partitioned V2 batch read
+  * ([[GraftBucketedScan]]): scans report KeyGroupedPartitioning over the
+  * table's bucket transform, so co-bucketed joins plan with zero
+  * exchange. Enabled per catalog name via the `spj = true` option. */
+final class GraftReadableTable(lake: Lake, tbl: String,
+    tableSchema: StructType) extends GraftTable(lake, tbl, tableSchema)
+    with SupportsRead {
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector
+      .read.ScanBuilder =
+    new GraftScanBuilder(lake.spark, lake, tbl)
 }

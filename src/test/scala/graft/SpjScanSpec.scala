@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog._
+import graft.plans.LakeRegistry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.{KeyGroupedPartitioning => PhysKeyGrouped}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins over the DSv2 read path
+  * ([[graft.sources.GraftBucketedScan]]): scans of bucket-partitioned
+  * lake tables report KeyGroupedPartitioning, so a join of two tables
+  * bucketed on their join keys with the same width plans with ZERO
+  * shuffle exchange — the cluster translation of the reference's bucket
+  * locality (reference src/storage/ducklake_partition_data.cpp:54-140). */
+class SpjScanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withSpjLake(test: (Lake, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory("graftspj").toString
+    val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
+    val alias = s"spjl${System.nanoTime()}"
+    val cat = s"spjc${System.nanoTime()}"
+    LakeRegistry.register(alias, lake)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.alias", alias)
+    spark.conf.set(s"spark.sql.catalog.$cat.spj", "true")
+    val prevBucketing =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // force SMJ so the zero-exchange claim is about SPJ, not broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try test(lake, cat)
+    finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        prevBucketing.getOrElse("false"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevBroadcast.getOrElse("10485760"))
+      LakeRegistry.unregister(alias)
+      lake.detach()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  /** executed (post-AQE-final) physical plan: run the query, then unwrap
+    * the adaptive root so collect() sees the real operators */
+  private def finalPlan(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  /** every node, recursing THROUGH query-stage leaf wrappers (AQE hides
+    * stage subtrees from plain collect) */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    (p +: p.children.flatMap(allNodes)) ++ (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case _ => Nil
+    })
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    allNodes(finalPlan(df)).collect { case s: ShuffleExchangeExec => s }
+
+  private def mkTables(lake: Lake): Unit = {
+    lake.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    lake.setPartitionedBy("fact", Seq(("k", "bucket(4)")))
+    lake.append("fact",
+      (0L until 400L).map(i => (i % 50, s"f$i")).toDF("k", "v"))
+    lake.createTable("dim", StructType(Seq(
+      StructField("k2", LongType), StructField("name", StringType))))
+    lake.setPartitionedBy("dim", Seq(("k2", "bucket(4)")))
+    lake.append("dim",
+      (0L until 30L).map(i => (i, s"d$i")).toDF("k2", "name"))
+  }
+
+  test("co-bucketed join: zero exchange, KeyGroupedPartitioning, exact " +
+    "rows") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      val fact = spark.table(s"$cat.fact")
+      val dim = spark.table(s"$cat.dim")
+      val joined = fact.join(dim, col("k") === col("k2"))
+      // plan shape: both scans grouped by the bucket key, no exchange
+      val scans = allNodes(finalPlan(joined)).collect {
+        case b: BatchScanExec => b
+      }
+      assert(scans.length == 2, s"expected 2 v2 scans: $scans")
+      scans.foreach(s => assert(
+        s.outputPartitioning.isInstanceOf[PhysKeyGrouped],
+        s"scan not key-grouped: ${s.outputPartitioning}"))
+      assert(shuffles(joined).isEmpty,
+        s"expected zero exchanges:\n${finalPlan(joined)}")
+      // rows exactly match the generic lake scan join
+      val expected = lake.table("fact")
+        .join(lake.table("dim"), col("k") === col("k2"))
+      def key(df: DataFrame) = df.select("k", "v", "k2", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sortBy(identity).toSeq
+      assert(key(joined) == key(expected))
+      assert(key(joined).nonEmpty)
+    }
+  }
+
+  test("bucket-keyed aggregation needs no exchange either") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      val agg = spark.table(s"$cat.fact").groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      assert(shuffles(agg).isEmpty,
+        s"expected zero exchanges:\n${agg.queryExecution.executedPlan}")
+      val got = agg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val exp = lake.table("fact").groupBy("k").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("filter pushdown reaches the catalog: equality on the bucket key " +
+    "scans only that bucket's files") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      val one = spark.table(s"$cat.fact").filter(col("k") === 7L)
+      val scan = allNodes(finalPlan(one)).collect {
+        case b: BatchScanExec => b
+      }.head
+      // 4 buckets written per append → equality keeps 1 of 4 groups
+      assert(scan.inputRDD.getNumPartitions == 1,
+        s"expected 1 bucket group, got ${scan.inputRDD.getNumPartitions}")
+      assert(one.count() ==
+        lake.table("fact").filter(col("k") === 7L).count())
+    }
+  }
+
+  test("unclean layouts refuse loudly and the generic path still serves " +
+    "them") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      lake.delete("fact", col("k") === 3L)
+      val e = intercept[Exception] {
+        spark.table(s"$cat.fact").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("deletes pending")))
+      // generic path unaffected
+      assert(lake.table("fact").filter(col("k") === 3L).count() == 0)
+      // rewrite folds the deletes in → fast path eligible again
+      lake.rewriteDataFiles("fact", deleteThreshold = 0.0)
+      assert(spark.table(s"$cat.fact").count() ==
+        lake.table("fact").count())
+    }
+  }
+
+  test("unpartitioned table refuses the spj read") {
+    withSpjLake { (lake, cat) =>
+      lake.createTable("plain", StructType(Seq(
+        StructField("a", LongType))))
+      lake.append("plain", Seq(1L, 2L).toDF("a"))
+      val e = intercept[Exception] { spark.table(s"$cat.plain").collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null &&
+        m.contains("not partitioned")))
+    }
+  }
+}
