@@ -174,20 +174,22 @@ object Bench {
         .split(",").filter(_.contains("=")).map { kv =>
           val Array(k, v) = kv.split("=", 2); k -> v
         }.toMap
-    def prepare(dir: String)
+    def prepareWith(dir: String, nameList: Seq[String],
+        qmap: Map[String, (SparkSession, String)
+          => org.apache.spark.sql.DataFrame])
         : (Map[String, org.apache.spark.sql.DataFrame], String => Unit) = {
       val blockWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      val dfs = names.map { n =>
+      val dfs = nameList.map { n =>
         spark.conf.set("spark.sql.shuffle.partitions",
           planWidth.getOrElse(n, blockWidth))
-        val df = qs(n)(spark, dir)
+        val df = qmap(n)(spark, dir)
         df.queryExecution.executedPlan // pin the plan under this width
         spark.conf.set("spark.sql.shuffle.partitions", blockWidth)
         n -> df
       }.toMap
       val plans =
-        names.map(n => n -> dfs(n).queryExecution.executedPlan).toMap
-      val rdds = names.map { n =>
+        nameList.map(n => n -> dfs(n).queryExecution.executedPlan).toMap
+      val rdds = nameList.map { n =>
         n -> plans(n).execute().mapPartitions { it =>
           var c = 0L
           while (it.hasNext) { it.next(); c += 1 }
@@ -202,6 +204,9 @@ object Bench {
         rdds(name).collect(): Unit
       })
     }
+    def prepare(dir: String)
+        : (Map[String, org.apache.spark.sql.DataFrame], String => Unit) =
+      prepareWith(dir, names, qs)
 
     val (dfs, exec) = prepare(dataDir)
     // PREPARED execution: the physical RDD graph is built ONCE per query —
@@ -504,9 +509,115 @@ object Bench {
       case _ => ""
     }
 
+    // STORAGE-PARTITIONED-JOIN A/B block (opt-in SPARK_GRAFT_SPJ=1): q5
+    // and q21 over a bucket(orderkey)-co-located lake layout, read
+    // through the DSv2 KeyGroupedPartitioning scan — the fact joins plan
+    // with ZERO exchange (q5 additionally swaps its HAVING-filtered
+    // orders broadcast for the co-located sort-merge; q21's anti self-
+    // join co-locates as-is). Compare per query against the `lake` block
+    // (same machine, same logical data, generic scan + broadcast/SMJ
+    // plans). SPARK_GRAFT_SPJ_SF1=1 repeats it at the factor-10 layout.
+    def spjBlock(tag: String, baseDir: String, width: String): String =
+      try {
+        val spjDir = prepareSpjLake(spark, baseDir)
+        val prevB =
+          spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        try {
+          val spjNames = sys.env.getOrElse("SPARK_GRAFT_SPJ_ONLY",
+            "q5_join,q21_waiting").split(",").map(_.trim)
+            .filter(names.contains).toSeq
+          val qmap = qs +
+            ("q5_join" -> (graft.operators.RelationalQueries.q5SpjPlan _))
+          val (dfsS, execS) = prepareWith(spjDir, spjNames, qmap)
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) spjNames.foreach {
+            n => println(s"=== $tag $n ==="); dfsS(n).explain("formatted")
+          }
+          (1 to 4).foreach(_ => spjNames.foreach(execS))
+          System.gc()
+          val repsS = sys.env.getOrElse("SPARK_GRAFT_SPJ_REPS", "7").toInt
+          val tS = scala.collection.mutable.Map(
+            spjNames.map(_ -> List.empty[Double]): _*)
+          (1 to repsS).foreach { _ =>
+            spjNames.foreach { name =>
+              val t0 = System.nanoTime()
+              execS(name)
+              tS(name) ::= (System.nanoTime() - t0) / 1e9
+            }
+          }
+          val resS = spjNames.map(n => n -> tS(n).min)
+          val qSJson = resS
+            .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+            .mkString("{", ",", "}")
+          s""","$tag":{"total":${f"${resS.map(_._2).sum}%.3f"},"queries":$qSJson}"""
+        } finally {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+            prevB.getOrElse("false"))
+          spark.conf.set("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+        }
+      } catch {
+        case e: Throwable =>
+          s""","$tag":{"error":${jsonEsc(e.toString.take(200))}}"""
+      }
+    val spjJson =
+      if (!sys.env.get("SPARK_GRAFT_SPJ").contains("1")) ""
+      else spjBlock("spj", dataDir,
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+    val spjSf1Json = sf1State match {
+      case Some((sf1Dir, _))
+          if sys.env.get("SPARK_GRAFT_SPJ_SF1").contains("1") =>
+        spjBlock("spj_sf1", sf1Dir,
+          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "12"))
+      case _ => ""
+    }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json$spjJson$spjSf1Json}""")
     spark.stop()
+  }
+
+  /** Bucket-co-located lake layout for the SPJ A/B (cached in tmpdir):
+    * orders and lineitem bucket(W) on their orderkeys — W defaults to the
+    * core count so one bucket ≈ one task — everything else plain CTAS.
+    * Appends pre-shuffle by the bucket value so the partitioned write
+    * emits ~one file per bucket, sorted by orderkey within each. */
+  private def prepareSpjLake(spark: SparkSession, dataDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val w = sys.env.getOrElse("SPARK_GRAFT_SPJ_BUCKETS", "32").toInt
+    val key = Paths.get(dataDir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-bench-spj$w-$key")
+    val spjDir = s"spj:${root.resolve("cat")}|${root.resolve("data")}"
+    val marker = root.resolve("_READY")
+    if (Files.exists(marker)) return spjDir
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val lake = graft.catalog.Lake.attach(spark,
+      root.resolve("cat").toString, root.resolve("data").toString)
+    val src = Tables(spark, dataDir)
+    def bucketed(n: String, df: org.apache.spark.sql.DataFrame,
+        k: String): Unit = {
+      lake.createTable(n, df.schema)
+      lake.setPartitionedBy(n, Seq((k, s"bucket($w)")))
+      lake.append(n, df.repartition(w,
+          graft.functions.Murmur3Functions.bucket(w, col(k)))
+        .sortWithinPartitions(k))
+    }
+    bucketed("orders", src.orders, "o_orderkey")
+    bucketed("lineitem", src.lineitem, "l_orderkey")
+    for ((n, df) <- Seq("region" -> src.region, "nation" -> src.nation,
+        "customer" -> src.customer, "supplier" -> src.supplier,
+        "part" -> src.part, "events" -> src.events,
+        "documents" -> src.documents, "embeddings" -> src.embeddings))
+      lake.createTableAs(n, df)
+    Files.write(marker, Array.emptyByteArray)
+    spjDir
   }
 
   /** Lake-ingested copy of the prepared tables (cached in tmpdir): the

@@ -14,7 +14,15 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     * definitions then measure/verify the lake read path end to end. */
   private def lakeMode: Boolean = sfDir.startsWith("lake:")
 
+  /** `spj:<catalogUrl>|<dataPath>`: like `lake:`, but tables bucketed on
+    * a single key read through the DSv2 storage-partitioned scan
+    * ([[graft.sources.GraftBucketedScan]] via a `spj = true` catalog) so
+    * co-bucketed joins plan with zero exchange; unbucketed tables fall
+    * back to the generic lake scan. */
+  private def spjMode: Boolean = sfDir.startsWith("spj:")
+
   private def t(name: String): DataFrame = {
+    if (spjMode) return Tables.spjTable(spark, sfDir, name)
     if (lakeMode) return Tables.lakeFor(spark, sfDir).table(name)
     val path = s"$sfDir/$name.parquet"
     // Parquet schema inference runs a listing+footer job per read; cache the
@@ -40,7 +48,7 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def events: DataFrame = {
     // lake tables were ingested from the forced-schema read, so ts is
     // already a proper TIMESTAMP column there
-    if (lakeMode) return t("events")
+    if (lakeMode || spjMode) return t("events")
     val path = s"$sfDir/events.parquet"
     val inferred = Tables.schemaCache.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
@@ -60,7 +68,7 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     * streaming queries' semantics (file landing zone → lake) are
     * unchanged, only the landing zone's origin is. */
   def eventsRawPath: String =
-    if (!lakeMode) s"$sfDir/events.parquet"
+    if (!lakeMode && !spjMode) s"$sfDir/events.parquet"
     else Tables.rawEventsCache.computeIfAbsent(sfDir, { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-events-raw")
@@ -98,4 +106,40 @@ object Tables {
       graft.catalog.Lake.attach(spark,
         spec.substring(0, i), spec.substring(i + 1))
     })
+
+  private val spjCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.catalog.Lake, String)]()
+
+  /** Attach (once per JVM) the lake behind a `spj:` pseudo-dir and wire
+    * its `spj = true` DSv2 catalog: LakeRegistry alias + catalog name
+    * must DIFFER so reads resolve through V2 instead of the extension
+    * placeholder rule. */
+  private[graft] def spjFor(spark: SparkSession,
+      dir: String): (graft.catalog.Lake, String) =
+    spjCache.computeIfAbsent(dir, { _ =>
+      val spec = dir.stripPrefix("spj:")
+      val i = spec.lastIndexOf('|')
+      require(i > 0, s"expected spj:<catalogUrl>|<dataPath>, got $dir")
+      val lake = graft.catalog.Lake.attach(spark,
+        spec.substring(0, i), spec.substring(i + 1))
+      val alias = s"spjb${Integer.toHexString(dir.hashCode)}"
+      val cat = s"${alias}c"
+      graft.plans.LakeRegistry.register(alias, lake)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.alias", alias)
+      spark.conf.set(s"spark.sql.catalog.$cat.spj", "true")
+      (lake, cat)
+    })
+
+  private[graft] def spjTable(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val (lake, cat) = spjFor(spark, dir)
+    val bucketed = lake.partitionedBy(name) match {
+      case Seq((_, tr)) => tr.startsWith("bucket(")
+      case _ => false
+    }
+    if (bucketed) spark.table(s"$cat.$name") else lake.table(name)
+  }
 }

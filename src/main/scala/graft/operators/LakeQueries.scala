@@ -634,6 +634,62 @@ object LakeQueries extends QueryPack {
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   }
 
+  /** Storage-partitioned join through the DSv2 read path
+    * ([[graft.sources.GraftBucketedScan]]): both fact tables bucketed
+    * `bucket(8)` on their join keys, read via a `spj = true` catalog so
+    * the scans report KeyGroupedPartitioning and the join plans with zero
+    * exchange (SpjScanSpec pins the plan shape; this oracle pins the
+    * VALUES against DuckDB on the same logical data). The result is
+    * collected before detach — bounded at one row per order priority —
+    * because V2 scans resolve their file lists lazily at planning, unlike
+    * the eager generic scan the other detached() oracles rely on. */
+  private def qSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.QueryDsl._
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    lake.createTable("orders", t.orders.schema)
+    lake.setPartitionedBy("orders", Seq(("o_orderkey", "bucket(8)")))
+    lake.append("orders", t.orders)
+    lake.createTable("lineitem", t.lineitem.schema)
+    lake.setPartitionedBy("lineitem", Seq(("l_orderkey", "bucket(8)")))
+    lake.append("lineitem", t.lineitem)
+    val alias = s"spjq${System.nanoTime()}"
+    val cat = s"${alias}c" // ≠ alias: reads must resolve via the V2 catalog
+    graft.plans.LakeRegistry.register(alias, lake)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.alias", alias)
+    spark.conf.set(s"spark.sql.catalog.$cat.spj", "true")
+    val prev =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.table(s"$cat.lineitem")
+        .join(spark.table(s"$cat.orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          lsum(sl2(col("l_extendedprice")), 100.0).as("total"))
+        .orderBy(col("o_orderpriority"))
+      val rows = j.collect() // bounded: one row per order priority
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), j.schema)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        prev.getOrElse("false"))
+      graft.plans.LakeRegistry.unregister(alias)
+      lake.detach()
+    }
+  }
+
+  private val qSpjJoinSql = {
+    import graft.QueryDsl._
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${oLsum(oSl2("l_extendedprice"), "100.0")} AS total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** VARIANT column lifecycle (reference ducklake_types.cpp:61 variant +
     * ducklake_variant_stats.cpp shredded-path stats): events.props parsed
     * into a Spark 4 VariantType column, `$.k` shredded as BIGINT so every
@@ -999,6 +1055,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_roundtrip", roundtrip, Some(roundtripSql)),
     QueryDef("lake_add_files", qAddFiles, Some(qAddFilesSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
+    QueryDef("lake_spj_join", qSpjJoin, Some(qSpjJoinSql)),
     QueryDef("lake_delete", qDelete, Some(qDeleteSql)),
     QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),
     QueryDef("lake_update", qUpdate, Some(qUpdateSql)),

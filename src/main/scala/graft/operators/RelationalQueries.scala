@@ -145,6 +145,46 @@ object RelationalQueries extends QueryPack {
       .sortWithinPartitions(col("revenue").desc, col("n_name"))
   }
 
+  /** q5 for the storage-partitioned bench block (`spj:` table mode): the
+    * SAME query, re-ordered so the fact join is scan ⋈ scan — on a
+    * bucket(orderkey)-co-located layout both sides report
+    * KeyGroupedPartitioning and the join runs as a ZERO-exchange
+    * sort-merge; the customer/supplier/nation lookups broadcast AFTER it
+    * onto the 1/7-filtered join output. (Spark's SPJ compatibility walk
+    * only crosses Filter/Project, so the q5_join shape — broadcast
+    * pre-join on the orders side — would forfeit the storage
+    * partitioning; keeping both fact inputs bare is the planning
+    * contract.) At 100 TB the q5_join orders-side broadcast is the
+    * scaling hazard (build side grows with SF); storage partitioning
+    * removes it structurally. Not an oracle (same values as q5_join);
+    * timed by Bench's SPJ A/B. */
+  private[graft] def q5SpjPlan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    val suppAsia = t.supplier
+      .join(broadcast(t.nation
+        .join(t.region.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t.lineitem
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppAsia),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .coalesce(1)
+      .sortWithinPartitions(col("revenue").desc, col("n_name"))
+  }
+
   private val q5Sql =
     s"""SELECT n_name,
        |  ${oRevenue("l_extendedprice", "l_discount")} AS revenue
