@@ -17,6 +17,7 @@ object SparkEntry {
     operators.StatsSurfaceQueries,
     operators.MoreTpchQueries,
     operators.EventQueries,
+    operators.ClickBenchQueries,
     operators.LakeQueries,
     operators.TypeSurfaceQueries,
     operators.PipelineQueries,

@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickBench breadth, second helping — the reference runs all 43 hits
+  * queries against a DuckLake attach (test/sql/clickbench/
+  * clickbench.test_slow); these map the shapes the first 16 `cb_*`
+  * queries left untouched onto the driver star schema: scalar-agg rows,
+  * high-cardinality multi-column GROUP BY with ORDER BY count LIMIT,
+  * COUNT(DISTINCT) stacks, phrase-style groupings, URL/domain regexp
+  * extraction ladders, wide SUM ladders, key-arithmetic groupings, and
+  * top-N-with-OFFSET envelopes.
+  *
+  * Determinism rules (QueryDsl): every ORDER BY ... LIMIT carries a full
+  * tiebreak so ties cannot reorder across engines; doubles that reach the
+  * hash are computed from exact integer sums with identical IEEE trees
+  * both sides; timestamps cross as epoch micros (pandas date rendering
+  * differs otherwise).
+  */
+object ClickBenchQueries extends QueryPack {
+
+  import graft.QueryDsl._
+
+  /** q02/q03 shape: one pass, several scalar aggregates (SUM + COUNT +
+    * exact AVG from scaled-long cents). */
+  private def qScalarAggs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.agg(
+      sum(col("user_id")).as("su"),
+      count(lit(1)).as("c"),
+      (sum(sl2(col("value"))).cast("double") / lit(100.0) /
+        count(lit(1)).cast("double")).as("avg_value"))
+  }
+  private val qScalarAggsSql =
+    s"""SELECT SUM(user_id) AS su, COUNT(*) AS c,
+       |  CAST(SUM(${oSl2("value")}) AS DOUBLE) / 100.0
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+       |FROM events""".stripMargin
+
+  /** q07 shape: MIN/MAX over the time column (as exact epoch micros). */
+  private def qMinMaxTs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.agg(unix_micros(min(col("ts"))).as("min_us"),
+      unix_micros(max(col("ts"))).as("max_us"))
+  }
+  private val qMinMaxTsSql =
+    """SELECT epoch_us(MIN(ts)) AS min_us, epoch_us(MAX(ts)) AS max_us
+      |FROM events""".stripMargin
+
+  /** q08 shape: filtered GROUP BY ordered by descending count. */
+  private def qGroupOrderC(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select((col("user_id") % 100).as("adv"))
+      .filter(col("adv") =!= 0)
+      .groupBy(col("adv")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("adv"))
+  }
+  private val qGroupOrderCSql =
+    """SELECT user_id % 100 AS adv, COUNT(*) AS c FROM events
+      |WHERE user_id % 100 <> 0 GROUP BY 1 ORDER BY c DESC, adv""".stripMargin
+
+  /** q10 shape: region mix — SUM + COUNT + exact AVG + COUNT(DISTINCT)
+    * in one grouping, top-10 by count. */
+  private def qRegionMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy((col("user_id") % 37).as("region"))
+      .agg(sum(col("event_id")).as("s"),
+        count(lit(1)).as("c"),
+        (sum(sl2(col("value"))).cast("double") / lit(100.0) /
+          count(lit(1)).cast("double")).as("av"),
+        countDistinct(col("user_id")).as("u"))
+      .orderBy(col("c").desc, col("region"))
+      .limit(10)
+  }
+  private val qRegionMixSql =
+    s"""SELECT user_id % 37 AS region, SUM(event_id) AS s, COUNT(*) AS c,
+       |  CAST(SUM(${oSl2("value")}) AS DOUBLE) / 100.0
+       |    / CAST(COUNT(*) AS DOUBLE) AS av,
+       |  COUNT(DISTINCT user_id) AS u
+       |FROM events GROUP BY 1 ORDER BY c DESC, region LIMIT 10""".stripMargin
+
+  /** first whitespace-delimited token of a document — the SearchPhrase
+    * stand-in for the phrase-grouping shapes */
+  private def phrase: Column =
+    element_at(split(col("text"), " ", 2), 1)
+
+  /** q13 shape: phrase top-10 by count. */
+  private def qPhraseTop(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(phrase.as("phrase"))
+      .filter(col("phrase") =!= "")
+      .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("phrase"))
+      .limit(10)
+  }
+  private val qPhraseTopSql =
+    """SELECT SPLIT_PART(text, ' ', 1) AS phrase, COUNT(*) AS c
+      |FROM documents WHERE SPLIT_PART(text, ' ', 1) <> ''
+      |GROUP BY 1 ORDER BY c DESC, phrase LIMIT 10""".stripMargin
+
+  /** q14 shape: phrase top-10 by COUNT(DISTINCT ...). */
+  private def qPhraseUniq(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(phrase.as("phrase"), col("lang"))
+      .filter(col("phrase") =!= "")
+      .groupBy(col("phrase")).agg(countDistinct(col("lang")).as("u"),
+        count(lit(1)).as("c"))
+      .orderBy(col("u").desc, col("c").desc, col("phrase"))
+      .limit(10)
+  }
+  private val qPhraseUniqSql =
+    """SELECT SPLIT_PART(text, ' ', 1) AS phrase,
+      |  COUNT(DISTINCT lang) AS u, COUNT(*) AS c
+      |FROM documents WHERE SPLIT_PART(text, ' ', 1) <> ''
+      |GROUP BY 1 ORDER BY u DESC, c DESC, phrase LIMIT 10""".stripMargin
+
+  /** q15 shape: (engine, phrase) two-column grouping, top-10 by count. */
+  private def qEnginePhrase(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(col("source"), phrase.as("phrase"))
+      .filter(col("phrase") =!= "")
+      .groupBy(col("source"), col("phrase")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source"), col("phrase"))
+      .limit(10)
+  }
+  private val qEnginePhraseSql =
+    """SELECT source, SPLIT_PART(text, ' ', 1) AS phrase, COUNT(*) AS c
+      |FROM documents WHERE SPLIT_PART(text, ' ', 1) <> ''
+      |GROUP BY 1, 2 ORDER BY c DESC, source, phrase LIMIT 10""".stripMargin
+
+  /** q18 shape: (user, minute, type) high-cardinality grouping, top-10
+    * by count. */
+  private def qUserMinute(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("user_id"),
+        minute(col("ts")).cast("long").as("m"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id"), col("m"), col("event_type"))
+      .limit(10)
+  }
+  private val qUserMinuteSql =
+    """SELECT user_id, CAST(EXTRACT(minute FROM ts) AS BIGINT) AS m,
+      |  event_type, COUNT(*) AS c
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY c DESC, user_id, m, event_type LIMIT 10""".stripMargin
+
+  /** q27 shape: domain-extraction ladder — REGEXP_REPLACE the host out of
+    * a URL, average URL length (exact tree), MIN(URL), HAVING, top by
+    * length. The URL is synthesized deterministically from document
+    * fields (the star schema carries no URL column; the ladder's compute
+    * shape — regex extract → group → HAVING → order-by-avg — is what the
+    * reference query exercises). */
+  private def qDomainLadder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val url = concat(lit("https://www."), col("source"), lit(".org/"),
+      col("lang"), lit("/"), col("doc_id").cast("string"))
+    t.documents.select(url.as("url"))
+      .select(
+        regexp_replace(col("url"),
+          "^https?://(?:www\\.)?([^/]+)/.*$", "$1").as("k"),
+        length(col("url")).cast("long").as("len"), col("url"))
+      .groupBy(col("k"))
+      .agg((sum(col("len")).cast("double") /
+          count(lit(1)).cast("double")).as("l"),
+        count(lit(1)).as("c"), min(col("url")).as("mu"))
+      .filter(col("c") > 10)
+      .orderBy(col("l").desc, col("k"))
+      .limit(25)
+  }
+  private val qDomainLadderSql =
+    """WITH u AS (
+      |  SELECT 'https://www.' || source || '.org/' || lang || '/'
+      |    || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents)
+      |SELECT REGEXP_REPLACE(url, '^https?://(?:www\.)?([^/]+)/.*$', '\1')
+      |    AS k,
+      |  CAST(SUM(CAST(LENGTH(url) AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS l,
+      |  COUNT(*) AS c, MIN(url) AS mu
+      |FROM u GROUP BY 1 HAVING COUNT(*) > 10
+      |ORDER BY l DESC, k LIMIT 25""".stripMargin
+
+  /** q28 shape: wide SUM ladder — twenty SUM(x + k) columns in one scan
+    * pass (exact scaled-long cents). */
+  private def qSumLadder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cents = sl2(col("value"))
+    t.events.agg(
+      sum(cents + lit(0L * 100L)).as("s0"),
+      (1 until 20).map(k =>
+        sum(cents + lit(k * 100L)).as(s"s$k")): _*)
+  }
+  private val qSumLadderSql = {
+    val cols = (0 until 20).map(k =>
+      s"SUM(${oSl2("value")} + ${k * 100}) AS s$k").mkString(",\n  ")
+    s"SELECT\n  $cols\nFROM events"
+  }
+
+  /** q32 shape: key arithmetic inside the grouping — GROUP BY k, k-1,
+    * k-2, k-3. */
+  private def qKeyArith(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("user_id"), (col("user_id") - 1).as("u1"),
+        (col("user_id") - 2).as("u2"), (col("user_id") - 3).as("u3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id"))
+      .limit(10)
+  }
+  private val qKeyArithSql =
+    """SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+      |  user_id - 3 AS u3, COUNT(*) AS c
+      |FROM events GROUP BY 1, 2, 3, 4
+      |ORDER BY c DESC, user_id LIMIT 10""".stripMargin
+
+  /** q35/q36 shape: MIN/MAX/COUNT envelope over an inner top-N page with
+    * LIMIT ... OFFSET (full tiebreak inside so the page is stable). */
+  private def qTopnOffset(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val inner = t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id"), col("event_type"))
+      .offset(20).limit(10)
+    inner.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"))
+  }
+  private val qTopnOffsetSql =
+    """SELECT MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n FROM (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |  ORDER BY c DESC, user_id, event_type LIMIT 10 OFFSET 20)""".stripMargin
+
+  /** q39 shape: minute-truncated series in a time window with LIMIT ...
+    * OFFSET paging (minutes cross as epoch micros). */
+  private def qMinuteOffset(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type") =!= "view")
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("views"))
+      .orderBy(col("m"))
+      .offset(50).limit(10)
+  }
+  private val qMinuteOffsetSql =
+    """SELECT epoch_us(DATE_TRUNC('minute', ts)) AS m, COUNT(*) AS views
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY 1 ORDER BY m LIMIT 10 OFFSET 50""".stripMargin
+
+  /** q19 shape: point lookup on the user key. */
+  private def qPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.filter(col("user_id") === 7L)
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+  }
+  private val qPointLookupSql =
+    """SELECT event_id FROM events WHERE user_id = 7
+      |ORDER BY event_id""".stripMargin
+
+  /** q17 shape: (user, nullable phrase) grouping — NULLIF folds the empty
+    * phrase to NULL inside the key, top-10 by count. */
+  private def qUserPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy(col("source"), nullif(phrase, lit("")).as("phrase"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source"), col("phrase").asc_nulls_first)
+      .limit(10)
+  }
+  private val qUserPhraseSql =
+    """SELECT source, NULLIF(SPLIT_PART(text, ' ', 1), '') AS phrase,
+      |  COUNT(*) AS c
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY c DESC, source, phrase ASC NULLS FIRST LIMIT 10""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("cb_scalar_aggs", qScalarAggs, Some(qScalarAggsSql)),
+    QueryDef("cb_minmax_ts", qMinMaxTs, Some(qMinMaxTsSql)),
+    QueryDef("cb_group_orderc", qGroupOrderC, Some(qGroupOrderCSql)),
+    QueryDef("cb_region_mix", qRegionMix, Some(qRegionMixSql)),
+    QueryDef("cb_phrase_top", qPhraseTop, Some(qPhraseTopSql)),
+    QueryDef("cb_phrase_uniq", qPhraseUniq, Some(qPhraseUniqSql)),
+    QueryDef("cb_engine_phrase", qEnginePhrase, Some(qEnginePhraseSql)),
+    QueryDef("cb_user_minute", qUserMinute, Some(qUserMinuteSql)),
+    QueryDef("cb_domain_ladder", qDomainLadder, Some(qDomainLadderSql)),
+    QueryDef("cb_sum_ladder", qSumLadder, Some(qSumLadderSql)),
+    QueryDef("cb_key_arith", qKeyArith, Some(qKeyArithSql)),
+    QueryDef("cb_topn_offset", qTopnOffset, Some(qTopnOffsetSql)),
+    QueryDef("cb_minute_offset", qMinuteOffset, Some(qMinuteOffsetSql)),
+    QueryDef("cb_point_lookup", qPointLookup, Some(qPointLookupSql)),
+    QueryDef("cb_user_phrase", qUserPhrase, Some(qUserPhraseSql)),
+  )
+}
