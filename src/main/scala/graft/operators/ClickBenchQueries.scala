@@ -34,7 +34,7 @@ object ClickBenchQueries extends QueryPack {
         count(lit(1)).cast("double")).as("avg_value"))
   }
   private val qScalarAggsSql =
-    s"""SELECT SUM(user_id) AS su, COUNT(*) AS c,
+    s"""SELECT CAST(SUM(user_id) AS BIGINT) AS su, COUNT(*) AS c,
        |  CAST(SUM(${oSl2("value")}) AS DOUBLE) / 100.0
        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
        |FROM events""".stripMargin
@@ -75,7 +75,8 @@ object ClickBenchQueries extends QueryPack {
       .limit(10)
   }
   private val qRegionMixSql =
-    s"""SELECT user_id % 37 AS region, SUM(event_id) AS s, COUNT(*) AS c,
+    s"""SELECT user_id % 37 AS region, CAST(SUM(event_id) AS BIGINT) AS s,
+       |  COUNT(*) AS c,
        |  CAST(SUM(${oSl2("value")}) AS DOUBLE) / 100.0
        |    / CAST(COUNT(*) AS DOUBLE) AS av,
        |  COUNT(DISTINCT user_id) AS u
@@ -194,7 +195,8 @@ object ClickBenchQueries extends QueryPack {
   }
   private val qSumLadderSql = {
     val cols = (0 until 20).map(k =>
-      s"SUM(${oSl2("value")} + ${k * 100}) AS s$k").mkString(",\n  ")
+      s"CAST(SUM(${oSl2("value")} + ${k * 100}) AS BIGINT) AS s$k")
+      .mkString(",\n  ")
     s"SELECT\n  $cols\nFROM events"
   }
 
