@@ -19,6 +19,7 @@ object SparkEntry {
     operators.EventQueries,
     operators.ClickBenchQueries,
     operators.LakeQueries,
+    operators.MaintenanceQueries,
     operators.TypeSurfaceQueries,
     operators.PipelineQueries,
     operators.TrainingPipeline,
