@@ -690,6 +690,62 @@ object LakeQueries extends QueryPack {
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Geometry end to end: WKB points written THROUGH the lake (x-range-
+    * clustered so per-file bbox extents are disjoint), read back through
+    * an `st_bbox_intersects` filter — the catalog's geo stats must PRUNE
+    * the out-of-window files (asserted via the scan's input-file list)
+    * and the surviving rows hash-match DuckDB recomputing the window on
+    * the raw coordinates (reference
+    * src/storage/statistics/ducklake_geo_stats.cpp +
+    * test/sql/geo/ducklake_geometry_stats.test; DuckDB's spatial
+    * extension is unavailable offline, so the oracle filters the stored
+    * x/y doubles — same rows by construction). */
+  private def qGeoPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val src = t.orders.select(col("o_orderkey").as("id"),
+        (col("o_orderkey") % 100).cast("double").as("x"),
+        // integer division: Spark's `/` on longs is double division
+        expr("(o_orderkey DIV 100) % 100").cast("double").as("y"))
+      .withColumn("g", GeoFunctions.stPoint(col("x"), col("y")))
+    lake.createTable("geo", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType),
+      Lake.geometryField("g"))))
+    lake.append("geo", src.repartitionByRange(8, col("x")))
+    val total = lake.listFiles("geo").count()
+    val filtered = lake.table("geo", Some(GeoFunctions.stBboxIntersects(
+      col("g"), lit(10.0), lit(0.0), lit(19.5), lit(100.0))))
+    val prunedOk = filtered.inputFiles.length < total
+    detached(lake, filtered
+      .groupBy((col("id") % 5).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sid"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y").cast("long")).as("sy"),
+        lit(prunedOk).as("pruned_ok"))
+      .orderBy(col("grp")))
+  }
+
+  private val qGeoPruneSql =
+    """WITH g AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(o_orderkey % 100 AS DOUBLE) AS x,
+      |    CAST((o_orderkey // 100) % 100 AS DOUBLE) AS y
+      |  FROM orders)
+      |SELECT id % 5 AS grp, COUNT(*) AS n,
+      |  CAST(SUM(id) AS BIGINT) AS sid,
+      |  CAST(CAST(SUM(x) AS DOUBLE) AS BIGINT) AS sx,
+      |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS sy,
+      |  TRUE AS pruned_ok
+      |FROM g
+      |WHERE x >= 10.0 AND x <= 19.5 AND y >= 0.0 AND y <= 100.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** VARIANT column lifecycle (reference ducklake_types.cpp:61 variant +
     * ducklake_variant_stats.cpp shredded-path stats): events.props parsed
     * into a Spark 4 VariantType column, `$.k` shredded as BIGINT so every
@@ -1056,6 +1112,7 @@ object LakeQueries extends QueryPack {
     QueryDef("lake_add_files", qAddFiles, Some(qAddFilesSql)),
     QueryDef("lake_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
     QueryDef("lake_spj_join", qSpjJoin, Some(qSpjJoinSql)),
+    QueryDef("lake_geo_prune", qGeoPrune, Some(qGeoPruneSql)),
     QueryDef("lake_delete", qDelete, Some(qDeleteSql)),
     QueryDef("lake_delete_dv", qDeleteDv, Some(qDeleteDvSql)),
     QueryDef("lake_update", qUpdate, Some(qUpdateSql)),
