@@ -155,10 +155,17 @@ object Bench {
     // the bounded-top-k aggregation plan (same rows, same oracle) so the
     // two formulations time under identical protocol
     val qs0 = SparkEntry.queries
-    val qs =
+    val qs1 =
       if (sys.env.get("SPARK_GRAFT_WINDOW_AGG").contains("1"))
         qs0 + ("q_window_rank" -> qs0("q_window_topn_agg"))
       else qs0
+    // same A/B idea for the gap-stats formulations (the default is the
+    // secondary-sort streaming fold; =1 swaps back to the bucketed
+    // collect_list plan)
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_GAP_BUCKET").contains("1"))
+        qs1 + ("cb_gap_stats" -> qs1("cb_gap_bucket"))
+      else qs1
     // SPARK_GRAFT_ONLY="q18_large_orders,cb_gap_stats" — subset for
     // local profiling sweeps; unset = full headline set (driver mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

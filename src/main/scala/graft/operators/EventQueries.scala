@@ -143,6 +143,72 @@ object EventQueries extends QueryPack {
       // corpus scale is consumed by key, not scanned in order
   }
 
+  /** The same per-user gap stats as ONE exchange + a secondary-sort
+    * streaming fold: repartition on user_id, sort each partition by
+    * (user_id, ts), then a single mapPartitions pass holds O(1) state —
+    * (prev_ts, count, total, max) — emitting a row at each user boundary.
+    * No collect_list buffers AT ALL, so the hot-key bound is even tighter
+    * than the 8-day-bucket guard (a 10^6-event bot user costs the
+    * external sorter, which spills, not an aggregation buffer), and the
+    * second micro-scale exchange the bucket plan pays disappears.
+    * mapPartitions is the honest tool here: the fold is genuinely
+    * per-partition imperative streaming over a clustered order — the one
+    * shape the DataFrame API cannot express without either a window
+    * (buffers whole user groups) or per-group arrays. Gap semantics
+    * identical to the bucket plan: ties in ts yield 0-gaps regardless of
+    * order, so sorting by ts alone matches the oracle's (ts, event_id)
+    * window order. */
+  private def gapStatsStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    t.events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .repartition(n, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var pending: (Long, Long) = if (it.hasNext) it.next() else null
+          private var out: (Long, Long, Long, Long) = _
+          private var ready = false
+          private def advance(): Unit = {
+            while (pending != null && !ready) {
+              val user = pending._1
+              var prev = pending._2
+              var cnt = 1L
+              var tot = 0L
+              var mx = Long.MinValue
+              pending = null
+              var done = false
+              while (!done && it.hasNext) {
+                val r = it.next()
+                if (r._1 == user) {
+                  val g = (r._2 - prev) / 1000000L // sorted → diff ≥ 0
+                  tot += g
+                  if (g > mx) mx = g
+                  prev = r._2
+                  cnt += 1
+                } else {
+                  pending = r
+                  done = true
+                }
+              }
+              if (cnt >= 6) { // n_gaps = cnt-1 >= 5
+                out = (user, cnt - 1, tot, mx)
+                ready = true
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); ready }
+          override def next(): (Long, Long, Long, Long) = {
+            advance()
+            ready = false
+            out
+          }
+        }
+      }.toDF("user_id", "n_gaps", "total_gap_s", "max_gap_s")
+  }
+
   private val gapStatsSql =
     """WITH g AS (
       |  SELECT user_id,
@@ -480,7 +546,12 @@ object EventQueries extends QueryPack {
     QueryDef("cb_top_users", topUsers, Some(topUsersSql)),
     QueryDef("cb_minute_series", minuteSeries, Some(minuteSeriesSql)),
     QueryDef("cb_json_buckets", jsonBuckets, Some(jsonBucketsSql)),
-    QueryDef("cb_gap_stats", gapStats, Some(gapStatsSql)),
+    // default = the streaming fold (A/B r11: wins sf0.1 0.104/0.142 and
+    // sf10 0.723/0.861, ties sf1 — and its O(1) per-user state is a
+    // strictly tighter skew bound); the bucketed collect_list plan stays
+    // as the named alternative (both hot-key-proven in HotKeySpec)
+    QueryDef("cb_gap_stats", gapStatsStream, Some(gapStatsSql)),
+    QueryDef("cb_gap_bucket", gapStats, Some(gapStatsSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_band_join", qBandJoin, Some(qBandJoinSql)),
     QueryDef("cb_quantiles", qQuantiles, Some(qQuantilesSql)),

@@ -82,19 +82,19 @@ class HotKeySpec extends AnyFunSuite {
       .select(col("stage"), col("n_users"))
   }
 
-  test("cb_gap_stats matches the window oracle under a 10^6-event hot " +
-    "key") {
-    val got = SparkEntry.queries("cb_gap_stats")(spark, dir)
-      .orderBy("user_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val want = gapOracle(Tables(spark, dir).events)
-      .orderBy("user_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.length == want.length, s"${got.length} vs ${want.length}")
-    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
-    // the hot user is present and carries the full gap count
-    assert(got.exists(r => r._1 == 1L && r._2 == 999999L))
-  }
+  for (name <- Seq("cb_gap_stats", "cb_gap_bucket"))
+    test(s"$name matches the window oracle under a 10^6-event hot key") {
+      val got = SparkEntry.queries(name)(spark, dir)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = gapOracle(Tables(spark, dir).events)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.length == want.length, s"${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+      // the hot user is present and carries the full gap count
+      assert(got.exists(r => r._1 == 1L && r._2 == 999999L))
+    }
 
   test("cb_funnel matches the join oracle under the hot key") {
     val got = SparkEntry.queries("cb_funnel")(spark, dir)
