@@ -632,9 +632,14 @@ object Bench {
         k: String): Unit = {
       lake.createTable(n, df.schema)
       lake.setPartitionedBy(n, Seq((k, s"bucket($w)")))
+      // recorded sort spec (NULLS FIRST = Spark's ASC default, what a
+      // sort-merge join requires): sort-on-insert then writes each bucket
+      // file ordered, and the single-file-per-bucket layout lets the spj
+      // scan REPORT the ordering — co-bucketed SMJs plan with zero
+      // exchanges and zero sorts (SpjScanSpec)
+      lake.setSortedByFull(n, Seq((k, "asc", "nulls_first")))
       lake.append(n, df.repartition(w,
-          graft.functions.Murmur3Functions.bucket(w, col(k)))
-        .sortWithinPartitions(k))
+        graft.functions.Murmur3Functions.bucket(w, col(k))))
     }
     bucketed("orders", src.orders, "o_orderkey")
     bucketed("lineitem", src.lineitem, "l_orderkey")

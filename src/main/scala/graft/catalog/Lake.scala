@@ -44,7 +44,12 @@ final case class SpjScanInfo(
     schema: org.apache.spark.sql.types.StructType,
     bucketColumn: String,
     width: Int,
-    groups: Seq[(Int, Seq[(String, Long)])])
+    groups: Seq[(Int, Seq[(String, Long)])],
+    /** provable per-partition ordering (column, asc|desc,
+      * nulls_first|nulls_last): non-empty only when every scanned file
+      * was written under the live plain-column sort spec AND every
+      * bucket group is a single file (concatenation would break order) */
+    ordering: Seq[(String, String, String)] = Nil)
 
 class Lake(val spark: SparkSession, val meta: MetadataManager,
     val dataPath: String) {
@@ -1187,18 +1192,29 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     // buffered in this txn overlays the committed spec
     val sortSpec = effectiveSortSpec(t.tableId, snap.snapshotId)
     val sortOn = optionFor(name, "sort_on_insert").forall(_ == "true")
+    val spec = effectivePartitionSpec(t, snap.snapshotId)
+    // PARTITIONED sorted writes sort inside writeAndCollect, AFTER the
+    // hive partition columns exist, as (partition cols ++ sort keys):
+    // the dynamic-partition writer requires an ordering on the partition
+    // columns, and if the data arrives sorted by the keys alone it
+    // inserts its own UNSTABLE (radix) sort on them — silently undoing
+    // sort-on-insert inside every file. With the partition prefix the
+    // writer's requirement is already satisfied, so no extra sort runs
+    // and each written file is genuinely ordered by the spec (the
+    // invariant spjScanInfo's ordering proof relies on).
     val aligned =
-      if (sortSpec.nonEmpty && sortOn)
+      if (sortSpec.nonEmpty && sortOn && spec.isEmpty)
         // expr(): sort keys may be expressions, not just columns
         // (reference insert_sorted_expression tests)
         aligned0.sortWithinPartitions(
           sortSpec.map((sortKey _).tupled): _*)
       else aligned0
 
-    val spec = effectivePartitionSpec(t, snap.snapshotId)
     val files = writeAndCollect(name, aligned, cols,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
-      allCols = allCols)
+      allCols = allCols,
+      sortKeys = if (sortSpec.nonEmpty && sortOn && spec.isDefined)
+        sortSpec.map((sortKey _).tupled) else Nil)
     txn match {
       case Some(st) => // buffer; one snapshot at transaction commit
         st.appends += ((t.tableId, name, spec.map(_.partitionId), files))
@@ -1726,7 +1742,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       cols: Seq[ColumnInfo],
       partition: Option[Seq[(String, Column)]] = None,
       maxRowsPerFile: Option[Long] = None,
-      allCols: Seq[ColumnInfo] = Nil): Seq[PendingDataFile] = {
+      allCols: Seq[ColumnInfo] = Nil,
+      sortKeys: Seq[Column] = Nil): Seq[PendingDataFile] = {
     val stageMarker = s"stage-${UUID.randomUUID()}"
     val stagingRel = s"$table/$stageMarker"
     val stagingDir = io.abs(stagingRel)
@@ -1741,7 +1758,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         val withParts = parts.zipWithIndex.foldLeft(df0) {
           case (d, ((_, expr), i)) => d.withColumn(s"__p$i", expr)
         }
-        withParts.write.options(writeOpts(table))
+        // sort-on-insert under a partition spec: (partition cols ++ sort
+        // keys) — satisfies the dynamic-partition writer's required
+        // ordering exactly, so it inserts no sort of its own and the
+        // per-file key order survives (see the append-path comment)
+        val shaped =
+          if (sortKeys.isEmpty) withParts
+          else withParts.sortWithinPartitions(
+            parts.indices.map(i => col(s"__p$i")) ++ sortKeys: _*)
+        shaped.write.options(writeOpts(table))
           .partitionBy(parts.indices.map(i => s"__p$i"): _*)
       case None => df0.write.options(writeOpts(table))
     }
@@ -2251,7 +2276,22 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }.toSeq.sortBy(_._1).map { case (b, fs) =>
       (b, fs.map(sf => (absUri(sf.file.path), sf.file.fileSizeBytes)))
     }
-    SpjScanInfo(schema, bucketCol.name, width, groups)
+    // provable per-partition ordering: the live sort spec must be plain
+    // top-level columns, every scanned file written AFTER the spec went
+    // live (insert and compaction both sort under it), and every bucket
+    // group a single file — then the scan can REPORT the ordering and a
+    // downstream sort-merge join needs no SortExec at all
+    val ordering = meta.currentSortSpecWithBegin(t.tableId, snap.snapshotId)
+      .filter { case (begin, exprs) =>
+        exprs.nonEmpty &&
+          exprs.forall { case (e, _, _) =>
+            e.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              cols.exists(_.name.equalsIgnoreCase(e))
+          } &&
+          scanFiles.forall(_.file.beginSnapshot > begin) &&
+          groups.forall(_._2.size == 1)
+      }.map(_._2).getOrElse(Nil)
+    SpjScanInfo(schema, bucketCol.name, width, groups, ordering)
   }
 
   private[graft] def scan(name: String, snap: Snapshot, filter: Option[Column],

@@ -2467,6 +2467,26 @@ class MetadataManager(val jdbcUrl: String,
       snapshotId: Long): Seq[(String, String, String)] =
     withConn(c => sortSpecIn(c, tableId, snapshotId))
 
+  /** Live sort spec WITH the snapshot it became live at — lets a reader
+    * prove which files were written under it (every file whose
+    * begin_snapshot is later was sorted on insert/compaction). */
+  def currentSortSpecWithBegin(tableId: Long, snapshotId: Long)
+      : Option[(Long, Seq[(String, String, String)])] = withConn { c =>
+    val info = query(c,
+      """SELECT sort_info_id, begin_snapshot FROM ducklake_sort_info
+        |WHERE table_id = ? AND begin_snapshot <= ?
+        |  AND (end_snapshot IS NULL OR end_snapshot > ?)""".stripMargin,
+      Long.box(tableId), Long.box(snapshotId), Long.box(snapshotId))(rs =>
+      (rs.getLong(1), rs.getLong(2))).headOption
+    info.map { case (sid, begin) =>
+      (begin, query(c,
+        """SELECT expression, sort_order, null_order
+          |FROM ducklake_sort_expression WHERE sort_info_id = ?
+          |ORDER BY sort_key_index""".stripMargin, Long.box(sid))(rs =>
+        (rs.getString(1), rs.getString(2), rs.getString(3))))
+    }
+  }
+
   private def sortSpecIn(c: Connection, tableId: Long,
       snapshotId: Long): Seq[(String, String, String)] = {
     val sids = query(c,

@@ -95,13 +95,32 @@ final case class GraftBucketReaderFactory(
 
 final class GraftBucketedScan(spark: SparkSession, table: String,
     info: SpjScanInfo, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft spj $table bucket(${info.width}, ${info.bucketColumn}) " +
-      s"groups=${info.groups.size}"
+      s"groups=${info.groups.size}" +
+      (if (info.ordering.nonEmpty)
+        s" ordered=${info.ordering.map(_._1).mkString(",")}" else "")
+
+  /** per-partition ordering, reported only when [[Lake.spjScanInfo]]
+    * PROVED it (single sorted file per bucket, all files written under
+    * the live sort spec) — a co-bucketed sort-merge join then plans with
+    * neither exchanges NOR sorts */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    info.ordering.map { case (c, ord, nulls) =>
+      Expressions.sort(Expressions.column(c),
+        if (ord.equalsIgnoreCase("desc"))
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+        else org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        if (nulls.equalsIgnoreCase("nulls_first"))
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+        else org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST)
+    }.toArray
 
   override def planInputPartitions(): Array[InputPartition] =
     info.groups.map { case (b, files) =>

@@ -167,6 +167,48 @@ class SpjScanSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted single-file buckets report ordering: co-bucketed SMJ " +
+    "plans with zero exchanges AND zero sorts") {
+    withSpjLake { (lake, cat) =>
+      import org.apache.spark.sql.execution.SortExec
+      def mk(n: String, k: String): Unit = {
+        lake.createTable(n, StructType(Seq(
+          StructField(k, LongType), StructField(s"v_$n", StringType))))
+        lake.setPartitionedBy(n, Seq((k, "bucket(4)")))
+        lake.setSortedByFull(n, Seq((k, "asc", "nulls_first")))
+        // one task per bucket → one SORTED file per bucket
+        lake.append(n, (0L until 400L).map(i => (i % 50, s"r$i"))
+          .toDF(k, s"v_$n")
+          .repartition(4, graft.functions.Murmur3Functions
+            .bucket(4, col(k))))
+      }
+      mk("sa", "ka"); mk("sb", "kb")
+      val j = spark.table(s"$cat.sa").join(spark.table(s"$cat.sb"),
+        col("ka") === col("kb"))
+      val plan = finalPlan(j)
+      assert(allNodes(plan).collect { case s: ShuffleExchangeExec => s }
+        .isEmpty, s"expected zero exchanges:\n$plan")
+      assert(allNodes(plan).collect { case s: SortExec => s }.isEmpty,
+        s"expected zero sorts:\n$plan")
+      // values still exact vs the generic path
+      val exp = lake.table("sa").join(lake.table("sb"),
+        col("ka") === col("kb")).count()
+      assert(j.count() == exp && exp > 0)
+      // negative: a second append makes buckets multi-file → ordering no
+      // longer provable → sorts come back (exchanges still elided)
+      lake.append("sa", Seq((3L, "extra")).toDF("ka", "v_sa"))
+      val j2 = spark.table(s"$cat.sa").join(spark.table(s"$cat.sb"),
+        col("ka") === col("kb"))
+      val plan2 = finalPlan(j2)
+      assert(allNodes(plan2).collect { case s: SortExec => s }.nonEmpty,
+        s"multi-file buckets must re-sort:\n$plan2")
+      assert(allNodes(plan2).collect { case s: ShuffleExchangeExec => s }
+        .isEmpty)
+      assert(j2.count() == exp + lake.table("sb")
+        .filter(col("kb") === 3L).count())
+    }
+  }
+
   test("unpartitioned table refuses the spj read") {
     withSpjLake { (lake, cat) =>
       lake.createTable("plain", StructType(Seq(
