@@ -41,6 +41,10 @@ object LakeSession {
         "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // storage-partitioned joins: lets a KeyGroupedPartitioning-
+      // reporting scan (the spj catalog surface) join co-bucketed tables
+      // with zero exchange; inert for every other scan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
       .withExtensions(new GraftExtensions)
 

@@ -277,6 +277,162 @@ object ClickBenchQueries extends QueryPack {
       |FROM documents GROUP BY 1, 2
       |ORDER BY c DESC, source, phrase ASC NULLS FIRST LIMIT 10""".stripMargin
 
+  /** q21/q22 shape: LIKE + NOT LIKE ladder with MIN(string) + distinct
+    * stack over phrase groups. */
+  private def qLikeMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .filter(col("text").like("%the%") && !col("text").like("%zzq%"))
+      .select(phrase.as("phrase"), col("text"), col("lang"))
+      .filter(col("phrase") =!= "")
+      .groupBy(col("phrase"))
+      .agg(min(col("text")).as("mu"), count(lit(1)).as("c"),
+        countDistinct(col("lang")).as("u"))
+      .orderBy(col("c").desc, col("phrase"))
+      .limit(10)
+  }
+  private val qLikeMinmaxSql =
+    """SELECT SPLIT_PART(text, ' ', 1) AS phrase, MIN(text) AS mu,
+      |  COUNT(*) AS c, COUNT(DISTINCT lang) AS u
+      |FROM documents WHERE text LIKE '%the%' AND text NOT LIKE '%zzq%'
+      |  AND SPLIT_PART(text, ' ', 1) <> ''
+      |GROUP BY 1 ORDER BY c DESC, phrase LIMIT 10""".stripMargin
+
+  /** q23 shape: wide-row selection under a string filter, top-k by
+    * time. */
+  private def qSelectStarTopk(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.filter(col("props").like("%\"k\": 1%"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(10)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+  }
+  private val qSelectStarTopkSql =
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM events WHERE props LIKE '%"k": 1%'
+      |ORDER BY ts, event_id LIMIT 10""".stripMargin
+
+  /** q24/q25 shape: plain projection ORDER BY ... LIMIT over the phrase
+    * column. */
+  private def qPhraseOrder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(phrase.as("phrase"), col("n_chars"), col("doc_id"))
+      .filter(col("phrase") =!= "")
+      .orderBy(col("n_chars"), col("phrase"), col("doc_id"))
+      .limit(12)
+      .select(col("phrase"), col("n_chars"))
+  }
+  private val qPhraseOrderSql =
+    """SELECT SPLIT_PART(text, ' ', 1) AS phrase, n_chars
+      |FROM documents WHERE SPLIT_PART(text, ' ', 1) <> ''
+      |ORDER BY n_chars, phrase, doc_id LIMIT 12""".stripMargin
+
+  /** q26 shape: average string length per group (exact tree), HAVING,
+    * ordered by the average. */
+  private def qLenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy(col("source"))
+      .agg((sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("l"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 10)
+      .orderBy(col("l").desc, col("source"))
+      .limit(25)
+  }
+  private val qLenStatsSql =
+    """SELECT source,
+      |  CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS l,
+      |  COUNT(*) AS c
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 10
+      |ORDER BY l DESC, source LIMIT 25""".stripMargin
+
+  /** q37/q38 shape: IN-list + time-window filters, grouped series with
+    * LIMIT/OFFSET paging. */
+  private def qInFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .groupBy((col("user_id") % 50).as("bucket"),
+        unix_micros(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("views"))
+      .orderBy(col("views").desc, col("bucket"), col("d"))
+      .offset(10).limit(10)
+  }
+  private val qInFilterSql =
+    """SELECT user_id % 50 AS bucket, epoch_us(DATE_TRUNC('day', ts)) AS d,
+      |  COUNT(*) AS views
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY 1, 2 ORDER BY views DESC, bucket, d
+      |LIMIT 10 OFFSET 10""".stripMargin
+
+  /** q31 shape: a constant expression inside the grouping key. */
+  private def qConstGroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(phrase.as("phrase"))
+      .filter(col("phrase") =!= "")
+      .groupBy(lit(1).as("one"), col("phrase"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("phrase"))
+      .limit(10)
+  }
+  private val qConstGroupSql =
+    """SELECT 1 AS one, SPLIT_PART(text, ' ', 1) AS phrase, COUNT(*) AS c
+      |FROM documents WHERE SPLIT_PART(text, ' ', 1) <> ''
+      |GROUP BY 1, 2 ORDER BY c DESC, phrase LIMIT 10""".stripMargin
+
+  /** q29 shape: doubly-ordered envelope over an inner high-cardinality
+    * top-N with SUM + exact AVG beside the count. */
+  private def qNestedEnvelope(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    val cents = sl2(col("value"))
+    t.events.filter(col("event_type") =!= "")
+      .groupBy((col("user_id") % 500).as("a"), (col("user_id") % 7).as("b"))
+      .agg(count(lit(1)).as("c"), sum(cents).as("sv"),
+        (sum(cents).cast("double") / lit(100.0) /
+          count(lit(1)).cast("double")).as("av"))
+      .orderBy(col("c").desc, col("a"), col("b"))
+      .limit(10)
+      .orderBy(col("c").desc, col("a"))
+      .limit(9)
+  }
+  private val qNestedEnvelopeSql =
+    s"""SELECT * FROM (
+       |  SELECT user_id % 500 AS a, user_id % 7 AS b, COUNT(*) AS c,
+       |    CAST(SUM(${oSl2("value")}) AS BIGINT) AS sv,
+       |    CAST(SUM(${oSl2("value")}) AS DOUBLE) / 100.0
+       |      / CAST(COUNT(*) AS DOUBLE) AS av
+       |  FROM events WHERE event_type <> ''
+       |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 10)
+       |ORDER BY c DESC, a LIMIT 9""".stripMargin
+
+  /** mobile-flag-share shape: a conditional-count ratio per group,
+    * ordered by the (exact-tree) ratio. */
+  private def qTypeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy((col("user_id") % 20).as("bucket"))
+      .agg((sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("view_share"),
+        count(lit(1)).as("c"))
+      .orderBy(col("view_share").desc, col("bucket"))
+      .limit(15)
+  }
+  private val qTypeRatioSql =
+    """SELECT user_id % 20 AS bucket,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS view_share,
+      |  COUNT(*) AS c
+      |FROM events GROUP BY 1
+      |ORDER BY view_share DESC, bucket LIMIT 15""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("cb_scalar_aggs", qScalarAggs, Some(qScalarAggsSql)),
     QueryDef("cb_minmax_ts", qMinMaxTs, Some(qMinMaxTsSql)),
@@ -293,5 +449,15 @@ object ClickBenchQueries extends QueryPack {
     QueryDef("cb_minute_offset", qMinuteOffset, Some(qMinuteOffsetSql)),
     QueryDef("cb_point_lookup", qPointLookup, Some(qPointLookupSql)),
     QueryDef("cb_user_phrase", qUserPhrase, Some(qUserPhraseSql)),
+    QueryDef("cb_like_minmax", qLikeMinmax, Some(qLikeMinmaxSql)),
+    QueryDef("cb_select_star_topk", qSelectStarTopk,
+      Some(qSelectStarTopkSql)),
+    QueryDef("cb_phrase_order", qPhraseOrder, Some(qPhraseOrderSql)),
+    QueryDef("cb_len_stats", qLenStats, Some(qLenStatsSql)),
+    QueryDef("cb_in_filter", qInFilter, Some(qInFilterSql)),
+    QueryDef("cb_const_group", qConstGroup, Some(qConstGroupSql)),
+    QueryDef("cb_nested_envelope", qNestedEnvelope,
+      Some(qNestedEnvelopeSql)),
+    QueryDef("cb_type_ratio", qTypeRatio, Some(qTypeRatioSql)),
   )
 }

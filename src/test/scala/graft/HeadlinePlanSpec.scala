@@ -59,9 +59,15 @@ class HeadlinePlanSpec extends AnyFunSuite {
     assert(shuffles(p) == 1, p.toString.take(2000))
   }
 
-  test("cb_gap_stats (skew-guarded): exactly two exchanges — " +
-    "(user, bucket) partials then user summaries") {
+  test("cb_gap_stats (secondary-sort streaming fold): exactly ONE " +
+    "exchange — repartition(user), sort within, one streaming pass") {
     val p = planned("cb_gap_stats")
+    assert(shuffles(p) == 1, p.toString.take(2000))
+  }
+
+  test("cb_gap_bucket (skew-guarded alternative): exactly two exchanges " +
+    "— (user, bucket) partials then user summaries") {
+    val p = planned("cb_gap_bucket")
     assert(shuffles(p) == 2, p.toString.take(2000))
   }
 
