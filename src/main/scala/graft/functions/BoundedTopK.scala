@@ -42,6 +42,17 @@ case class BoundedTopKAgg(
 
   require(k > 0, s"bounded_topk needs k > 0, got $k")
 
+  // dataType is only legal on resolved children — validate post-analysis
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (sortKey.dataType.isInstanceOf[StructType] &&
+      payload.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        "bounded_topk expects STRUCT sort key and payload, got " +
+          s"(${sortKey.dataType}, ${payload.dataType})")
+
   private type Buf = scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]
 
   override def children: Seq[Expression] = Seq(sortKey, payload)
