@@ -782,5 +782,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("st_bbox_intersects", classOf[graft.functions.StBboxIntersects]),
       (args: Seq[Expression]) => graft.functions.StBboxIntersects(
         args.head +: args.tail.map(Cast(_, DoubleType)))))
+    // bounded_topk(k, sort_struct, payload_struct) → array<payload> of the
+    // k smallest sort keys — the SQL spelling of the size-capped
+    // top-n-per-group aggregate (negate a numeric field for DESC)
+    e.injectFunction((FunctionIdentifier("bounded_topk"),
+      info("bounded_topk", classOf[graft.functions.BoundedTopKAgg]),
+      (args: Seq[Expression]) => {
+        val k = args.head match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bounded_topk k must be an integer literal, got $other")
+        }
+        graft.functions.BoundedTopKAgg(args(1), args(2), k)
+          .toAggregateExpression()
+      }))
   }
 }

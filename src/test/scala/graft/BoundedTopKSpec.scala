@@ -44,6 +44,20 @@ class BoundedTopKSpec extends AnyFunSuite {
     check(3, Seq((1L, 1L, 5.0), (2L, 2L, 1.0), (2L, 3L, 2.0)))
   }
 
+  test("SQL spelling: bounded_topk(k, sort_struct, payload) via the " +
+    "extension registry") {
+    Seq((1L, 1L, 3.0), (1L, 2L, 9.0), (1L, 3L, 5.0), (2L, 4L, 1.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("btk_t")
+    val got = spark.sql(
+      """SELECT g, x.id AS id FROM (
+        |  SELECT g, bounded_topk(2, struct(-v, id), struct(id, v)) AS top
+        |  FROM btk_t GROUP BY g)
+        |LATERAL VIEW explode(top) AS x
+        |ORDER BY g, id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 4L)))
+  }
+
   test("null sort keys are skipped like a window's NULLS-handling never " +
     "ranks missing rows into the top") {
     val df = Seq[(Long, Long, Option[Double])](
