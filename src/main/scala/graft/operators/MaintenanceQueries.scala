@@ -278,6 +278,60 @@ object MaintenanceQueries extends QueryPack {
       |) AS s(snapshot_id, changes, author, msg)
       |ORDER BY snapshot_id""".stripMargin
 
+  /** table_info() metadata function (reference ducklake_table_info.test):
+    * a scripted two-table lake with one delete produces a deterministic
+    * (name, file_count, delete_file_count, record_count) readout, pinned
+    * against a constant oracle — file SIZES stay out of the compare
+    * (codec-dependent). */
+  private def qTableInfo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    lake.createTableAs("nat", t.nation.select(col("n_nationkey"),
+      col("n_name")).coalesce(1))
+    lake.createTable("reg", t.region.select(col("r_regionkey")).schema)
+    lake.append("reg", t.region.select(col("r_regionkey")).coalesce(1))
+    lake.append("reg", t.region.select(col("r_regionkey")).coalesce(1))
+    lake.delete("nat", col("n_nationkey") < 5)
+    detached(lake, lake.tableInfo()
+      .select(col("table_name"), col("file_count"),
+        col("delete_file_count"), col("record_count"))
+      .orderBy(col("table_name")))
+  }
+  private val qTableInfoSql =
+    """SELECT * FROM (
+      |  SELECT 'nat' AS table_name, CAST(1 AS BIGINT) AS file_count,
+      |    CAST(1 AS BIGINT) AS delete_file_count,
+      |    (SELECT COUNT(*) - 5 FROM nation) AS record_count
+      |  UNION ALL
+      |  SELECT 'reg', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+      |    (SELECT COUNT(*) * 2 FROM region))
+      |ORDER BY table_name""".stripMargin
+
+  /** settings()/options() introspection (reference ducklake_settings
+    * family): scoped sets read back with their scopes, pinned against a
+    * constant oracle. */
+  private def qSettings(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    lake.createTableAs("t", t.region.select(col("r_regionkey")))
+    lake.setOption("parquet_compression", "zstd")
+    lake.setOption("rewrite_delete_threshold", "0.5")
+    lake.setOption("data_inlining_row_limit", "64")
+    detached(lake, lake.settings()
+      .filter(col("setting").isin("parquet_compression",
+        "rewrite_delete_threshold", "data_inlining_row_limit",
+        "sort_on_insert"))
+      .orderBy(col("setting")))
+  }
+  private val qSettingsSql =
+    """SELECT * FROM (VALUES
+      |  ('data_inlining_row_limit', '64', '0'),
+      |  ('parquet_compression', 'zstd', 'snappy'),
+      |  ('rewrite_delete_threshold', '0.5', '0.95'),
+      |  ('sort_on_insert', 'true', 'true')
+      |) AS s(setting, value, default_value)
+      |ORDER BY setting""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_checkpoint", qCheckpoint, Some(qCheckpointSql)),
     QueryDef("lake_flush_inlined", qFlushInlined, Some(qFlushInlinedSql)),
@@ -286,5 +340,7 @@ object MaintenanceQueries extends QueryPack {
     QueryDef("lake_orphan_cleanup", qOrphanCleanup, Some(qOrphanCleanupSql)),
     QueryDef("lake_write_sizing", qWriteSizing, Some(qWriteSizingSql)),
     QueryDef("lake_snapshots_meta", qSnapshotsMeta, Some(qSnapshotsMetaSql)),
+    QueryDef("lake_table_info", qTableInfo, Some(qTableInfoSql)),
+    QueryDef("lake_settings", qSettings, Some(qSettingsSql)),
   )
 }
