@@ -160,53 +160,79 @@ object EventQueries extends QueryPack {
     * window order. */
   private def gapStatsStream(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    t.events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val base = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .repartition(n, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        new Iterator[(Long, Long, Long, Long)] {
-          private var pending: (Long, Long) = if (it.hasNext) it.next() else null
-          private var out: (Long, Long, Long, Long) = _
-          private var ready = false
-          private def advance(): Unit = {
-            while (pending != null && !ready) {
-              val user = pending._1
-              var prev = pending._2
-              var cnt = 1L
-              var tot = 0L
-              var mx = Long.MinValue
-              pending = null
-              var done = false
-              while (!done && it.hasNext) {
-                val r = it.next()
-                if (r._1 == user) {
-                  val g = (r._2 - prev) / 1000000L // sorted → diff ≥ 0
-                  tot += g
-                  if (g > mx) mx = g
-                  prev = r._2
-                  cnt += 1
-                } else {
-                  pending = r
-                  done = true
-                }
-              }
-              if (cnt >= 6) { // n_gaps = cnt-1 >= 5
-                out = (user, cnt - 1, tot, mx)
-                ready = true
-              }
-            }
-          }
-          override def hasNext: Boolean = { advance(); ready }
-          override def next(): (Long, Long, Long, Long) = {
-            advance()
-            ready = false
-            out
+    // fold directly over InternalRow (two getLong per input row, one
+    // GenericInternalRow per emitted user) — no encoder round trip in
+    // the hot loop (the Dataset[(Long, Long)] spelling deserializes a
+    // boxed tuple per event)
+    val out = base.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        private var hasPending = false
+        private var pendUser = 0L
+        private var pendTs = 0L
+        locally {
+          if (it.hasNext) {
+            val r = it.next(); pendUser = r.getLong(0); pendTs = r.getLong(1)
+            hasPending = true
           }
         }
-      }.toDF("user_id", "n_gaps", "total_gap_s", "max_gap_s")
+        private var out0: InternalRow = _
+        private var ready = false
+        private def advance(): Unit = {
+          while (hasPending && !ready) {
+            val user = pendUser
+            var prev = pendTs
+            var cnt = 1L
+            var tot = 0L
+            var mx = Long.MinValue
+            hasPending = false
+            var done = false
+            while (!done && it.hasNext) {
+              val r = it.next()
+              val u = r.getLong(0)
+              val ts = r.getLong(1)
+              if (u == user) {
+                val g = (ts - prev) / 1000000L // sorted → diff ≥ 0
+                tot += g
+                if (g > mx) mx = g
+                prev = ts
+                cnt += 1
+              } else {
+                pendUser = u; pendTs = ts; hasPending = true
+                done = true
+              }
+            }
+            if (cnt >= 6) { // n_gaps = cnt-1 >= 5
+              out0 = new GenericInternalRow(
+                Array[Any](user, cnt - 1, tot, mx))
+              ready = true
+            }
+          }
+        }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          ready = false
+          out0
+        }
+      }
+    }
+    org.apache.spark.sql.graftshim.ColumnBridge.ofInternalRows(spark, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_gaps",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total_gap_s",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_gap_s",
+          org.apache.spark.sql.types.LongType))))
   }
 
   private val gapStatsSql =

@@ -19,4 +19,16 @@ object ColumnBridge {
   def toCatalyst(c: Column): Expression =
     try ColumnNodeToExpressionConverter(c.node)
     catch { case _: Throwable => ExpressionUtils.expression(c) }
+
+  /** DataFrame over an RDD[InternalRow] without the external-row encode/
+    * decode round trip (`spark.internalCreateDataFrame` is private[sql]).
+    * For per-partition streaming folds where the row codec would be the
+    * hot-path cost. */
+  def ofInternalRows(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
