@@ -162,10 +162,15 @@ object Bench {
     // same A/B idea for the gap-stats formulations (the default is the
     // secondary-sort streaming fold; =1 swaps back to the bucketed
     // collect_list plan)
-    val qs =
+    val qs2 =
       if (sys.env.get("SPARK_GRAFT_GAP_BUCKET").contains("1"))
         qs1 + ("cb_gap_stats" -> qs1("cb_gap_bucket"))
       else qs1
+    // q21 formulations: SMJ anti (default) vs single-pass streaming fold
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_Q21_STREAM").contains("1"))
+        qs2 + ("q21_waiting" -> qs2("q21_stream"))
+      else qs2
     // SPARK_GRAFT_ONLY="q18_large_orders,cb_gap_stats" — subset for
     // local profiling sweeps; unset = full headline set (driver mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
