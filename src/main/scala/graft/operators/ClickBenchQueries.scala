@@ -183,18 +183,19 @@ object ClickBenchQueries extends QueryPack {
       |FROM u GROUP BY 1 HAVING COUNT(*) > 10
       |ORDER BY l DESC, k LIMIT 25""".stripMargin
 
-  /** q28 shape: wide SUM ladder — twenty SUM(x + k) columns in one scan
-    * pass (exact scaled-long cents). */
+  /** q28 shape at full width: NINETY SUM(x + k) columns in one scan pass
+    * (exact scaled-long cents) — the reference query's exact term count;
+    * exercises expression-splitting in codegen the same way. */
   private def qSumLadder(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cents = sl2(col("value"))
     t.events.agg(
       sum(cents + lit(0L * 100L)).as("s0"),
-      (1 until 20).map(k =>
+      (1 until 90).map(k =>
         sum(cents + lit(k * 100L)).as(s"s$k")): _*)
   }
   private val qSumLadderSql = {
-    val cols = (0 until 20).map(k =>
+    val cols = (0 until 90).map(k =>
       s"CAST(SUM(${oSl2("value")} + ${k * 100}) AS BIGINT) AS s$k")
       .mkString(",\n  ")
     s"SELECT\n  $cols\nFROM events"
