@@ -136,10 +136,12 @@ object Tables {
   private[graft] def spjTable(spark: SparkSession, dir: String,
       name: String): DataFrame = {
     val (lake, cat) = spjFor(spark, dir)
-    val bucketed = lake.partitionedBy(name) match {
-      case Seq((_, tr)) => tr.startsWith("bucket(")
-      case _ => false
-    }
-    if (bucketed) spark.table(s"$cat.$name") else lake.table(name)
+    // probe fitness EAGERLY: spjScanInfo throws lazily at scan-build time
+    // otherwise, so an unfit layout (pending deletes, inlined rows, old
+    // epochs — not just "unbucketed") would fail every query on the table
+    // instead of riding the always-correct generic path
+    val fit = try { lake.spjScanInfo(name, None); true }
+    catch { case _: IllegalStateException => false }
+    if (fit) spark.table(s"$cat.$name") else lake.table(name)
   }
 }

@@ -1214,7 +1214,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       spec.map(partitionPlan(_, cols)), targetRowsPerFile(t.tableId),
       allCols = allCols,
       sortKeys = if (sortSpec.nonEmpty && sortOn && spec.isDefined)
-        sortSpec.map((sortKey _).tupled) else Nil)
+        sortSpec.map((sortKey _).tupled) else Nil,
+      inputSorted = sortSpec.nonEmpty && sortOn && spec.isEmpty)
     txn match {
       case Some(st) => // buffer; one snapshot at transaction commit
         st.appends += ((t.tableId, name, spec.map(_.partitionId), files))
@@ -1743,16 +1744,19 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       partition: Option[Seq[(String, Column)]] = None,
       maxRowsPerFile: Option[Long] = None,
       allCols: Seq[ColumnInfo] = Nil,
-      sortKeys: Seq[Column] = Nil): Seq[PendingDataFile] = {
+      sortKeys: Seq[Column] = Nil,
+      inputSorted: Boolean = false): Seq[PendingDataFile] = {
     val stageMarker = s"stage-${UUID.randomUUID()}"
     val stagingRel = s"$table/$stageMarker"
     val stagingDir = io.abs(stagingRel)
     // per_thread_output=false → one output file per insert instead of one
     // per task (reference per_thread_output option)
-    val df0 =
-      if (optionFor(table, "per_thread_output").contains("false"))
-        df.coalesce(1)
-      else df
+    val coalesced = optionFor(table, "per_thread_output").contains("false")
+    val df0 = if (coalesced) df.coalesce(1) else df
+    // per-file physical order survives the write iff the data was sorted
+    // per task partition AND tasks map 1:1 to files — coalesce(1)
+    // concatenates sorted runs, which is NOT a sorted file
+    val writtenSorted = (inputSorted || sortKeys.nonEmpty) && !coalesced
     val writer0 = partition match {
       case Some(parts) =>
         val withParts = parts.zipWithIndex.foldLeft(df0) {
@@ -1905,7 +1909,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       io.move(srcPath.toString, relPath)
       PendingDataFile(relPath, rows, io.size(relPath),
         stats ++ nestedGeoStats ++ leafStats,
-        partitionValues = partVals.toSeq, variantStats = varStats)
+        partitionValues = partVals.toSeq, variantStats = varStats,
+        writtenSorted = writtenSorted)
     }.tapEach(_ => ()).toSeq match {
       case done0 =>
         // remove staging leftovers (_SUCCESS etc.)
@@ -2269,18 +2274,28 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     }
     val pv = meta.filePartitionValues(t.tableId)
     val groups = scanFiles.groupBy { sf =>
-      pv.getOrElse(sf.file.dataFileId, Nil)
+      val raw = pv.getOrElse(sf.file.dataFileId, Nil)
         .find(_._1 == bucketField.keyIndex)
         .getOrElse(unfit(s"no bucket value recorded for ${sf.file.path}"))
-        ._2.toInt
+        ._2
+      // a non-integer value means hive's null/default partition (null
+      // bucket keys) — a clean unfit, not a raw NumberFormatException
+      raw.toIntOption.getOrElse(unfit(
+        s"non-integer bucket value '$raw' for ${sf.file.path} " +
+          "(null bucket keys land in the hive default partition)"))
     }.toSeq.sortBy(_._1).map { case (b, fs) =>
       (b, fs.map(sf => (absUri(sf.file.path), sf.file.fileSizeBytes)))
     }
     // provable per-partition ordering: the live sort spec must be plain
     // top-level columns, every scanned file written AFTER the spec went
-    // live (insert and compaction both sort under it), and every bucket
-    // group a single file — then the scan can REPORT the ordering and a
-    // downstream sort-merge join needs no SortExec at all
+    // live, every file PHYSICALLY written in spec order (writtenSorted —
+    // recorded at commit; UPDATE/MERGE rewrites and sort_on_insert=false
+    // appends record false until a re-sorting compaction restores it),
+    // and every bucket group a single file — then the scan can REPORT
+    // the ordering and a downstream sort-merge join needs no SortExec.
+    // Gating on the persisted flag (not just begin-snapshot recency) is
+    // what makes the report sound: an unsorted rewrite passing here
+    // would elide SortExec and silently corrupt merge joins.
     val ordering = meta.currentSortSpecWithBegin(t.tableId, snap.snapshotId)
       .filter { case (begin, exprs) =>
         exprs.nonEmpty &&
@@ -2288,7 +2303,8 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
             e.matches("[A-Za-z_][A-Za-z0-9_]*") &&
               cols.exists(_.name.equalsIgnoreCase(e))
           } &&
-          scanFiles.forall(_.file.beginSnapshot > begin) &&
+          scanFiles.forall(sf => sf.file.beginSnapshot > begin &&
+            sf.file.writtenSorted) &&
           groups.forall(_._2.size == 1)
       }.map(_._2).getOrElse(Nil)
     SpjScanInfo(schema, bucketCol.name, width, groups, ordering)
@@ -3644,8 +3660,12 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         else one.sortWithinPartitions(
           sortSpec.map((sortKey _).tupled): _*)
       val merged = writeAndCollectPlain(name, shaped)
+      // the sortWithinPartitions above runs on the already-coalesced single
+      // partition, so the one merged file is genuinely in spec order —
+      // compaction is the path that RESTORES writtenSorted after updates
       val statsFiles = statsFor(merged, cols, allCols = allCols)
-        .copy(partitionValues = pv, hasRowIds = true)
+        .copy(partitionValues = pv, hasRowIds = true,
+          writtenSorted = sortSpec.nonEmpty)
       meta.commitCompaction(t.tableId, group.map(_.file.dataFileId),
         statsFiles, group.head.file.rowIdStart,
         removedRows = 0L, // physically-dropped rows were already counted

@@ -245,7 +245,8 @@ class MetadataManager(val jdbcUrl: String,
       |  file_size_bytes BIGINT, footer_size BIGINT, row_id_start BIGINT,
       |  partition_id BIGINT, encryption_key VARCHAR(256),
       |  partial_max BIGINT, mapping_id BIGINT,
-      |  row_group_count BIGINT, has_row_ids BOOLEAN DEFAULT false)""",
+      |  row_group_count BIGINT, has_row_ids BOOLEAN DEFAULT false,
+      |  written_sorted BOOLEAN DEFAULT false)""",
     """CREATE TABLE ducklake_file_column_stats (
       |  data_file_id BIGINT NOT NULL, table_id BIGINT, column_id BIGINT,
       |  column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
@@ -402,6 +403,11 @@ class MetadataManager(val jdbcUrl: String,
     if (!columnExists(c, "DUCKLAKE_DATA_FILE", "HAS_ROW_IDS"))
       Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
         "ALTER TABLE ducklake_data_file ADD COLUMN has_row_ids BOOLEAN DEFAULT false"))))
+    // written_sorted: per-file "physically in sort-spec order" flag; old
+    // catalogs conservatively read false (ordering never falsely reported)
+    if (!columnExists(c, "DUCKLAKE_DATA_FILE", "WRITTEN_SORTED"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        "ALTER TABLE ducklake_data_file ADD COLUMN written_sorted BOOLEAN DEFAULT false"))))
     if (!tableExists(c, "DUCKLAKE_FILE_VARIANT_STATS"))
       Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
         """CREATE TABLE ducklake_file_variant_stats (
@@ -1006,7 +1012,8 @@ class MetadataManager(val jdbcUrl: String,
         Long.box(order.toLong), f.path, Long.box(f.recordCount),
         Long.box(f.fileSizeBytes), Long.box(rowIdStart),
         partitionId.map(Long.box).orNull, f.mappingId.map(Long.box).orNull,
-        f.rowGroupCount.map(Long.box).orNull, Boolean.box(f.hasRowIds))
+        f.rowGroupCount.map(Long.box).orNull, Boolean.box(f.hasRowIds),
+        Boolean.box(f.writtenSorted))
       f.columnStats.foreach(st =>
         statRows += colStatsArgs(fid, tableId, f.recordCount, st))
       f.variantStats.foreach { st =>
@@ -1033,8 +1040,8 @@ class MetadataManager(val jdbcUrl: String,
         |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
         |file_format, record_count, file_size_bytes, footer_size,
         |row_id_start, partition_id, mapping_id, row_group_count,
-        |has_row_ids)
-        |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?, ?)""".stripMargin,
+        |has_row_ids, written_sorted)
+        |VALUES (?, ?, ?, NULL, ?, ?, true, 'parquet', ?, ?, NULL, ?, ?, ?, ?, ?, ?)""".stripMargin,
       fileRows.toSeq)
     execBatch(c, ColStatsSql, statRows.toSeq)
     execBatch(c,
@@ -1784,7 +1791,8 @@ class MetadataManager(val jdbcUrl: String,
     val dataFiles = query(c,
       s"""SELECT f.data_file_id, f.begin_snapshot, f.end_snapshot,
          |f.file_order, f.path, f.record_count, f.file_size_bytes,
-         |f.row_id_start, f.partition_id, f.mapping_id, f.has_row_ids
+         |f.row_id_start, f.partition_id, f.mapping_id, f.has_row_ids,
+         |f.written_sorted
          |FROM ducklake_data_file f
          |WHERE f.table_id = ? AND f.begin_snapshot <= ?
          |  AND (f.end_snapshot IS NULL OR f.end_snapshot > ?)
@@ -1797,7 +1805,8 @@ class MetadataManager(val jdbcUrl: String,
         rs.getLong("record_count"), rs.getLong("file_size_bytes"),
         rs.getLong("row_id_start"), optLong(rs, "partition_id"),
         mappingId = optLong(rs, "mapping_id"),
-        hasRowIds = rs.getBoolean("has_row_ids"))
+        hasRowIds = rs.getBoolean("has_row_ids"),
+        writtenSorted = rs.getBoolean("written_sorted"))
     }
     val deletes = query(c,
       """SELECT delete_file_id, begin_snapshot, end_snapshot, data_file_id,
@@ -2113,12 +2122,12 @@ class MetadataManager(val jdbcUrl: String,
         """INSERT INTO ducklake_data_file (data_file_id, table_id,
           |begin_snapshot, end_snapshot, file_order, path, path_is_relative,
           |file_format, record_count, file_size_bytes, footer_size,
-          |row_id_start, partition_id, has_row_ids)
-          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, ?, true)""".stripMargin,
+          |row_id_start, partition_id, has_row_ids, written_sorted)
+          |VALUES (?, ?, ?, NULL, 0, ?, true, 'parquet', ?, ?, NULL, ?, ?, true, ?)""".stripMargin,
         Long.box(fid), Long.box(tableId), Long.box(snap.snapshotId),
         merged.path, Long.box(merged.recordCount),
         Long.box(merged.fileSizeBytes), Long.box(mergedRowIdStart),
-        partitionId.map(Long.box).orNull)
+        partitionId.map(Long.box).orNull, Boolean.box(merged.writtenSorted))
       merged.partitionValues.foreach { case (keyIndex, v) =>
         exec(c,
           """INSERT INTO ducklake_file_partition_value (data_file_id,

@@ -53,7 +53,14 @@ final case class DataFileEntry(
     /** file physically embeds the materialized rowid/snapshot columns
       * (written by compaction/flush) — recorded at commit so scans never
       * sniff parquet footers to classify files */
-    hasRowIds: Boolean = false)
+    hasRowIds: Boolean = false,
+    /** file was physically written in the table's sort-spec order (sorted
+      * insert or re-sorting compaction). UPDATE/MERGE rewrites and
+      * sort_on_insert=false appends record false — spjScanInfo's
+      * per-partition ordering proof gates on this flag, so a scan never
+      * REPORTS an ordering a file does not actually have (a false report
+      * would let Spark elide SortExec and silently corrupt merge joins) */
+    writtenSorted: Boolean = false)
 
 /** Positional delete file covering one data file
   * (reference ducklake_delete_file,
@@ -103,7 +110,10 @@ final case class PendingDataFile(
     mappingId: Option[Long] = None,
     hasRowIds: Boolean = false,
     variantStats: Seq[VariantPathStats] = Nil,
-    rowGroupCount: Option[Long] = None)
+    rowGroupCount: Option[Long] = None,
+    /** physically ordered by the table's live sort spec at write time —
+      * see DataFileEntry.writtenSorted */
+    writtenSorted: Boolean = false)
 
 /** A column change buffered inside an open transaction, applied in
   * statement order by the single commit (reference

@@ -162,6 +162,11 @@ object EventQueries extends QueryPack {
     val t = Tables(spark, dir)
     val n = spark.sessionState.conf.numShufflePartitions
     val base = t.events
+      // the fold reads getLong without null checks — drop null keys/ts up
+      // front (matches the SQL oracle: a NULL user_id forms no group in
+      // the window's PARTITION BY arithmetic, and collect_list drops
+      // nulls in the bucket formulation)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .repartition(n, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"))

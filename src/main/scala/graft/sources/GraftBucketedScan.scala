@@ -61,8 +61,14 @@ final case class GraftBucketBound(keyType: DataType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
-  override def isResultNullable: Boolean = false
+  // null key → null bucket, exactly like the write path's nullSafeEval
+  // (null rows land in the hive default partition, never bucket(0)) and
+  // Iceberg's bucket transform — so a planner-inserted shuffle groups
+  // null keys into their own partition instead of silently hashing a
+  // 0-unboxed null into a real bucket (or NPEing on strings)
+  override def isResultNullable: Boolean = true
   override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
     val n = input.getInt(0)
     val v = input.get(1, keyType)
     Integer.valueOf(

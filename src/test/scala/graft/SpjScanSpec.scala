@@ -209,6 +209,83 @@ class SpjScanSpec extends AnyFunSuite {
     }
   }
 
+  test("files not physically written in spec order never report a false " +
+    "ordering: sort_on_insert=false single-file buckets keep SortExec " +
+    "and join values stay exact") {
+    withSpjLake { (lake, cat) =>
+      import org.apache.spark.sql.execution.SortExec
+      def mk(n: String, k: String, sortOnInsert: Boolean): Unit = {
+        lake.createTable(n, StructType(Seq(
+          StructField(k, LongType), StructField(s"v_$n", StringType))))
+        lake.setPartitionedBy(n, Seq((k, "bucket(4)")))
+        lake.setSortedByFull(n, Seq((k, "asc", "nulls_first")))
+        if (!sortOnInsert)
+          lake.setOption("sort_on_insert", "false", Some(n))
+        // DESCENDING input, one task per bucket → one file per bucket;
+        // with sort_on_insert=false the file is physically DESC while
+        // the live spec says ASC — the layout the unsound proof (begin
+        // snapshot + single file) used to pass
+        lake.append(n, (0L until 400L).reverse.map(i => (i % 50, s"r$i"))
+          .toDF(k, s"v_$n")
+          .repartition(4, graft.functions.Murmur3Functions
+            .bucket(4, col(k))))
+      }
+      mk("ua", "ka", sortOnInsert = false)
+      mk("ub", "kb", sortOnInsert = true)
+      val j = spark.table(s"$cat.ua").join(spark.table(s"$cat.ub"),
+        col("ka") === col("kb"))
+      val plan = finalPlan(j)
+      // exchanges still elided (bucketing is real) but the unsorted side
+      // must NOT report an ordering — SMJ re-sorts instead of silently
+      // merging out-of-order runs
+      assert(allNodes(plan).collect { case s: ShuffleExchangeExec => s }
+        .isEmpty, s"expected zero exchanges:\n$plan")
+      assert(allNodes(plan).collect { case s: SortExec => s }.nonEmpty,
+        s"unsorted files must keep SortExec:\n$plan")
+      val exp = lake.table("ua").join(lake.table("ub"),
+        col("ka") === col("kb")).count()
+      assert(j.count() == exp && exp > 0)
+    }
+  }
+
+  test("update-rewritten files drop the ordering proof until a " +
+    "re-sorting compaction restores it") {
+    withSpjLake { (lake, cat) =>
+      import org.apache.spark.sql.execution.SortExec
+      def mk(n: String, k: String): Unit = {
+        lake.createTable(n, StructType(Seq(
+          StructField(k, LongType), StructField(s"v_$n", StringType))))
+        lake.setPartitionedBy(n, Seq((k, "bucket(4)")))
+        lake.setSortedByFull(n, Seq((k, "asc", "nulls_first")))
+        lake.append(n, (0L until 400L).map(i => (i % 50, s"r$i"))
+          .toDF(k, s"v_$n")
+          .repartition(4, graft.functions.Murmur3Functions
+            .bucket(4, col(k))))
+      }
+      mk("ma", "ka"); mk("mb", "kb")
+      // UPDATE rewrites files WITHOUT the sort spec; rewrite_data_files
+      // then folds the pending deletes so the layout is spj-fit again —
+      // but its outputs are not in spec order either
+      lake.update("ma", Map("v_ma" -> lit("updated")), col("ka") === 3L)
+      lake.rewriteDataFiles("ma", deleteThreshold = 0.0)
+      val j = spark.table(s"$cat.ma").join(spark.table(s"$cat.mb"),
+        col("ka") === col("kb"))
+      val plan = finalPlan(j)
+      assert(allNodes(plan).collect { case s: SortExec => s }.nonEmpty,
+        s"post-update layout must keep SortExec:\n$plan")
+      val exp = lake.table("ma").join(lake.table("mb"),
+        col("ka") === col("kb")).count()
+      assert(j.count() == exp && exp > 0)
+      // merge_adjacent_files re-sorts under the live spec → once every
+      // bucket is back to one sorted file the proof may return; at
+      // minimum the values stay exact through the transition
+      lake.mergeAdjacentFiles("ma")
+      val j2 = spark.table(s"$cat.ma").join(spark.table(s"$cat.mb"),
+        col("ka") === col("kb"))
+      assert(j2.count() == exp)
+    }
+  }
+
   test("unpartitioned table refuses the spj read") {
     withSpjLake { (lake, cat) =>
       lake.createTable("plain", StructType(Seq(
