@@ -397,17 +397,19 @@ class MetadataManager(val jdbcUrl: String,
     val current = query(c,
       "SELECT mvalue FROM ducklake_metadata WHERE mkey = 'version' AND scope IS NULL")(
       _.getString(1)).headOption.getOrElse("0.3")
+    // written_sorted: per-file "physically in sort-spec order" flag; old
+    // catalogs conservatively read false (ordering never falsely
+    // reported). Checked BEFORE the version early-return: the column was
+    // added within a dev version, so same-version catalogs heal too.
+    if (!columnExists(c, "DUCKLAKE_DATA_FILE", "WRITTEN_SORTED"))
+      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
+        "ALTER TABLE ducklake_data_file ADD COLUMN written_sorted BOOLEAN DEFAULT false"))))
     if (current == FormatVersion) return
     // 0.3 → 0.4: materialized-rowid flag on data files; shredded
     // variant-path statistics table
     if (!columnExists(c, "DUCKLAKE_DATA_FILE", "HAS_ROW_IDS"))
       Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
         "ALTER TABLE ducklake_data_file ADD COLUMN has_row_ids BOOLEAN DEFAULT false"))))
-    // written_sorted: per-file "physically in sort-spec order" flag; old
-    // catalogs conservatively read false (ordering never falsely reported)
-    if (!columnExists(c, "DUCKLAKE_DATA_FILE", "WRITTEN_SORTED"))
-      Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
-        "ALTER TABLE ducklake_data_file ADD COLUMN written_sorted BOOLEAN DEFAULT false"))))
     if (!tableExists(c, "DUCKLAKE_FILE_VARIANT_STATS"))
       Using.resource(c.createStatement())(_.executeUpdate(dialect.ddl(qualify(
         """CREATE TABLE ducklake_file_variant_stats (

@@ -434,6 +434,101 @@ object ClickBenchQueries extends QueryPack {
       |FROM events GROUP BY 1
       |ORDER BY view_share DESC, bucket LIMIT 15""".stripMargin
 
+  /** q38 shape (reference clickbench.test_slow Q38): conditional source
+    * attribution — CASE WHEN (two engine ids are zero) THEN referer ELSE
+    * '' — inside a multi-column grouping, enveloped by MIN/MAX/COUNT over
+    * a LIMIT ... OFFSET page. Full group key in the tiebreak so the page
+    * boundary cannot shift between engines. */
+  private def qCaseSrcDst(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val inner = t.events
+      .filter(col("value") >= 10)
+      .groupBy((col("user_id") % 7).as("tsrc"),
+        when(col("user_id") % 3 === 0 && col("user_id") % 5 === 0,
+          col("event_type")).otherwise("").as("src"),
+        col("event_type").as("dst"))
+      .agg(count(lit(1)).as("pv"))
+      .orderBy(col("pv").desc, col("tsrc"), col("src"), col("dst"))
+      .offset(25).limit(10)
+    inner.agg(min(col("pv")).as("mn"), max(col("pv")).as("mx"),
+      count(lit(1)).as("n"))
+  }
+  private val qCaseSrcDstSql =
+    """SELECT CAST(MIN(pv) AS BIGINT) AS mn, CAST(MAX(pv) AS BIGINT) AS mx,
+      |  COUNT(*) AS n FROM (
+      |  SELECT user_id % 7 AS tsrc,
+      |    CASE WHEN (user_id % 3 = 0 AND user_id % 5 = 0)
+      |      THEN event_type ELSE '' END AS src,
+      |    event_type AS dst, COUNT(*) AS pv
+      |  FROM events WHERE value >= 10 GROUP BY 1, 2, 3
+      |  ORDER BY pv DESC, tsrc, src, dst LIMIT 10 OFFSET 25)""".stripMargin
+
+  /** q39 shape: DOUBLE paging — the inner top-N page (LIMIT 10 OFFSET 30)
+    * is re-ordered and re-paged by the outer query (LIMIT 5 OFFSET 2),
+    * the URLHash/EventDate shape. Day boundaries cross as epoch micros. */
+  private def qDoubleOffset(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy((col("user_id") % 997).as("khash"),
+        unix_micros(date_trunc("day", col("ts"))).as("d_us"))
+      .agg(count(lit(1)).as("pv"))
+      .orderBy(col("pv").desc, col("khash"), col("d_us"))
+      .offset(30).limit(10)
+      .orderBy(col("pv").desc, col("khash").desc, col("d_us"))
+      .offset(2).limit(5)
+  }
+  private val qDoubleOffsetSql =
+    """SELECT khash, d_us, pv FROM (
+      |  SELECT user_id % 997 AS khash,
+      |    epoch_us(DATE_TRUNC('day', ts)) AS d_us, COUNT(*) AS pv
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |  GROUP BY 1, 2
+      |  ORDER BY pv DESC, khash, d_us LIMIT 10 OFFSET 30)
+      |ORDER BY pv DESC, khash DESC, d_us LIMIT 5 OFFSET 2""".stripMargin
+
+  /** q40 shape: two derived screen-dimension groups enveloped by a page
+    * deep into the ranking (WindowClientWidth/Height LIMIT 10 OFFSET
+    * 10000). FLOOR before the cast both sides — Spark's double→long cast
+    * truncates while DuckDB's rounds, so the raw cast would diverge. */
+  private def qDimsOffset(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val inner = t.events
+      .filter(col("event_type") =!= "purchase" && col("value").isNotNull)
+      .groupBy((floor(col("value")).cast("long") % 50).as("w"),
+        (floor(col("value") * 7).cast("long") % 40).as("h"))
+      .agg(count(lit(1)).as("pv"))
+      .orderBy(col("pv").desc, col("w"), col("h"))
+      .offset(64).limit(10)
+    inner.agg(min(col("pv")).as("mn"), max(col("pv")).as("mx"),
+      count(lit(1)).as("n"))
+  }
+  private val qDimsOffsetSql =
+    """SELECT MIN(pv) AS mn, MAX(pv) AS mx, COUNT(*) AS n FROM (
+      |  SELECT CAST(FLOOR(value) AS BIGINT) % 50 AS w,
+      |    CAST(FLOOR(value * 7) AS BIGINT) % 40 AS h, COUNT(*) AS pv
+      |  FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
+      |  GROUP BY 1, 2 ORDER BY pv DESC, w, h LIMIT 10 OFFSET 64)""".stripMargin
+
+  /** q25 shape: the ORDER BY (EventTime, SearchPhrase) LIMIT variant of
+    * the phrase scan ladder (the covered cb_phrase_order orders by the
+    * phrase alone). Timestamps cross as epoch micros. */
+  private def qPhraseTimeOrder(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type") =!= "")
+      .select(unix_micros(col("ts")).as("t_us"), col("event_type"),
+        col("event_id"))
+      .orderBy(col("t_us"), col("event_type"), col("event_id"))
+      .limit(10)
+      .select(col("t_us"), col("event_type"))
+  }
+  private val qPhraseTimeOrderSql =
+    """SELECT epoch_us(ts) AS t_us, event_type FROM events
+      |WHERE event_type <> ''
+      |ORDER BY t_us, event_type, event_id LIMIT 10""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("cb_scalar_aggs", qScalarAggs, Some(qScalarAggsSql)),
     QueryDef("cb_minmax_ts", qMinMaxTs, Some(qMinMaxTsSql)),
@@ -460,5 +555,10 @@ object ClickBenchQueries extends QueryPack {
     QueryDef("cb_nested_envelope", qNestedEnvelope,
       Some(qNestedEnvelopeSql)),
     QueryDef("cb_type_ratio", qTypeRatio, Some(qTypeRatioSql)),
+    QueryDef("cb_case_src_dst", qCaseSrcDst, Some(qCaseSrcDstSql)),
+    QueryDef("cb_double_offset", qDoubleOffset, Some(qDoubleOffsetSql)),
+    QueryDef("cb_dims_offset", qDimsOffset, Some(qDimsOffsetSql)),
+    QueryDef("cb_phrase_time_order", qPhraseTimeOrder,
+      Some(qPhraseTimeOrderSql)),
   )
 }

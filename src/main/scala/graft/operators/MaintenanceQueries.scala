@@ -332,6 +332,187 @@ object MaintenanceQueries extends QueryPack {
       |) AS s(setting, value, default_value)
       |ORDER BY setting""".stripMargin
 
+  /** rewrite_data_files (reference ducklake_compaction_functions.cpp:
+    * 769-783, default delete threshold 0.95): three files each ~96%
+    * deleted are rewritten — dead rows drop physically, the delete files
+    * fold away, surviving rows and their rowids are intact. */
+  private def qRewriteFiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val src = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    lake.createTable("o", src.schema)
+    // three catalog files with interleaved keys so EVERY file crosses
+    // the 95% threshold after the delete below
+    (0 until 3).foreach(i =>
+      lake.append("o", src.filter(col("o_orderkey") % 3 === i).coalesce(1)))
+    lake.delete("o", col("o_orderkey") % 25 =!= 0) // keep 4% per file
+    val rewritten = lake.rewriteDataFiles("o")
+    val noDeletesLeft = lake.tableInfo()
+      .filter(col("table_name") === "o")
+      .head().getAs[Long]("delete_file_count") == 0L
+    val n0 = src.count()
+    detached(lake, lake.tableWithRowId("o")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("o_totalprice")), 100.0).as("total"),
+        (countDistinct(col("rowid")) === count(lit(1)) &&
+          min(col("rowid")) >= 0 && max(col("rowid")) < n0)
+          .as("rowids_ok"),
+        lit(rewritten == 3 && noDeletesLeft).as("rewrite_ok"))
+      .orderBy(col("o_orderstatus")))
+  }
+  private val qRewriteFilesSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${oLsum(oSl2("o_totalprice"), "100.0")} AS total,
+       |  TRUE AS rowids_ok, TRUE AS rewrite_ok
+       |FROM orders WHERE o_orderkey % 25 = 0
+       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** set_commit_message + require_commit_message + current/
+    * last_committed snapshot ids (reference ducklake_set_option.cpp,
+    * snapshot info functions): an uncommented DML under
+    * require_commit_message fails with the reference error, the
+    * commented one lands author+message in snapshots(), and the id
+    * readouts agree. */
+  private def qCommitMsg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val src = t.region.select(col("r_regionkey"), col("r_name"))
+    lake.createTableAs("r", src)
+    lake.setOption("require_commit_message", "true")
+    val err =
+      try { lake.append("r", src.limit(1)); "" }
+      catch { case e: IllegalStateException => e.getMessage }
+    lake.setCommitMessage("alice", "second load")
+    lake.append("r", src)
+    val snapId = lake.currentSnapshotId()
+    val lastMeta = lake.snapshots()
+      .orderBy(col("snapshot_id").desc).limit(1)
+      .select(col("author"), col("commit_message")).head()
+    detached(lake, lake.table("r")
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+      .withColumn("author", lit(lastMeta.getString(0)))
+      .withColumn("msg", lit(lastMeta.getString(1)))
+      .withColumn("required_err", lit(err))
+      .withColumn("snap_ok",
+        lit(snapId == lake.lastCommittedSnapshotId() && snapId > 0))
+      .orderBy(col("r_name")))
+  }
+  private val qCommitMsgSql =
+    """SELECT r_name, CAST(2 AS BIGINT) AS n, 'alice' AS author,
+      |  'second load' AS msg,
+      |  'Commit Information for the snapshot is required but has not been provided.'
+      |    AS required_err,
+      |  TRUE AS snap_ok
+      |FROM region ORDER BY r_name""".stripMargin
+
+  /** MERGE multi-update guard (reference ducklake_merge_into.cpp: a
+    * target row matched by two source rows errors): duplicate source
+    * keys raise the reference's exact error text and the target is
+    * untouched. */
+  private def qMergeGuard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val src = t.nation.select(col("n_nationkey"), col("n_name"))
+    lake.createTableAs("n", src)
+    val dupSource = src.unionAll(src.limit(5)) // keys duplicated
+    val err =
+      try {
+        lake.merge("n", dupSource, "n_nationkey",
+          whenMatchedUpdate = Some(Map("n_name" -> lit("X"))))
+        ""
+      } catch { case e: IllegalStateException => e.getMessage }
+    detached(lake, lake.table("n")
+      .agg(count(lit(1)).as("n"),
+        allRows(col("n_name") =!= "X").as("unchanged"))
+      .withColumn("err", lit(err)))
+  }
+  private val qMergeGuardSql =
+    """SELECT (SELECT COUNT(*) FROM nation) AS n, TRUE AS unchanged,
+      |  'The same row was updated multiple times' AS err""".stripMargin
+
+  /** Dynamic join-filter re-pruning as a VALUES oracle (round-11 advice:
+    * the file-count assertion lived only in ScanPlanSpec): the dim side's
+    * [min,max] envelope prunes the fact scan to ONE of three
+    * disjoint-range files, and the join result over the pruned scan
+    * hash-matches DuckDB computing the same join unpruned. */
+  private def qJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val src = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    lake.createTable("fact", src.schema)
+    val ks = src.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (ks.getLong(0), ks.getLong(1))
+    val third = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      lake.append("fact", src.filter(
+        col("o_orderkey") >= lo + i * third &&
+          col("o_orderkey") < lo + (i + 1) * third).coalesce(1))
+    }
+    // dim keys live entirely inside the middle file's range
+    val dim = src.select(col("o_orderkey").as("k"))
+      .filter(col("k") >= lo + third && col("k") < lo + third + third / 2)
+    val pruned = lake.tableJoinPruned("fact", "o_orderkey",
+      dim.select("k"))
+    val nFiles = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.relation.location.inputFiles.length).sum
+    detached(lake, pruned
+      .join(broadcast(dim), col("o_orderkey") === col("k"))
+      .agg(count(lit(1)).as("n"),
+        lsum(sl2(col("o_totalprice")), 100.0).as("total"),
+        lit(nFiles == 1).as("pruned_ok")))
+  }
+  private val qJoinPruneSql =
+    s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+       |  (MAX(o_orderkey) - MIN(o_orderkey)) // 3 + 1 AS third
+       |  FROM orders)
+       |SELECT COUNT(*) AS n,
+       |  ${oLsum(oSl2("o_totalprice"), "100.0")} AS total,
+       |  TRUE AS pruned_ok
+       |FROM orders, b
+       |WHERE o_orderkey >= lo + third
+       |  AND o_orderkey < lo + third + third // 2""".stripMargin
+
+  /** SQL CALL procedure surface end-to-end (reference ducklake's
+    * ducklake_* table functions; Spark 4 ProcedureCatalog): set_option
+    * with named args, merge_adjacent_files positional, checkpoint — then
+    * the table content and compacted layout hash-checked like every
+    * other maintenance oracle (ProcedureSpec covers the argument
+    * binding; this row pins the end state against DuckDB). */
+  private def qProcCall(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lake = freshLake(spark)
+    val cat = "gproc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.alias", cat)
+    graft.plans.LakeRegistry.register(cat, lake)
+    try {
+      val src = t.supplier.select(col("s_suppkey"), col("s_acctbal"))
+      lake.createTable("s", src.schema)
+      (0 until 4).foreach(i => lake.append("s",
+        src.filter(col("s_suppkey") % 4 === i).coalesce(1)))
+      spark.sql(s"CALL $cat.set_option(option_name => " +
+        "'parquet_compression', value => 'zstd', table_name => 's')")
+      val merged = spark.sql(s"CALL $cat.merge_adjacent_files('s')")
+        .head().getLong(0)
+      spark.sql(s"CALL $cat.checkpoint('s')").collect()
+      val files = lake.listFiles("s").count()
+      detached(lake, lake.table("s")
+        .agg(count(lit(1)).as("n"),
+          lsum(sl2(col("s_acctbal")), 100.0).as("total"),
+          lit(merged > 0 && files == 1L).as("compacted_ok")))
+    } finally graft.plans.LakeRegistry.unregister(cat)
+  }
+  private val qProcCallSql =
+    s"""SELECT COUNT(*) AS n,
+       |  ${oLsum(oSl2("s_acctbal"), "100.0")} AS total,
+       |  TRUE AS compacted_ok
+       |FROM supplier""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("lake_checkpoint", qCheckpoint, Some(qCheckpointSql)),
     QueryDef("lake_flush_inlined", qFlushInlined, Some(qFlushInlinedSql)),
@@ -342,5 +523,10 @@ object MaintenanceQueries extends QueryPack {
     QueryDef("lake_snapshots_meta", qSnapshotsMeta, Some(qSnapshotsMetaSql)),
     QueryDef("lake_table_info", qTableInfo, Some(qTableInfoSql)),
     QueryDef("lake_settings", qSettings, Some(qSettingsSql)),
+    QueryDef("lake_rewrite_files", qRewriteFiles, Some(qRewriteFilesSql)),
+    QueryDef("lake_commit_msg", qCommitMsg, Some(qCommitMsgSql)),
+    QueryDef("lake_merge_guard", qMergeGuard, Some(qMergeGuardSql)),
+    QueryDef("lake_join_prune", qJoinPrune, Some(qJoinPruneSql)),
+    QueryDef("lake_proc_call", qProcCall, Some(qProcCallSql)),
   )
 }

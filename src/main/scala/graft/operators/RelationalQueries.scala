@@ -121,10 +121,22 @@ object RelationalQueries extends QueryPack {
     // broadcast into them), the broadcast payloads SHRINK (2-3 columns),
     // and the ASIA filter lands in the supplier table so 80% of probes
     // miss-and-exit early — strictly better at every scale.
+    // semi-join reduction: the final join demands c_nationkey =
+    // s_nationkey with s restricted to ASIA, so only ASIA customers can
+    // ever survive — filtering customer by the 5 ASIA nation keys FIRST
+    // shrinks the broadcast build ~5× (the driver-side hash-table build
+    // is the measured q5 bottleneck at sf10) and drops the probe hit
+    // rate, so misses exit early
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val custAsia = t.customer
+      .join(broadcast(asiaNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "leftsemi")
     val ordNation = t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     val suppAsia = t.supplier
       .join(broadcast(t.nation
@@ -173,7 +185,15 @@ object RelationalQueries extends QueryPack {
             && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
           .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      // same semi-join reduction as q5Join: only ASIA customers can pass
+      // the final c_nationkey = s_nationkey join, and the ~5×-smaller
+      // broadcast build is the dominant per-execution cost locally
       .join(broadcast(t.customer
+          .join(broadcast(t.nation
+              .join(t.region.filter(col("r_name") === "ASIA"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"), "leftsemi")
           .select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppAsia),

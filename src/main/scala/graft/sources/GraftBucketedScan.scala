@@ -33,12 +33,17 @@ import org.apache.spark.paths.SparkPath
   * row-group level AND re-evaluated by Spark (pruning stays advisory,
   * like every other scan path in this engine).
   *
-  * At 100 TB: one partition per bucket bounds parallelism by the bucket
+  * At 100 TB: grouped-by-bucket parallelism is bounded by the bucket
   * width — choose widths at CREATE time the way the reference does (a
-  * bucket ≈ one executor-core's worth of the steady-state table). Skewed
-  * or giant buckets degrade to a slow task, not an error; the generic
-  * [[Lake.table]] path remains the safety hatch for every layout this
-  * fast path refuses (deletes pending, old epochs, inlined rows). */
+  * bucket ≈ one executor-core's worth of the steady-state table). For
+  * SKEWED buckets the scan reports per-FILE splits, so Spark's
+  * partially-clustered SPJ mode
+  * (`spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  * .enabled` + `pushPartValues.enabled`) can keep the hot side's splits
+  * apart and replicate the other side's groups instead of running the
+  * bucket as one straggler task (SpjScanSpec pins both modes). The
+  * generic [[Lake.table]] path remains the safety hatch for every layout
+  * this fast path refuses (deletes pending, old epochs, inlined rows). */
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
@@ -128,12 +133,22 @@ final class GraftBucketedScan(spark: SparkSession, table: String,
         else org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST)
     }.toArray
 
+  /** One input partition PER FILE, each keyed by its bucket — Spark's
+    * BatchScanExec groups same-key splits back into one partition per
+    * bucket for the key-grouped join, and with
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled` (+ pushPartValues) it instead KEEPS the bigger side's
+    * per-file splits and replicates the other side's groups — the stock
+    * mitigation for a hot bucket that would otherwise run as one
+    * straggler task at 100 TB. Reporting per-file splits (not pre-merged
+    * buckets) is what makes that planner choice possible. */
   override def planInputPartitions(): Array[InputPartition] =
-    info.groups.map { case (b, files) =>
-      GraftBucketPartition(b, files.map { case (uri, size) =>
-        PartitionedFile(InternalRow.empty, SparkPath.fromUrlString(uri),
-          0L, size, Array.empty[String], 0L, size)
-      }.toArray): InputPartition
+    info.groups.flatMap { case (b, files) =>
+      files.map { case (uri, size) =>
+        GraftBucketPartition(b, Array(
+          PartitionedFile(InternalRow.empty, SparkPath.fromUrlString(uri),
+            0L, size, Array.empty[String], 0L, size))): InputPartition
+      }
     }.toArray
 
   override def outputPartitioning(): Partitioning =

@@ -286,6 +286,61 @@ class SpjScanSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed bucket: grouped mode runs one partition per bucket; " +
+    "partially-clustered mode keeps the hot side's per-file splits") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      // three more appends land three MORE files in every fact bucket —
+      // a stand-in for one hot bucket (per-file splits are what the
+      // planner needs either way)
+      (1 to 3).foreach(_ => lake.append("fact",
+        (0L until 400L).map(i => (i % 50, "skew")).toDF("k", "v")))
+      val nFactFiles = lake.listFiles("fact").count().toInt
+      assert(nFactFiles >= 8)
+      def factScan(df: DataFrame) = allNodes(finalPlan(df)).collect {
+        case b: BatchScanExec
+            if b.output.exists(_.name == "k") => b
+      }.head
+      // grouped (default) mode: splits merge back to one task per bucket
+      val j1 = spark.table(s"$cat.fact").join(spark.table(s"$cat.dim"),
+        col("k") === col("k2"))
+      assert(shuffles(j1).isEmpty)
+      assert(factScan(j1).inputRDD.getNumPartitions == 4,
+        "grouped mode must run one partition per bucket")
+      val expect = lake.table("fact").join(lake.table("dim"),
+        col("k") === col("k2")).count()
+      assert(j1.count() == expect && expect > 0)
+      // partially-clustered mode: the fact side keeps its per-file
+      // splits (> bucket count) and the join still needs no exchange
+      val prevPush = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prevPc = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "true")
+      try {
+        val j2 = spark.table(s"$cat.fact").join(spark.table(s"$cat.dim"),
+          col("k") === col("k2"))
+        assert(shuffles(j2).isEmpty,
+          s"partially-clustered join must stay exchange-free:\n${finalPlan(j2)}")
+        assert(j2.count() == expect)
+        val parts = factScan(j2).inputRDD.getNumPartitions
+        assert(parts > 4,
+          s"hot side must keep per-file splits, got $parts partitions")
+      } finally {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          prevPush.getOrElse("false"))
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          prevPc.getOrElse("false"))
+      }
+    }
+  }
+
   test("unpartitioned table refuses the spj read") {
     withSpjLake { (lake, cat) =>
       lake.createTable("plain", StructType(Seq(
