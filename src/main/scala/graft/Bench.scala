@@ -167,10 +167,16 @@ object Bench {
         qs1 + ("cb_gap_stats" -> qs1("cb_gap_bucket"))
       else qs1
     // q21 formulations: SMJ anti (default) vs single-pass streaming fold
-    val qs =
+    val qs3 =
       if (sys.env.get("SPARK_GRAFT_Q21_STREAM").contains("1"))
         qs2 + ("q21_waiting" -> qs2("q21_stream"))
       else qs2
+    // q3 formulations: TakeOrderedAndProject (default) vs bounded top-k
+    // aggregate (map-side ≤10-row partials)
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_Q3_BOUNDED").contains("1"))
+        qs3 + ("q3_topk" -> qs3("q3_bounded"))
+      else qs3
     // SPARK_GRAFT_ONLY="q18_large_orders,cb_gap_stats" — subset for
     // local profiling sweeps; unset = full headline set (driver mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -95,6 +95,32 @@ object RelationalQueries extends QueryPack {
       .limit(10)
   }
 
+  /** q3 A/B formulation (round-12 ask): the global top-10 computed by
+    * [[graft.functions.BoundedTopK]] as a regular aggregate (k-row
+    * buffer, map-side partials — the exchange carries ≤10 rows per map
+    * partition) instead of TakeOrderedAndProject. Same oracle as
+    * q3_topk; swap into the bench slot with SPARK_GRAFT_Q3_BOUNDED=1.
+    * Outcome recorded in bench_runs/README (round 12). */
+  private[graft] def q3Bounded(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .join(t.orders.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .agg(graft.functions.BoundedTopK.boundedTopK(10,
+        struct(-col("revenue"), col("l_orderkey")),
+        struct(col("l_orderkey"), col("odate"), col("revenue"))).as("top"))
+      .select(explode(col("top")).as("r"))
+      .select(col("r.l_orderkey"), col("r.odate"), col("r.revenue"))
+  }
+
   private val q3Sql =
     s"""SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,
        |  ${oRevenue("l_extendedprice", "l_discount")} AS revenue
@@ -775,6 +801,7 @@ object RelationalQueries extends QueryPack {
     QueryDef("q15_revenue_view", qRevenueView, Some(qRevenueViewSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q3_topk", q3TopK, Some(q3Sql)),
+    QueryDef("q3_bounded", q3Bounded, Some(q3Sql)),
     QueryDef("q5_join", q5Join, Some(q5Sql)),
     QueryDef("q6_filter", q6Filter, Some(q6Sql)),
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiSql)),
