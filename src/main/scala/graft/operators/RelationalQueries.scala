@@ -589,11 +589,18 @@ object RelationalQueries extends QueryPack {
   /** TPC-H q13 shape: LEFT OUTER join + per-group count + count histogram. */
   private def qOuterHistogram(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.customer
-      .join(t.orders.filter(!col("o_orderpriority").like("4-%")),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+    // aggregate BELOW the outer join: counting orders per custkey first
+    // shrinks the join's right side from |orders| rows to |ordering
+    // customers| (map-side partials do most of it), so the outer join
+    // moves counts, not raw orders — at sf1 the counted side broadcasts
+    // outright, at any scale the shuffle carries 10× fewer, 2-col rows.
+    // COUNT over a no-match row is 0, exactly coalesce(cnt, 0).
+    val perCust = t.orders
+      .filter(!col("o_orderpriority").like("4-%"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    t.customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
