@@ -1777,6 +1777,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     maxRowsPerFile.fold(writer0)(n =>
       writer0.option("maxRecordsPerFile", n)).parquet(stagingDir)
 
+    // a zero-row write leaves a staging dir with no parquet parts (only
+    // _SUCCESS) — the stats read below would fail schema inference. An
+    // empty rewrite is a legal no-op: UPDATE/MERGE matching nothing
+    // (reference: zero rows updated, no files written). RECURSIVE check:
+    // partitioned writes put the parts under hive subdirectories (whose
+    // names may hold literal spaces — hasFileRecursive never URI-parses).
+    if (!io.hasFileRecursive(stagingRel, ".parquet")) {
+      io.deleteRecursively(stagingRel)
+      return Nil
+    }
+
     val geoCols = cols.filter(_.typeString == "geometry")
     // geometry leaves nested under struct/list/map columns join the same
     // single stats pass via per-row (merged) extent expressions

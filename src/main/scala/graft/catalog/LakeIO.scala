@@ -131,6 +131,18 @@ final class LakeIO(val root: String) extends Serializable {
     }
   }
 
+  /** does any FILE with the given suffix exist under `rel`, recursive —
+    * no path relativization (hive partition dirs may contain literal
+    * spaces that java.net.URI rejects; Hadoop's own iterator is fine) */
+  def hasFileRecursive(rel: String, suffix: String): Boolean = {
+    val d = p(rel)
+    if (!fs.exists(d)) return false
+    val it = fs.listFiles(d, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(suffix)) return true
+    false
+  }
+
   /** absolute paths of the direct children that are files */
   def listFiles(rel: String): Seq[String] = {
     val d = p(rel)
