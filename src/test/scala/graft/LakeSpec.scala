@@ -84,6 +84,30 @@ class LakeSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 5).select("d").as[Double].head() == 7.5)
   }
 
+  test("UPDATE matching zero rows is a clean no-op (regression: the " +
+    "empty rewrite crashed parquet schema inference on the staging dir)") {
+    val lake = freshLake()
+    lake.createTableAs("nm",
+      (1 to 50).map(i => (i, s"x$i")).toDF("id", "s"))
+    val files0 = lake.listFiles("nm").count()
+    val n = lake.update("nm", Map("s" -> lit("never")), col("id") > 999)
+    assert(n == 0L)
+    assert(lake.table("nm").filter(col("s") === "never").count() == 0)
+    assert(lake.listFiles("nm").count() == files0, "no-op wrote files")
+    // MERGE whose matched set is empty takes the same rewrite path
+    lake.merge("nm", Seq((1000, "y")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> lit("never"))),
+      whenNotMatchedInsert = false)
+    assert(lake.table("nm").count() == 50)
+    // the same guard on a PARTITIONED table (parts land in subdirs)
+    lake.createTable("nmp", (1 to 3).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v").schema)
+    lake.setPartitionedBy("nmp", Seq(("k", "bucket(2)")))
+    lake.append("nmp", (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(lake.update("nmp", Map("v" -> lit("z")), col("k") > 999) == 0L)
+    assert(lake.table("nmp").count() == 30)
+  }
+
   test("UPDATE and MERGE-update preserve row ids " +
       "(reference ducklake_row_id_update.test)") {
     val lake = freshLake()
