@@ -341,6 +341,58 @@ class SpjScanSpec extends AnyFunSuite {
     }
   }
 
+  test("v2.bucketing.shuffle: an unbucketed side shuffles TOWARD the " +
+    "stored layout via the catalog bucket function, null keys included") {
+    withSpjLake { (lake, cat) =>
+      // STRING bucket keys: pre-fix, GraftBucketBound NPE'd on a null
+      // key routed through the planner-inserted shuffle (numerics were
+      // silently unboxed to 0); the fix buckets null → null like the
+      // write path's hive null partition
+      lake.createTable("sf", StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType))))
+      lake.setPartitionedBy("sf", Seq(("k", "bucket(4)")))
+      lake.append("sf", (0L until 200L).map(i => (s"key${i % 20}", s"f$i"))
+        .toDF("k", "v"))
+      val prevShuffle = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        import spark.implicits._
+        val dim = Seq(("key3", 1L), ("key7", 2L), (null, 3L))
+          .toDF("k2", "tag")
+        // right_outer keeps the null-key dim row in the OUTPUT, so its
+        // shuffle routing is exercised end-to-end
+        val j = spark.table(s"$cat.sf")
+          .join(dim, col("k") === col("k2"), "right_outer")
+          .select(col("k2"), col("tag"), col("v"))
+        val got = j.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        // 10 fact rows per key × 2 matched keys + the unmatched null row
+        assert(got.count(_._1 == "key3") == 10)
+        assert(got.count(_._1 == "key7") == 10)
+        assert(got.count(r => r._1 == null && r._3 == null) == 1)
+        assert(got.length == 21)
+        // the FACT side stayed exchange-free (only the dim side may
+        // shuffle toward the layout)
+        val plan = finalPlan(j)
+        val factShuffled = allNodes(plan).exists {
+          case s: ShuffleExchangeExec =>
+            allNodes(s).exists {
+              case b: BatchScanExec => b.output.exists(_.name == "k")
+              case _ => false
+            }
+          case _ => false
+        }
+        assert(!factShuffled, s"fact side must not shuffle:\n$plan")
+      } finally {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled",
+          prevShuffle.getOrElse("false"))
+      }
+    }
+  }
+
   test("unpartitioned table refuses the spj read") {
     withSpjLake { (lake, cat) =>
       lake.createTable("plain", StructType(Seq(
