@@ -51,7 +51,8 @@ class SpjRandomizedSpec extends AnyFunSuite {
       case p => p
     }
 
-  private def runSeed(seed: Long, ops: Int): Unit = {
+  private def runSeed(seed: Long, ops: Int,
+      inlining: Boolean = false): Unit = {
     val dir = Files.createTempDirectory(s"graftspjrand$seed").toString
     val lake = Lake.attach(spark, s"$dir/catalog", s"$dir/data")
     val alias = s"spjr$seed"
@@ -75,6 +76,11 @@ class SpjRandomizedSpec extends AnyFunSuite {
         lake.setSortedByFull(n, Seq((k, "asc", "nulls_first")))
       }
       mk("f", "k"); mk("d", "k2")
+      // inlining mode: small appends land as catalog rows — a THIRD
+      // refusal class (inlined rows pending) the delete-driven seeds
+      // never hit; flush ops restore eligibility
+      if (inlining) lake.setOption("data_inlining_row_limit", "24",
+        Some("f"))
       lake.append("d", (0L until 40L).map(i => (i, i * 7)).toDF("k2", "v_d")
         .repartition(4, graft.functions.Murmur3Functions.bucket(4, col("k2"))))
 
@@ -170,6 +176,8 @@ class SpjRandomizedSpec extends AnyFunSuite {
           case 7 =>
             lake.rewriteDataFiles("f", deleteThreshold = 0.0)
             s"op$i:rewrite"
+          case 8 if inlining =>
+            lake.flushInlinedData("f"); s"op$i:flush"
           case _ =>
             lake.mergeAdjacentFiles("f"); s"op$i:compact"
         } catch {
@@ -201,5 +209,10 @@ class SpjRandomizedSpec extends AnyFunSuite {
 
   test("same lifecycle, second seed (42)") {
     runSeed(42L, 28)
+  }
+
+  test("lifecycle with data inlining: pending catalog rows refuse the " +
+    "fast path until flushed, values exact throughout (seed 7)") {
+    runSeed(7L, 28, inlining = true)
   }
 }
