@@ -84,7 +84,31 @@ object Bench {
     math.round(v * 100.0) / 100.0
   }
 
+  /** Total from the baseline script's one-line JSON, anchored to the
+    * OBJECT-LEADING key — tools/duckdb_baseline.py always emits
+    * `{"total": ..., "queries": ...}` — so a "total" nested anywhere
+    * deeper can never skew the reported ratio. */
+  private def baselineTotal(b: String): Option[Double] =
+    """^\s*\{\s*"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
+      .map(_.group(1).toDouble)
+
   def main(args: Array[String]): Unit = {
+    // Host-load gate: micro-scale ratios need an idle host (measured:
+    // load 1.7 adds ~30% to sf0.1 rows; a concurrent 32-core JVM turned
+    // 0.73× into 2.11× — bench_runs/README). Wait, bounded, for the
+    // 1-minute load to drop under the threshold before timing anything;
+    // the emitted "load" field then records both the gate outcome and
+    // the residual contention. SPARK_GRAFT_LOAD_GATE=0 disables,
+    // =<float> overrides the threshold; max wait via _LOAD_WAIT (sec).
+    val gateEnv = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0")
+    var loadWaited = 0
+    if (gateEnv != "0") {
+      val threshold = gateEnv.toDoubleOption.getOrElse(2.0)
+      val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "180").toInt
+      while (loadAvg() > threshold && loadWaited < maxWait) {
+        Thread.sleep(10000); loadWaited += 10
+      }
+    }
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -342,8 +366,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
       else measureBaseline(sfDir, names, reps)
     val baseJson = baseline.map { b =>
-      val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
-        .map(m => total / m.group(1).toDouble)
+      val ratio = baselineTotal(b).map(total / _)
       s""","baseline":$b""" +
         ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
     }.getOrElse("")
@@ -436,8 +459,7 @@ object Bench {
           if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
           else measureBaseline(dirX, names, repsX)
         val baseXJson = baseX.map { b =>
-          val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
-            .map(m => totX / m.group(1).toDouble)
+          val ratio = baselineTotal(b).map(totX / _)
           s""","baseline":$b""" +
             ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
         }.getOrElse("")
@@ -561,11 +583,34 @@ object Bench {
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", width)
         try {
+          // SPJ-only variants beyond the headline names:
+          //  q5_cust  — customer ALSO bucketed (bucket(w, c_custkey)); the
+          //             custkey join runs as SMJ with the fact side
+          //             shuffling TOWARD customer's stored layout
+          //             (v2.bucketing.shuffle) — no driver-side broadcast
+          //             build at all ("co-located all the way down")
+          //  q5_mixed — lineitem bucketed, orders read RAW (the common
+          //             100 TB shape: fact bucketed, delta/dim not); with
+          //             v2.bucketing.shuffle the raw side is the ONLY
+          //             exchange, A/B'd against the two-exchange plan by
+          //             toggling SPARK_GRAFT_SPJ_SHUFFLE
+          val qmap = qs +
+            ("q5_join" -> (graft.operators.RelationalQueries.q5SpjPlan _)) +
+            ("q5_cust" ->
+              (graft.operators.RelationalQueries.q5SpjCustPlan _)) +
+            ("q5_mixed" -> ((s: SparkSession, d: String) =>
+              graft.operators.RelationalQueries
+                .q5SpjMixedPlan(s, d, baseDir)))
           val spjNames = sys.env.getOrElse("SPARK_GRAFT_SPJ_ONLY",
             "q5_join,q21_waiting").split(",").map(_.trim)
-            .filter(names.contains).toSeq
-          val qmap = qs +
-            ("q5_join" -> (graft.operators.RelationalQueries.q5SpjPlan _))
+            .filter(qmap.contains).toSeq
+          // shuffle-toward-layout mode for the variants (default ON —
+          // the one-exchange plan is the point; =0 gives the
+          // two-exchange control for the A/B). Restored to the session
+          // default (false) in the finally below.
+          spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
+            if (sys.env.get("SPARK_GRAFT_SPJ_SHUFFLE").contains("0"))
+              "false" else "true")
           val (dfsS, execS) = prepareWith(spjDir, spjNames, qmap)
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) spjNames.foreach {
             n => println(s"=== $tag $n ==="); dfsS(n).explain("formatted")
@@ -621,6 +666,8 @@ object Bench {
         } finally {
           spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
             prevB.getOrElse("false"))
+          spark.conf.set(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
           spark.conf.set("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
         }
@@ -671,9 +718,15 @@ object Bench {
           .filter(qs.contains)
           .filter(n => sys.env.get("SPARK_GRAFT_TPCH22_ONLY")
             .forall(_.split(",").map(_.trim).contains(n)))
-        val dirT = prepareScaleUp(spark, sfDir, 10)
+        // SPARK_GRAFT_TPCH22_SCALE: fan-out factor over the base sf dir
+        // (10 ≈ sf1 from the driver's sf0.1 — the default graded shape;
+        // 100 ≈ sf10 — the amortization-evidence run, r12 verdict ask)
+        val scaleT =
+          sys.env.getOrElse("SPARK_GRAFT_TPCH22_SCALE", "10").toInt
+        val dirT = prepareScaleUp(spark, sfDir, scaleT)
         spark.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", "12"))
+          sys.env.getOrElse("SPARK_GRAFT_TPCH22_SHUFFLE",
+            if (scaleT >= 100) "32" else "12"))
         val repsT = sys.env.getOrElse("SPARK_GRAFT_TPCH22_REPS", "7").toInt
         // ONE query resident at a time: 22 co-prepared plans pin 22
         // broadcast sets in the unified pool, shrinking execution memory
@@ -699,12 +752,11 @@ object Bench {
           if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
           else measureBaseline(dirT, t22, repsT)
         val baseTJson = baseT.map { b =>
-          val ratio = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(b)
-            .map(m => totT / m.group(1).toDouble)
+          val ratio = baselineTotal(b).map(totT / _)
           s""","baseline":$b""" +
             ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
         }.getOrElse("")
-        s""","tpch22":{"total":${f"$totT%.3f"},"queries":$qTJson$baseTJson}"""
+        s""","tpch22":{"scale":$scaleT,"total":${f"$totT%.3f"},"queries":$qTJson$baseTJson}"""
       } catch {
         case e: Throwable =>
           s""","tpch22":{"error":${jsonEsc(e.toString.take(200))}}"""
@@ -713,18 +765,75 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
       }
 
+    // INGEST-REGISTRATION block (opt-in SPARK_GRAFT_ADDFILES=1): bulk
+    // `ducklake_add_data_files` throughput — the reference's last
+    // benchmark family (benchmark/ingest/add_files_lineitem.benchmark /
+    // add_files_small_files.benchmark: pre-generated parquet,
+    // metadata-only registration timed). N small files are pre-generated
+    // from lineitem (untimed, cached); each rep registers the whole set
+    // into a FRESH lake table; files/sec of the best rep is the metric.
+    // The work timed per file = footer/stats read + catalog rows — the
+    // same shape the reference times. No same-run DuckDB baseline: the
+    // sandbox's DuckDB cannot install the ducklake extension (zero
+    // egress), so the absolute rate is the committed evidence.
+    val addFilesJson =
+      if (!sys.env.get("SPARK_GRAFT_ADDFILES").contains("1")) ""
+      else try {
+        import java.nio.file.{Files, Paths}
+        val nFiles = sys.env.getOrElse("SPARK_GRAFT_ADDFILES_N", "1000").toInt
+        val key = Paths.get(sfDir).toAbsolutePath.toString
+          .replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+        val filesRoot = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft-bench-addfiles$nFiles-$key")
+        val srcDir = filesRoot.resolve("files").toString
+        val marker = filesRoot.resolve("_READY")
+        if (!Files.exists(marker)) {
+          spark.read
+            .parquet(Paths.get(sfDir).resolve("lineitem.parquet").toString)
+            .repartition(nFiles)
+            .write.mode("overwrite").parquet(srcDir)
+          Files.write(marker, Array.emptyByteArray)
+        }
+        val schemaA = spark.read.parquet(srcDir).schema
+        val repsA = sys.env.getOrElse("SPARK_GRAFT_ADDFILES_REPS", "3").toInt
+        val timesA = (1 to repsA).map { i =>
+          val root = Files.createTempDirectory(s"graft-addfiles-rep$i")
+          val lake = graft.catalog.Lake.attach(spark,
+            root.resolve("cat").toString, root.resolve("data").toString)
+          lake.createTable("t", schemaA)
+          val t0 = System.nanoTime()
+          lake.addDataFiles("t", Seq(s"$srcDir/*.parquet"))
+          val dt = (System.nanoTime() - t0) / 1e9
+          val rows = lake.table("t").count() // registration really landed
+          lake.detach()
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+          require(rows > 0, "add_data_files registered no rows")
+          dt
+        }
+        val bestA = timesA.min
+        s""","add_files":{"files":$nFiles,"best_sec":${f"$bestA%.3f"},""" +
+          s""""files_per_sec":${f"${nFiles / bestA}%.1f"},"reps":$repsA}"""
+      } catch {
+        case e: Throwable =>
+          s""","add_files":{"error":${jsonEsc(e.toString.take(200))}}"""
+      }
+
     val loadJson =
-      s""","load":{"start":$loadStart,"end":${loadAvg()}}"""
+      s""","load":{"start":$loadStart,"end":${loadAvg()},"gate_waited_sec":$loadWaited}"""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json$spjJson$spjSf1Json$spjSf3Json$spjSf10Json$tpch22Json$loadJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"cold_queries":$coldJson,"cold_total":${f"$coldTotal%.3f"},"sf":"$sfDir","ingest":$ingest$baseJson$sf1Json$sf3Json$sf10Json$lakeJson$lakeSf1Json$spjJson$spjSf1Json$spjSf3Json$spjSf10Json$tpch22Json$addFilesJson$loadJson}""")
     spark.stop()
   }
 
   /** Bucket-co-located lake layout for the SPJ A/B (cached in tmpdir):
-    * orders and lineitem bucket(W) on their orderkeys — W defaults to the
-    * core count so one bucket ≈ one task — everything else plain CTAS.
-    * Appends pre-shuffle by the bucket value so the partitioned write
-    * emits ~one file per bucket, sorted by orderkey within each. */
+    * orders and lineitem bucket(W) on their orderkeys, customer bucket(W)
+    * on c_custkey — W defaults to the core count so one bucket ≈ one
+    * task — everything else plain CTAS. Appends pre-shuffle by the bucket
+    * value so the partitioned write emits ~one file per bucket, sorted by
+    * the key within each. Customer's layout serves the q5_cust variant
+    * (fact side shuffles TOWARD it — no driver-side broadcast build);
+    * q5_join/q21 ignore it (broadcast hints override partitioning). */
   private def prepareSpjLake(spark: SparkSession, dataDir: String): String = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.col
@@ -732,7 +841,7 @@ object Bench {
     val key = Paths.get(dataDir).toAbsolutePath.toString
       .replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
     val root = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-bench-spj$w-$key")
+      s"graft-bench-spjc$w-$key") // spjc: v2 layout (customer bucketed)
     val spjDir = s"spj:${root.resolve("cat")}|${root.resolve("data")}"
     val marker = root.resolve("_READY")
     if (Files.exists(marker)) return spjDir
@@ -758,6 +867,7 @@ object Bench {
     }
     bucketed("orders", src.orders, "o_orderkey")
     bucketed("lineitem", src.lineitem, "l_orderkey")
+    bucketed("customer", src.customer, "c_custkey")
     // default SPJ queries (q5/q21) touch only the TPC-H tables; the
     // non-relational tables are copied on request (SPARK_GRAFT_SPJ_FULL=1)
     // so the factor-100 layout build doesn't pay for events/documents/
@@ -768,8 +878,7 @@ object Bench {
           "embeddings" -> src.embeddings)
       else Nil
     for ((n, df) <- Seq("region" -> src.region, "nation" -> src.nation,
-        "customer" -> src.customer, "supplier" -> src.supplier,
-        "part" -> src.part) ++ extra)
+        "supplier" -> src.supplier, "part" -> src.part) ++ extra)
       lake.createTableAs(n, df)
     Files.write(marker, Array.emptyByteArray)
     spjDir

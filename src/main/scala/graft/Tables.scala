@@ -139,7 +139,11 @@ object Tables {
     // probe fitness EAGERLY: spjScanInfo throws lazily at scan-build time
     // otherwise, so an unfit layout (pending deletes, inlined rows, old
     // epochs — not just "unbucketed") would fail every query on the table
-    // instead of riding the always-correct generic path
+    // instead of riding the always-correct generic path. A layout change
+    // committed AFTER this point no longer invalidates the DataFrame:
+    // the DSv2 read pins the snapshot at table resolution
+    // (GraftReadableTable), so execution reads the construction-time
+    // layout — MVCC reader semantics, not a scan-build crash
     val fit = try { lake.spjScanInfo(name, None); true }
     catch { case _: IllegalStateException => false }
     if (fit) spark.table(s"$cat.$name") else lake.table(name)

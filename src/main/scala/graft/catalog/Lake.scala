@@ -1841,7 +1841,15 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
         statAggs ++ nestedGeoAggs ++ varAggs ++ leafAggs: _*)
       .collect()
 
-    statRows.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
+    // belt to the hasFileRecursive braces above: a zero-record part can't
+    // appear in this groupBy today (no rows → no group; Spark 4.1.2 also
+    // writes no empty parts), but a writer change that restores
+    // schema-only parts must not turn a no-match UPDATE/MERGE into a
+    // committed 0-row data file — drop them here so the no-op contract
+    // survives writer behavior, and let the staging cleanup below remove
+    // the bytes
+    statRows.toSeq.filter(_.getAs[Long]("__rows") > 0L)
+      .sortBy(_.getAs[String]("__file")).map { row =>
       // Path(String), NOT new URI(...): input_file_name() is only
       // partially URI-escaped — hive partition dirs may contain literal
       // spaces (timestamp values), which URI rejects while Hadoop's own
@@ -2221,14 +2229,25 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     * handles all of it. Maintenance restores eligibility:
     * `rewrite_data_files` folds deletes in, and newly written files are
     * always current-epoch + bucket-placed. */
+  /** `atSnapshot`: evaluate fitness and the file list AS OF that
+    * snapshot instead of the current one — the DSv2 read path pins the
+    * snapshot at table resolution (DataFrame construction), so a layout
+    * change committed before execution is snapshot-isolated away rather
+    * than surfacing as a scan-build IllegalStateException (MVCC reader
+    * semantics; expire/cleanup of the pinned snapshot remains the usual
+    * time-travel caveat). */
   private[graft] def spjScanInfo(name: String,
-      filter: Option[Column]): SpjScanInfo = {
+      filter: Option[Column],
+      atSnapshot: Option[Long] = None): SpjScanInfo = {
     def unfit(reason: String): Nothing =
       throw new IllegalStateException(
         s"storage-partitioned scan of $name unavailable: $reason " +
           "(read via lake.table / the graft SQL surface instead)")
     if (txn.isDefined) unfit("open transaction")
-    val snap = meta.currentSnapshot()
+    val snap = atSnapshot
+      .map(id => meta.snapshotByVersion(id)
+        .getOrElse(unfit(s"pinned snapshot $id no longer exists")))
+      .getOrElse(meta.currentSnapshot())
     val t = resolve(name, Some(snap.snapshotId))
     val allCols = columnsAt(t.tableId, snap.snapshotId)
     val cols = allCols.filter(_.parentColumn.isEmpty)

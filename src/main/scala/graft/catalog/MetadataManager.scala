@@ -237,6 +237,16 @@ class MetadataManager(val jdbcUrl: String,
     """CREATE TABLE ducklake_column_tag (
       |  table_id BIGINT, column_id BIGINT, begin_snapshot BIGINT,
       |  end_snapshot BIGINT, tag_key VARCHAR(256), tag_value VARCHAR(4096))""",
+    // GRAFT EXTENSION COLUMNS (not in the reference DuckLake layout,
+    // which ends at mapping_id — reference ducklake_metadata_manager's
+    // data-file DDL): row_group_count (v1.1 footer pass), has_row_ids
+    // (materialized-rowid flag) and written_sorted ("file is physically
+    // in sort-spec order", gates the SPJ ordering report). All three are
+    // nullable-or-defaulted ADDITIVE columns healed by idempotent ALTERs
+    // on attach (migrate below), so a reference-written catalog attaches
+    // cleanly here and a graft-written catalog keeps working in an
+    // engine that ignores the extra columns — which is why they ride
+    // within the same FormatVersion instead of bumping it.
     """CREATE TABLE ducklake_data_file (
       |  data_file_id BIGINT NOT NULL PRIMARY KEY, table_id BIGINT,
       |  begin_snapshot BIGINT, end_snapshot BIGINT, file_order BIGINT,

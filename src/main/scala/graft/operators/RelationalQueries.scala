@@ -231,6 +231,88 @@ object RelationalQueries extends QueryPack {
       .sortWithinPartitions(col("revenue").desc, col("n_name"))
   }
 
+  /** q5 "co-located all the way down": customer is ALSO bucketed
+    * (bucket(w, c_custkey) in the spj layout), so the custkey join runs
+    * as a sort-merge with the FACT side shuffling toward customer's
+    * stored layout (`spark.sql.sources.v2.bucketing.shuffle.enabled`) —
+    * customer ships ZERO rows and, unlike q5SpjPlan, there is no
+    * driver-side broadcast hash-table build of it at all (the measured
+    * q5 bottleneck at sf10 pre-semi-reduction). Customer stays a BARE
+    * projected scan: Spark's SPJ compatibility walk only crosses
+    * Filter/Project, so the semi-join reduction would forfeit the
+    * layout — the ASIA restriction lands in the suppAsia broadcast
+    * instead (same final values). Not an oracle (same values as
+    * q5_join); timed by Bench's SPJ block as `q5_cust`. */
+  private[graft] def q5SpjCustPlan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val t = Tables(spark, dir)
+    val suppAsia = t.supplier
+      .join(broadcast(t.nation
+        .join(t.region.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t.lineitem
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey"))
+          .hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppAsia),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .coalesce(1)
+      .sortWithinPartitions(col("revenue").desc, col("n_name"))
+  }
+
+  /** q5 over the MIXED layout — lineitem bucketed, orders read RAW from
+    * `rawDir` (the common 100 TB join: fact table bucketed at rest, the
+    * daily delta / unbucketed side not). With
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled` the raw orders
+    * side is the ONLY exchange (it shuffles toward lineitem's
+    * bucket(w, l_orderkey) layout via the catalog bucket function);
+    * lineitem ships zero rows and sorts nothing. With it off, the same
+    * plan needs TWO exchanges (both sides re-shuffle) — Bench A/Bs the
+    * two by toggling SPARK_GRAFT_SPJ_SHUFFLE. Values identical to
+    * q5_join; plan shape pinned by SpjScanSpec's one-exchange case. */
+  private[graft] def q5SpjMixedPlan(spark: SparkSession, spjDir: String,
+      rawDir: String): DataFrame = {
+    val t = Tables(spark, rawDir)
+    val suppAsia = t.supplier
+      .join(broadcast(t.nation
+        .join(t.region.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables(spark, spjDir).lineitem
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+          .hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer
+          .join(broadcast(t.nation
+              .join(t.region.filter(col("r_name") === "ASIA"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"), "leftsemi")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppAsia),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .coalesce(1)
+      .sortWithinPartitions(col("revenue").desc, col("n_name"))
+  }
+
   private val q5Sql =
     s"""SELECT n_name,
        |  ${oRevenue("l_extendedprice", "l_discount")} AS revenue

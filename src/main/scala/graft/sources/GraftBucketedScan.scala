@@ -196,7 +196,8 @@ final class GraftBucketedScan(spark: SparkSession, table: String,
   }
 }
 
-final class GraftScanBuilder(spark: SparkSession, lake: Lake, table: String)
+final class GraftScanBuilder(spark: SparkSession, lake: Lake,
+    table: String, atSnapshot: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -217,7 +218,7 @@ final class GraftScanBuilder(spark: SparkSession, lake: Lake, table: String)
 
   override def build(): Scan = {
     val cond = pushed.flatMap(GraftSource.toColumn).reduceOption(_ && _)
-    new GraftBucketedScan(spark, table, lake.spjScanInfo(table, cond),
-      required, pushed)
+    new GraftBucketedScan(spark, table,
+      lake.spjScanInfo(table, cond, atSnapshot), required, pushed)
   }
 }

@@ -270,10 +270,20 @@ class GraftTable(lake: Lake, tbl: String, tableSchema: StructType)
 /** [[GraftTable]] + the storage-partitioned V2 batch read
   * ([[GraftBucketedScan]]): scans report KeyGroupedPartitioning over the
   * table's bucket transform, so co-bucketed joins plan with zero
-  * exchange. Enabled per catalog name via the `spj = true` option. */
+  * exchange. Enabled per catalog name via the `spj = true` option.
+  *
+  * The snapshot is PINNED at table resolution (= DataFrame
+  * construction): scan-build evaluates layout fitness and the file list
+  * as of this snapshot, so DML committed between constructing a
+  * DataFrame and executing it is snapshot-isolated away instead of
+  * failing the scan build — MVCC reader semantics, same as the generic
+  * [[Lake.table]] path's snapshot read. */
 final class GraftReadableTable(lake: Lake, tbl: String,
     tableSchema: StructType) extends GraftTable(lake, tbl, tableSchema)
     with SupportsRead {
+
+  private val pinnedSnapshot: Long =
+    lake.meta.currentSnapshot().snapshotId
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -282,5 +292,5 @@ final class GraftReadableTable(lake: Lake, tbl: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector
       .read.ScanBuilder =
-    new GraftScanBuilder(lake.spark, lake, tbl)
+    new GraftScanBuilder(lake.spark, lake, tbl, Some(pinnedSnapshot))
 }

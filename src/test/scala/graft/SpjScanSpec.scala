@@ -373,9 +373,18 @@ class SpjScanSpec extends AnyFunSuite {
         assert(got.count(_._1 == "key7") == 10)
         assert(got.count(r => r._1 == null && r._3 == null) == 1)
         assert(got.length == 21)
-        // the FACT side stayed exchange-free (only the dim side may
-        // shuffle toward the layout)
+        // EXACTLY ONE exchange in the whole plan — the unbucketed dim
+        // side shuffling toward the stored layout — and the fact side
+        // exchange-free (the one-exchange contract the mixed-layout
+        // bench A/B at sf3+ relies on; two exchanges = the planner fell
+        // back to hash-partitioning both sides)
         val plan = finalPlan(j)
+        val exchanges = allNodes(plan).collect {
+          case s: ShuffleExchangeExec => s
+        }
+        assert(exchanges.length == 1,
+          s"expected exactly 1 exchange (dim toward layout), got " +
+            s"${exchanges.length}:\n$plan")
         val factShuffled = allNodes(plan).exists {
           case s: ShuffleExchangeExec =>
             allNodes(s).exists {
@@ -390,6 +399,39 @@ class SpjScanSpec extends AnyFunSuite {
           "spark.sql.sources.v2.bucketing.shuffle.enabled",
           prevShuffle.getOrElse("false"))
       }
+    }
+  }
+
+  test("snapshot pinned at construction: DML committed between building " +
+    "a DataFrame and executing it is snapshot-isolated away, not a " +
+    "scan-build crash") {
+    withSpjLake { (lake, cat) =>
+      mkTables(lake)
+      // analysis (and the snapshot pin) happens at construction
+      val df = spark.table(s"$cat.fact")
+      val joined = df.join(spark.table(s"$cat.dim"),
+        col("k") === col("k2"))
+      // a delete commits PENDING delete files — the CURRENT layout is
+      // now unfit for the fast path (spjScanInfo refuses it)
+      lake.delete("fact", col("k") === 7L)
+      intercept[IllegalStateException] { lake.spjScanInfo("fact", None) }
+      // …but the already-built DataFrames execute against their pinned
+      // snapshot: no throw, and the deleted rows are still visible
+      // (MVCC reader semantics — same as the generic path's snapshot
+      // read)
+      assert(df.count() == 400)
+      assert(joined.filter(col("k") === 7L).count() == 8,
+        "pinned join must still see the pre-delete rows")
+      // a FRESH read resolves the post-delete snapshot: the generic
+      // path serves it (Tables.spjTable probes and falls back); the raw
+      // spj catalog read refuses at scan build, as before
+      assert(lake.table("fact").count() == 392)
+      val e = intercept[Exception] {
+        spark.table(s"$cat.fact").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("deletes pending")))
     }
   }
 
