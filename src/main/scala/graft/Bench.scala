@@ -615,6 +615,22 @@ object Bench {
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) spjNames.foreach {
             n => println(s"=== $tag $n ==="); dfsS(n).explain("formatted")
           }
+          // value-equality self-check (SPARK_GRAFT_SPJ_CHECK=1): every
+          // q5 formulation in the block must return byte-identical rows
+          // to the oracle-anchored q5_join plan over the same lake — a
+          // plan-shape experiment that drifts values dies here, not in
+          // a committed bench number
+          if (sys.env.get("SPARK_GRAFT_SPJ_CHECK").contains("1")) {
+            def rows(n: String): Seq[String] =
+              qmap(n)(spark, spjDir).collect().map(_.toString).toSeq
+            val ref = rows("q5_join")
+            spjNames.filter(n => n.startsWith("q5") && n != "q5_join")
+              .foreach { n =>
+                val got = qmap.get(n).map(_ => rows(n)).getOrElse(Nil)
+                println(s"${tag}CHECK $n " +
+                  (if (got == ref) "OK" else s"MISMATCH got=$got ref=$ref"))
+              }
+          }
           // per-query stage-time proof, same shape as the scale blocks'
           // (SPARK_GRAFT_SPJ_PROOF=q5_join): stage wall vs rep wall says
           // whether an spj row's cost is merge work or scheduling

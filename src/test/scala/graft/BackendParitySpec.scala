@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * 30-oracle sweep on SQLite and PostgreSQL is the local
   * `SPARK_GRAFT_CATALOG` run recorded in SCALE.md; this pins a fast
   * subset in CI.) */
+@org.scalatest.tags.Slow
 class BackendParitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"

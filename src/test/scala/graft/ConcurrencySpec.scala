@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Optimistic-concurrency semantics (FIXTURES.md §7, reference
   * src/storage/ducklake_transaction_state.cpp:142-243). */
+@org.scalatest.tags.Slow
 class ConcurrencySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -16,6 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the snapshot-id PK across process boundaries; the conflict SQLSTATE
   * round-trips the wire and each loser retries with backoff. Zero lost
   * updates: all N×M rows present, N×M distinct snapshots committed. */
+@org.scalatest.tags.Slow
 class MultiProcessSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

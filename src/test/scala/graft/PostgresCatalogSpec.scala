@@ -16,6 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * against a REAL PostgreSQL server (throwaway cluster, psql CLI behind
   * [[PostgresCliCatalog]]'s Connection facade), the reference's headline
   * shared multi-writer deployment shape. */
+@org.scalatest.tags.Slow
 class PostgresCatalogSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -17,6 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * start folds back to the final state (insert/update_postimage add,
   * delete/update_preimage retract, keyed by rowid) — the CDC feed is a
   * complete, minimal history of the random workload. */
+@org.scalatest.tags.Slow
 class RandomizedDmlSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

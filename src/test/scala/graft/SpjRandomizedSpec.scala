@@ -31,6 +31,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - if the fast path REFUSES (pending deletes, multi-epoch, …), the
   *    generic path must still serve the same values (fallback contract).
   */
+@org.scalatest.tags.Slow
 class SpjRandomizedSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

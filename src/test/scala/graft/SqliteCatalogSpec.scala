@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * checks. Covers DDL spelling (LIMIT vs FETCH FIRST), full lake DML
   * round trips, transactions, time travel, and the cross-connection
   * write-write race (SQLITE_BUSY → SQLSTATE "5" → commit retried). */
+@org.scalatest.tags.Slow
 class SqliteCatalogSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
