@@ -650,10 +650,12 @@ object Bench {
               }
             }
             spark.sparkContext.addSparkListener(listener)
+            val proofReps = sys.env
+              .getOrElse("SPARK_GRAFT_SPJ_PROOF_REPS", "9").toInt
             proofNames.foreach { n =>
               println(s"=== $tag PROOF $n ===")
               (1 to 6).foreach(_ => execS(n))
-              (1 to 9).foreach { i =>
+              (1 to proofReps).foreach { i =>
                 val t0 = System.nanoTime()
                 execS(n)
                 println(f"${tag}PROOF $n rep$i " +

@@ -79,6 +79,21 @@ final case class GraftBucketBound(keyType: DataType)
     Integer.valueOf(
       java.lang.Math.floorMod(Murmur3.hashAny(v, keyType) & Int.MaxValue, n))
   }
+
+  // NO magic-method (ScalarFunction.MAGIC_METHOD_NAME) overloads, on
+  // purpose: V2ExpressionUtils binds them with propagateNull = false, so
+  // a NULL key reaches the method — a primitive-arg overload then either
+  // throws (interpreted Invoke: Method.invoke with a null box) or
+  // silently buckets the type's default value (codegen'd Invoke ignores
+  // the child's isNull with propagateNull off) — exactly the
+  // null-hashed-as-zero corruption produceResult's explicit isNullAt
+  // check exists to prevent (SpjScanSpec's null-key shuffle case).
+  // Measured cost of staying on produceResult: ~15% of the shuffle map
+  // stage (952 → 810 ms/rep at factor 30 with a Long magic overload) —
+  // the other 85% is Spark-internal per-row machinery in
+  // TransformExpression.eval (expression construction, reflective
+  // method search with exception-driven fallback; jstack histogram in
+  // SCALE.md §12). Safety beats the 15%.
 }
 
 /** One bucket's worth of files; the partition key is the bucket id. */
