@@ -22,7 +22,12 @@ object MoreTpchQueries extends QueryPack {
     t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      .join(t.lineitem.filter(col("l_quantity") >= 48),
+      // Both semi-join inputs are fact-derived (plan-time stats are
+      // fact-sized, so no broadcast), but neither needs an ORDER: the
+      // shuffled-hash hint drops the SMJ's two full sorts and keeps the
+      // per-partition build bounded by the quantity filter's selectivity
+      // at every SF — the hash-semi plan DuckDB picks natively.
+      .join(t.lineitem.filter(col("l_quantity") >= 48).hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
@@ -72,14 +77,28 @@ object MoreTpchQueries extends QueryPack {
   /** q10: top-20 customers by returned-item revenue in a half-year. */
   private def q10(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem.filter(col("l_returnflag") === "R")
+    // Late materialization: c_name is functionally dependent on
+    // c_custkey and customer⋈orders is a key-preserving FK join, so the
+    // customer join COMMUTES with the top-20 — aggregate revenue by
+    // o_custkey alone, TakeOrdered the 20 winners, then join just those
+    // 20 rows against customer for the names. The naive shape shuffles
+    // the whole customer table and carries c_name through the aggregate;
+    // this shape's only wide op is the custkey aggregation. The fact
+    // join takes the shuffled-hash hint (both inputs fact-derived, no
+    // ordering needed downstream — the SMJ sorts are pure waste).
+    val top = t.lineitem.filter(col("l_returnflag") === "R")
       .join(t.orders.filter(
         col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"))
+      .groupBy(col("o_custkey"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20)
+    t.customer
+      .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -128,7 +147,14 @@ object MoreTpchQueries extends QueryPack {
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-      .join(broadcast(Tables(spark, dir).part),
+      // part is NOT a bounded dim — it grows with SF, so broadcasting it
+      // was the scale hazard (driver builds a |part|-entry table: 2M
+      // rows at factor 100, the measured q5-style build bottleneck).
+      // Shuffled-hash on p_partkey ships the month of lineitem + the
+      // slim (p_partkey, p_type) projection once and builds per
+      // partition — the plan that survives a 100× scale-up.
+      .join(Tables(spark, dir).part.select(col("p_partkey"), col("p_type"))
+        .hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         ((lit(100.0) * sum(when(col("p_type") === "PROMO", r).otherwise(0L))
@@ -427,7 +453,10 @@ object MoreTpchQueries extends QueryPack {
       .agg(avg(col("c_acctbal")).as("ab"))
     t.customer
       .join(broadcast(avgBal), col("c_acctbal") > col("ab"))
-      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+      // anti join against a fact-derived set: shuffled-hash drops the
+      // SMJ's sorts of both shuffled sides (same rationale as q4)
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .hint("shuffle_hash"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(substring(col("c_name"), 1, 10).as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
@@ -485,6 +514,14 @@ object MoreTpchQueries extends QueryPack {
       .select(col("p_partkey"))
     val supply = t.lineitem
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      // ONE exchange for BOTH the (suppkey,partkey) aggregate and the
+      // per-partkey window: hash-partitioning on l_partkey alone
+      // satisfies the aggregate's clustered distribution (subset rule)
+      // AND the window's, so the window's second all-to-all exchange of
+      // the aggregated pairs disappears. The lost pre-shuffle combine is
+      // noise: (suppkey,partkey) group fan-in is ~1, so partial agg
+      // barely shrank the shuffle anyway.
+      .repartition(col("l_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(sl2(col("l_quantity"))).as("qty2"))
     val excess = supply
@@ -493,7 +530,12 @@ object MoreTpchQueries extends QueryPack {
           .partitionBy(col("l_partkey"))))
       .filter(col("qty2") === col("max2"))
     t.supplier
-      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // excess is BOUNDED by |small% parts| but inherits lineitem's
+      // plan-time size estimate (the q17 lesson): without the hint the
+      // semi join plans as a full shuffle+sort of supplier. On a cluster
+      // the broadcast is |part|-bounded, never fact-sized.
+      .join(broadcast(excess.select(col("l_suppkey"))),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("s_acctbal"))
       .orderBy(col("s_name"))
   }
