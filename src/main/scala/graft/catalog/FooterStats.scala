@@ -50,8 +50,38 @@ object FooterStats {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(absPath), conf)
     val r = ParquetFileReader.open(in)
+    try aggregate(r.getFooter)
+    finally r.close()
+  }
+
+  /** Footer read that ALSO yields the file's Spark schema, derived the
+    * way Spark's own reader does — the writer-embedded
+    * `org.apache.spark.sql.parquet.row.metadata` schema when present,
+    * else `convert` applied to the footer's MessageType — so bulk
+    * `add_data_files` pays ONE footer open per file instead of a
+    * DataFrameReader/file-index pass (~2 ms vs ~50 ms per file). */
+  def readWithSchema(absPath: String, conf: Configuration,
+      convert: org.apache.parquet.schema.MessageType => StructType)
+      : (FileFooter, StructType) = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(absPath), conf)
+    val r = ParquetFileReader.open(in)
     try {
-      val footer = r.getFooter
+      val fm = r.getFooter.getFileMetaData
+      val schema =
+        Option(fm.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+          .flatMap(j => scala.util.Try(
+            DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+          .getOrElse(convert(fm.getSchema))
+      (aggregate(r.getFooter), schema)
+    } finally r.close()
+  }
+
+  private def aggregate(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
+      : FileFooter = {
+    {
       val createdBy = footer.getFileMetaData.getCreatedBy
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -95,7 +125,7 @@ object FooterStats {
       }
       FileFooter(rows, blocks.size.toLong,
         perLeaf.collect { case (p, Some(l)) if l != null => p -> l }.toMap)
-    } finally r.close()
+    }
   }
 
   private def mergeBound(a: Any, b: Any, takeMin: Boolean): Any =

@@ -4319,8 +4319,40 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
     val spec = effectivePartitionSpec(t, snap.snapshotId)
     val specFields = spec.toSeq.flatMap(_.fields)
     val paths = expandForeignPaths(parquetPaths)
-    val pending = paths.map { p =>
-      val fileSchema = spark.read.parquet(p).schema
+    // Bulk-registration hot path. Per file this needs the file's Spark
+    // schema + footer stats + a copy — all independent I/O — so files
+    // run on a bounded pool, and the schema comes from the SAME footer
+    // open as the stats (a DataFrameReader per file costs ~50 ms in
+    // session/file-index overhead vs ~2 ms for the footer read; at 11
+    // files/sec serial, a million-file backfill would take a day).
+    // Catalog work stays serial: name mappings synchronize on the
+    // metadata connection, and the final appendFiles commit was always
+    // one batch. Registration order and first-error semantics match the
+    // sequential path (results kept in path order; the lowest-index
+    // failure is the one thrown).
+    val allCols2 = columnsAt(t.tableId, snap.snapshotId)
+    val tableHasGeometry = allCols2.exists(_.typeString == "geometry")
+    val hconf = spark.sessionState.newHadoopConf()
+    val toSpark = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+    // spark.read.parquet reports relation schemas with every field
+    // nullable; replicate so the identity-layout check (exact DataType
+    // equality, which includes nested nullability) behaves identically
+    def asNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = asNullable(m.keyType),
+        valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    def perFile(p: String): PendingDataFile = {
+      val (footer, rawSchema) =
+        FooterStats.readWithSchema(p, hconf, toSpark.convert)
+      val fileSchema =
+        asNullable(rawSchema).asInstanceOf[StructType]
       val hive =
         if (hivePartitions) parseHiveSegments(p)
         else Map.empty[String, String]
@@ -4438,9 +4470,9 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           "add_data_files into a table created in the same transaction " +
             "requires files matching the table schema exactly " +
             "(column ids for a name mapping are not allocated yet)")
-        else Some(meta.createNameMapping(t.tableId,
+        else Some(meta.synchronized(meta.createNameMapping(t.tableId,
           resolved.map { case (sn, ci) => (sn, ci.columnId, false) } ++
-            hiveServed.map { case (ci, _) => (ci.name, ci.columnId, true) }))
+            hiveServed.map { case (ci, _) => (ci.name, ci.columnId, true) })))
       // the copied-in path keeps the hive `key=value` segments that serve
       // columns so scans re-derive their values from the path (reference
       // ducklake_multi_file_reader.cpp:449-467 re-parses the file path)
@@ -4455,18 +4487,17 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       // stats come from the parquet FOOTER, never a row scan — the
       // reference registers files from metadata alone
       // (ducklake_add_data_files.cpp ReadParquetFullMetadata); at 100 TB
-      // ingest-in-place this is N footer reads, not N full scans.
-      // Geometry columns still need the WKB scan pass (parquet footers
-      // carry no extents), so those tables fall back to it.
-      val allCols2 = columnsAt(t.tableId, snap.snapshotId)
-      if (allCols2.exists(_.typeString == "geometry"))
+      // ingest-in-place this is N footer reads, not N full scans. The
+      // footer was already read (from the source file — the copy is
+      // byte-identical) for the schema above. Geometry columns still
+      // need the WKB scan pass (parquet footers carry no extents), so
+      // those tables fall back to it.
+      if (tableHasGeometry)
         statsFor(rel, cols,
           resolved.map { case (sn, ci) => ci.columnId -> sn }.toMap,
           hiveConsts = hiveServed.map { case (ci, v) => ci.columnId -> v })
           .copy(mappingId = mappingId, partitionValues = partVals)
       else {
-        val footer = FooterStats.read(abs(rel),
-          spark.sessionState.newHadoopConf())
         val srcByCol = resolved.map { case (sn, ci) =>
           ci.columnId -> sn
         }.toMap
@@ -4525,6 +4556,26 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
           mappingId = mappingId, rowGroupCount = Some(footer.rowGroups))
       }
     }
+    val addParallelism = math.max(1, math.min(16, paths.size))
+    val pending: Seq[PendingDataFile] =
+      if (addParallelism == 1) paths.map(perFile)
+      else {
+        val pool =
+          java.util.concurrent.Executors.newFixedThreadPool(addParallelism)
+        try {
+          val futs = paths.map { p =>
+            pool.submit(new java.util.concurrent.Callable[
+              scala.util.Try[PendingDataFile]] {
+              def call(): scala.util.Try[PendingDataFile] =
+                scala.util.Try(perFile(p))
+            })
+          }
+          val results = futs.map(_.get())
+          results.collectFirst { case scala.util.Failure(e) => e }
+            .foreach(e => throw e)
+          results.map(_.get)
+        } finally pool.shutdown()
+      }
     txn match {
       case Some(st) => // buffer with the txn's appends: visible to the
         // txn's own reads, ONE commit snapshot, rollback removes the
