@@ -19,16 +19,21 @@ object MoreTpchQueries extends QueryPack {
   /** q4: priority histogram of orders with a qualifying lineitem. */
   private def q4(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.orders
+    // EXISTS flipped into a map-side probe: the (orderkey, priority)
+    // pairs of a 3-month orders slice are a bounded fraction of orders,
+    // broadcast into the fact scan — lineitem, the 60 M-row side, never
+    // shuffles; the only exchange carries the DISTINCT surviving pairs,
+    // bounded by the slice. A/B at factor 100 (bench_runs/README,
+    // SCALE.md §13): this probe 0.42 s vs SMJ semi 0.73 s vs
+    // shuffle_hash semi 1.15 s.
+    val ordSlice = t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      // Both semi-join inputs are fact-derived (plan-time stats are
-      // fact-sized, so no broadcast), but neither needs an ORDER: the
-      // shuffled-hash hint drops the SMJ's two full sorts and keeps the
-      // per-partition build bounded by the quantity filter's selectivity
-      // at every SF — the hash-semi plan DuckDB picks natively.
-      .join(t.lineitem.filter(col("l_quantity") >= 48).hint("shuffle_hash"),
-        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    t.lineitem.filter(col("l_quantity") >= 48)
+      .join(broadcast(ordSlice), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .distinct()
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
@@ -147,14 +152,18 @@ object MoreTpchQueries extends QueryPack {
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-      // part is NOT a bounded dim — it grows with SF, so broadcasting it
-      // was the scale hazard (driver builds a |part|-entry table: 2M
-      // rows at factor 100, the measured q5-style build bottleneck).
-      // Shuffled-hash on p_partkey ships the month of lineitem + the
-      // slim (p_partkey, p_type) projection once and builds per
-      // partition — the plan that survives a 100× scale-up.
-      .join(Tables(spark, dir).part.select(col("p_partkey"), col("p_type"))
-        .hint("shuffle_hash"),
+      // broadcast — but ship ONLY the two columns the query touches:
+      // (p_partkey, p_type) shrinks the build payload vs the full part
+      // row. The shuffled-hash alternative (part grows with SF, so
+      // "don't broadcast a growing side" is principled) was A/B'd at
+      // factor 100 and LOST (0.41 s vs 0.34 s broadcast; 2.4 s worst
+      // rep — SCALE.md §13): Spark's per-task UnsafeHashedRelation
+      // build is no vectorized hash join, and the slim build side is
+      // |part|-bounded, not fact-sized. On a cluster where part
+      // outgrows the executor budget, AQE's runtime stats (lake session
+      // default) make this call from real sizes instead of a hint.
+      .join(broadcast(Tables(spark, dir).part
+          .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
         ((lit(100.0) * sum(when(col("p_type") === "PROMO", r).otherwise(0L))
@@ -453,10 +462,12 @@ object MoreTpchQueries extends QueryPack {
       .agg(avg(col("c_acctbal")).as("ab"))
     t.customer
       .join(broadcast(avgBal), col("c_acctbal") > col("ab"))
-      // anti join against a fact-derived set: shuffled-hash drops the
-      // SMJ's sorts of both shuffled sides (same rationale as q4)
-      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
-        .hint("shuffle_hash"),
+      // SMJ anti against the 1-URGENT orders slice — deliberately NOT
+      // shuffled-hash: the hint was A/B'd at factor 100 and LOST
+      // (0.37 s vs 0.11 s SMJ; SCALE.md §13). The sorts run over
+      // already-shuffled slices and beat the per-task hash build+probe
+      // at every measured scale.
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(substring(col("c_name"), 1, 10).as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
