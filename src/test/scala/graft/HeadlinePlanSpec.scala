@@ -95,4 +95,53 @@ class HeadlinePlanSpec extends AnyFunSuite {
     val p = planned("q1_agg")
     assert(shuffles(p) == 1, p.toString.take(2000))
   }
+
+  // ---- round-13 tpch22 tail rework (SCALE.md §13, plans/r13/) ----
+
+  test("q4_priority: EXISTS as broadcast probe — lineitem never " +
+    "shuffles; the three exchanges carry bounded pair/priority rows") {
+    val p = planned("q4_priority")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 3, p.toString.take(2000)) // distinct, agg, sort
+  }
+
+  test("q10_returned: late materialization — customer joins 20 rows " +
+    "via broadcast, no sort-merge join anywhere") {
+    val p = planned("q10_returned")
+    assert(count(p)(_.isInstanceOf[SortMergeJoinExec]) == 0,
+      p.toString.take(2000))
+    // the hinted fact join (2 exchanges) + the custkey aggregation —
+    // customer itself feeds the final broadcast join unshuffled
+    assert(shuffles(p) == 3, p.toString.take(2000))
+  }
+
+  test("q14_promo_share: slim (p_partkey, p_type) broadcast probe — " +
+    "single scalar-agg exchange, no fact shuffle") {
+    val p = planned("q14_promo_share")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 1, p.toString.take(2000))
+    val bcastWidths = p.collectWithSubqueries {
+      case b: BroadcastExchangeExec => b.child.output.size
+    }
+    assert(bcastWidths == Seq(2), s"broadcast payload widths $bcastWidths")
+  }
+
+  test("q17_small_qty: |part|-bounded average aggregate broadcasts — " +
+    "the fact probe side never exchanges (the 25x find)") {
+    val p = planned("q17_small_qty")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 2, p.toString.take(2000)) // avgQty agg + final agg
+  }
+
+  test("q20_excess_supply: aggregate and window share ONE exchange " +
+    "(repartition on l_partkey satisfies both); excess set broadcasts") {
+    val p = planned("q20_excess_supply")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 2, p.toString.take(2000)) // shared + final sort
+    // the shared exchange: no second exchange may sit between the
+    // aggregate and the window
+    val windows = count(p)(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows == 1, p.toString.take(2000))
+  }
 }
