@@ -272,10 +272,24 @@ object MoreTpchQueries extends QueryPack {
     val t = Tables(spark, dir)
     val excluded = t.supplier.filter(col("s_acctbal") < 0)
       .select(col("s_suppkey").as("x_suppkey"))
+    // Pre-distinct the NARROW (partkey, suppkey) pair before anything
+    // string-keyed touches the fact rows: the pair domain is bounded by
+    // |partsupp| (fixed per part, like q17/q20's bounded aggregates)
+    // while lineitem grows with SF, so the fact-wide stage dedups 60 M
+    // rows to ~0.6 M pairs over two LONG keys — dense 16-byte hash-agg
+    // buffers instead of the (brand, type, size, suppkey) string-keyed
+    // distinct over every fact row, whose per-task table sat at the
+    // execution-memory edge and tipped into sort-fallback spill
+    // cascades (isolated min-of-9 7.2 s at factor 100; 2.7–10.4 s band
+    // across runs). The part join and the attribute-keyed countDistinct
+    // then run over the bounded pair set. Same values: the anti filter
+    // is row-wise on suppkey, part⋈ is keyed by partkey alone, and
+    // DISTINCT commutes with both.
     t.lineitem
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
       .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#45")),
         col("l_partkey") === col("p_partkey"))
-      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),

@@ -133,6 +133,30 @@ class HeadlinePlanSpec extends AnyFunSuite {
     assert(shuffles(p) == 2, p.toString.take(2000)) // avgQty agg + final agg
   }
 
+  test("q16_supplier_cnt: the fact-wide stage dedups NARROW " +
+    "(partkey, suppkey) long pairs — no string-keyed aggregate sees " +
+    "fact-sized input, no non-broadcast join") {
+    val p = planned("q16_supplier_cnt")
+    assert(nonBroadcastJoins(p) == 0, p.toString.take(2000))
+    assert(shuffles(p) == 3, p.toString.take(2000)) // pairs, attrs, count
+    // the exchange whose subtree scans lineitem (the only fact-scaled
+    // one) must carry only LONG columns: the 16-byte (partkey, suppkey)
+    // pair, not (brand, type, size, suppkey) strings per fact row
+    val factExchanges = p.collectWithSubqueries {
+      case e: ShuffleExchangeExec
+        if e.child.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("lineitem")) => s
+        }.nonEmpty &&
+          e.child.collect { case x: ShuffleExchangeExec => x }.isEmpty => e
+    }
+    assert(factExchanges.size == 1, p.toString.take(2000))
+    assert(factExchanges.head.child.output.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      factExchanges.head.child.output
+        .map(a => s"${a.name}:${a.dataType}").toString)
+  }
+
   test("q20_excess_supply: aggregate and window share ONE exchange " +
     "(repartition on l_partkey satisfies both); excess set broadcasts") {
     val p = planned("q20_excess_supply")
