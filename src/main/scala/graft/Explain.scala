@@ -27,8 +27,15 @@ object Explain {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+    // Fail fast on malformed SPARK_GRAFT_CONF entries: a silently dropped
+    // typo would capture a plan under the WRONG planning environment —
+    // the exact mismatch this tool exists to prevent (ADVICE r13).
+    val confEntries = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+    val bad = confEntries.filterNot(_.contains("="))
+    require(bad.isEmpty,
+      s"SPARK_GRAFT_CONF entries without '=': ${bad.mkString(", ")}")
+    val spark = confEntries
       .foldLeft(builder) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2); b.config(k, v)
       }.getOrCreate()

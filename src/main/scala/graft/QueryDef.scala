@@ -74,4 +74,32 @@ object QueryDsl {
   def dsum(c: Column): Column =
     sum(c).cast(DecimalType(38, 2)).cast("double")
   val one: Column = lit(1).cast(DecimalType(8, 4))
+
+  // ---- scale-safe broadcast hints -----------------------------------------
+  /** `broadcast(df)` gated on a conservative size estimate of the side
+    * being built, derived from PROBLEM knowledge (the on-disk footprint
+    * of the base table that bounds a derived relation) instead of the
+    * optimizer's propagated estimate — which inherits the fact-table
+    * size through aggregates, the q17 estimate-blindness that motivated
+    * the hints in the first place.
+    *
+    * Under the cap the hint pins the measured bench-scale plan exactly
+    * as before; over the cap the df is returned UNHINTED so the planner
+    * falls back to a shuffle strategy. This matters because an explicit
+    * broadcast() hint is honored at ANY size — AQE never demotes it —
+    * so an unconditional hint on a side that grows with scale factor
+    * (a 3-month orders slice, a |part|-bounded aggregate) would OOM the
+    * driver at 100 TB (VERDICT r13 item 3).
+    *
+    * Cap: spark.graft.broadcast.cap bytes, default 256 MB of estimated
+    * on-disk footprint. Parquet→UnsafeHashedRelation inflation is
+    * roughly 3–5×, so 256 MB on disk stays near ~1 GB built — inside a
+    * sane executor budget and ~8× under Spark's 8 GB broadcast-relation
+    * hard cap. The crossover SFs per query are documented in SCALE.md. */
+  def boundedBroadcast(df: DataFrame, estBytes: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.broadcast.cap")
+      .map(_.toLong).getOrElse(256L << 20)
+    if (estBytes <= cap) broadcast(df) else df
+  }
 }

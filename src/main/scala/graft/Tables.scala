@@ -32,6 +32,32 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Conservative on-disk byte size of a base table: raw mode sums the
+    * parquet file sizes on the filesystem; lake/spj modes read the
+    * catalog's per-file size metadata. Driver-side either way — no Spark
+    * job. Queries use this (via QueryDsl.boundedBroadcast) to gate
+    * broadcast hints on the real footprint of the table that BOUNDS a
+    * derived relation, because the optimizer's propagated estimate for
+    * an aggregate inherits its fact-table input size. Cached per
+    * (dir, table) like schemaCache — static testdata metadata, not query
+    * results. */
+  def bytesOf(name: String): Long =
+    Tables.bytesCache.computeIfAbsent(s"$sfDir#$name", { _ =>
+      val n: Long =
+        if (lakeMode) Tables.lakeFor(spark, sfDir).tableSizeBytes(name)
+        else if (spjMode) Tables.spjFor(spark, sfDir)._1.tableSizeBytes(name)
+        else {
+          val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally s.close()
+          } else java.nio.file.Files.size(p)
+        }
+      java.lang.Long.valueOf(n)
+    }).longValue()
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -90,6 +116,9 @@ object Tables {
 
   private val lakeCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.catalog.Lake]()
+
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private val rawEventsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -4044,6 +4044,18 @@ class Lake(val spark: SparkSession, val meta: MetadataManager,
       .toDF("database_name", "database_size", "table_count")
   }
 
+  /** Total live data bytes of one table from catalog metadata alone —
+    * driver-side, no storage listing, no Spark job. Serves the
+    * boundedBroadcast size estimates (QueryDsl): the catalog already
+    * tracks every data file's size, so a query can gate a broadcast hint
+    * on the REAL footprint of its bounding table instead of the
+    * optimizer's propagated estimate. */
+  def tableSizeBytes(name: String): Long = {
+    val sid = meta.currentSnapshot().snapshotId
+    val t = resolve(name, Some(sid))
+    meta.filesForScan(t.tableId, sid).map(_.file.fileSizeBytes).sum
+  }
+
   /** list_files() (reference ducklake_list_files.cpp:65-113). */
   def listFiles(name: String, version: Option[Long] = None): DataFrame = {
     import spark.implicits._

@@ -20,18 +20,23 @@ object MoreTpchQueries extends QueryPack {
   private def q4(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // EXISTS flipped into a map-side probe: the (orderkey, priority)
-    // pairs of a 3-month orders slice are a bounded fraction of orders,
-    // broadcast into the fact scan — lineitem, the 60 M-row side, never
-    // shuffles; the only exchange carries the DISTINCT surviving pairs,
-    // bounded by the slice. A/B at factor 100 (bench_runs/README,
+    // pairs of a 3-month orders slice are a CONSTANT FRACTION of orders
+    // (3 of the ~79 generated months ≈ 3.8% — it GROWS linearly with
+    // SF), broadcast into the fact scan — lineitem, the 60 M-row side,
+    // never shuffles; the only exchange carries the DISTINCT surviving
+    // pairs, bounded by the slice. A/B at factor 100 (bench_runs/README,
     // SCALE.md §13): this probe 0.42 s vs SMJ semi 0.73 s vs
-    // shuffle_hash semi 1.15 s.
+    // shuffle_hash semi 1.15 s. boundedBroadcast: est = orders bytes/16
+    // (slice ≈ 1/26 of rows, 2 of 4 columns — /16 keeps ~1.6× margin);
+    // past the cap the hint drops and the join degrades to the measured
+    // 0.73 s-class SMJ semi instead of an unbounded driver build.
     val ordSlice = t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_orderpriority"))
     t.lineitem.filter(col("l_quantity") >= 48)
-      .join(broadcast(ordSlice), col("l_orderkey") === col("o_orderkey"))
+      .join(boundedBroadcast(ordSlice, t.bytesOf("orders") / 16),
+        col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"))
       .distinct()
       .groupBy(col("o_orderpriority"))
@@ -159,11 +164,13 @@ object MoreTpchQueries extends QueryPack {
       // factor 100 and LOST (0.41 s vs 0.34 s broadcast; 2.4 s worst
       // rep — SCALE.md §13): Spark's per-task UnsafeHashedRelation
       // build is no vectorized hash join, and the slim build side is
-      // |part|-bounded, not fact-sized. On a cluster where part
-      // outgrows the executor budget, AQE's runtime stats (lake session
-      // default) make this call from real sizes instead of a hint.
-      .join(broadcast(Tables(spark, dir).part
-          .select(col("p_partkey"), col("p_type"))),
+      // |part|-bounded, not fact-sized. boundedBroadcast (est = part's
+      // on-disk bytes): where part outgrows the cap the hint drops and
+      // the planner falls back to a shuffle join — an explicit hint
+      // would otherwise pin the broadcast at EVERY scale (AQE does not
+      // demote hints), OOMing the driver at 100 TB.
+      .join(boundedBroadcast(t.part
+          .select(col("p_partkey"), col("p_type")), t.bytesOf("part")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         ((lit(100.0) * sum(when(col("p_type") === "PROMO", r).otherwise(0L))
@@ -186,15 +193,19 @@ object MoreTpchQueries extends QueryPack {
     val big = t.lineitem.groupBy(col("l_orderkey"))
       .agg(lsum(sl2(col("l_quantity")), 100.0).as("sum_qty"))
       .filter(col("sum_qty") > 300.0)
-    // The HAVING survivors are a few hundred rows at any SF (sum_qty > 300
-    // keeps ~0.01% of orders), but with AQE off the static planner cannot
-    // size an aggregate output, so both joins would shuffle. Broadcast the
-    // survivors into the orders scan, then broadcast the (now tiny)
-    // filtered orders into the customer scan: zero shuffles after the one
-    // lineitem aggregation exchange.
+    // The HAVING survivors are ~0.01% of orders at any SF, but with AQE
+    // off the static planner cannot size an aggregate output, so both
+    // joins would shuffle. Broadcast the survivors into the orders scan,
+    // then broadcast the (now tiny) filtered orders into the customer
+    // scan: zero shuffles after the one lineitem aggregation exchange.
+    // The survivor count still GROWS linearly with SF, so the hints are
+    // boundedBroadcast (est = orders bytes/100 — 100× margin over the
+    // ~0.01% selectivity); past the cap both joins degrade to shuffles.
+    val q18Est = t.bytesOf("orders") / 100
     val bigOrders = t.orders
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-    broadcast(bigOrders)
+      .join(boundedBroadcast(big, q18Est),
+        col("o_orderkey") === col("l_orderkey"))
+    boundedBroadcast(bigOrders, q18Est)
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
@@ -243,7 +254,9 @@ object MoreTpchQueries extends QueryPack {
   private def q9(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_name").like("%a%"))),
+      // part grows with SF: hint only while its footprint fits the cap
+      .join(boundedBroadcast(t.part.filter(col("p_name").like("%a%")),
+          t.bytesOf("part")),
         col("l_partkey") === col("p_partkey"))
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -288,7 +301,9 @@ object MoreTpchQueries extends QueryPack {
     t.lineitem
       .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#45")),
+      // part grows with SF: hint only while its footprint fits the cap
+      .join(boundedBroadcast(t.part.filter(col("p_brand") =!= "Brand#45"),
+          t.bytesOf("part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -320,10 +335,14 @@ object MoreTpchQueries extends QueryPack {
       // estimate inherits lineitem's, so without AQE the planner picks a
       // sort-merge join that shuffles + sorts the whole fact side —
       // measured 10.5 s vs 0.9 s at factor 100 (25× vs DuckDB → ~2×).
-      // On a cluster where part outgrows the executor budget, AQE's
-      // runtime size (the lake session default) makes this same call
-      // from real stats instead of a hint.
-      .join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      // boundedBroadcast fixes the estimate with problem knowledge
+      // instead of pinning the hint at every scale: est = part's
+      // on-disk bytes (the pair payload is narrower than a part row);
+      // past the cap the hint drops and the plan degrades to the SMJ —
+      // slow but finite, vs a |part|-sized driver build that grows
+      // linearly with SF (AQE never demotes an explicit hint).
+      .join(boundedBroadcast(avgQty, t.bytesOf("part")),
+        col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg"))
       .agg((lsum(sl2(col("l_extendedprice")), 100.0) / 7.0)
         .as("avg_yearly"))
@@ -357,6 +376,33 @@ object MoreTpchQueries extends QueryPack {
       .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
     val others = t.lineitem
       .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    l1
+      .join(others,
+        col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_anti")
+      .join(t.supplier, col("sk1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** q21 with the q16 narrow-pair pre-pass (VERDICT r13 item 4): the
+    * anti join's right side only matters as the SET of (orderkey,
+    * suppkey) pairs — anti-join semantics ignore duplicates — so
+    * DISTINCT the two-long pair before the join. The partial (map-side)
+    * aggregate dedups before the exchange (guide §2.3 "aggregate before
+    * you shuffle"), so the right side's exchange+sort shrink from
+    * |lineitem| rows to |distinct pairs| — bounded by orders × suppliers
+    * per order, and the 60 M-row sort whose per-task buffer drove the
+    * 2.5–13 s factor-100 spill band disappears. Values identical at any
+    * data: same oracle as q21_waiting. */
+  private def q21Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l1 = t.lineitem.filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+    val others = t.lineitem
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      .distinct()
     l1
       .join(others,
         col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_anti")
@@ -450,7 +496,9 @@ object MoreTpchQueries extends QueryPack {
           org.apache.spark.sql.types.StructField("c45",
             org.apache.spark.sql.types.LongType))))
     perOrder
-      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(boundedBroadcast(
+          t.supplier.select(col("s_suppkey"), col("s_name")),
+          t.bytesOf("supplier")),
         col("sk") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("c45")).as("numwait"))
@@ -538,7 +586,9 @@ object MoreTpchQueries extends QueryPack {
     val parts = t.part.filter(col("p_name").like("small%"))
       .select(col("p_partkey"))
     val supply = t.lineitem
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      // the small% slice grows with |part|: hint only under the cap
+      .join(boundedBroadcast(parts, t.bytesOf("part")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       // ONE exchange for BOTH the (suppkey,partkey) aggregate and the
       // per-partkey window: hash-partitioning on l_partkey alone
       // satisfies the aggregate's clustered distribution (subset rule)
@@ -557,9 +607,13 @@ object MoreTpchQueries extends QueryPack {
     t.supplier
       // excess is BOUNDED by |small% parts| but inherits lineitem's
       // plan-time size estimate (the q17 lesson): without the hint the
-      // semi join plans as a full shuffle+sort of supplier. On a cluster
-      // the broadcast is |part|-bounded, never fact-sized.
-      .join(broadcast(excess.select(col("l_suppkey"))),
+      // semi join plans as a full shuffle+sort of supplier.
+      // boundedBroadcast, est = part's on-disk bytes (gross
+      // overestimate: excess is one long column over the small% subset)
+      // — |part| still grows with SF, so past the cap the hint drops
+      // rather than pinning a linearly growing driver build.
+      .join(boundedBroadcast(excess.select(col("l_suppkey")),
+          t.bytesOf("part")),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("s_acctbal"))
       .orderBy(col("s_name"))
@@ -590,6 +644,7 @@ object MoreTpchQueries extends QueryPack {
     QueryDef("q17_small_qty", q17, Some(q17Sql)),
     QueryDef("q21_waiting", q21, Some(q21Sql)),
     QueryDef("q21_stream", q21Stream, Some(q21Sql)),
+    QueryDef("q21_dedup", q21Dedup, Some(q21Sql)),
     QueryDef("q22_acctbal", q22, Some(q22Sql)),
     QueryDef("q7_nation_volume", q7, Some(q7Sql)),
     QueryDef("q10_returned", q10, Some(q10Sql)),

@@ -87,7 +87,9 @@ object RelationalQueries extends QueryPack {
       .join(t.orders.filter(
         col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer grows with SF: hint only while its footprint fits the cap
+      .join(boundedBroadcast(cust, t.bytesOf("customer")),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -110,7 +112,8 @@ object RelationalQueries extends QueryPack {
       .join(t.orders.filter(
         col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(boundedBroadcast(cust, t.bytesOf("customer")),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -171,8 +174,14 @@ object RelationalQueries extends QueryPack {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
     t.lineitem
-      .join(broadcast(ordNation), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppAsia),
+      // both build sides GROW with SF (1-year ASIA-customer orders slice
+      // ≈3% of orders; ASIA suppliers ≈20% of supplier): hints gated on
+      // the bounding tables' footprints (orders/8 keeps ~4x margin over
+      // the slice; supplier taken whole) — past the cap the fact join
+      // degrades to a shuffle instead of an unbounded driver build
+      .join(boundedBroadcast(ordNation, t.bytesOf("orders") / 8),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(boundedBroadcast(suppAsia, t.bytesOf("supplier")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -214,15 +223,16 @@ object RelationalQueries extends QueryPack {
       // same semi-join reduction as q5Join: only ASIA customers can pass
       // the final c_nationkey = s_nationkey join, and the ~5×-smaller
       // broadcast build is the dominant per-execution cost locally
-      .join(broadcast(t.customer
+      .join(boundedBroadcast(t.customer
           .join(broadcast(t.nation
               .join(t.region.filter(col("r_name") === "ASIA"),
                 col("n_regionkey") === col("r_regionkey"))
               .select(col("n_nationkey"))),
             col("c_nationkey") === col("n_nationkey"), "leftsemi")
-          .select(col("c_custkey"), col("c_nationkey"))),
+          .select(col("c_custkey"), col("c_nationkey")),
+          t.bytesOf("customer")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppAsia),
+      .join(boundedBroadcast(suppAsia, t.bytesOf("supplier")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -261,7 +271,7 @@ object RelationalQueries extends QueryPack {
       .join(t.customer.select(col("c_custkey"), col("c_nationkey"))
           .hint("merge"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppAsia),
+      .join(boundedBroadcast(suppAsia, t.bytesOf("supplier")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -296,15 +306,16 @@ object RelationalQueries extends QueryPack {
           .select(col("o_orderkey"), col("o_custkey"))
           .hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer
+      .join(boundedBroadcast(t.customer
           .join(broadcast(t.nation
               .join(t.region.filter(col("r_name") === "ASIA"),
                 col("n_regionkey") === col("r_regionkey"))
               .select(col("n_nationkey"))),
             col("c_nationkey") === col("n_nationkey"), "leftsemi")
-          .select(col("c_custkey"), col("c_nationkey"))),
+          .select(col("c_custkey"), col("c_nationkey")),
+          t.bytesOf("customer")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppAsia),
+      .join(boundedBroadcast(suppAsia, t.bytesOf("supplier")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -681,7 +692,15 @@ object RelationalQueries extends QueryPack {
       .filter(!col("o_orderpriority").like("4-%"))
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
     t.customer.select(col("c_custkey"))
-      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      // the q17 estimate-blindness: perCust is bounded by |ordering
+      // custkeys| ≤ |customer| (two longs/row), but its plan-time size
+      // estimate inherits orders', which at factor 100 sits right at the
+      // bench's 64 MB broadcast threshold — the plan flip-flopped
+      // between broadcast and SMJ across runs (the 1.4–2.7× band).
+      // boundedBroadcast pins the broadcast from the real bound
+      // (customer's footprint) and degrades to SMJ past the cap.
+      .join(boundedBroadcast(perCust, t.bytesOf("customer")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
       .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
@@ -701,7 +720,9 @@ object RelationalQueries extends QueryPack {
   private def qDisjunctive(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      // part grows with SF: hint only while its footprint fits the cap
+      .join(boundedBroadcast(t.part, t.bytesOf("part")),
+        col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("l_quantity") >= 1 &&
           col("l_quantity") <= 11 && col("p_size").between(1, 5)) ||

@@ -27,7 +27,9 @@ object SubqueryQueries extends QueryPack {
     val thresh = t.lineitem.groupBy(col("l_partkey").as("t_partkey"))
       .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_size") < 5)),
+      // part grows with SF: hint only while its footprint fits the cap
+      .join(boundedBroadcast(t.part.filter(col("p_size") < 5),
+          t.bytesOf("part")),
         col("l_partkey") === col("p_partkey"))
       .join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))

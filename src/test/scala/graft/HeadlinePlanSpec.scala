@@ -157,6 +157,35 @@ class HeadlinePlanSpec extends AnyFunSuite {
         .map(a => s"${a.name}:${a.dataType}").toString)
   }
 
+  // ---- round-14: scale-safe broadcast hints (VERDICT r13 item 3) ----
+
+  test("boundedBroadcast: when the bounding-table estimate exceeds the " +
+    "cap the hint DROPS and the plan degrades to a shuffle join — the " +
+    "100 TB behavior, where a pinned broadcast() would OOM the driver") {
+    // cap 0 = every estimate over it; threshold -1 = the planner can't
+    // re-pick broadcast from sf0.001 file sizes on its own
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.broadcast.cap", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // every broadcast in these five is a bounded hint on an O(SF)
+      // side (q9/q7/q8 keep their fixed-25-row nation hints — excluded)
+      for (q <- Seq("q4_priority", "q17_small_qty", "q20_excess_supply",
+        "q14_promo_share", "q16_supplier_cnt")) {
+        val p = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        assert(count(p)(_.isInstanceOf[BroadcastExchangeExec]) == 0,
+          s"$q still broadcasts under cap=0:\n" + p.toString.take(2000))
+        assert(nonBroadcastJoins(p) >= 1,
+          s"$q lost its join entirely:\n" + p.toString.take(2000))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.graft.broadcast.cap")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q20_excess_supply: aggregate and window share ONE exchange " +
     "(repartition on l_partkey satisfies both); excess set broadcasts") {
     val p = planned("q20_excess_supply")
